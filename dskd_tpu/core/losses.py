@@ -1,0 +1,232 @@
+"""Detection / distillation loss library with the weight+avg_factor protocol.
+
+Every loss here is a pure function ``loss(pred, target, weight=None,
+reduction='mean', avg_factor=None)`` replicating the reduction semantics of
+the reference's ``weighted_loss`` decorator (mmdet/models/losses/utils.py):
+
+  * elementwise loss is multiplied by ``weight`` when given;
+  * no ``avg_factor``: reduce by ``reduction`` ('none' | 'mean' | 'sum');
+  * with ``avg_factor`` and reduction='mean': ``loss.sum() / (avg_factor+eps)``;
+  * with ``avg_factor`` and reduction='sum': error (matches reference).
+
+Loss formula parity targets:
+  * QualityFocalLoss / DistributionFocalLoss: mmdet/models/losses/gfocal_loss.py
+  * GIoULoss: mmdet/models/losses/iou_loss.py
+  * L1/SmoothL1: mmdet/models/losses/smooth_l1_loss.py
+  * KnowledgeDistillationKLDivLoss: mmdet/models/losses/kd_loss.py
+  * MSELoss: mmdet/models/losses/mse_loss.py
+
+All losses are mask-friendly: padded entries are neutralized via ``weight=0``
+so shapes stay static under jit.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import bbox_overlaps
+
+_F32_EPS = float(jnp.finfo(jnp.float32).eps)
+
+
+def weight_reduce_loss(loss, weight=None, reduction="mean", avg_factor=None):
+    """Apply elementwise weight then reduce, following the reference protocol."""
+    if weight is not None:
+        loss = loss * weight
+    if avg_factor is None:
+        if reduction == "none":
+            return loss
+        if reduction == "mean":
+            return loss.mean()
+        if reduction == "sum":
+            return loss.sum()
+        raise ValueError(reduction)
+    if reduction == "mean":
+        return loss.sum() / (avg_factor + _F32_EPS)
+    if reduction == "none":
+        return loss
+    raise ValueError('avg_factor can not be used with reduction="sum"')
+
+
+def _weighted(elem_fn):
+    def wrapper(pred, target, weight=None, reduction="mean", avg_factor=None,
+                **kwargs):
+        loss = elem_fn(pred, target, **kwargs)
+        return weight_reduce_loss(loss, weight, reduction, avg_factor)
+    return wrapper
+
+
+# ---------------------------------------------------------------------------
+# elementwise cores
+# ---------------------------------------------------------------------------
+
+def binary_cross_entropy_with_logits(pred, target):
+    """Numerically-stable elementwise BCE on logits."""
+    # max(x,0) - x*t + log(1+exp(-|x|))
+    return jnp.clip(pred, 0, None) - pred * target + jnp.log1p(
+        jnp.exp(-jnp.abs(pred)))
+
+
+@_weighted
+def l1_loss(pred, target):
+    return jnp.abs(pred - target)
+
+
+@_weighted
+def smooth_l1_loss(pred, target, beta: float = 1.0):
+    diff = jnp.abs(pred - target)
+    return jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+
+
+@_weighted
+def mse_loss(pred, target):
+    return (pred - target) ** 2
+
+
+@_weighted
+def giou_loss(pred, target, eps: float = 1e-7):
+    """1 - GIoU over aligned xyxy boxes; elementwise shape (..., )."""
+    gious = bbox_overlaps(pred, target, mode="giou", is_aligned=True, eps=eps)
+    return 1.0 - gious
+
+
+@_weighted
+def iou_loss(pred, target, eps: float = 1e-6, linear: bool = True):
+    ious = jnp.clip(
+        bbox_overlaps(pred, target, mode="iou", is_aligned=True, eps=eps),
+        eps, None)
+    return 1 - ious if linear else -jnp.log(ious)
+
+
+@_weighted
+def quality_focal_loss(pred, target, beta: float = 2.0):
+    """QFL on logits; target is (labels, score) with bg label == num_classes.
+
+    pred: (N, C) logits. labels: (N,) int in [0, C] (C == background).
+    score: (N,) IoU quality in [0, 1] for positives (0 elsewhere).
+    Returns per-sample loss of shape (N,) (summed over classes).
+    """
+    label, score = target
+    num_classes = pred.shape[-1]
+    pred_sigmoid = jax.nn.sigmoid(pred)
+
+    # negatives: supervised by 0 quality, modulated by sigmoid^beta
+    neg = binary_cross_entropy_with_logits(pred, jnp.zeros_like(pred))
+    loss = neg * pred_sigmoid ** beta
+
+    # positives: at their class channel, supervised by IoU score
+    is_pos = (label >= 0) & (label < num_classes)
+    safe_label = jnp.clip(label, 0, num_classes - 1)
+    onehot = jax.nn.one_hot(safe_label, num_classes, dtype=pred.dtype)
+    pred_at = jnp.sum(pred * onehot, axis=-1)
+    sig_at = jnp.sum(pred_sigmoid * onehot, axis=-1)
+    pos_elem = binary_cross_entropy_with_logits(pred_at, score) * jnp.abs(
+        score - sig_at) ** beta
+    # scatter: replace the class channel for positive rows
+    neg_at = jnp.sum(loss * onehot, axis=-1)
+    loss_rows = loss.sum(axis=-1)
+    loss_rows = jnp.where(is_pos, loss_rows - neg_at + pos_elem, loss_rows)
+    return loss_rows
+
+
+@_weighted
+def distribution_focal_loss(pred, label):
+    """DFL: CE to the two integer bins bracketing a continuous target.
+
+    pred: (N, n+1) distribution logits (pre-softmax in the canonical GFL;
+    the flagship head feeds sigmoid outputs here — semantics follow caller).
+    label: (N,) continuous target in bin units.
+    """
+    dis_left = label.astype(jnp.int32)
+    dis_right = dis_left + 1
+    weight_left = dis_right.astype(pred.dtype) - label
+    weight_right = label - dis_left.astype(pred.dtype)
+    logp = jax.nn.log_softmax(pred, axis=-1)
+    n_bins = pred.shape[-1]
+    ce_left = -jnp.take_along_axis(
+        logp, jnp.clip(dis_left, 0, n_bins - 1)[..., None], axis=-1)[..., 0]
+    ce_right = -jnp.take_along_axis(
+        logp, jnp.clip(dis_right, 0, n_bins - 1)[..., None], axis=-1)[..., 0]
+    return ce_left * weight_left + ce_right * weight_right
+
+
+@_weighted
+def kd_kl_div_loss(pred, soft_label, T: float = 10.0, detach_target=True):
+    """KL(softmax(t/T) || softmax(s/T)) * T^2, mean over the class axis.
+
+    Matches F.kl_div(log_softmax(pred/T), softmax(t/T)).mean(-1) * T*T:
+    elementwise target * (log(target) - logp), with 0*log(0) := 0.
+    """
+    target = jax.nn.softmax(soft_label / T, axis=-1)
+    if detach_target:
+        target = jax.lax.stop_gradient(target)
+    logp = jax.nn.log_softmax(pred / T, axis=-1)
+    log_t = jnp.where(target > 0, jnp.log(jnp.clip(target, _F32_EPS, None)),
+                      jnp.zeros_like(target))
+    kl = target * (log_t - logp)
+    return kl.mean(axis=-1) * (T * T)
+
+
+@_weighted
+def sigmoid_focal_loss(pred, target, gamma: float = 2.0, alpha: float = 0.25):
+    """Standard sigmoid focal loss; target is one-hot (N, C) or same-shape."""
+    p = jax.nn.sigmoid(pred)
+    ce = binary_cross_entropy_with_logits(pred, target)
+    p_t = p * target + (1 - p) * (1 - target)
+    alpha_t = alpha * target + (1 - alpha) * (1 - target)
+    return alpha_t * (1 - p_t) ** gamma * ce
+
+
+@_weighted
+def cross_entropy_loss(pred, label, class_weight=None):
+    """Softmax CE with integer labels; (N, C) x (N,) -> (N,)."""
+    logp = jax.nn.log_softmax(pred, axis=-1)
+    ll = jnp.take_along_axis(logp, label[..., None], axis=-1)[..., 0]
+    loss = -ll
+    if class_weight is not None:
+        loss = loss * class_weight[label]
+    return loss
+
+
+# ---------------------------------------------------------------------------
+# configured wrappers (carry loss_weight like the reference's Loss modules)
+# ---------------------------------------------------------------------------
+
+class WeightedLoss:
+    """Callable wrapper binding loss_weight / reduction / extra kwargs."""
+
+    def __init__(self, fn, loss_weight=1.0, reduction="mean", **kwargs):
+        self.fn = fn
+        self.loss_weight = loss_weight
+        self.reduction = reduction
+        self.kwargs = kwargs
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None):
+        reduction = reduction_override or self.reduction
+        return self.loss_weight * self.fn(
+            pred, target, weight=weight, reduction=reduction,
+            avg_factor=avg_factor, **self.kwargs)
+
+
+LOSS_REGISTRY = {
+    "L1Loss": l1_loss,
+    "SmoothL1Loss": smooth_l1_loss,
+    "MSELoss": mse_loss,
+    "GIoULoss": giou_loss,
+    "IoULoss": iou_loss,
+    "QualityFocalLoss": quality_focal_loss,
+    "DistributionFocalLoss": distribution_focal_loss,
+    "KnowledgeDistillationKLDivLoss": kd_kl_div_loss,
+    "FocalLoss": sigmoid_focal_loss,
+    "CrossEntropyLoss": cross_entropy_loss,
+}
+
+
+def build_loss(cfg: dict) -> WeightedLoss:
+    """Build a configured loss from an mmdet-style dict (typed-config bridge)."""
+    cfg = dict(cfg)
+    kind = cfg.pop("type")
+    cfg.pop("use_sigmoid", None)
+    fn = LOSS_REGISTRY[kind]
+    return WeightedLoss(fn, **cfg)

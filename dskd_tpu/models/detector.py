@@ -1,0 +1,58 @@
+"""Detector assembly: backbone -> neck -> head (single-stage DETR family).
+
+Parity target: mmdet/models/detectors/deformable_detr_il.py (extract_feat
+:185-191, forward_train :255-319) — but teacher handling is TPU-native: the
+frozen teacher is just a second parameter pytree passed through the same
+apply function (no ``__setattr__`` parameter-hiding tricks are needed in a
+functional framework; see dskd_tpu/distill/teacher.py).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .channel_mapper import ChannelMapper
+from .gfl_detr_head import GFLDeformableDETRHead, HeadOutputs
+from .resnet import ResNet
+
+
+class DetectorOutputs(NamedTuple):
+    head: HeadOutputs
+    neck_feats: Tuple[jnp.ndarray, ...]   # NHWC per level
+
+
+class GFLDeformableDETR(nn.Module):
+    """ResNet-50 + ChannelMapper + GFL-Deformable-DETR head (the flagship)."""
+    num_classes: int = 80
+    num_query: int = 300
+    reg_max: int = 16
+    depth: int = 50
+    frozen_stages: int = 1
+    embed_dims: int = 256
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    num_levels: int = 4
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, img_hw: jnp.ndarray,
+                 deterministic: bool = True) -> DetectorOutputs:
+        """images: (B, H, W, 3) normalized NHWC; img_hw: (B, 2) valid (h, w)."""
+        batch_input_shape = (images.shape[1], images.shape[2])
+        feats = ResNet(depth=self.depth, out_indices=(1, 2, 3),
+                       frozen_stages=self.frozen_stages,
+                       name="backbone")(images)
+        neck_feats = ChannelMapper(out_channels=self.embed_dims,
+                                   num_outs=self.num_levels,
+                                   name="neck")(feats)
+        head_out = GFLDeformableDETRHead(
+            num_classes=self.num_classes, num_query=self.num_query,
+            embed_dims=self.embed_dims, reg_max=self.reg_max,
+            num_encoder_layers=self.num_encoder_layers,
+            num_decoder_layers=self.num_decoder_layers,
+            num_levels=self.num_levels, dropout=self.dropout,
+            name="bbox_head")(neck_feats, img_hw, batch_input_shape,
+                              deterministic=deterministic)
+        return DetectorOutputs(head_out, neck_feats)

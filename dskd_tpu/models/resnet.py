@@ -1,0 +1,146 @@
+"""ResNet backbone (flax.linen, NHWC) with mmdet freeze semantics.
+
+Parity target: mmdet/models/backbones/resnet.py — pytorch-style bottleneck
+(stride on the 3x3 conv), ``frozen_stages`` stopping gradients through the
+stem and early stages, and ``norm_eval`` keeping BatchNorm in inference mode
+during training (reference: resnet.py:613-652). The DSKD flagship uses
+depth=50, out_indices=(1, 2, 3), frozen_stages=1, BN frozen
+(configs/deformable_detr/chaosuan_*_il.py:39-48).
+
+TPU notes: NHWC layout, convolutions map onto the MXU; BN in eval mode is a
+per-channel scale+shift that XLA fuses into the adjacent conv. Freezing is
+expressed with jax.lax.stop_gradient at stage boundaries (exactly the
+reference's requires_grad=False + eval) — the optimizer additionally masks
+these params out (see dskd_tpu/train/optim.py).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import lax
+
+ARCH_SETTINGS = {
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+}
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm evaluated with running statistics (norm_eval semantics).
+
+    Stats live in the 'batch_stats' collection; they are never updated here,
+    matching the flagship recipe (BN requires_grad=False + norm_eval=True).
+    """
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((c,), jnp.float32)).value
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((c,), jnp.float32)).value
+        inv = lax.rsqrt(var + self.epsilon) * scale
+        return (x - mean) * inv + bias
+
+
+def _conv(features, kernel, stride=1, name=None):
+    pad = kernel // 2
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=[(pad, pad), (pad, pad)], use_bias=False,
+                   name=name)
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = _conv(self.planes, 3, self.stride, name="conv1")(x)
+        out = FrozenBatchNorm(name="bn1")(out)
+        out = nn.relu(out)
+        out = _conv(self.planes, 3, 1, name="conv2")(out)
+        out = FrozenBatchNorm(name="bn2")(out)
+        if self.downsample:
+            identity = nn.Conv(self.planes, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, name="downsample_conv")(x)
+            identity = FrozenBatchNorm(name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    """Pytorch-style bottleneck: 1x1 -> 3x3(stride) -> 1x1(x4)."""
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        out = nn.relu(FrozenBatchNorm(name="bn1")(out))
+        out = _conv(self.planes, 3, self.stride, name="conv2")(out)
+        out = nn.relu(FrozenBatchNorm(name="bn2")(out))
+        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
+                      name="conv3")(out)
+        out = FrozenBatchNorm(name="bn3")(out)
+        if self.downsample:
+            identity = nn.Conv(self.planes * self.expansion, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, name="downsample_conv")(x)
+            identity = FrozenBatchNorm(name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """ResNet with mmdet-style out_indices and frozen_stages.
+
+    out_indices are 0-based stage ids: (1, 2, 3) returns C3, C4, C5
+    (channels 512/1024/2048 for depth 50).
+    """
+    depth: int = 50
+    out_indices: Sequence[int] = (1, 2, 3)
+    frozen_stages: int = 1
+    base_channels: int = 64
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        block_kind, stage_blocks = ARCH_SETTINGS[self.depth]
+        block = Bottleneck if block_kind == "bottleneck" else BasicBlock
+
+        # stem: 7x7/2 conv + BN + relu + 3x3/2 maxpool
+        out = nn.Conv(self.base_channels, (7, 7), strides=(2, 2),
+                      padding=[(3, 3), (3, 3)], use_bias=False,
+                      name="stem_conv")(x)
+        out = nn.relu(FrozenBatchNorm(name="stem_bn")(out))
+        if self.frozen_stages >= 0:
+            out = lax.stop_gradient(out)
+        out = nn.max_pool(out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        outs = []
+        for i, num_blocks in enumerate(stage_blocks):
+            planes = self.base_channels * 2 ** i
+            stride = 1 if i == 0 else 2
+            for b in range(num_blocks):
+                out = block(planes=planes,
+                            stride=stride if b == 0 else 1,
+                            downsample=(b == 0),
+                            name=f"layer{i + 1}_block{b}")(out)
+            if self.frozen_stages >= i + 1:
+                out = lax.stop_gradient(out)
+            if i in self.out_indices:
+                outs.append(out)
+        return tuple(outs)
