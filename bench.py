@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Headline benchmark: COCO images/sec/chip for the DSKD incremental step.
+
+Runs the FULL flagship incremental training step (frozen GFL-DeformableDETR
+R50 teacher forward + student forward + merged-GT Hungarian assignment +
+detection losses + corr/fg distill losses + AdamW update) on real hardware
+with synthetic 640x640 batches — the same work the reference performs per
+iteration (SURVEY §3.2), measured the way the reference's
+tools/analysis_tools/benchmark.py measures (warmup then steady-state timing
+with device synchronization).
+
+Baseline: mmdet Deformable-DETR R50 trains at ~13 img/s on one A100 (from
+the reference scale: 8 img/gpu at roughly 0.6 s/iter); the teacher+student
+incremental step roughly halves that => ~6.5 img/s/GPU. vs_baseline is
+measured img/s/chip divided by that estimate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_IMG_S = 6.5  # est. A100 mmdet teacher+student incremental img/s
+
+
+def main():
+    from dskd_tpu.distill.losses import DistillConfig
+    from dskd_tpu.models.detector import GFLDeformableDETR
+    from dskd_tpu.models.gfl_detr_loss import DetLossConfig
+    from dskd_tpu.train.optim import make_optimizer
+    from dskd_tpu.train.schedule import step_lr_schedule
+    from dskd_tpu.train.state import TrainState
+    from dskd_tpu.train.step import Batch, make_train_step
+
+    B, H, W, MAXG = 8, 640, 640, 100
+    model = GFLDeformableDETR()  # flagship: R50, 6+6 layers, 300 queries
+    det_cfg = DetLossConfig()
+    distill_cfg = DistillConfig.from_flags(
+        cates_distill="hard + teacher-first",
+        feats_distill="corr + fg_info + decode_v1", num_prev=40)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32) * 0.5)
+    img_hw = jnp.asarray(
+        np.stack([np.full(B, H), rng.randint(500, W + 1, B)], -1)
+        .astype(np.int32))
+    xy = rng.rand(B, MAXG, 2).astype(np.float32) * 400
+    wh = rng.rand(B, MAXG, 2).astype(np.float32) * 150 + 20
+    gt = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+    labels = jnp.asarray(rng.randint(40, 80, (B, MAXG)).astype(np.int32))
+    valid = jnp.asarray(np.arange(MAXG)[None] < rng.randint(
+        5, 30, (B, 1)))
+    batch = Batch(images, img_hw, gt, labels, valid)
+
+    variables = model.init(jax.random.PRNGKey(0),
+                           images[:1], img_hw[:1])
+    teacher_vars = {"params": jax.tree.map(lambda x: x, variables["params"]),
+                    "batch_stats": variables.get("batch_stats", {})}
+
+    sched = step_lr_schedule(2e-4, iters_per_epoch=1000)
+    tx = make_optimizer(variables["params"], sched)
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}), tx,
+                              jax.random.PRNGKey(1))
+    step = make_train_step(model, det_cfg, distill_cfg,
+                           use_dropout=True, compute_dtype=jnp.bfloat16)
+
+    # warmup / compile
+    for _ in range(3):
+        state, losses = step(state, batch, teacher_vars)
+    jax.block_until_ready(losses["loss"])
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, losses = step(state, batch, teacher_vars)
+    jax.block_until_ready(losses["loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    img_s_chip = B * n_iters / dt / n_chips
+    print(json.dumps({
+        "metric": "COCO images/sec/chip (teacher+student incremental step)",
+        "value": round(img_s_chip, 3),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_s_chip / BASELINE_IMG_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,7 +32,12 @@ def filter_scores_and_topk(scores: jnp.ndarray, score_thr: float,
     flat = scores.reshape(-1)
     mask = flat > score_thr
     cand = jnp.where(mask, flat, -1.0)
-    top_scores, top_idx = jax.lax.top_k(cand, topk)
+    kk = min(topk, n * k)
+    top_scores, top_idx = jax.lax.top_k(cand, kk)
+    if kk < topk:  # keep the static output size contract
+        top_scores = jnp.pad(top_scores, (0, topk - kk),
+                             constant_values=-1.0)
+        top_idx = jnp.pad(top_idx, (0, topk - kk))
     valid = top_scores > jnp.maximum(score_thr, -0.5)
     keep_idxs = (top_idx // k).astype(jnp.int32)
     labels = (top_idx % k).astype(jnp.int32)
@@ -47,7 +52,9 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, labels: jnp.ndarray,
     disjoint regions so one class-agnostic pass suffices, then iterative
     suppression runs as a fixed-length scan over score-sorted candidates.
 
-    Returns (boxes, scores, labels, keep_mask) with first axis ``max_out``.
+    Returns (boxes, scores, labels, keep_mask, src_idx) with first axis
+    ``max_out``; src_idx maps each output slot to its input row (for
+    teacher keep-id tracking).
     """
     n = boxes.shape[0]
     if valid is None:
@@ -79,5 +86,6 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, labels: jnp.ndarray,
     # compact the kept entries to the front deterministically
     rank = jnp.argsort(jnp.where(keep, -sscores, jnp.inf))[:max_out]
     out_keep = keep[rank]
+    src_idx = order[rank]  # original row of each output slot
     return (sboxes[rank], jnp.where(out_keep, sscores[rank], 0.0),
-            slabels[rank], out_keep)
+            slabels[rank], out_keep, src_idx)

@@ -1,0 +1,102 @@
+"""Image preprocessing pipeline (host side, numpy/cv2).
+
+Parity target: the flagship train pipeline
+(configs/deformable_detr/chaosuan_*_il.py:157-170): LoadImageFromFile ->
+LoadAnnotations -> RandomFlip(0.5) -> Resize((640,640), keep_ratio=True) ->
+Normalize(COCO mean/std, to_rgb) -> Pad -> Collect. NOTE the flagship config
+flips BEFORE resizing (unlike stock mmdet) — order preserved.
+
+TPU-native shape discipline: instead of the reference's pad-to-divisor +
+DataContainer ragged batching, every image lands in a single static
+(bucket_h, bucket_w) canvas and GT pads to ``max_gt`` with a validity mask,
+so one compiled step serves the whole epoch.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+IMAGENET_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+IMAGENET_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+@dataclass
+class PipelineConfig:
+    img_scale: Tuple[int, int] = (640, 640)   # (max_long, max_short) bucket
+    keep_ratio: bool = True
+    flip_ratio: float = 0.5
+    mean: np.ndarray = field(default_factory=lambda: IMAGENET_MEAN.copy())
+    std: np.ndarray = field(default_factory=lambda: IMAGENET_STD.copy())
+    max_gt: int = 100
+    bucket: Tuple[int, int] = (640, 640)      # static padded canvas (H, W)
+
+
+def rescale_size(h: int, w: int, scale: Tuple[int, int]) -> Tuple[int, int, float]:
+    """mmdet Resize keep_ratio semantics: fit (h, w) into ``scale``."""
+    max_long, max_short = max(scale), min(scale)
+    f = min(max_long / max(h, w), max_short / min(h, w))
+    return int(h * f + 0.5), int(w * f + 0.5), f
+
+
+def load_image(path: str) -> np.ndarray:
+    """BGR file -> RGB float array (the reference's to_rgb=True)."""
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def preprocess(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
+               cfg: PipelineConfig, rng: Optional[np.random.RandomState],
+               train: bool = True):
+    """One sample -> static-shape tensors.
+
+    Returns dict(image (H, W, 3) f32, img_hw (2,) i32 valid shape,
+    gt_bboxes (max_gt, 4), gt_labels (max_gt,), gt_valid (max_gt,),
+    scale_factor (4,) f32, ori_hw (2,) i32, flip bool).
+    """
+    h0, w0 = img.shape[:2]
+    flip = bool(train and rng is not None
+                and rng.rand() < cfg.flip_ratio)
+    if flip:
+        img = img[:, ::-1]
+        if len(boxes):
+            x1 = w0 - boxes[:, 2]
+            x2 = w0 - boxes[:, 0]
+            boxes = np.stack([x1, boxes[:, 1], x2, boxes[:, 3]], -1)
+
+    new_h, new_w, _ = rescale_size(h0, w0, cfg.img_scale)
+    img = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+    w_scale, h_scale = new_w / w0, new_h / h0
+    scale_factor = np.array([w_scale, h_scale, w_scale, h_scale], np.float32)
+    if len(boxes):
+        boxes = boxes * scale_factor
+        boxes[:, 0::2] = boxes[:, 0::2].clip(0, new_w)
+        boxes[:, 1::2] = boxes[:, 1::2].clip(0, new_h)
+
+    img = (img.astype(np.float32) - cfg.mean) / cfg.std
+
+    H, W = cfg.bucket
+    canvas = np.zeros((H, W, 3), np.float32)
+    canvas[:new_h, :new_w] = img[:H, :W]
+
+    n = min(len(boxes), cfg.max_gt)
+    gt_bboxes = np.zeros((cfg.max_gt, 4), np.float32)
+    gt_labels = np.zeros((cfg.max_gt,), np.int32)
+    gt_valid = np.zeros((cfg.max_gt,), bool)
+    gt_bboxes[:n] = boxes[:n]
+    gt_labels[:n] = labels[:n]
+    gt_valid[:n] = True
+
+    return dict(image=canvas,
+                img_hw=np.array([new_h, new_w], np.int32),
+                gt_bboxes=gt_bboxes, gt_labels=gt_labels, gt_valid=gt_valid,
+                scale_factor=scale_factor,
+                ori_hw=np.array([h0, w0], np.int32), flip=flip)

@@ -183,9 +183,11 @@ def distill_losses(student: HeadOutputs,
                    targets: LayerTargets,
                    img_hw: jnp.ndarray,
                    num_classes: int,
-                   cfg: DistillConfig) -> Dict[str, jnp.ndarray]:
+                   cfg: DistillConfig,
+                   num_merged: int) -> Dict[str, jnp.ndarray]:
     """All configured distillation losses. ``targets`` must come from the
-    detection loss computed on the MERGED (teacher-first) ground truth."""
+    detection loss computed on the MERGED (teacher-first) ground truth;
+    ``num_merged`` is its static GT-axis length (Kt + max_gt)."""
     losses: Dict[str, jnp.ndarray] = {}
     nl, B, Q, K = student.cls_scores.shape
     C = student.hs.shape[-1]
@@ -195,10 +197,8 @@ def distill_losses(student: HeadOutputs,
 
     last_labels = targets.labels[-1]                   # (B, Q)
     # query matched to merged-GT row k (teacher preds occupy rows [0, Kt))
-    num_merged = int(targets.assigned_gt.max_val) if hasattr(
-        targets.assigned_gt, "max_val") else None
-    q_of_gt = query_of_merged_gt(targets.assigned_gt[-1],
-                                 num_merged or (Kt + 512), Q)[:, :Kt]
+    q_of_gt = query_of_merged_gt(targets.assigned_gt[-1], num_merged,
+                                 Q)[:, :Kt]
 
     if cfg.corr:
         losses["loss_corr"] = corr_loss(

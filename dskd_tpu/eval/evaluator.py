@@ -1,0 +1,85 @@
+"""Model evaluation loop: jitted inference -> COCO bbox metrics.
+
+Parity target: tools/test.py + apis/test.py single_gpu_test ->
+dataset.evaluate(metric='bbox') (SURVEY §3.4). Inference runs as one jitted
+batch function on device; box collection and COCOeval run on host (async
+with respect to the next batch's device step).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.coco import TaskCocoDataset
+from ..data.loader import DataLoader
+from ..models.gfl_detr_head import get_bboxes
+from .coco_eval import CocoDetectionEval
+
+
+def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
+                   max_per_img: int = 100):
+    @jax.jit
+    def eval_step(variables, images, img_hw, scale_factors):
+        out = model.apply(variables, images, img_hw, deterministic=True)
+        det = get_bboxes(out.head.cls_scores[-1], out.head.bbox_preds[-1],
+                         img_hw, scale_factor=scale_factors, reg_max=reg_max,
+                         score_thr=score_thr, max_per_img=max_per_img,
+                         rescale=True)
+        return det
+
+    return eval_step
+
+
+def evaluate(model, variables, dataset: TaskCocoDataset, loader: DataLoader,
+             reg_max: int = 16, score_thr: float = 0.0,
+             max_per_img: int = 100,
+             classwise: bool = False) -> Dict[str, float]:
+    """Run inference over the loader and compute COCO bbox stats.
+
+    Evaluation classes follow the dataset's PRED_CLASSES (the x-class IL
+    protocol: prev+cur classes are scored, like catpred='prev-cur')."""
+    pred_cat_ids = [dataset.ALL_CLASSES_IDS[n] for n in dataset.PRED_CLASSES]
+    pred_label_set = {dataset.cat2label[c] for c in pred_cat_ids}
+    ev = CocoDetectionEval(cat_ids=pred_cat_ids)
+
+    eval_step = make_eval_step(model, reg_max, score_thr, max_per_img)
+    seen = set()
+    for batch, meta in loader:
+        det = eval_step(variables, batch.images, batch.img_hw,
+                        jnp.asarray(meta["scale_factors"]))
+        boxes = np.asarray(det.bboxes)
+        scores = np.asarray(det.scores)
+        labels = np.asarray(det.labels)
+        valid = np.asarray(det.valid)
+        for i, img_id in enumerate(meta["img_ids"]):
+            if img_id in seen:     # last-batch padding duplicates
+                continue
+            seen.add(img_id)
+            keep = valid[i] & np.isin(labels[i],
+                                      np.array(sorted(pred_label_set)))
+            ev.add_dt(img_id, boxes[i][keep], scores[i][keep],
+                      [dataset.label2cat[int(l)] for l in labels[i][keep]])
+
+    # ground truth for the evaluated images
+    for img_id in seen:
+        anns = dataset.coco.annotations(img_id)
+        anns = [a for a in anns if a["category_id"] in set(pred_cat_ids)]
+        if not anns:
+            continue
+        gt = np.array([[a["bbox"][0], a["bbox"][1],
+                        a["bbox"][0] + a["bbox"][2],
+                        a["bbox"][1] + a["bbox"][3]] for a in anns])
+        ev.add_gt(img_id, gt, [a["category_id"] for a in anns],
+                  iscrowd=[a.get("iscrowd", 0) for a in anns],
+                  areas=[a.get("area", None) or
+                         a["bbox"][2] * a["bbox"][3] for a in anns])
+
+    stats = ev.summarize()
+    if classwise:
+        per_class = ev.per_class_ap()
+        for cid, ap in per_class.items():
+            stats[f"AP_{dataset.ALL_IDS_CLASSES[cid]}"] = ap
+    return stats

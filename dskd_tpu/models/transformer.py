@@ -229,7 +229,12 @@ def level_masks_and_ratios(img_hw, batch_input_shape, spatial_shapes):
 
 
 class DeformableDetrTransformer(nn.Module):
-    """Encoder + decoder over flattened multi-level features (batch-first)."""
+    """Encoder + decoder over flattened multi-level features (batch-first).
+
+    ``remat=True`` rematerializes each encoder/decoder layer on the backward
+    pass (jax.checkpoint) — the HBM-for-FLOPs trade that keeps the ~8.5k
+    token encoder trainable on 16GB chips.
+    """
     embed_dims: int = 256
     num_heads: int = 8
     num_levels: int = 4
@@ -239,6 +244,7 @@ class DeformableDetrTransformer(nn.Module):
     feedforward_channels: int = 1024
     dropout: float = 0.1
     num_query: int = 300
+    remat: bool = True
 
     @nn.compact
     def __call__(self, mlvl_feats, img_hw, batch_input_shape, query_embed,
@@ -273,13 +279,15 @@ class DeformableDetrTransformer(nn.Module):
         pos_flat = jnp.concatenate(pos_flat, 1)
 
         # encoder
+        enc_layer_cls = (nn.remat(EncoderLayer, static_argnums=(4, 6))
+                         if self.remat else EncoderLayer)
         enc_refs = encoder_reference_points(spatial_shapes, valid_ratios,
                                             feat_flat.dtype)
         x = feat_flat
         for i in range(self.num_encoder_layers):
-            x = EncoderLayer(C, self.num_heads, self.num_levels,
-                             self.num_points, self.feedforward_channels,
-                             self.dropout, name=f"encoder_layer{i}")(
+            x = enc_layer_cls(C, self.num_heads, self.num_levels,
+                              self.num_points, self.feedforward_channels,
+                              self.dropout, name=f"encoder_layer{i}")(
                 x, pos_flat, enc_refs, spatial_shapes, mask_flat,
                 deterministic)
         memory = x
@@ -295,13 +303,15 @@ class DeformableDetrTransformer(nn.Module):
         reference_points = jax.nn.sigmoid(ref_linear(query_pos))  # (B, Q, 2)
         init_reference = reference_points
 
+        dec_layer_cls = (nn.remat(DecoderLayer, static_argnums=(5, 7))
+                         if self.remat else DecoderLayer)
         inter_states, inter_refs = [], []
         for i in range(self.num_decoder_layers):
             ref_input = (reference_points[:, :, None, :]
                          * valid_ratios[:, None, :, :])        # (B, Q, L, 2)
-            query = DecoderLayer(C, self.num_heads, self.num_levels,
-                                 self.num_points, self.feedforward_channels,
-                                 self.dropout, name=f"decoder_layer{i}")(
+            query = dec_layer_cls(C, self.num_heads, self.num_levels,
+                                  self.num_points, self.feedforward_channels,
+                                  self.dropout, name=f"decoder_layer{i}")(
                 query, query_pos, memory, ref_input, spatial_shapes,
                 mask_flat, deterministic)
             inter_states.append(query)

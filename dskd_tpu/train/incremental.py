@@ -1,0 +1,200 @@
+"""The incremental training driver (parity: tools/train_increment.py).
+
+Task loop (SURVEY §3.1):
+  * derive per-task class loads: identity matrix rows for train,
+    lower-triangular rows for val ('auto' mode, train_increment.py:189-199);
+  * task 1 trains plain detection; each later task promotes the previous
+    student to a frozen teacher (pure pytree copy) and trains the student
+    with the distillation recipe on that task's class slice;
+  * per-task optimizer/schedule; task-aware Orbax checkpoints
+    (task_{t}_epoch_{e}); resume_by_task skips completed tasks.
+
+TPU-native: the model is built once; "set_teacher" is a params copy;
+"set_datainfo" is a static num_prev integer baked into that task's compiled
+step (prev classes occupy labels [0, num_prev) by the alphabetical split).
+"""
+from __future__ import annotations
+
+import copy
+import logging
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.coco import TaskCocoDataset
+from ..data.loader import DataLoader
+from ..data.pipeline import PipelineConfig
+from ..distill.losses import DistillConfig
+from ..eval.evaluator import evaluate
+from ..models.detector import GFLDeformableDETR
+from ..models.gfl_detr_loss import DetLossConfig
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..utils.config import ExperimentConfig
+from .checkpoint import (find_latest_checkpoint, restore_checkpoint,
+                         save_checkpoint)
+from .optim import make_optimizer
+from .schedule import step_lr_schedule
+from .state import TrainState
+from .step import Batch, make_train_step
+
+log = logging.getLogger("dskd_tpu")
+
+
+def build_model(cfg: ExperimentConfig) -> GFLDeformableDETR:
+    m = cfg.model
+    return GFLDeformableDETR(
+        num_classes=m.num_classes, num_query=m.num_query, reg_max=m.reg_max,
+        depth=m.depth, frozen_stages=m.frozen_stages,
+        embed_dims=m.embed_dims, num_encoder_layers=m.num_encoder_layers,
+        num_decoder_layers=m.num_decoder_layers, num_levels=m.num_levels,
+        dropout=m.dropout)
+
+
+def init_variables(model, cfg: ExperimentConfig, rng):
+    H, W = cfg.data.bucket
+    images = jnp.zeros((1, H, W, 3), jnp.float32)
+    img_hw = jnp.array([[H, W]], jnp.int32)
+    variables = model.init(rng, images, img_hw)
+    if cfg.model.backbone_ckpt:
+        from ..utils.torch_weights import load_resnet_weights
+        variables = load_resnet_weights(variables, cfg.model.backbone_ckpt)
+    return dict(variables)
+
+
+def make_datasets(cfg: ExperimentConfig, tid: int, task_nums: int):
+    """Task tid (1-based): train loads only task tid's classes; val loads
+    all classes up to tid (the identity / tril rows)."""
+    train_load = [1 if i == tid - 1 else 0 for i in range(task_nums)]
+    val_load = [1 if i <= tid - 1 else 0 for i in range(task_nums)]
+    train_ds = TaskCocoDataset(
+        cfg.data.train_ann, cfg.data.train_img_prefix,
+        catsplit=cfg.data.catsplit, catload=train_load,
+        catpred=cfg.data.catpred, imgpercent=cfg.data.imgpercent)
+    val_ds = TaskCocoDataset(
+        cfg.data.val_ann, cfg.data.val_img_prefix,
+        catsplit=cfg.data.catsplit, catload=val_load,
+        catpred=cfg.data.catpred, test_mode=True)
+    return train_ds, val_ds
+
+
+def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
+                   variables, teacher_params, mesh):
+    """Train task ``tid``; returns the trained variables."""
+    train_ds, val_ds = make_datasets(cfg, tid, task_nums)
+    num_prev = sum(cfg.data.catsplit[:tid - 1])
+
+    pipe = PipelineConfig(img_scale=cfg.data.img_scale,
+                          flip_ratio=cfg.data.flip_ratio,
+                          max_gt=cfg.data.max_gt, bucket=cfg.data.bucket)
+    global_batch = cfg.data.samples_per_device * len(mesh.devices.flatten())
+    loader = DataLoader(train_ds, global_batch, pipe, train=True,
+                        seed=cfg.train.seed + tid,
+                        num_workers=cfg.data.num_workers,
+                        num_hosts=jax.process_count(),
+                        host_id=jax.process_index())
+    iters_per_epoch = max(len(loader), 1)
+
+    det_cfg = DetLossConfig(num_classes=cfg.model.num_classes,
+                            reg_max=cfg.model.reg_max)
+    distill_cfg = None
+    if teacher_params is not None:
+        distill_cfg = DistillConfig.from_flags(
+            cates_distill=cfg.distill.cates_distill,
+            locat_distill=cfg.distill.locat_distill,
+            feats_distill=cfg.distill.feats_distill,
+            memory_distill=cfg.distill.memory_distill,
+            num_prev=max(num_prev, 1), reg_max=cfg.model.reg_max)
+
+    sched = step_lr_schedule(cfg.train.base_lr, cfg.train.warmup_iters,
+                             cfg.train.warmup_ratio, cfg.train.step_epochs,
+                             iters_per_epoch)
+    tx = make_optimizer(variables["params"], sched,
+                        weight_decay=cfg.train.weight_decay,
+                        max_norm=cfg.train.grad_clip,
+                        frozen_stages=cfg.model.frozen_stages)
+    state = TrainState.create(
+        replicate(variables["params"], mesh),
+        replicate(variables.get("batch_stats", {}), mesh), tx,
+        jax.random.PRNGKey(cfg.train.seed + 131 * tid))
+
+    teacher_vars = None
+    if teacher_params is not None:
+        teacher_vars = replicate(
+            {"params": teacher_params,
+             "batch_stats": variables.get("batch_stats", {})}, mesh)
+
+    step_fn = make_train_step(
+        model, det_cfg, distill_cfg,
+        teacher_score_thr=cfg.distill.teacher_score_thr,
+        teacher_max_per_img=cfg.distill.teacher_max_per_img,
+        use_dropout=cfg.train.use_dropout)
+
+    log.info("Task %d: %d train imgs, %d iters/epoch, num_prev=%d, "
+             "distill=%s", tid, len(train_ds), iters_per_epoch, num_prev,
+             distill_cfg)
+
+    for epoch in range(1, cfg.train.epochs_per_task + 1):
+        t0, n_img = time.time(), 0
+        for it, (batch, _meta) in enumerate(loader):
+            batch = shard_batch(Batch(*map(jnp.asarray, batch)), mesh)
+            state, losses = step_fn(state, batch, teacher_vars)
+            n_img += batch.images.shape[0]
+            if (it + 1) % cfg.train.log_interval == 0:
+                jax.block_until_ready(losses["loss"])
+                ips = n_img / (time.time() - t0)
+                msg = " ".join(f"{k}={float(v):.4f}" for k, v in
+                               sorted(losses.items()) if "." not in k)
+                log.info("task %d epoch %d iter %d/%d img/s=%.1f %s",
+                         tid, epoch, it + 1, iters_per_epoch, ips, msg)
+        if epoch % cfg.train.ckpt_interval == 0 and jax.process_index() == 0:
+            save_checkpoint(cfg.train.work_dir, tid, epoch, state,
+                            teacher_params)
+        if cfg.train.eval_interval and epoch % cfg.train.eval_interval == 0:
+            val_loader = DataLoader(val_ds, global_batch, pipe, train=False,
+                                    num_workers=cfg.data.num_workers,
+                                    drop_last=False)
+            stats = evaluate(model, {"params": state.params,
+                                     "batch_stats": state.batch_stats},
+                             val_ds, val_loader, reg_max=cfg.model.reg_max,
+                             score_thr=cfg.test_score_thr,
+                             max_per_img=cfg.test_max_per_img)
+            log.info("task %d epoch %d eval: %s", tid, epoch,
+                     {k: round(v, 4) for k, v in stats.items()
+                      if not k.startswith("AP_")})
+
+    return {"params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats)}
+
+
+def run_incremental(cfg: ExperimentConfig):
+    """Full multi-task run (the train_increment.py main loop)."""
+    task_nums = len(cfg.data.catsplit)
+    mesh = make_mesh()
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    variables = init_variables(model, cfg, rng)
+    teacher_params = None
+
+    for tid in range(1, task_nums + 1):
+        if tid < cfg.train.resume_by_task:
+            ck = find_latest_checkpoint(cfg.train.work_dir, task=tid)
+            if ck:
+                restored = restore_checkpoint(
+                    cfg.train.work_dir, ck[0], ck[1],
+                    template={"params": variables["params"],
+                              "batch_stats": variables.get("batch_stats", {}),
+                              "opt_state": None, "step": 0})
+                variables = {"params": restored["params"],
+                             "batch_stats": restored["batch_stats"]}
+            log.info("Task %d skipped (resume_by_task)", tid)
+            teacher_params = copy.deepcopy(variables["params"])
+            continue
+        if tid > 1:
+            # student -> frozen teacher: a pure pytree copy
+            teacher_params = jax.tree.map(lambda x: x, variables["params"])
+        variables = train_one_task(model, cfg, tid, task_nums, variables,
+                                   teacher_params if tid > 1 else None, mesh)
+    return variables

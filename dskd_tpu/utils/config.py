@@ -1,0 +1,131 @@
+"""Typed experiment configuration (replaces mmcv Config + registries).
+
+The reference encodes everything — model, data, schedule, task plan, distill
+recipe — in one nested dict with substring-matched flag strings (SURVEY §5
+"Config / flag system"). Here the same option space is typed dataclasses;
+the distill flag strings are still accepted and parsed once into
+DistillConfig (dskd_tpu/distill/losses.py:DistillConfig.from_flags).
+
+Config files are python modules exporting ``get_config() -> ExperimentConfig``
+and may start from ``ExperimentConfig()`` defaults (the flagship 40+40 DSKD
+recipe). CLI overrides use dotted paths: ``--set train.base_lr=1e-4``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import importlib.util
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass
+class ModelConfig:
+    arch: str = "gfl_deformable_detr"
+    num_classes: int = 80
+    num_query: int = 300
+    reg_max: int = 16
+    depth: int = 50
+    frozen_stages: int = 1
+    embed_dims: int = 256
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    num_levels: int = 4
+    dropout: float = 0.1
+    backbone_ckpt: Optional[str] = None   # torchvision-style weights
+
+
+@dataclass
+class DataConfig:
+    train_ann: str = "data/coco/annotations/instances_train2017.json"
+    val_ann: str = "data/coco/annotations/instances_val2017.json"
+    train_img_prefix: str = "data/coco/train2017"
+    val_img_prefix: str = "data/coco/val2017"
+    catsplit: Tuple[int, ...] = (40, 40)
+    catpred: str = "prev-cur"
+    cat_split_load: str = "auto"
+    imgpercent: float = 1.0
+    samples_per_device: int = 8
+    num_workers: int = 8
+    max_gt: int = 100
+    bucket: Tuple[int, int] = (640, 640)
+    img_scale: Tuple[int, int] = (640, 640)
+    flip_ratio: float = 0.5
+
+
+@dataclass
+class TrainConfig:
+    base_lr: float = 2e-4
+    weight_decay: float = 1e-4
+    grad_clip: float = 0.1
+    warmup_iters: int = 1500
+    warmup_ratio: float = 0.01
+    step_epochs: Tuple[int, ...] = (8, 11)
+    epochs_per_task: int = 12
+    seed: int = 42
+    log_interval: int = 50
+    ckpt_interval: int = 1          # epochs
+    eval_interval: int = 1          # epochs; 0 = no eval during training
+    resume_by_task: int = 0
+    work_dir: str = "work_dirs/dskd"
+    use_dropout: bool = True
+
+
+@dataclass
+class DistillFlags:
+    """The reference's flag-string recipe (chaosuan config :116-133)."""
+    cates_distill: str = "hard + teacher-first"
+    locat_distill: str = ""
+    memory_distill: str = ""
+    feats_distill: str = "corr + fg_info + decode_v1"
+    teacher_score_thr: float = 0.3
+    teacher_max_per_img: int = 100
+
+
+@dataclass
+class ExperimentConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    distill: DistillFlags = field(default_factory=DistillFlags)
+    test_score_thr: float = 0.0
+    test_max_per_img: int = 100
+
+
+def dskd_flagship_config(catsplit=(40, 40),
+                         work_dir="work_dirs/dskd") -> ExperimentConfig:
+    """The flagship DSKD recipe parameterized by the class split
+    (chaosuan_gfl_deformable_detr_{40,50,60,70}_*_il.py family)."""
+    return ExperimentConfig(
+        model=ModelConfig(num_classes=80, depth=50),
+        data=DataConfig(catsplit=tuple(catsplit), samples_per_device=8),
+        train=TrainConfig(base_lr=2e-4, epochs_per_task=12,
+                          step_epochs=(8, 11), work_dir=work_dir),
+        distill=DistillFlags(
+            cates_distill="hard + teacher-first",
+            feats_distill="corr + fg_info + decode_v1",
+            teacher_score_thr=0.3, teacher_max_per_img=100),
+    )
+
+
+def load_config(path: str) -> ExperimentConfig:
+    spec = importlib.util.spec_from_file_location("exp_config", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.get_config()
+
+
+def apply_overrides(cfg: ExperimentConfig, overrides: Sequence[str]):
+    """'a.b.c=value' dotted assignment with literal-eval values."""
+    import ast
+    for ov in overrides:
+        path, _, raw = ov.partition("=")
+        keys = path.strip().split(".")
+        obj = cfg
+        for k in keys[:-1]:
+            obj = getattr(obj, k)
+        try:
+            val = ast.literal_eval(raw)
+        except (SyntaxError, ValueError):
+            val = raw
+        setattr(obj, keys[-1], val)
+    return cfg

@@ -3,6 +3,12 @@
 The real TPU chip is reserved for benchmarks; unit tests validate numerics
 and sharding on host CPU (mirrors the reference's CPU-first test strategy,
 tests/test_models/test_forward.py).
+
+NOTE: this environment's sitecustomize imports jax and registers the 'axon'
+TPU plugin before conftest runs, so setting JAX_PLATFORMS via os.environ is
+too late — use jax.config.update, which works any time before backend
+initialization. (Two pytest runs sharing the single TPU chip would deadlock
+on the device grant.)
 """
 import os
 
@@ -10,4 +16,7 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,112 @@
+"""COCO bbox evaluation vs hand-computed oracles."""
+import numpy as np
+import pytest
+
+from dskd_tpu.eval.coco_eval import CocoDetectionEval
+
+
+def test_perfect_detections():
+    ev = CocoDetectionEval(cat_ids=[1, 2])
+    for img in (1, 2):
+        gts = np.array([[10, 10, 50, 50], [60, 60, 90, 90]], np.float64)
+        ev.add_gt(img, gts, [1, 2])
+        ev.add_dt(img, gts, [0.9, 0.8], [1, 2])
+    stats = ev.summarize()
+    assert stats["bbox_mAP"] == pytest.approx(1.0, abs=1e-6)
+    assert stats["bbox_mAP_50"] == pytest.approx(1.0, abs=1e-6)
+    assert stats["AR@100"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_no_detections():
+    ev = CocoDetectionEval(cat_ids=[1])
+    ev.add_gt(1, np.array([[0, 0, 10, 10]]), [1])
+    stats = ev.summarize()
+    assert stats["bbox_mAP"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_half_iou_threshold_behavior():
+    """A detection with IoU ~0.6 counts at thr .5/.55/.6 but not above."""
+    ev = CocoDetectionEval(cat_ids=[1])
+    ev.add_gt(1, np.array([[0, 0, 100, 100]]), [1])
+    # shifted box: overlap 75x100 / union 125x100 = 0.6
+    ev.add_dt(1, np.array([[25, 0, 125, 100]]), [0.9], [1])
+    stats = ev.summarize()
+    # 3 of 10 thresholds pass (0.5, 0.55, ~0.6)
+    assert stats["bbox_mAP"] == pytest.approx(0.3, abs=0.11)
+    assert stats["bbox_mAP_50"] == pytest.approx(1.0, abs=1e-6)
+    assert stats["bbox_mAP_75"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_fp_lowers_precision():
+    ev = CocoDetectionEval(cat_ids=[1])
+    ev.add_gt(1, np.array([[0, 0, 50, 50]]), [1])
+    # one TP (lower score) + one FP (higher score)
+    ev.add_dt(1, np.array([[200, 200, 250, 250], [0, 0, 50, 50]]),
+              [0.95, 0.9], [1, 1])
+    stats = ev.summarize()
+    # PR: first det FP (p=0), second TP (p=0.5 @ r=1) -> AP = 0.5
+    assert stats["bbox_mAP_50"] == pytest.approx(0.5, abs=0.01)
+
+
+def test_crowd_gt_not_counted():
+    ev = CocoDetectionEval(cat_ids=[1])
+    ev.add_gt(1, np.array([[0, 0, 50, 50], [60, 0, 100, 50]]), [1, 1],
+              iscrowd=[0, 1])
+    ev.add_dt(1, np.array([[0, 0, 50, 50]]), [0.9], [1])
+    stats = ev.summarize()
+    # the crowd GT is ignored: recall base is 1 and it's matched
+    assert stats["bbox_mAP_50"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_against_pycocotools_if_available():
+    """Randomized cross-check against pycocotools when installed."""
+    pycoco = pytest.importorskip("pycocotools.coco")
+    from pycocotools.coco import COCO
+    from pycocotools.cocoeval import COCOeval
+    rng = np.random.RandomState(0)
+
+    images, anns, dts = [], [], []
+    aid = 1
+    for img in range(1, 6):
+        images.append(dict(id=img, width=200, height=200))
+        for _ in range(rng.randint(1, 5)):
+            x, y = rng.randint(0, 150, 2)
+            w, h = rng.randint(10, 50, 2)
+            c = int(rng.randint(1, 3))
+            anns.append(dict(id=aid, image_id=img, category_id=c,
+                             bbox=[float(x), float(y), float(w), float(h)],
+                             area=float(w * h), iscrowd=0))
+            aid += 1
+            if rng.rand() < 0.8:  # noisy matching detection
+                dx, dy = rng.randint(-5, 5, 2)
+                dts.append(dict(image_id=img, category_id=c,
+                                bbox=[float(x + dx), float(y + dy),
+                                      float(w), float(h)],
+                                score=float(rng.rand())))
+        # random FP
+        dts.append(dict(image_id=img, category_id=1,
+                        bbox=[150.0, 150.0, 40.0, 40.0],
+                        score=float(rng.rand())))
+
+    gt = COCO()
+    gt.dataset = dict(images=images, annotations=anns,
+                      categories=[dict(id=1, name="a"), dict(id=2, name="b")])
+    gt.createIndex()
+    dt = gt.loadRes(dts)
+    ev = COCOeval(gt, dt, "bbox")
+    ev.evaluate(); ev.accumulate(); ev.summarize()
+
+    mine = CocoDetectionEval(cat_ids=[1, 2])
+    for a in anns:
+        b = a["bbox"]
+        mine.add_gt(a["image_id"],
+                    np.array([[b[0], b[1], b[0] + b[2], b[1] + b[3]]]),
+                    [a["category_id"]])
+    for d in dts:
+        b = d["bbox"]
+        mine.add_dt(d["image_id"],
+                    np.array([[b[0], b[1], b[0] + b[2], b[1] + b[3]]]),
+                    [d["score"]], [d["category_id"]])
+    stats = mine.summarize()
+    assert stats["bbox_mAP"] == pytest.approx(ev.stats[0], abs=1e-6)
+    assert stats["bbox_mAP_50"] == pytest.approx(ev.stats[1], abs=1e-6)

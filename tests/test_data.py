@@ -1,0 +1,102 @@
+"""Dataset + pipeline tests with tiny synthetic COCO JSON fixtures
+(mirrors the reference's tests/test_data strategy)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dskd_tpu.data.coco import (COCO_CLASSES_ALPHA_ORDER, TaskCocoDataset)
+from dskd_tpu.data.pipeline import PipelineConfig, preprocess, rescale_size
+
+
+def make_coco_json(tmpdir, num_images=6):
+    """Synthetic annotations over a few known categories."""
+    cats = [{"id": cid, "name": n} for n, cid in COCO_CLASSES_ALPHA_ORDER]
+    images, annotations = [], []
+    aid = 1
+    # airplane=5(label0), apple=53(label1), backpack=27(label2) in alpha order
+    use = [5, 53, 27, 52]
+    for i in range(num_images):
+        images.append({"id": i + 1, "file_name": f"img{i}.jpg",
+                       "width": 100, "height": 80})
+        cat = use[i % len(use)]
+        annotations.append({
+            "id": aid, "image_id": i + 1, "category_id": cat,
+            "bbox": [10, 10, 30, 20], "area": 600, "iscrowd": 0})
+        aid += 1
+    path = os.path.join(tmpdir, "ann.json")
+    with open(path, "w") as f:
+        json.dump({"images": images, "annotations": annotations,
+                   "categories": cats}, f)
+    return path
+
+
+def test_alpha_order_matches_reference_convention():
+    names = [n for n, _ in COCO_CLASSES_ALPHA_ORDER]
+    assert names == sorted(names)
+    assert names[0] == "airplane" and names[-1] == "zebra"
+    ids = dict(COCO_CLASSES_ALPHA_ORDER)
+    # spot values from the reference's COCO_CATS_IDS table
+    assert ids["airplane"] == 5 and ids["person"] == 1 and ids["zebra"] == 24
+
+
+def test_task_split_contract(tmp_path):
+    ann = make_coco_json(str(tmp_path))
+    # 2-task split over the first 4 alpha classes; task1 = first 2 classes
+    ds1 = TaskCocoDataset(ann, catsplit=(2, 2), catload=(1, 0))
+    assert ds1.TASK_CLASSES[0] == ("airplane", "apple")
+    assert ds1.LOAD_CLASSES == ["airplane", "apple"]
+    assert ds1.PRED_CLASSES == ["airplane", "apple"]
+    assert ds1.cat2label[5] == 0 and ds1.cat2label[53] == 1
+    # only images containing airplane(5)/apple(53) annotations survive
+    for i in range(len(ds1)):
+        _, _, _, labels, _ = ds1.get_raw(i)
+        assert set(labels.tolist()) <= {0, 1}
+
+    # task 2 train: only the new classes loaded
+    ds2 = TaskCocoDataset(ann, catsplit=(2, 2), catload=(0, 1))
+    assert ds2.LOAD_CLASSES == ["backpack", "banana"]
+    assert ds2.PRED_CLASSES == ["airplane", "apple", "backpack", "banana"]
+    for i in range(len(ds2)):
+        _, _, _, labels, _ = ds2.get_raw(i)
+        assert set(labels.tolist()) <= {2, 3}
+
+    # task 2 val: tril load -> both tasks
+    dsv = TaskCocoDataset(ann, catsplit=(2, 2), catload=(1, 1),
+                          test_mode=True)
+    assert dsv.LOAD_CLASSES == ["airplane", "apple", "backpack", "banana"]
+
+
+def test_rescale_size_keep_ratio():
+    # 480x640 into (640, 640): factor 1.0
+    assert rescale_size(480, 640, (640, 640)) == (480, 640, 1.0)
+    # 800x1000 into (640, 640): factor 0.64
+    h, w, f = rescale_size(800, 1000, (640, 640))
+    assert (h, w) == (512, 640)
+
+
+def test_preprocess_static_shapes():
+    cfg = PipelineConfig(max_gt=10, bucket=(640, 640))
+    img = np.random.RandomState(0).randint(
+        0, 255, (480, 640, 3)).astype(np.uint8)
+    boxes = np.array([[10, 10, 100, 100], [0, 0, 640, 480]], np.float32)
+    labels = np.array([1, 2], np.int32)
+    out = preprocess(img, boxes, labels, cfg, rng=None, train=False)
+    assert out["image"].shape == (640, 640, 3)
+    assert out["gt_bboxes"].shape == (10, 4)
+    assert out["gt_valid"].sum() == 2
+    assert tuple(out["img_hw"]) == (480, 640)
+    # normalized: roughly zero-mean
+    assert abs(out["image"][:480].mean()) < 1.0
+
+
+def test_preprocess_flip_boxes():
+    cfg = PipelineConfig(max_gt=4, bucket=(64, 64), img_scale=(64, 64),
+                         flip_ratio=1.0)
+    img = np.zeros((64, 64, 3), np.uint8)
+    boxes = np.array([[0, 0, 10, 10]], np.float32)
+    labels = np.array([0], np.int32)
+    out = preprocess(img, boxes, labels, cfg,
+                     rng=np.random.RandomState(0), train=True)
+    np.testing.assert_allclose(out["gt_bboxes"][0], [54, 0, 64, 10])

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Evaluation CLI (the reference's tools/test.py --eval bbox).
+
+Loads a task checkpoint and runs COCO bbox evaluation over the selected
+task's validation split (catload = tril row of the task).
+"""
+import argparse
+import logging
+import sys
+
+
+def main():
+    parser = argparse.ArgumentParser(description="DSKD-TPU test")
+    parser.add_argument("config")
+    parser.add_argument("--task", type=int, default=None,
+                        help="1-based task id (default: last task)")
+    parser.add_argument("--epoch", type=int, default=None)
+    parser.add_argument("--work-dir", default=None)
+    parser.add_argument("--classwise", action="store_true")
+    parser.add_argument("--set", nargs="*", default=[])
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO, stream=sys.stdout,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    log = logging.getLogger("dskd_tpu")
+
+    import jax
+
+    from dskd_tpu.data.loader import DataLoader
+    from dskd_tpu.data.pipeline import PipelineConfig
+    from dskd_tpu.eval.evaluator import evaluate
+    from dskd_tpu.train.checkpoint import (find_latest_checkpoint,
+                                           restore_checkpoint)
+    from dskd_tpu.train.incremental import (build_model, init_variables,
+                                            make_datasets)
+    from dskd_tpu.utils.config import apply_overrides, load_config
+
+    cfg = load_config(args.config)
+    if args.work_dir:
+        cfg.train.work_dir = args.work_dir
+    apply_overrides(cfg, args.set)
+
+    task_nums = len(cfg.data.catsplit)
+    tid = args.task or task_nums
+    model = build_model(cfg)
+    variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+
+    if args.epoch is not None:
+        t, e = tid, args.epoch
+    else:
+        ck = find_latest_checkpoint(cfg.train.work_dir, task=tid)
+        assert ck, f"no checkpoint for task {tid} in {cfg.train.work_dir}"
+        t, e = ck[0], ck[1]
+    restored = restore_checkpoint(
+        cfg.train.work_dir, t, e,
+        template={"params": variables["params"],
+                  "batch_stats": variables.get("batch_stats", {}),
+                  "opt_state": None, "step": 0})
+    variables = {"params": restored["params"],
+                 "batch_stats": restored["batch_stats"]}
+    log.info("loaded task_%d_epoch_%d", t, e)
+
+    _, val_ds = make_datasets(cfg, tid, task_nums)
+    pipe = PipelineConfig(img_scale=cfg.data.img_scale, flip_ratio=0.0,
+                          max_gt=cfg.data.max_gt, bucket=cfg.data.bucket)
+    batch = cfg.data.samples_per_device * jax.device_count()
+    loader = DataLoader(val_ds, batch, pipe, train=False,
+                        num_workers=cfg.data.num_workers, drop_last=False)
+    stats = evaluate(model, variables, val_ds, loader,
+                     reg_max=cfg.model.reg_max,
+                     score_thr=cfg.test_score_thr,
+                     max_per_img=cfg.test_max_per_img,
+                     classwise=args.classwise)
+    for k, v in stats.items():
+        log.info("%s: %.4f", k, v)
+    copypaste = " ".join(f"{stats[k]:.3f}" for k in (
+        "bbox_mAP", "bbox_mAP_50", "bbox_mAP_75", "bbox_mAP_s",
+        "bbox_mAP_m", "bbox_mAP_l"))
+    log.info("bbox_mAP_copypaste: %s", copypaste)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,43 @@
+#!/usr/bin/env python
+"""Incremental (multi-task) training CLI — the tools/train_increment.py
+equivalent of the reference.
+
+Usage:
+  python tools/train_increment.py configs/gfl_deformable_detr_40_40_il.py \
+      [--work-dir DIR] [--set data.imgpercent=0.1 train.epochs_per_task=1]
+"""
+import argparse
+import logging
+import sys
+
+
+def main():
+    parser = argparse.ArgumentParser(description="DSKD-TPU incremental train")
+    parser.add_argument("config")
+    parser.add_argument("--work-dir", default=None)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--resume-by-task", type=int, default=None)
+    parser.add_argument("--set", nargs="*", default=[],
+                        help="dotted config overrides key=value")
+    args = parser.parse_args()
+
+    from dskd_tpu.train.incremental import run_incremental
+    from dskd_tpu.utils.config import apply_overrides, load_config
+
+    cfg = load_config(args.config)
+    if args.work_dir:
+        cfg.train.work_dir = args.work_dir
+    if args.seed is not None:
+        cfg.train.seed = args.seed
+    if args.resume_by_task is not None:
+        cfg.train.resume_by_task = args.resume_by_task
+    apply_overrides(cfg, args.set)
+
+    logging.basicConfig(
+        level=logging.INFO, stream=sys.stdout,
+        format="%(asctime)s %(levelname)s %(message)s")
+    run_incremental(cfg)
+
+
+if __name__ == "__main__":
+    main()
