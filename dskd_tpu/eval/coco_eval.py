@@ -45,25 +45,11 @@ def bbox_iou_xywh(dt: np.ndarray, gt: np.ndarray,
     return inter / np.maximum(union, 1e-10)
 
 
-def _evaluate_img(dts, gts, iscrowd, areas_gt, area_rng, max_det):
-    """Greedy matching for one (image, category, area range).
-
-    dts: (D, 5) [x, y, w, h, score] sorted desc by score (pre-truncated to
-    max_det). gts: (G, 4) xywh. Returns (dt_matches (T, D), dt_ignore (T, D),
-    gt_ignore (G,), dt_scores (D,))."""
-    T = len(IOU_THRS)
-    D, G = len(dts), len(gts)
-    gt_ig = (iscrowd.astype(bool) | (areas_gt < area_rng[0])
-             | (areas_gt > area_rng[1]))
-    # sort gts: non-ignored first (pycocotools order)
-    gt_order = np.argsort(gt_ig, kind="mergesort")
-    gts = gts[gt_order]
-    gt_ig = gt_ig[gt_order]
-    crowd = iscrowd[gt_order]
-
+def _match_numpy(dts, gts, gt_ig, crowd):
+    """Pure-numpy greedy matching (fallback for the C++ core)."""
+    T, D, G = len(IOU_THRS), len(dts), len(gts)
     ious = bbox_iou_xywh(dts[:, :4], gts, crowd) if G else np.zeros((D, 0))
-
-    dtm = np.zeros((T, D), np.int64) - 1      # matched gt index or -1
+    dtm = np.zeros((T, D), np.int64) - 1
     dt_ig = np.zeros((T, D), bool)
     gtm = np.zeros((T, G), np.int64) - 1
     for t, thr in enumerate(IOU_THRS):
@@ -84,6 +70,50 @@ def _evaluate_img(dts, gts, iscrowd, areas_gt, area_rng, max_det):
             dtm[t, d] = best
             dt_ig[t, d] = gt_ig[best]
             gtm[t, best] = d
+    return dtm, dt_ig
+
+
+def _match_native(lib, dts, gts, gt_ig, crowd):
+    import ctypes
+    T, D, G = len(IOU_THRS), len(dts), len(gts)
+    dtm = np.zeros((T, D), np.int64)
+    dt_ig8 = np.zeros((T, D), np.uint8)
+    c = ctypes.c_void_p
+    lib.coco_match(
+        np.ascontiguousarray(dts[:, :4], np.float64).ctypes.data_as(c),
+        ctypes.c_int64(D),
+        np.ascontiguousarray(gts, np.float64).ctypes.data_as(c),
+        np.ascontiguousarray(gt_ig, np.uint8).ctypes.data_as(c),
+        np.ascontiguousarray(crowd, np.uint8).ctypes.data_as(c),
+        ctypes.c_int64(G),
+        np.ascontiguousarray(IOU_THRS, np.float64).ctypes.data_as(c),
+        ctypes.c_int64(T),
+        dtm.ctypes.data_as(c), dt_ig8.ctypes.data_as(c))
+    return dtm, dt_ig8.astype(bool)
+
+
+def _evaluate_img(dts, gts, iscrowd, areas_gt, area_rng, max_det):
+    """Greedy matching for one (image, category, area range).
+
+    dts: (D, 5) [x, y, w, h, score] sorted desc by score (pre-truncated to
+    max_det). gts: (G, 4) xywh. Returns (dt_matches (T, D), dt_ignore (T, D),
+    gt_ignore (G,), dt_scores (D,)). Dispatches to the C++ matcher when
+    available (dskd_tpu/native), numpy otherwise."""
+    gt_ig = (iscrowd.astype(bool) | (areas_gt < area_rng[0])
+             | (areas_gt > area_rng[1]))
+    # sort gts: non-ignored first (pycocotools order)
+    gt_order = np.argsort(gt_ig, kind="mergesort")
+    gts = gts[gt_order]
+    gt_ig = gt_ig[gt_order]
+    crowd = iscrowd[gt_order].astype(bool)
+
+    from ..native.build import load_library
+    lib = load_library()
+    if lib is not None and len(gts) and len(dts):
+        dtm, dt_ig = _match_native(lib, dts, gts, gt_ig, crowd)
+    else:
+        dtm, dt_ig = _match_numpy(dts, gts, gt_ig, crowd)
+
     # unmatched dts whose area is outside the range are ignored
     dt_areas = dts[:, 2] * dts[:, 3]
     out_rng = (dt_areas < area_rng[0]) | (dt_areas > area_rng[1])

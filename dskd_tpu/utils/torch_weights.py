@@ -17,7 +17,8 @@ def _to_np(t):
     return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
 
 
-def convert_resnet_state_dict(state: Dict[str, Any], depth: int = 50):
+def convert_resnet_state_dict(state: Dict[str, Any], depth: int = 50,
+                              blocks_per_stage=None):
     """torchvision resnet state_dict -> (params, batch_stats) nested dicts
     matching dskd_tpu.models.resnet.ResNet module names."""
     params: Dict[str, Any] = {}
@@ -41,9 +42,10 @@ def convert_resnet_state_dict(state: Dict[str, Any], depth: int = 50):
     put(params, ("stem_conv", "kernel"), conv("conv1.weight"))
     bn(params, stats, ("stem_bn",), "bn1")
 
-    blocks_per_stage = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3),
-                        50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[depth]
-    bottleneck = depth >= 50
+    if blocks_per_stage is None:
+        blocks_per_stage = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3),
+                            50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[depth]
+    bottleneck = any(f"layer1.0.conv3.weight" in k for k in state)
     n_convs = 3 if bottleneck else 2
     for s, n_blocks in enumerate(blocks_per_stage, start=1):
         for b in range(n_blocks):

@@ -92,7 +92,7 @@ def yolof_setup():
     batch = Batch(images, img_hw,
                   jnp.asarray(np.concatenate([xy, xy + wh], -1)),
                   jnp.asarray(rng.randint(0, 10, (B, 6)).astype(np.int32)),
-                  jnp.asarray(np.arange(6)[None] < 3))
+                  jnp.asarray(np.tile(np.arange(6) < 3, (B, 1))))
     return model, variables, batch
 
 
