@@ -90,6 +90,38 @@ def bbox_clip(bbox: jnp.ndarray, img_hw) -> jnp.ndarray:
     return jnp.stack([x1, y1, x2, y2], axis=-1)
 
 
+def distance2bbox(points: jnp.ndarray, distance: jnp.ndarray,
+                  max_shape=None) -> jnp.ndarray:
+    """(..., 2) centers + (..., 4) l,t,r,b distances -> xyxy
+    (parity: mmdet core/bbox/transforms.py distance2bbox)."""
+    x1 = points[..., 0] - distance[..., 0]
+    y1 = points[..., 1] - distance[..., 1]
+    x2 = points[..., 0] + distance[..., 2]
+    y2 = points[..., 1] + distance[..., 3]
+    out = jnp.stack([x1, y1, x2, y2], -1)
+    if max_shape is not None:
+        h, w = max_shape
+        out = jnp.stack([jnp.clip(out[..., 0], 0, w),
+                         jnp.clip(out[..., 1], 0, h),
+                         jnp.clip(out[..., 2], 0, w),
+                         jnp.clip(out[..., 3], 0, h)], -1)
+    return out
+
+
+def bbox2distance(points: jnp.ndarray, bbox: jnp.ndarray,
+                  max_dis: float = None, eps: float = 0.1) -> jnp.ndarray:
+    """xyxy boxes -> l,t,r,b distances from centers, clipped to
+    [0, max_dis - eps] (parity: mmdet bbox2distance for the DFL target)."""
+    left = points[..., 0] - bbox[..., 0]
+    top = points[..., 1] - bbox[..., 1]
+    right = bbox[..., 2] - points[..., 0]
+    bottom = bbox[..., 3] - points[..., 1]
+    d = jnp.stack([left, top, right, bottom], -1)
+    if max_dis is not None:
+        d = jnp.clip(d, 0, max_dis - eps)
+    return d
+
+
 def bbox_flip_horizontal(bbox: jnp.ndarray, img_w) -> jnp.ndarray:
     """Horizontally flip xyxy boxes within an image of width ``img_w``."""
     x1 = img_w - bbox[..., 2]

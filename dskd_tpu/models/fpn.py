@@ -1,0 +1,58 @@
+"""FPN neck (parity: mmdet/models/necks/fpn.py).
+
+GFL R50 config: in_channels=[256,512,1024,2048], out=256, start_level=1,
+add_extra_convs='on_output', num_outs=5 — lateral 1x1 convs, top-down
+nearest upsampling, 3x3 output convs, extra stride-2 convs on the last
+output (with relu between when relu_before_extra_convs).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _upsample_nearest_2x(x):
+    B, H, W, C = x.shape
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+class FPN(nn.Module):
+    out_channels: int = 256
+    num_outs: int = 5
+    start_level: int = 1
+    add_extra_convs: str = "on_output"   # '', 'on_input', 'on_output'
+    relu_before_extra_convs: bool = True
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
+        used = list(inputs[self.start_level:])
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), name=f"lateral{i}")(x)
+            for i, x in enumerate(used)]
+
+        for i in range(len(laterals) - 1, 0, -1):
+            up = _upsample_nearest_2x(laterals[i])
+            # crop in case of odd sizes
+            up = up[:, :laterals[i - 1].shape[1], :laterals[i - 1].shape[2]]
+            laterals[i - 1] = laterals[i - 1] + up
+
+        outs = [nn.Conv(self.out_channels, (3, 3),
+                        padding=[(1, 1), (1, 1)], name=f"fpn_conv{i}")(x)
+                for i, x in enumerate(laterals)]
+
+        if self.num_outs > len(outs):
+            if self.add_extra_convs == "on_input":
+                extra_src = used[-1]
+            else:
+                extra_src = outs[-1]
+            for j in range(self.num_outs - len(laterals)):
+                if j > 0 and self.relu_before_extra_convs:
+                    extra_src = nn.relu(extra_src)
+                extra_src = nn.Conv(self.out_channels, (3, 3),
+                                    strides=(2, 2), padding=[(1, 1), (1, 1)],
+                                    name=f"extra_conv{j}")(extra_src)
+                outs.append(extra_src)
+        return tuple(outs)

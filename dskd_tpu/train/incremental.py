@@ -136,19 +136,30 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
              "distill=%s", tid, len(train_ds), iters_per_epoch, num_prev,
              distill_cfg)
 
+    from ..utils.logging import MetricsLogger
+    from .hooks import assert_loss_keys_consistent, check_invalid_loss
+    metrics = MetricsLogger(cfg.train.work_dir
+                            if jax.process_index() == 0 else None)
+
     for epoch in range(1, cfg.train.epochs_per_task + 1):
         t0, n_img = time.time(), 0
         for it, (batch, _meta) in enumerate(loader):
             batch = shard_batch(Batch(*map(jnp.asarray, batch)), mesh)
             state, losses = step_fn(state, batch, teacher_vars)
             n_img += batch.images.shape[0]
+            if it == 0:
+                assert_loss_keys_consistent(losses)
             if (it + 1) % cfg.train.log_interval == 0:
                 jax.block_until_ready(losses["loss"])
-                ips = n_img / (time.time() - t0)
-                msg = " ".join(f"{k}={float(v):.4f}" for k, v in
-                               sorted(losses.items()) if "." not in k)
-                log.info("task %d epoch %d iter %d/%d img/s=%.1f %s",
-                         tid, epoch, it + 1, iters_per_epoch, ips, msg)
+                host_losses = {k: float(v) for k, v in losses.items()
+                               if "." not in k}
+                check_invalid_loss(host_losses, it + 1, interval=1)
+                dt = time.time() - t0
+                host_losses["img_s"] = n_img / dt
+                host_losses["time"] = dt / (it + 1)
+                metrics.log_metrics(
+                    "train", epoch, it + 1, host_losses, task=tid,
+                    lr=float(sched(state.step)))
         if epoch % cfg.train.ckpt_interval == 0 and jax.process_index() == 0:
             save_checkpoint(cfg.train.work_dir, tid, epoch, state,
                             teacher_params)
