@@ -99,6 +99,48 @@ def iou_loss(pred, target, eps: float = 1e-6, linear: bool = True):
 
 
 @_weighted
+def diou_loss(pred, target, eps: float = 1e-7):
+    """Distance-IoU loss: 1 - IoU + center_dist^2 / diag^2 (iou_loss.py)."""
+    ious = bbox_overlaps(pred, target, mode="iou", is_aligned=True, eps=eps)
+    enclose_lt = jnp.minimum(pred[..., :2], target[..., :2])
+    enclose_rb = jnp.maximum(pred[..., 2:], target[..., 2:])
+    cw = jnp.clip(enclose_rb[..., 0] - enclose_lt[..., 0], 0, None)
+    ch = jnp.clip(enclose_rb[..., 1] - enclose_lt[..., 1], 0, None)
+    c2 = cw ** 2 + ch ** 2 + eps
+    px = (pred[..., 0] + pred[..., 2]) / 2
+    py = (pred[..., 1] + pred[..., 3]) / 2
+    tx = (target[..., 0] + target[..., 2]) / 2
+    ty = (target[..., 1] + target[..., 3]) / 2
+    rho2 = (px - tx) ** 2 + (py - ty) ** 2
+    return 1 - ious + rho2 / c2
+
+
+@_weighted
+def ciou_loss(pred, target, eps: float = 1e-7):
+    """Complete-IoU: DIoU + aspect-ratio consistency term."""
+    import math as _math
+    ious = bbox_overlaps(pred, target, mode="iou", is_aligned=True, eps=eps)
+    enclose_lt = jnp.minimum(pred[..., :2], target[..., :2])
+    enclose_rb = jnp.maximum(pred[..., 2:], target[..., 2:])
+    cw = jnp.clip(enclose_rb[..., 0] - enclose_lt[..., 0], 0, None)
+    ch = jnp.clip(enclose_rb[..., 1] - enclose_lt[..., 1], 0, None)
+    c2 = cw ** 2 + ch ** 2 + eps
+    px = (pred[..., 0] + pred[..., 2]) / 2
+    py = (pred[..., 1] + pred[..., 3]) / 2
+    tx = (target[..., 0] + target[..., 2]) / 2
+    ty = (target[..., 1] + target[..., 3]) / 2
+    rho2 = (px - tx) ** 2 + (py - ty) ** 2
+    w1 = pred[..., 2] - pred[..., 0] + eps
+    h1 = pred[..., 3] - pred[..., 1] + eps
+    w2 = target[..., 2] - target[..., 0] + eps
+    h2 = target[..., 3] - target[..., 1] + eps
+    factor = 4 / _math.pi ** 2
+    v = factor * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
+    alpha = jax.lax.stop_gradient(v / (1 - ious + v + eps))
+    return 1 - ious + rho2 / c2 + alpha * v
+
+
+@_weighted
 def quality_focal_loss(pred, target, beta: float = 2.0):
     """QFL on logits; target is (labels, score) with bg label == num_classes.
 
@@ -215,6 +257,8 @@ LOSS_REGISTRY = {
     "MSELoss": mse_loss,
     "GIoULoss": giou_loss,
     "IoULoss": iou_loss,
+    "DIoULoss": diou_loss,
+    "CIoULoss": ciou_loss,
     "QualityFocalLoss": quality_focal_loss,
     "DistributionFocalLoss": distribution_focal_loss,
     "KnowledgeDistillationKLDivLoss": kd_kl_div_loss,
