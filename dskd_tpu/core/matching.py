@@ -189,3 +189,53 @@ def gfl_hungarian_assign(cls_logits, bbox_cxcywh, gt_bboxes, gt_labels,
     cost = gfl_match_cost(cls_logits, bbox_cxcywh, gt_bboxes, gt_labels,
                           img_hw)
     return hungarian_assign(cost, gt_valid, gt_labels)
+
+
+def focal_loss_cost(cls_logits, gt_labels, weight=1.0, alpha=0.25,
+                    gamma=2.0, eps=1e-12):
+    """FocalLossCost (match_cost.py:56-113): pos - neg focal terms at the
+    GT classes."""
+    p = jax.nn.sigmoid(cls_logits)
+    neg = -jnp.log(1 - p + eps) * (1 - alpha) * p ** gamma
+    pos = -jnp.log(p + eps) * alpha * (1 - p) ** gamma
+    safe = jnp.clip(gt_labels, 0, cls_logits.shape[-1] - 1)
+    return (pos[:, safe] - neg[:, safe]) * weight
+
+
+def classification_cost(cls_logits, gt_labels, weight=1.0):
+    """ClassificationCost: -softmax prob at the GT class."""
+    probs = jax.nn.softmax(cls_logits, axis=-1)
+    safe = jnp.clip(gt_labels, 0, cls_logits.shape[-1] - 1)
+    return -probs[:, safe] * weight
+
+
+def detr_match_cost(cls_logits, bbox_cxcywh, gt_bboxes, gt_labels, img_hw,
+                    cls_cost: str = "focal", cls_weight: float = 2.0,
+                    reg_weight: float = 5.0, iou_weight: float = 2.0):
+    """Standard DETR HungarianAssigner cost stack (hungarian_assigner.py):
+    Focal/Classification cls cost + normalized-cxcywh L1 + GIoU."""
+    h = img_hw[0].astype(cls_logits.dtype)
+    w = img_hw[1].astype(cls_logits.dtype)
+    factor = jnp.stack([w, h, w, h])
+    gt_norm = gt_bboxes / factor
+    gt_cxcywh = bbox_xyxy_to_cxcywh(gt_norm)
+    reg = jnp.abs(bbox_cxcywh[:, None] - gt_cxcywh[None]).sum(-1)
+    pred_xyxy = bbox_cxcywh_to_xyxy(bbox_cxcywh)
+    iou = -bbox_overlaps(pred_xyxy * factor, gt_bboxes, mode="giou")
+    if cls_cost == "focal":
+        cls = focal_loss_cost(cls_logits, gt_labels)
+    else:
+        cls = classification_cost(cls_logits, gt_labels)
+    return cls_weight * cls + reg_weight * reg + iou_weight * iou
+
+
+def distill_hungarian_assign(cls_logits, bbox_cxcywh, teacher_bboxes,
+                             teacher_labels, teacher_valid,
+                             img_hw) -> AssignResult:
+    """DistillHungarianAssigner (distill_hungarian_assigner.py): one-to-one
+    matching of student predictions to TEACHER predictions for response
+    distillation — ClassificationCost + L1 + GIoU, all weight 1."""
+    cost = detr_match_cost(cls_logits, bbox_cxcywh, teacher_bboxes,
+                           teacher_labels, img_hw, cls_cost="softmax",
+                           cls_weight=1.0, reg_weight=1.0, iou_weight=1.0)
+    return hungarian_assign(cost, teacher_valid, teacher_labels)

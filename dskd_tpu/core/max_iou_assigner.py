@@ -1,0 +1,87 @@
+"""MaxIoUAssigner + RandomSampler (parity: mmdet max_iou_assigner.py /
+random_sampler.py) under static shapes.
+
+MaxIoU: anchors with max-GT IoU >= pos_iou_thr are positive (to their
+argmax GT); < neg_iou_thr are negative; in between are ignored.
+``match_low_quality`` additionally assigns each GT its highest-IoU anchor
+(if >= min_pos_iou), possibly stealing — the reference applies this AFTER
+the threshold pass so it wins (gt order: later GTs overwrite).
+
+RandomSampler: sample at most num*pos_fraction positives and fill the rest
+with negatives, uniformly at random — here via random keys + top_k, fixed
+output size with validity masks.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import bbox_overlaps
+
+
+class MaxIoUResult(NamedTuple):
+    assigned_gt: jnp.ndarray   # (N,) gt idx, -1 neg, -2 ignore
+    labels: jnp.ndarray        # (N,) label or num_classes for neg
+    max_ious: jnp.ndarray      # (N,)
+
+
+def max_iou_assign(boxes: jnp.ndarray, gt_bboxes: jnp.ndarray,
+                   gt_labels: jnp.ndarray, gt_valid: jnp.ndarray,
+                   num_classes: int, pos_iou_thr: float = 0.7,
+                   neg_iou_thr: float = 0.3, min_pos_iou: float = 0.3,
+                   match_low_quality: bool = True) -> MaxIoUResult:
+    N = boxes.shape[0]
+    G = gt_bboxes.shape[0]
+    ious = jnp.where(gt_valid[None], bbox_overlaps(boxes, gt_bboxes), -1.0)
+    max_iou = ious.max(axis=1)
+    argmax_gt = jnp.argmax(ious, axis=1).astype(jnp.int32)
+
+    assigned = jnp.where(max_iou >= pos_iou_thr, argmax_gt, -1)
+    ignore = (max_iou >= neg_iou_thr) & (max_iou < pos_iou_thr)
+    assigned = jnp.where(ignore, -2, assigned)
+
+    if match_low_quality:
+        # per gt: its best anchor (ties: first), applied in gt order
+        gt_best_iou = ious.max(axis=0)                       # (G,)
+        gt_best_anchor = jnp.argmax(ious, axis=0)            # (G,)
+        ok = gt_valid & (gt_best_iou >= min_pos_iou)
+        scatter_idx = jnp.where(ok, gt_best_anchor, N)
+        # later gts overwrite earlier: scatter in increasing g order
+        assigned = assigned.at[scatter_idx].set(
+            jnp.arange(G, dtype=jnp.int32), mode="drop")
+
+    pos = assigned >= 0
+    safe = jnp.clip(assigned, 0, G - 1)
+    labels = jnp.where(pos, gt_labels[safe].astype(jnp.int32), num_classes)
+    return MaxIoUResult(assigned, labels, max_iou)
+
+
+class SampleResult(NamedTuple):
+    pos_idx: jnp.ndarray    # (num_pos_max,) indices (masked)
+    pos_valid: jnp.ndarray
+    neg_idx: jnp.ndarray    # (num_neg_max,)
+    neg_valid: jnp.ndarray
+
+
+def random_sample(rng, assigned_gt: jnp.ndarray, num: int,
+                  pos_fraction: float) -> SampleResult:
+    """Sample pos/neg indices with fixed output sizes.
+
+    Matches RandomSampler semantics: up to num*pos_fraction positives; the
+    remainder filled with negatives (the reference does not re-grow the
+    positive share when negatives are scarce)."""
+    N = assigned_gt.shape[0]
+    num_pos_max = int(num * pos_fraction)
+    num_neg_max = num - num_pos_max
+
+    pos_mask = assigned_gt >= 0
+    neg_mask = assigned_gt == -1
+    r1, r2 = jax.random.split(rng)
+    pos_keys = jnp.where(pos_mask, jax.random.uniform(r1, (N,)), -1.0)
+    neg_keys = jnp.where(neg_mask, jax.random.uniform(r2, (N,)), -1.0)
+    pos_vals, pos_idx = jax.lax.top_k(pos_keys, num_pos_max)
+    neg_vals, neg_idx = jax.lax.top_k(neg_keys, num_neg_max)
+    return SampleResult(pos_idx.astype(jnp.int32), pos_vals > 0,
+                        neg_idx.astype(jnp.int32), neg_vals > 0)

@@ -93,15 +93,27 @@ class TaskCocoDataset:
                  catpred: str = "prev-cur", catwise: bool = True,
                  imgpercent: float = 1.0, test_mode: bool = False,
                  class_order: str = "alpha", filter_empty: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, classes: Optional[Sequence[str]] = None):
+        """``classes`` overrides the COCO table for COCO-format custom
+        datasets (the reference's HLKT/WRXT pattern): names are resolved
+        against the annotation file's categories, ordered as given (or
+        alphabetically when class_order='alpha')."""
         assert len(catsplit) == len(catload)
         self.ann_file = ann_file
         self.img_prefix = img_prefix
         self.test_mode = test_mode
         self.coco = CocoAnnotations(ann_file)
 
-        ordered = (COCO_CLASSES_ALPHA_ORDER if class_order == "alpha"
-                   else COCO_CLASSES_MMDET_ORDER)[:sum(catsplit)]
+        if classes is not None:
+            name2id = {c["name"]: cid
+                       for cid, c in self.coco.categories.items()}
+            ordered = tuple((n, name2id[n]) for n in classes)
+            if class_order == "alpha":
+                ordered = tuple(sorted(ordered, key=lambda kv: kv[0]))
+        else:
+            ordered = (COCO_CLASSES_ALPHA_ORDER if class_order == "alpha"
+                       else COCO_CLASSES_MMDET_ORDER)
+        ordered = ordered[:sum(catsplit)]
         task_groups = split_classes(ordered, catsplit)
 
         self.TASK_CLASSES = [tuple(n for n, _ in g) for g in task_groups]

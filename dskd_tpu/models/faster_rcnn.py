@@ -1,0 +1,328 @@
+"""Faster R-CNN R50-FPN (parity: the reference's two-stage baseline —
+configs/faster_rcnn, box AP 37.4; mmdet two_stage.py / rpn_head.py /
+standard_roi_head.py / convfc_bbox_head.py).
+
+TPU-native two-stage under fully static shapes:
+  * RPN: 3x3 conv + 1x1 cls/reg over P2-P6, 3 anchors per cell
+    (ratios 0.5/1/2, scale 8);
+  * proposals: per-level pre-NMS topk, joint class-agnostic NMS to a fixed
+    ``num_proposals``;
+  * training samples 256 anchors (RPN) / 512 ROIs (RCNN) with RandomSampler
+    semantics via random-key top-k;
+  * RoIAlign: vectorized bilinear gather (ops/roi_align.py);
+  * Shared2FC bbox head: 2x FC-1024, softmax CE over C+1, class-specific
+    box deltas with the standard target means/stds.
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core import losses as L
+from ..core.anchors import base_anchors, bbox2delta, delta2bbox, grid_anchors
+from ..core.max_iou_assigner import max_iou_assign, random_sample
+from ..core.postprocess import batched_nms
+from ..ops.roi_align import multi_level_roi_align
+from .fpn import FPN
+from .resnet import ResNet
+
+RCNN_TARGET_MEANS = (0.0, 0.0, 0.0, 0.0)
+RCNN_TARGET_STDS = (0.1, 0.1, 0.2, 0.2)
+
+
+class RPNOutputs(NamedTuple):
+    cls_scores: Tuple[jnp.ndarray, ...]   # (B, H, W, A)
+    bbox_preds: Tuple[jnp.ndarray, ...]   # (B, H, W, A*4)
+
+
+class FasterRCNNOutputs(NamedTuple):
+    rpn: RPNOutputs
+    neck_feats: Tuple[jnp.ndarray, ...]
+
+
+class RPNHead(nn.Module):
+    num_anchors: int = 3
+    feat_channels: int = 256
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]) -> RPNOutputs:
+        conv = nn.Conv(self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                       kernel_init=nn.initializers.normal(0.01),
+                       name="rpn_conv")
+        cls = nn.Conv(self.num_anchors, (1, 1),
+                      kernel_init=nn.initializers.normal(0.01),
+                      name="rpn_cls")
+        reg = nn.Conv(self.num_anchors * 4, (1, 1),
+                      kernel_init=nn.initializers.normal(0.01),
+                      name="rpn_reg")
+        cls_out, reg_out = [], []
+        for x in feats:
+            y = nn.relu(conv(x))
+            cls_out.append(cls(y))
+            reg_out.append(reg(y))
+        return RPNOutputs(tuple(cls_out), tuple(reg_out))
+
+
+class FasterRCNN(nn.Module):
+    num_classes: int = 80
+    depth: int = 50
+    frozen_stages: int = 1
+
+    @nn.compact
+    def __call__(self, images, img_hw, deterministic: bool = True):
+        feats = ResNet(depth=self.depth, out_indices=(0, 1, 2, 3),
+                       frozen_stages=self.frozen_stages,
+                       name="backbone")(images)
+        neck = FPN(out_channels=256, num_outs=5, start_level=0,
+                   add_extra_convs="", name="neck")(feats)
+        rpn = RPNHead(name="rpn_head")(neck)
+        return FasterRCNNOutputs(rpn, neck)
+
+
+class BBoxHead(nn.Module):
+    """Shared2FCBBoxHead: flatten -> 2x FC 1024 -> cls (C+1) + reg (C*4)."""
+    num_classes: int = 80
+    fc_channels: int = 1024
+
+    @nn.compact
+    def __call__(self, roi_feats: jnp.ndarray):
+        x = roi_feats.reshape(roi_feats.shape[0], -1)
+        x = nn.relu(nn.Dense(self.fc_channels, name="shared_fc0")(x))
+        x = nn.relu(nn.Dense(self.fc_channels, name="shared_fc1")(x))
+        cls = nn.Dense(self.num_classes + 1,
+                       kernel_init=nn.initializers.normal(0.01),
+                       name="fc_cls")(x)
+        reg = nn.Dense(self.num_classes * 4,
+                       kernel_init=nn.initializers.normal(0.001),
+                       name="fc_reg")(x)
+        return cls, reg
+
+
+def rpn_anchors(featmap_sizes, strides=(4, 8, 16, 32, 64),
+                scales=(8.0,), ratios=(0.5, 1.0, 2.0)):
+    return [grid_anchors((h, w), s, base_anchors(s, scales, ratios))
+            for (h, w), s in zip(featmap_sizes, strides)]
+
+
+def rpn_proposals(rpn: RPNOutputs, img_hw, nms_pre: int = 1000,
+                  max_total: int = 1000, nms_iou: float = 0.7,
+                  min_box_size: float = 0.0,
+                  strides=(4, 8, 16, 32, 64)):
+    """Proposal generation, static shapes. Returns (B, max_total, 4) + valid."""
+    B = rpn.cls_scores[0].shape[0]
+    featmap_sizes = [c.shape[1:3] for c in rpn.cls_scores]
+    anchors = rpn_anchors(featmap_sizes, strides)
+
+    lvl_boxes, lvl_scores, lvl_ids = [], [], []
+    for i, (c, r) in enumerate(zip(rpn.cls_scores, rpn.bbox_preds)):
+        a = anchors[i]
+        n = a.shape[0]
+        scores = jax.nn.sigmoid(c.reshape(B, n))
+        deltas = r.reshape(B, n, 4)
+        k = min(nms_pre, n)
+        top_s, top_i = jax.lax.top_k(scores, k)               # (B, k)
+        sel_a = a[top_i]                                      # (B, k, 4)
+        sel_d = jnp.take_along_axis(deltas, top_i[..., None], axis=1)
+        boxes = delta2bbox(sel_a, sel_d)
+        lvl_boxes.append(boxes)
+        lvl_scores.append(top_s)
+        lvl_ids.append(jnp.full((B, k), i, jnp.int32))
+    boxes = jnp.concatenate(lvl_boxes, 1)
+    scores = jnp.concatenate(lvl_scores, 1)
+    ids = jnp.concatenate(lvl_ids, 1)
+
+    def per_image(bx, sc, lid, hw):
+        h, w = hw[0].astype(bx.dtype), hw[1].astype(bx.dtype)
+        bx = jnp.stack([jnp.clip(bx[:, 0], 0, w), jnp.clip(bx[:, 1], 0, h),
+                        jnp.clip(bx[:, 2], 0, w), jnp.clip(bx[:, 3], 0, h)],
+                       -1)
+        ok = ((bx[:, 2] - bx[:, 0] > min_box_size)
+              & (bx[:, 3] - bx[:, 1] > min_box_size))
+        # NMS across levels, class-agnostic but level-separated (the
+        # reference NMSes with level ids as classes)
+        nb, ns, _, keep, _ = batched_nms(bx, sc, lid, nms_iou, max_total,
+                                         valid=ok)
+        return nb, ns, keep
+
+    return jax.vmap(per_image)(boxes, scores, ids, img_hw)
+
+
+class RPNLossConfig(NamedTuple):
+    num_samples: int = 256
+    pos_fraction: float = 0.5
+    pos_iou_thr: float = 0.7
+    neg_iou_thr: float = 0.3
+    min_pos_iou: float = 0.3
+    cls_weight: float = 1.0
+    bbox_weight: float = 1.0
+
+
+def rpn_loss(rpn: RPNOutputs, gt_bboxes, gt_valid, img_hw, rng,
+             cfg: RPNLossConfig, strides=(4, 8, 16, 32, 64)):
+    """RPN losses: binary CE on sampled anchors + L1 on positives."""
+    B = rpn.cls_scores[0].shape[0]
+    featmap_sizes = [c.shape[1:3] for c in rpn.cls_scores]
+    anchors = jnp.concatenate(rpn_anchors(featmap_sizes, strides), 0)
+    N = anchors.shape[0]
+    cls_flat = jnp.concatenate(
+        [c.reshape(B, -1) for c in rpn.cls_scores], 1)
+    reg_flat = jnp.concatenate(
+        [r.reshape(B, -1, 4) for r in rpn.bbox_preds], 1)
+
+    gt_labels = jnp.zeros(gt_bboxes.shape[:2], jnp.int32)  # class-agnostic
+
+    def per_image(r, gtb, gtv):
+        assign = max_iou_assign(anchors, gtb, gt_labels[0], gtv, 1,
+                                cfg.pos_iou_thr, cfg.neg_iou_thr,
+                                cfg.min_pos_iou)
+        sample = random_sample(r, assign.assigned_gt, cfg.num_samples,
+                               cfg.pos_fraction)
+        return assign.assigned_gt, sample
+
+    rngs = jax.random.split(rng, B)
+    assigned, samples = jax.vmap(per_image)(rngs, gt_bboxes, gt_valid)
+
+    # classification: BCE at sampled anchors, target 1 at positives
+    pos_idx, pos_valid = samples.pos_idx, samples.pos_valid
+    neg_idx, neg_valid = samples.neg_idx, samples.neg_valid
+    num_total = jnp.maximum(
+        pos_valid.sum() + neg_valid.sum(), 1).astype(jnp.float32)
+
+    pos_logit = jnp.take_along_axis(cls_flat, pos_idx, axis=1)
+    neg_logit = jnp.take_along_axis(cls_flat, neg_idx, axis=1)
+    loss_cls = (
+        (L.binary_cross_entropy_with_logits(pos_logit, jnp.ones_like(
+            pos_logit)) * pos_valid).sum()
+        + (L.binary_cross_entropy_with_logits(neg_logit, jnp.zeros_like(
+            neg_logit)) * neg_valid).sum()) / num_total
+
+    # bbox: L1 on delta targets at sampled positives
+    G = gt_bboxes.shape[1]
+    pos_assigned = jnp.take_along_axis(assigned, pos_idx, axis=1)
+    safe = jnp.clip(pos_assigned, 0, G - 1)
+    tgt_boxes = jnp.take_along_axis(gt_bboxes, safe[..., None], axis=1)
+    pos_anchor = anchors[pos_idx]                       # (B, P, 4)
+    deltas_tgt = bbox2delta(pos_anchor, tgt_boxes)
+    deltas_pred = jnp.take_along_axis(reg_flat, pos_idx[..., None], axis=1)
+    loss_bbox = (jnp.abs(deltas_pred - deltas_tgt).sum(-1)
+                 * pos_valid).sum() / num_total
+
+    return dict(loss_rpn_cls=cfg.cls_weight * loss_cls,
+                loss_rpn_bbox=cfg.bbox_weight * loss_bbox)
+
+
+class RCNNLossConfig(NamedTuple):
+    num_classes: int = 80
+    num_samples: int = 512
+    pos_fraction: float = 0.25
+    pos_iou_thr: float = 0.5
+    neg_iou_thr: float = 0.5
+    min_pos_iou: float = 0.5
+
+
+def rcnn_forward_train(bbox_head_apply, neck_feats, proposals,
+                       proposal_valid, gt_bboxes, gt_labels, gt_valid, rng,
+                       cfg: RCNNLossConfig):
+    """Sample ROIs (GT boxes appended as in the reference's add_gt_as_
+    proposals), extract RoIAlign features, compute CE + L1 losses."""
+    B = proposals.shape[0]
+    G = gt_bboxes.shape[1]
+    C = cfg.num_classes
+    rois_all = jnp.concatenate([proposals, gt_bboxes], axis=1)
+    rois_valid = jnp.concatenate([proposal_valid, gt_valid], axis=1)
+
+    def per_image(r, rois, rv, gtb, gtl, gtv):
+        assign = max_iou_assign(rois, gtb, gtl, gtv, C,
+                                cfg.pos_iou_thr, cfg.neg_iou_thr,
+                                cfg.min_pos_iou, match_low_quality=False)
+        # invalid rois can never be sampled
+        a = jnp.where(rv, assign.assigned_gt, -2)
+        sample = random_sample(r, a, cfg.num_samples, cfg.pos_fraction)
+        idx = jnp.concatenate([sample.pos_idx, sample.neg_idx])
+        valid = jnp.concatenate([sample.pos_valid, sample.neg_valid])
+        is_pos = jnp.concatenate([sample.pos_valid,
+                                  jnp.zeros_like(sample.neg_valid)])
+        sampled_rois = rois[idx]
+        assigned = a[idx]
+        safe = jnp.clip(assigned, 0, G - 1)
+        labels = jnp.where(is_pos, gtl[safe].astype(jnp.int32), C)
+        tgt_box = gtb[safe]
+        return sampled_rois, valid, is_pos, labels, tgt_box
+
+    rngs = jax.random.split(rng, B)
+    rois, valid, is_pos, labels, tgt_boxes = jax.vmap(per_image)(
+        rngs, rois_all, rois_valid, gt_bboxes, gt_labels, gt_valid)
+
+    # RoIAlign over levels (P2-P5), per image
+    feats_per_img = [tuple(f[b] for f in neck_feats[:4]) for b in range(B)]
+    roi_feats = jnp.stack([
+        multi_level_roi_align(feats_per_img[b], rois[b], valid[b])
+        for b in range(B)])                         # (B, S, 7, 7, 256)
+
+    S = rois.shape[1]
+    cls_logits, reg = bbox_head_apply(roi_feats.reshape(B * S, 7, 7, -1))
+    labels_flat = labels.reshape(-1)
+    valid_flat = valid.reshape(-1).astype(jnp.float32)
+    is_pos_flat = is_pos.reshape(-1)
+
+    num_total = jnp.maximum(valid_flat.sum(), 1.0)
+    loss_cls = L.cross_entropy_loss(cls_logits, labels_flat,
+                                    weight=valid_flat,
+                                    avg_factor=num_total)
+
+    # class-specific deltas at the target class
+    reg = reg.reshape(B * S, C, 4)
+    safe_lab = jnp.clip(labels_flat, 0, C - 1)
+    reg_at = jnp.take_along_axis(
+        reg, safe_lab[:, None, None].repeat(4, -1), axis=1)[:, 0]
+    deltas_tgt = bbox2delta(rois.reshape(-1, 4), tgt_boxes.reshape(-1, 4),
+                            means=RCNN_TARGET_MEANS, stds=RCNN_TARGET_STDS)
+    loss_bbox = (jnp.abs(reg_at - deltas_tgt).sum(-1)
+                 * is_pos_flat).sum() / num_total
+
+    acc_pos = is_pos_flat.sum()
+    return dict(loss_cls=loss_cls, loss_bbox=loss_bbox), acc_pos
+
+
+def rcnn_get_bboxes(bbox_head_apply, neck_feats, proposals, proposal_valid,
+                    img_hw, num_classes: int, scale_factor=None,
+                    score_thr: float = 0.05, nms_iou: float = 0.5,
+                    max_per_img: int = 100, rescale: bool = False):
+    """Second-stage decode + per-class NMS, static shapes."""
+    B, S = proposals.shape[:2]
+    feats_per_img = [tuple(f[b] for f in neck_feats[:4]) for b in range(B)]
+    roi_feats = jnp.stack([
+        multi_level_roi_align(feats_per_img[b], proposals[b],
+                              proposal_valid[b]) for b in range(B)])
+    cls_logits, reg = bbox_head_apply(roi_feats.reshape(B * S, 7, 7, -1))
+    probs = jax.nn.softmax(cls_logits, -1)[:, :num_classes]
+    probs = probs.reshape(B, S, num_classes)
+    reg = reg.reshape(B, S, num_classes, 4)
+
+    def per_image(rois, rv, p, r, hw, sf):
+        # decode every class's box for every roi
+        boxes = delta2bbox(rois[:, None, :].repeat(num_classes, 1)
+                           .reshape(-1, 4),
+                           r.reshape(-1, 4), means=RCNN_TARGET_MEANS,
+                           stds=RCNN_TARGET_STDS)
+        h, w = hw[0].astype(boxes.dtype), hw[1].astype(boxes.dtype)
+        boxes = jnp.stack([
+            jnp.clip(boxes[:, 0], 0, w), jnp.clip(boxes[:, 1], 0, h),
+            jnp.clip(boxes[:, 2], 0, w), jnp.clip(boxes[:, 3], 0, h)], -1)
+        scores = p.reshape(-1)
+        labels = jnp.tile(jnp.arange(num_classes, dtype=jnp.int32), S)
+        ok = (scores > score_thr) & jnp.repeat(rv, num_classes)
+        nb, ns, nl, keep, _ = batched_nms(boxes, scores, labels, nms_iou,
+                                          max_per_img, valid=ok)
+        if rescale and sf is not None:
+            nb = nb / sf[None]
+        return nb, ns, nl, keep
+
+    if scale_factor is None:
+        scale_factor = jnp.ones((B, 4), jnp.float32)
+    nb, ns, nl, keep = jax.vmap(per_image)(
+        proposals, proposal_valid, probs, reg, img_hw, scale_factor)
+    return dict(bboxes=nb, scores=ns, labels=nl, valid=keep)

@@ -1,0 +1,87 @@
+"""RoIAlign (parity: mmcv.ops.RoIAlign, aligned=True).
+
+TPU-native formulation: per ROI bin, average ``sampling_ratio^2`` bilinear
+samples from the NHWC feature map — expressed as one vectorized gather so
+XLA maps it to its native gather; no per-ROI loops. Consumed by the
+Faster R-CNN ROI head (single_level_roi_extractor parity).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int = 7,
+              spatial_scale: float = 1.0, sampling_ratio: int = 2,
+              aligned: bool = True) -> jnp.ndarray:
+    """feat: (H, W, C) one image's level features. rois: (R, 4) xyxy in
+    image coords. Returns (R, out_size, out_size, C)."""
+    H, W, C = feat.shape
+    R = rois.shape[0]
+    offset = 0.5 if aligned else 0.0
+    x1 = rois[:, 0] * spatial_scale - offset
+    y1 = rois[:, 1] * spatial_scale - offset
+    x2 = rois[:, 2] * spatial_scale - offset
+    y2 = rois[:, 3] * spatial_scale - offset
+    roi_w = jnp.clip(x2 - x1, 1e-3, None)
+    roi_h = jnp.clip(y2 - y1, 1e-3, None)
+    bin_w = roi_w / out_size
+    bin_h = roi_h / out_size
+
+    s = sampling_ratio
+    # sample grid: (R, out, s) positions per axis
+    iy = jnp.arange(out_size, dtype=feat.dtype)
+    ss = (jnp.arange(s, dtype=feat.dtype) + 0.5) / s
+    ys = (y1[:, None, None] + (iy[None, :, None] + ss[None, None, :])
+          * bin_h[:, None, None])                          # (R, out, s)
+    xs = (x1[:, None, None] + (iy[None, :, None] + ss[None, None, :])
+          * bin_w[:, None, None])
+
+    ys = ys.reshape(R, -1)                                  # (R, out*s)
+    xs = xs.reshape(R, -1)
+
+    def bilinear(yv, xv):
+        """Gather (R, ny, nx, C) at all y-x combinations."""
+        y0 = jnp.floor(yv)
+        x0 = jnp.floor(xv)
+        ty = (yv - y0)[:, :, None, None]
+        tx = (xv - x0)[:, None, :, None]
+        out = 0.0
+        flat = feat.reshape(-1, C)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                yi = jnp.clip(y0 + dy, 0, H - 1).astype(jnp.int32)
+                xi = jnp.clip(x0 + dx, 0, W - 1).astype(jnp.int32)
+                iby = ((yv + dy >= 0) & (yv + dy <= H)).astype(feat.dtype)
+                ibx = ((xv + dx >= 0) & (xv + dx <= W)).astype(feat.dtype)
+                idx = yi[:, :, None] * W + xi[:, None, :]   # (R, ny, nx)
+                g = flat[idx.reshape(R, -1)].reshape(
+                    R, yv.shape[1], xv.shape[1], C)
+                wy = ty if dy else 1.0 - ty
+                wx = tx if dx else 1.0 - tx
+                out = out + g * wy * wx * iby[:, :, None, None] \
+                    * ibx[:, None, :, None]
+        return out
+
+    sampled = bilinear(ys, xs)                # (R, out*s, out*s, C)
+    sampled = sampled.reshape(R, out_size, s, out_size, s, C)
+    return sampled.mean(axis=(2, 4))
+
+
+def multi_level_roi_align(feats, rois, roi_valid, strides=(4, 8, 16, 32),
+                          out_size: int = 7, finest_scale: int = 56):
+    """SingleRoIExtractor parity: map each ROI to a level by its scale
+    (level = floor(log2(sqrt(area)/56 + 1e-6)) clamped), extract there.
+
+    feats: per-level (H, W, C) for ONE image. rois: (R, 4)."""
+    w = rois[:, 2] - rois[:, 0]
+    h = rois[:, 3] - rois[:, 1]
+    scale = jnp.sqrt(jnp.clip(w * h, 1e-6, None))
+    lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
+    lvl = jnp.clip(lvl, 0, len(feats) - 1).astype(jnp.int32)
+
+    out = 0.0
+    for i, f in enumerate(feats):
+        o = roi_align(f, rois, out_size, spatial_scale=1.0 / strides[i])
+        out = out + jnp.where((lvl == i)[:, None, None, None], o, 0.0)
+    return out * roi_valid[:, None, None, None]
