@@ -79,10 +79,10 @@ class DistillConfig(NamedTuple):
         """Bridge from the reference's flag-string option space."""
         fg_mode = ""
         if "fg_info" in feats_distill and "bg_info" not in feats_distill:
-            if "decode_v1" in feats_distill:
-                fg_mode = "decode_v1"
-            elif "decode_v2" in feats_distill:
-                fg_mode = "decode_v2"
+            for mode in ("decode_v1", "decode_v2", "sg_out", "fg_only"):
+                if mode in feats_distill:
+                    fg_mode = mode
+                    break
         return cls(hard="hard" in cates_distill,
                    teacher_first="teacher-first" in cates_distill,
                    soft="soft" in cates_distill,
@@ -184,10 +184,13 @@ def distill_losses(student: HeadOutputs,
                    img_hw: jnp.ndarray,
                    num_classes: int,
                    cfg: DistillConfig,
-                   num_merged: int) -> Dict[str, jnp.ndarray]:
+                   num_merged: int,
+                   gt_bboxes_original=None,
+                   gt_valid_original=None) -> Dict[str, jnp.ndarray]:
     """All configured distillation losses. ``targets`` must come from the
     detection loss computed on the MERGED (teacher-first) ground truth;
-    ``num_merged`` is its static GT-axis length (Kt + max_gt)."""
+    ``num_merged`` is its static GT-axis length (Kt + max_gt). The
+    pre-merge GT (``gt_*_original``) feeds the sg_out background carve-out."""
     losses: Dict[str, jnp.ndarray] = {}
     nl, B, Q, K = student.cls_scores.shape
     C = student.hs.shape[-1]
@@ -251,11 +254,89 @@ def distill_losses(student: HeadOutputs,
                          axis=1)
         losses["loss_memory"] = cfg.memory_weight * kl.sum() / B
 
-    if cfg.fg_mode:
+    if cfg.fg_mode in ("decode_v1", "decode_v2"):
         losses["loss_fg_feature"] = semantic_guided_fg_loss(
             student, student_neck, teacher, q_of_gt, img_hw, cfg)
+    elif cfg.fg_mode in ("sg_out", "fg_only"):
+        losses["loss_fg_feature"] = memory_fg_loss(
+            student, student_neck, teacher, img_hw, cfg,
+            gt_bboxes_original=gt_bboxes_original,
+            gt_valid_original=gt_valid_original)
 
     return losses
+
+
+def _box_feature_coords(boxes, img_hw, H, W):
+    """Scale image-coord boxes onto an (H, W) feature map; returns
+    (x0, x1, y0, y1) with the reference's floor/ceil rounding."""
+    h_img = img_hw[:, 0].astype(jnp.float32)[:, None]
+    w_img = img_hw[:, 1].astype(jnp.float32)[:, None]
+    x0 = jnp.floor(boxes[..., 0] / w_img * W)
+    x1 = jnp.ceil(boxes[..., 2] / w_img * W)
+    y0 = jnp.floor(boxes[..., 1] / h_img * H)
+    y1 = jnp.ceil(boxes[..., 3] / h_img * H)
+    return x0, x1, y0, y1
+
+
+def memory_fg_loss(student: HeadOutputs, student_neck, teacher: TeacherInfo,
+                   img_hw, cfg: DistillConfig, gt_bboxes_original=None,
+                   gt_valid_original=None) -> jnp.ndarray:
+    """'sg_out' / 'fg_only' encoder-memory foreground distill
+    (reference :860-925 / :1082-1129).
+
+    Per level: the encoder memory is sliced back into (H, W, C) maps; a
+    foreground mask is rasterized from teacher boxes with INCLUSIVE +1
+    bounds (sg_out: binary, minus the ORIGINAL-GT regions; fg_only:
+    max of 1/region-area), sqrt-ed and applied to both memories.
+    NOTE (reference quirk, preserved): the KL 'pred' side is the teacher
+    memory and the detached target is the student memory — sg_out/fg_only
+    therefore contribute loss values but no student gradients.
+    """
+    det = teacher.det
+    B = student.memory.shape[0]
+    C = student.memory.shape[-1]
+    levels = [(f.shape[1], f.shape[2]) for f in student_neck]
+
+    total = 0.0
+    start = 0
+    for (H, W) in levels:
+        mem_s = student.memory[:, start:start + H * W].reshape(B, H, W, C)
+        mem_t = teacher.memory[:, start:start + H * W].reshape(B, H, W, C)
+        start += H * W
+
+        x0, x1, y0, y1 = _box_feature_coords(det.bboxes, img_hw, H, W)
+        ys = jnp.arange(H, dtype=jnp.float32)
+        xs = jnp.arange(W, dtype=jnp.float32)
+        in_y = (ys[None, None, :] >= y0[..., None]) & (
+            ys[None, None, :] < y1[..., None] + 1)         # inclusive +1
+        in_x = (xs[None, None, :] >= x0[..., None]) & (
+            xs[None, None, :] < x1[..., None] + 1)
+        cover = (in_y[:, :, :, None] & in_x[:, :, None, :]
+                 & det.valid[:, :, None, None])            # (B, K, H, W)
+
+        if cfg.fg_mode == "sg_out":
+            mask = cover.any(axis=1).astype(jnp.float32)
+            if gt_bboxes_original is not None:
+                gx0, gx1, gy0, gy1 = _box_feature_coords(
+                    gt_bboxes_original, img_hw, H, W)
+                gin_y = (ys[None, None, :] >= gy0[..., None]) & (
+                    ys[None, None, :] < gy1[..., None] + 1)
+                gin_x = (xs[None, None, :] >= gx0[..., None]) & (
+                    xs[None, None, :] < gx1[..., None] + 1)
+                gcover = (gin_y[:, :, :, None] & gin_x[:, :, None, :]
+                          & gt_valid_original[:, :, None, None])
+                mask = jnp.where(gcover.any(axis=1), 0.0, mask)
+        else:  # fg_only: max of 1/area over covering boxes
+            area = ((y1 - y0 + 1) * (x1 - x0 + 1))          # (B, K)
+            inv = jnp.where(det.valid, 1.0 / jnp.clip(area, 1.0, None), 0.0)
+            mask = jnp.where(cover, inv[:, :, None, None], 0.0).max(axis=1)
+
+        m = jnp.sqrt(mask)[..., None]
+        pred = mem_t * m
+        target = jax.lax.stop_gradient(mem_s * m)
+        total = total + cfg.fg_weight * _kd_kl_axis(
+            pred, target, cfg.fg_T, axis=1).sum()
+    return total / B
 
 
 def semantic_guided_fg_loss(student: HeadOutputs,

@@ -96,7 +96,9 @@ def compute_losses(model, variables, batch: Batch, det_cfg: DetLossConfig,
         losses.update(distill_losses(
             out.head, out.neck_feats, tinfo, targets, batch.img_hw,
             det_cfg.num_classes, distill_cfg,
-            num_merged=gt_bboxes.shape[1]))
+            num_merged=gt_bboxes.shape[1],
+            gt_bboxes_original=batch.gt_bboxes,
+            gt_valid_original=batch.gt_valid))
     return losses
 
 
