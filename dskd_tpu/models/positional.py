@@ -18,12 +18,15 @@ def sine_positional_encoding(mask: jnp.ndarray,
                              normalize: bool = True,
                              scale: float = 2 * math.pi,
                              offset: float = -0.5,
-                             eps: float = 1e-6) -> jnp.ndarray:
+                             eps: float = 1e-6,
+                             dtype=jnp.float32) -> jnp.ndarray:
     """Compute sine PE from a padding mask.
 
     Args:
       mask: (B, H, W) bool, True at PADDED (invalid) pixels — the mmcv
         convention.
+      dtype: output dtype (phases compute in f32 for stability; the result
+        is cast so bf16 models stay bf16 end-to-end).
 
     Returns:
       (B, H, W, 2*num_feats) positional embedding, channels [pos_y, pos_x].
@@ -44,4 +47,4 @@ def sine_positional_encoding(mask: jnp.ndarray,
                       axis=-1).reshape(pos_x.shape[:-1] + (num_feats,))
     pos_y = jnp.stack([jnp.sin(pos_y[..., 0::2]), jnp.cos(pos_y[..., 1::2])],
                       axis=-1).reshape(pos_y.shape[:-1] + (num_feats,))
-    return jnp.concatenate([pos_y, pos_x], axis=-1)
+    return jnp.concatenate([pos_y, pos_x], axis=-1).astype(dtype)

@@ -262,18 +262,22 @@ class DeformableDetrTransformer(nn.Module):
             (f.shape[1], f.shape[2]) for f in mlvl_feats)
         masks, valid_ratios = level_masks_and_ratios(
             img_hw, batch_input_shape, spatial_shapes)
+        valid_ratios = valid_ratios.astype(mlvl_feats[0].dtype)
 
         level_embeds = self.param(
             "level_embeds", nn.initializers.normal(1.0),
             (self.num_levels, C))
 
+        dtype = mlvl_feats[0].dtype
         feat_flat, mask_flat, pos_flat = [], [], []
         for lvl, (feat, mask) in enumerate(zip(mlvl_feats, masks)):
-            pos = sine_positional_encoding(mask, num_feats=C // 2)
+            pos = sine_positional_encoding(mask, num_feats=C // 2,
+                                           dtype=dtype)
             h, w = spatial_shapes[lvl]
             feat_flat.append(feat.reshape(B, h * w, C))
             mask_flat.append(mask.reshape(B, h * w))
-            pos_flat.append(pos.reshape(B, h * w, C) + level_embeds[lvl])
+            pos_flat.append(pos.reshape(B, h * w, C)
+                            + level_embeds[lvl].astype(dtype))
         feat_flat = jnp.concatenate(feat_flat, 1)      # (B, S, C)
         mask_flat = jnp.concatenate(mask_flat, 1)      # (B, S)
         pos_flat = jnp.concatenate(pos_flat, 1)

@@ -9,13 +9,14 @@ Semantics match ``F.grid_sample(align_corners=False, padding_mode='zeros')``
 applied per level: a normalized location p in [0, 1] maps to pixel space as
 ``p * size - 0.5``; out-of-bounds corners contribute zero.
 
-Two implementations:
-  * ``ms_deform_attn_core``: pure-XLA gather formulation. Levels are
-    processed via a static Python loop (shapes are static per level);
-    corner gathers reduce immediately so the peak intermediate is
-    (B, Q, H, P, D) per corner, not the full (B, Q, H, L, P, D, 4) tensor.
-  * a Pallas kernel (planned) that fuses the 4 corner gathers and the
-    weighted reduction in VMEM for the encoder's large-Q case.
+TPU memory design (what makes this fast on real chips):
+  * the four bilinear corners of one sample live in ONE 4*D=128-wide packed
+    row, so every gather is exactly lane-aligned — the naive formulation's
+    (…, D=32) gathers suffer a 4x tile-padding blowup ((8,128) tiling pads
+    32 lanes to 128), which OOMs the encoder backward at batch 8;
+  * gathers run per sampling point with immediate weighted accumulation, so
+    the peak intermediate is (B, H, Q, 128) — never (B, Q, H, L, P, D);
+  * layout (B, H, Q, 128) keeps the big Q axis on sublanes (pad-free).
 """
 from __future__ import annotations
 
@@ -25,40 +26,26 @@ import jax
 import jax.numpy as jnp
 
 
-def _bilinear_gather(value_hw: jnp.ndarray, loc: jnp.ndarray,
-                     h: int, w: int) -> jnp.ndarray:
-    """Bilinear sample one level for all (query, head, point).
+def _pack_corners(v: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """(B, h*w, H, D) level features -> zero-padded packed corners.
 
-    value_hw: (B, h*w, H, D) level features.
-    loc: (B, Q, H, P, 2) normalized sampling locations (x, y) in [0, 1].
-    Returns (B, Q, H, P, D).
+    Returns (B, H, (h+2)*(w+2), 4*D): row r = base pixel (y0+1, x0+1) of the
+    padded map; the 4*D blocks hold [v(y0,x0), v(y0,x0+1), v(y0+1,x0),
+    v(y0+1,x0+1)] of the ORIGINAL map (zeros outside).
     """
-    B, S, H, D = value_hw.shape
-    x = loc[..., 0] * w - 0.5
-    y = loc[..., 1] * h - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    tx = x - x0
-    ty = y - y0
-
-    out = None
-    for dy in (0, 1):
-        for dx in (0, 1):
-            xi = x0 + dx
-            yi = y0 + dy
-            wgt = (tx if dx else 1.0 - tx) * (ty if dy else 1.0 - ty)
-            inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-            xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-            yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-            flat = yi_c * w + xi_c                         # (B, Q, H, P)
-            Bq = flat.shape[1] * flat.shape[3]
-            idx = flat.transpose(0, 1, 3, 2).reshape(B, Bq, H, 1)
-            g = jnp.take_along_axis(value_hw, idx, axis=1)  # (B, Q*P, H, D)
-            g = g.reshape(B, flat.shape[1], flat.shape[3], H, D)
-            g = g.transpose(0, 1, 3, 2, 4)                  # (B, Q, H, P, D)
-            contrib = g * (wgt * inb.astype(value_hw.dtype))[..., None]
-            out = contrib if out is None else out + contrib
-    return out
+    B, S, H, D = v.shape
+    vm = v.reshape(B, h, w, H, D)
+    vp = jnp.pad(vm, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    p00 = vp[:, :-1, :-1]          # (B, h+1, w+1, H, D) value at (y0, x0)
+    p01 = vp[:, :-1, 1:]
+    p10 = vp[:, 1:, :-1]
+    p11 = vp[:, 1:, 1:]
+    packed = jnp.concatenate([p00, p01, p10, p11], axis=-1)
+    # base grid covers (h+1) x (w+1) valid bases; pad to (h+2)(w+2) for a
+    # uniform flat index space y0p * (w+2) + x0p with y0p in [0, h+1]
+    packed = jnp.pad(packed, ((0, 0), (0, 1), (0, 1), (0, 0), (0, 0)))
+    packed = packed.reshape(B, (h + 2) * (w + 2), H, 4 * D)
+    return packed.transpose(0, 2, 1, 3)       # (B, H, S', 4D)
 
 
 def ms_deform_attn_core(value: jnp.ndarray,
@@ -78,13 +65,44 @@ def ms_deform_attn_core(value: jnp.ndarray,
     """
     B, S, H, D = value.shape
     Q = sampling_locations.shape[1]
-    out = jnp.zeros((B, Q, H, D), value.dtype)
+    P = sampling_locations.shape[4]
+    dt = value.dtype
+
+    out = jnp.zeros((B, H, Q, D), dt)
     start = 0
     for lvl, (h, w) in enumerate(spatial_shapes):
         v = jax.lax.dynamic_slice_in_dim(value, start, h * w, axis=1)
-        loc = sampling_locations[:, :, :, lvl]      # (B, Q, H, P, 2)
-        sampled = _bilinear_gather(v, loc, h, w)    # (B, Q, H, P, D)
-        wgt = attention_weights[:, :, :, lvl]       # (B, Q, H, P)
-        out = out + (sampled * wgt[..., None]).sum(axis=3)
+        packed = _pack_corners(v, h, w)                # (B, H, S', 4D)
+
+        loc = sampling_locations[:, :, :, lvl]         # (B, Q, H, P, 2)
+        x = loc[..., 0].astype(jnp.float32) * w - 0.5
+        y = loc[..., 1].astype(jnp.float32) * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx = (x - x0).astype(dt)
+        ty = (y - y0).astype(dt)
+        # per-corner in-bounds gates (original-map coordinates)
+        inx0 = (x0 >= 0) & (x0 < w)
+        inx1 = (x0 + 1 >= 0) & (x0 + 1 < w)
+        iny0 = (y0 >= 0) & (y0 < h)
+        iny1 = (y0 + 1 >= 0) & (y0 + 1 < h)
+        w00 = ((1 - tx) * (1 - ty) * (inx0 & iny0)).astype(dt)
+        w01 = (tx * (1 - ty) * (inx1 & iny0)).astype(dt)
+        w10 = ((1 - tx) * ty * (inx0 & iny1)).astype(dt)
+        w11 = (tx * ty * (inx1 & iny1)).astype(dt)
+        cw = jnp.stack([w00, w01, w10, w11], axis=-1)  # (B, Q, H, P, 4)
+        cw = cw * attention_weights[:, :, :, lvl, :, None]
+
+        # flat base index into the padded (h+2)(w+2) grid
+        x0c = jnp.clip(x0 + 1, 0, w + 1).astype(jnp.int32)
+        y0c = jnp.clip(y0 + 1, 0, h + 1).astype(jnp.int32)
+        flat = y0c * (w + 2) + x0c                     # (B, Q, H, P)
+
+        for p in range(P):
+            idx = flat[:, :, :, p].transpose(0, 2, 1)  # (B, H, Q)
+            g = jnp.take_along_axis(packed, idx[..., None], axis=2)
+            g = g.reshape(B, H, Q, 4, D)
+            wp = cw[:, :, :, p].transpose(0, 2, 1, 3)  # (B, H, Q, 4)
+            out = out + (g * wp[..., None]).sum(axis=3)
         start += h * w
-    return out.reshape(B, Q, H * D)
+    return out.transpose(0, 2, 1, 3).reshape(B, Q, H * D)

@@ -180,14 +180,42 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
             "batch_stats": jax.device_get(state.batch_stats)}
 
 
-def run_incremental(cfg: ExperimentConfig):
-    """Full multi-task run (the train_increment.py main loop)."""
+def run_incremental(cfg: ExperimentConfig, student_ckpt: Optional[str] = None,
+                    teacher_ckpt: Optional[str] = None):
+    """Full multi-task run (the train_increment.py main loop).
+
+    ``student_ckpt``/``teacher_ckpt`` mirror the reference's
+    Task1.load_student / load_teacher knobs (train_increment.py:218-229):
+    optional checkpoint directories (task_{t}_epoch_{e}) to seed the first
+    task's student / an external teacher.
+    """
     task_nums = len(cfg.data.catsplit)
     mesh = make_mesh()
     model = build_model(cfg)
     rng = jax.random.PRNGKey(cfg.train.seed)
     variables = init_variables(model, cfg, rng)
     teacher_params = None
+
+    def load_into(variables, path):
+        import re
+        m = re.search(r"task_(\d+)_epoch_(\d+)", path)
+        assert m, f"checkpoint path must contain task_T_epoch_E: {path}"
+        import os
+        restored = restore_checkpoint(
+            os.path.dirname(path.rstrip("/")) or ".", int(m.group(1)),
+            int(m.group(2)),
+            template={"params": variables["params"],
+                      "batch_stats": variables.get("batch_stats", {}),
+                      "opt_state": None, "step": 0})
+        return {"params": restored["params"],
+                "batch_stats": restored["batch_stats"]}
+
+    if student_ckpt:
+        variables = load_into(variables, student_ckpt)
+        log.info("student initialized from %s", student_ckpt)
+    if teacher_ckpt:
+        teacher_params = load_into(variables, teacher_ckpt)["params"]
+        log.info("external teacher loaded from %s", teacher_ckpt)
 
     for tid in range(1, task_nums + 1):
         if tid < cfg.train.resume_by_task:
@@ -206,6 +234,7 @@ def run_incremental(cfg: ExperimentConfig):
         if tid > 1:
             # student -> frozen teacher: a pure pytree copy
             teacher_params = jax.tree.map(lambda x: x, variables["params"])
-        variables = train_one_task(model, cfg, tid, task_nums, variables,
-                                   teacher_params if tid > 1 else None, mesh)
+        variables = train_one_task(
+            model, cfg, tid, task_nums, variables,
+            teacher_params if (tid > 1 or teacher_ckpt) else None, mesh)
     return variables
