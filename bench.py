@@ -17,6 +17,7 @@ measured img/s/chip divided by that estimate.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import os
 import time
 
 import jax
@@ -27,6 +28,9 @@ BASELINE_IMG_S = 6.5  # est. A100 mmdet teacher+student incremental img/s
 
 
 def main():
+    B = int(os.environ.get("BENCH_B", "8"))
+    dtype = (jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
+             else jnp.float32)
     from dskd_tpu.distill.losses import DistillConfig
     from dskd_tpu.models.detector import GFLDeformableDETR
     from dskd_tpu.models.gfl_detr_loss import DetLossConfig
@@ -35,7 +39,7 @@ def main():
     from dskd_tpu.train.state import TrainState
     from dskd_tpu.train.step import Batch, make_train_step
 
-    B, H, W, MAXG = 8, 640, 640, 100
+    H, W, MAXG = 640, 640, 100
     model = GFLDeformableDETR()  # flagship: R50, 6+6 layers, 300 queries
     det_cfg = DetLossConfig()
     distill_cfg = DistillConfig.from_flags(
@@ -66,7 +70,7 @@ def main():
                               variables.get("batch_stats", {}), tx,
                               jax.random.PRNGKey(1))
     step = make_train_step(model, det_cfg, distill_cfg,
-                           use_dropout=True, compute_dtype=jnp.bfloat16)
+                           use_dropout=True, compute_dtype=dtype)
 
     # warmup / compile
     for _ in range(3):

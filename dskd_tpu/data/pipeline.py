@@ -30,12 +30,16 @@ IMAGENET_STD = np.array([58.395, 57.12, 57.375], np.float32)
 @dataclass
 class PipelineConfig:
     img_scale: Tuple[int, int] = (640, 640)   # (max_long, max_short) bucket
+    # multi-scale training: list of scales sampled per image
+    # (Resize multiscale_mode='value'); bucket must cover the largest
+    multi_scales: Optional[Tuple[Tuple[int, int], ...]] = None
     keep_ratio: bool = True
     flip_ratio: float = 0.5
     mean: np.ndarray = field(default_factory=lambda: IMAGENET_MEAN.copy())
     std: np.ndarray = field(default_factory=lambda: IMAGENET_STD.copy())
     max_gt: int = 100
     bucket: Tuple[int, int] = (640, 640)      # static padded canvas (H, W)
+    photo_metric_distortion: bool = False
 
 
 def rescale_size(h: int, w: int, scale: Tuple[int, int]) -> Tuple[int, int, float]:
@@ -53,6 +57,33 @@ def load_image(path: str) -> np.ndarray:
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
 
+def photo_metric_distortion(img: np.ndarray, rng,
+                            brightness_delta: float = 32,
+                            contrast_range=(0.5, 1.5),
+                            saturation_range=(0.5, 1.5),
+                            hue_delta: int = 18) -> np.ndarray:
+    """PhotoMetricDistortion (pipelines/transforms.py): random brightness,
+    contrast (random order), saturation and hue in HSV space."""
+    img = img.astype(np.float32)
+    if rng.randint(2):
+        img = img + rng.uniform(-brightness_delta, brightness_delta)
+    contrast_first = rng.randint(2)
+    if contrast_first and rng.randint(2):
+        img = img * rng.uniform(*contrast_range)
+    hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
+                       cv2.COLOR_RGB2HSV).astype(np.float32)
+    if rng.randint(2):
+        hsv[..., 1] = np.clip(hsv[..., 1] * rng.uniform(*saturation_range),
+                              0, 255)
+    if rng.randint(2):
+        hsv[..., 0] = (hsv[..., 0] + rng.uniform(-hue_delta, hue_delta)) % 180
+    img = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB).astype(
+        np.float32)
+    if not contrast_first and rng.randint(2):
+        img = img * rng.uniform(*contrast_range)
+    return np.clip(img, 0, 255)
+
+
 def preprocess(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
                cfg: PipelineConfig, rng: Optional[np.random.RandomState],
                train: bool = True):
@@ -63,6 +94,8 @@ def preprocess(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
     scale_factor (4,) f32, ori_hw (2,) i32, flip bool).
     """
     h0, w0 = img.shape[:2]
+    if train and rng is not None and cfg.photo_metric_distortion:
+        img = photo_metric_distortion(img, rng)
     flip = bool(train and rng is not None
                 and rng.rand() < cfg.flip_ratio)
     if flip:
@@ -72,7 +105,10 @@ def preprocess(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
             x2 = w0 - boxes[:, 0]
             boxes = np.stack([x1, boxes[:, 1], x2, boxes[:, 3]], -1)
 
-    new_h, new_w, _ = rescale_size(h0, w0, cfg.img_scale)
+    scale = cfg.img_scale
+    if train and rng is not None and cfg.multi_scales:
+        scale = cfg.multi_scales[rng.randint(len(cfg.multi_scales))]
+    new_h, new_w, _ = rescale_size(h0, w0, scale)
     img = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
     w_scale, h_scale = new_w / w0, new_h / h0
     scale_factor = np.array([w_scale, h_scale, w_scale, h_scale], np.float32)

@@ -128,8 +128,9 @@ class CocoDetectionEval:
     detections via add_dt. Boxes are xyxy (converted internally).
     """
 
-    def __init__(self, cat_ids: Sequence[int]):
+    def __init__(self, cat_ids: Sequence[int], max_dets: Sequence[int] = None):
         self.cat_ids = list(cat_ids)
+        self.max_dets = tuple(max_dets) if max_dets else MAX_DETS
         self.gts: Dict[Tuple[int, int], list] = {}
         self.dts: Dict[Tuple[int, int], list] = {}
         self.img_ids: set = set()
@@ -141,11 +142,17 @@ class CocoDetectionEval:
                          b[:, 3] - b[:, 1]], -1)
 
     def add_gt(self, img_id: int, boxes_xyxy, cat_ids, iscrowd=None,
-               areas=None):
+               areas=None, ignore_flags=None):
+        """``ignore_flags`` marks GT that may match but never counts —
+        the COCOEvalXclassWrapper's ignored_split semantics (they are folded
+        into the crowd/ignore mechanics of the matcher)."""
         boxes = self._xyxy_to_xywh(boxes_xyxy)
         cat_ids = np.asarray(cat_ids).reshape(-1)
         iscrowd = (np.zeros(len(boxes)) if iscrowd is None
-                   else np.asarray(iscrowd)).reshape(-1)
+                   else np.asarray(iscrowd)).reshape(-1).astype(np.float64)
+        if ignore_flags is not None:
+            iscrowd = np.maximum(iscrowd,
+                                 np.asarray(ignore_flags).reshape(-1))
         areas = (boxes[:, 2] * boxes[:, 3] if areas is None
                  else np.asarray(areas)).reshape(-1)
         self.img_ids.add(img_id)
@@ -177,8 +184,8 @@ class CocoDetectionEval:
     def accumulate(self):
         """Returns (precision (T,R,K,A,M), recall (T,K,A,M))."""
         img_ids = sorted(self.img_ids)
-        K, A, M, T, R = (len(self.cat_ids), len(AREA_RANGES), len(MAX_DETS),
-                         len(IOU_THRS), len(REC_THRS))
+        K, A, M, T, R = (len(self.cat_ids), len(AREA_RANGES),
+                         len(self.max_dets), len(IOU_THRS), len(REC_THRS))
         precision = -np.ones((T, R, K, A, M))
         recall = -np.ones((T, K, A, M))
 
@@ -193,15 +200,15 @@ class CocoDetectionEval:
                     if len(g_boxes) == 0 and len(d) == 0:
                         continue
                     order = np.argsort(-d[:, 4], kind="mergesort")
-                    d = d[order][:max(MAX_DETS)]
+                    d = d[order][:max(self.max_dets)]
                     per_img.append(_evaluate_img(
-                        d, g_boxes, g_crowd, g_areas, rng, max(MAX_DETS)))
+                        d, g_boxes, g_crowd, g_areas, rng, max(self.max_dets)))
                 if not per_img:
                     continue
                 n_gt = sum(int((~e[2]).sum()) for e in per_img)
                 if n_gt == 0:
                     continue
-                for m, md in enumerate(MAX_DETS):
+                for m, md in enumerate(self.max_dets):
                     scores = np.concatenate([e[3][:md] for e in per_img])
                     dtm = np.concatenate([e[0][:, :md] for e in per_img], 1)
                     dtig = np.concatenate([e[1][:, :md] for e in per_img], 1)
@@ -229,36 +236,40 @@ class CocoDetectionEval:
     def summarize(self) -> Dict[str, float]:
         precision, recall = self.accumulate()
 
-        def ap(t=None, a="all", m=100):
+        def ap(t=None, a="all", m=None):
+            m = m if m is not None else max(self.max_dets)
             ai = list(AREA_RANGES).index(a)
-            mi = MAX_DETS.index(m)
+            mi = self.max_dets.index(m)
             p = precision[..., ai, mi]
             if t is not None:
                 p = p[[np.argmin(np.abs(IOU_THRS - t))]]
             p = p[p > -1]
             return float(p.mean()) if p.size else -1.0
 
-        def ar(a="all", m=100):
+        def ar(a="all", m=None):
+            m = m if m is not None else max(self.max_dets)
             ai = list(AREA_RANGES).index(a)
-            mi = MAX_DETS.index(m)
+            mi = self.max_dets.index(m)
             r = recall[..., ai, mi]
             r = r[r > -1]
             return float(r.mean()) if r.size else -1.0
 
-        return {
+        stats = {
             "bbox_mAP": ap(), "bbox_mAP_50": ap(0.5), "bbox_mAP_75": ap(0.75),
             "bbox_mAP_s": ap(a="small"), "bbox_mAP_m": ap(a="medium"),
             "bbox_mAP_l": ap(a="large"),
-            "AR@1": ar(m=1), "AR@10": ar(m=10), "AR@100": ar(m=100),
-            "AR_s": ar(a="small"), "AR_m": ar(a="medium"),
-            "AR_l": ar(a="large"),
         }
+        for md in self.max_dets:
+            stats[f"AR@{md}"] = ar(m=md)
+        stats.update({"AR_s": ar(a="small"), "AR_m": ar(a="medium"),
+                      "AR_l": ar(a="large")})
+        return stats
 
     def per_class_ap(self) -> Dict[int, float]:
         precision, _ = self.accumulate()
         out = {}
         for k, cat in enumerate(self.cat_ids):
-            p = precision[:, :, k, 0, MAX_DETS.index(100)]
+            p = precision[:, :, k, 0, len(self.max_dets) - 1]
             p = p[p > -1]
             out[cat] = float(p.mean()) if p.size else float("nan")
         return out
