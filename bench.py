@@ -61,8 +61,11 @@ def main():
 
     variables = model.init(jax.random.PRNGKey(0),
                            images[:1], img_hw[:1])
-    teacher_vars = {"params": jax.tree.map(lambda x: x, variables["params"]),
-                    "batch_stats": variables.get("batch_stats", {})}
+    # the teacher must NOT alias the student buffers: the train step donates
+    # state.params, which would invalidate aliased teacher arguments
+    teacher_vars = {"params": jax.tree.map(jnp.copy, variables["params"]),
+                    "batch_stats": jax.tree.map(
+                        jnp.copy, variables.get("batch_stats", {}))}
 
     sched = step_lr_schedule(2e-4, iters_per_epoch=1000)
     tx = make_optimizer(variables["params"], sched)

@@ -19,11 +19,17 @@ from .pipeline import PipelineConfig, load_image, preprocess
 
 
 class DataLoader:
+    """``aspect_buckets``: optional (bucket_hw_portrait, bucket_hw_landscape)
+    pair. When set, samples group by aspect ratio (the reference's
+    GroupSampler flag, samplers/group_sampler.py:13-17) and each batch is
+    homogeneous in bucket shape — XLA compiles one step per bucket and
+    padding waste drops vs a single square canvas."""
+
     def __init__(self, dataset: TaskCocoDataset, batch_size: int,
                  pipeline: PipelineConfig = None, train: bool = True,
                  seed: int = 0, num_workers: int = 8,
                  num_hosts: int = 1, host_id: int = 0,
-                 drop_last: bool = True):
+                 drop_last: bool = True, aspect_buckets=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.pipeline = pipeline or PipelineConfig()
@@ -33,7 +39,15 @@ class DataLoader:
         self.num_hosts = num_hosts
         self.host_id = host_id
         self.drop_last = drop_last
+        self.aspect_buckets = aspect_buckets
         self.epoch = 0
+        self._flags = None
+        if aspect_buckets is not None:
+            # flag 0 = portrait (h >= w), 1 = landscape
+            self._flags = np.array(
+                [0 if self.dataset.get_raw(i)[1][0] >=
+                 self.dataset.get_raw(i)[1][1] else 1
+                 for i in range(len(self.dataset))], np.int8)
 
     def __len__(self):
         n = len(self.dataset) // self.num_hosts
@@ -58,12 +72,39 @@ class DataLoader:
         path, _, boxes, labels, img_id = self.dataset.get_raw(int(idx))
         img = load_image(path)
         rng = np.random.RandomState(rng_seed) if self.train else None
-        out = preprocess(img, boxes, labels, self.pipeline, rng, self.train)
+        pipe = self.pipeline
+        if self._flags is not None:
+            bucket = self.aspect_buckets[self._flags[int(idx)]]
+            import dataclasses
+            pipe = dataclasses.replace(pipe, bucket=bucket,
+                                       img_scale=bucket)
+        out = preprocess(img, boxes, labels, pipe, rng, self.train)
         out["img_id"] = img_id
         return out
 
     def __iter__(self) -> Iterator[Batch]:
         indices = self._indices()
+        if self._flags is not None:
+            # GroupSampler semantics: group by aspect flag, pad each group
+            # to a batch multiple, then shuffle whole batches
+            flags = self._flags[indices]
+            batches = []
+            for g in (0, 1):
+                gi = indices[flags == g]
+                if len(gi) == 0:
+                    continue
+                if self.train:
+                    pad = (-len(gi)) % self.batch_size
+                    if pad:
+                        gi = np.concatenate([gi, gi[:pad]])
+                n_full = len(gi) // self.batch_size
+                batches += [gi[i * self.batch_size:(i + 1) * self.batch_size]
+                            for i in range(n_full)]
+            if self.train:
+                np.random.RandomState(self.seed + self.epoch + 7).shuffle(
+                    batches)
+            indices = (np.concatenate(batches) if batches
+                       else indices[:0])
         nb = len(indices) // self.batch_size if self.drop_last else \
             (len(indices) + self.batch_size - 1) // self.batch_size
         base_seed = (self.seed + 1) * 1000003 + self.epoch * 97

@@ -232,8 +232,10 @@ def run_incremental(cfg: ExperimentConfig, student_ckpt: Optional[str] = None,
             teacher_params = copy.deepcopy(variables["params"])
             continue
         if tid > 1:
-            # student -> frozen teacher: a pure pytree copy
-            teacher_params = jax.tree.map(lambda x: x, variables["params"])
+            # student -> frozen teacher: a REAL buffer copy (the train step
+            # donates student params; an aliasing teacher would be
+            # invalidated by the first donation)
+            teacher_params = jax.tree.map(jnp.copy, variables["params"])
         variables = train_one_task(
             model, cfg, tid, task_nums, variables,
             teacher_params if (tid > 1 or teacher_ckpt) else None, mesh)
