@@ -1,0 +1,192 @@
+"""Vanilla DETR (parity: mmdet detr.py + detr_head.py + the fork's
+DETR_il teacher protocol, detectors/detr_il.py).
+
+ResNet C5 -> 1x1 input proj -> 6-layer full-attention encoder -> 6-layer
+decoder (100 queries, intermediate outputs) -> softmax classifier over C+1
+with 0.1 background weight + 2-FC regression MLP -> sigmoid cxcywh.
+Hungarian matching with ClassificationCost(1) + L1(5) + GIoU(2).
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core import losses as L
+from ..core.boxes import bbox_cxcywh_to_xyxy, bbox_overlaps, bbox_xyxy_to_cxcywh
+from ..core.matching import detr_match_cost, hungarian_assign
+from ..models.positional import sine_positional_encoding
+from .resnet import ResNet
+from .transformer import FFN, MultiheadAttention
+
+
+class DETROutputs(NamedTuple):
+    cls_scores: jnp.ndarray   # (nl, B, Q, C+1) softmax logits
+    bbox_preds: jnp.ndarray   # (nl, B, Q, 4) sigmoid cxcywh
+    hs: jnp.ndarray           # (nl, B, Q, C)
+
+
+class DETREncoderLayer(nn.Module):
+    embed_dims: int = 256
+    num_heads: int = 8
+    feedforward_channels: int = 2048
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, pos, deterministic=True):
+        x = MultiheadAttention(self.embed_dims, self.num_heads, self.dropout,
+                               name="self_attn")(
+            x, x, x, query_pos=pos, key_pos=pos,
+            deterministic=deterministic)
+        x = nn.LayerNorm(name="norm1")(x)
+        x = FFN(self.embed_dims, self.feedforward_channels, self.dropout,
+                name="ffn")(x, deterministic=deterministic)
+        return nn.LayerNorm(name="norm2")(x)
+
+
+class DETRDecoderLayer(nn.Module):
+    embed_dims: int = 256
+    num_heads: int = 8
+    feedforward_channels: int = 2048
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, q, query_pos, memory, mem_pos, deterministic=True):
+        q = MultiheadAttention(self.embed_dims, self.num_heads, self.dropout,
+                               name="self_attn")(
+            q, q, q, query_pos=query_pos, key_pos=query_pos,
+            deterministic=deterministic)
+        q = nn.LayerNorm(name="norm1")(q)
+        q = MultiheadAttention(self.embed_dims, self.num_heads, self.dropout,
+                               name="cross_attn")(
+            q, memory, memory, query_pos=query_pos, key_pos=mem_pos,
+            deterministic=deterministic)
+        q = nn.LayerNorm(name="norm2")(q)
+        q = FFN(self.embed_dims, self.feedforward_channels, self.dropout,
+                name="ffn")(q, deterministic=deterministic)
+        return nn.LayerNorm(name="norm3")(q)
+
+
+class DETR(nn.Module):
+    num_classes: int = 80
+    num_query: int = 100
+    embed_dims: int = 256
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    depth: int = 50
+    frozen_stages: int = 1
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, images, img_hw, deterministic: bool = True):
+        C = self.embed_dims
+        feats = ResNet(depth=self.depth, out_indices=(3,),
+                       frozen_stages=self.frozen_stages,
+                       name="backbone")(images)
+        x = nn.Conv(C, (1, 1), name="input_proj")(feats[0])
+        B, H, W, _ = x.shape
+
+        ys = jnp.arange(H)[None, :, None] * (images.shape[1] // H)
+        xs = jnp.arange(W)[None, None, :] * (images.shape[2] // W)
+        pad = (ys >= img_hw[:, 0, None, None]) | (
+            xs >= img_hw[:, 1, None, None])
+        pos = sine_positional_encoding(pad, num_feats=C // 2,
+                                       dtype=x.dtype).reshape(B, H * W, C)
+        tokens = x.reshape(B, H * W, C)
+
+        for i in range(self.num_encoder_layers):
+            tokens = DETREncoderLayer(
+                C, feedforward_channels=2048, dropout=self.dropout,
+                name=f"encoder_layer{i}")(tokens, pos, deterministic)
+        memory = tokens
+
+        query_embed = self.param("query_embedding",
+                                 nn.initializers.normal(1.0),
+                                 (self.num_query, C))
+        q = jnp.zeros((B, self.num_query, C), x.dtype)
+        qp = jnp.broadcast_to(query_embed[None].astype(x.dtype),
+                              (B, self.num_query, C))
+
+        post_norm = nn.LayerNorm(name="post_norm")
+        inter = []
+        for i in range(self.num_decoder_layers):
+            q = DETRDecoderLayer(
+                C, feedforward_channels=2048, dropout=self.dropout,
+                name=f"decoder_layer{i}")(q, qp, memory, pos, deterministic)
+            inter.append(post_norm(q))
+        hs = jnp.stack(inter, 0)                  # (nl, B, Q, C)
+
+        cls = nn.Dense(self.num_classes + 1, name="fc_cls")(hs)
+        r = hs
+        for i in range(2):
+            r = nn.relu(nn.Dense(C, name=f"reg_ffn{i}")(r))
+        bbox = jax.nn.sigmoid(nn.Dense(4, name="fc_reg")(r))
+        return DETROutputs(cls, bbox, hs)
+
+
+class DETRLossConfig(NamedTuple):
+    num_classes: int = 80
+    bg_cls_weight: float = 0.1
+    loss_cls_weight: float = 1.0
+    loss_bbox_weight: float = 5.0
+    loss_iou_weight: float = 2.0
+
+
+def detr_detection_loss(out: DETROutputs, gt_bboxes, gt_labels, gt_valid,
+                        img_hw, cfg: DETRLossConfig
+                        ) -> Dict[str, jnp.ndarray]:
+    """Per-layer Hungarian + CE(bg 0.1) + L1 + GIoU (detr_head.py loss)."""
+    nl, B, Q, _ = out.cls_scores.shape
+    C = cfg.num_classes
+
+    def assign_one(cls_s, box_p, boxes, labels, valid, hw):
+        cost = detr_match_cost(cls_s, box_p, boxes, labels, hw,
+                               cls_cost="softmax", cls_weight=1.0,
+                               reg_weight=5.0, iou_weight=2.0)
+        return hungarian_assign(cost, valid, labels)
+
+    losses = {}
+    num_pos = jnp.maximum(gt_valid.sum().astype(jnp.float32), 1.0)
+    num_neg = B * Q - gt_valid.sum().astype(jnp.float32)
+    cls_avg = jnp.maximum(num_pos + num_neg * cfg.bg_cls_weight, 1.0)
+    class_weight = jnp.concatenate(
+        [jnp.ones((C,)), jnp.array([cfg.bg_cls_weight])])
+
+    G = gt_bboxes.shape[1]
+    for lyr in range(nl):
+        res = jax.vmap(lambda c, b, gb, gl, gv, hw: assign_one(
+            c, b, gb, gl, gv, hw))(out.cls_scores[lyr], out.bbox_preds[lyr],
+                                   gt_bboxes, gt_labels, gt_valid, img_hw)
+        safe = jnp.clip(res.assigned_gt, 0, G - 1)
+        h = img_hw[:, 0].astype(jnp.float32)
+        w = img_hw[:, 1].astype(jnp.float32)
+        factor = jnp.stack([w, h, w, h], -1)[:, None]
+        tgt_xyxy_n = jnp.take_along_axis(gt_bboxes, safe[..., None],
+                                         axis=1) / factor
+        tgt_cxcywh = bbox_xyxy_to_cxcywh(tgt_xyxy_n)
+        labels_q = jnp.where(res.pos_mask,
+                             jnp.take_along_axis(
+                                 gt_labels, safe, axis=1).astype(jnp.int32),
+                             C)
+
+        loss_cls = cfg.loss_cls_weight * L.cross_entropy_loss(
+            out.cls_scores[lyr].reshape(-1, C + 1), labels_q.reshape(-1),
+            weight=jnp.ones((B * Q,)), avg_factor=cls_avg,
+            class_weight=class_weight)
+        wpos = res.pos_mask.astype(jnp.float32)[..., None]
+        loss_bbox = cfg.loss_bbox_weight * L.l1_loss(
+            out.bbox_preds[lyr].reshape(-1, 4), tgt_cxcywh.reshape(-1, 4),
+            weight=jnp.repeat(wpos, 4, -1).reshape(-1, 4),
+            avg_factor=num_pos)
+        pred_xyxy = bbox_cxcywh_to_xyxy(out.bbox_preds[lyr]) * factor
+        loss_iou = cfg.loss_iou_weight * L.giou_loss(
+            pred_xyxy.reshape(-1, 4),
+            (tgt_xyxy_n * factor).reshape(-1, 4),
+            weight=wpos.reshape(-1), avg_factor=num_pos)
+        prefix = "" if lyr == nl - 1 else f"d{lyr}."
+        losses[prefix + "loss_cls"] = loss_cls
+        losses[prefix + "loss_bbox"] = loss_bbox
+        losses[prefix + "loss_iou"] = loss_iou
+    return losses
