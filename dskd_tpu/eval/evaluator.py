@@ -20,23 +20,70 @@ from .coco_eval import CocoDetectionEval
 
 
 def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
-                   max_per_img: int = 100):
-    @jax.jit
-    def eval_step(variables, images, img_hw, scale_factors):
-        out = model.apply(variables, images, img_hw, deterministic=True)
-        det = get_bboxes(out.head.cls_scores[-1], out.head.bbox_preds[-1],
-                         img_hw, scale_factor=scale_factors, reg_max=reg_max,
-                         score_thr=score_thr, max_per_img=max_per_img,
-                         rescale=True)
-        return det
+                   max_per_img: int = 100, arch: str = "gfl_deformable_detr"):
+    """Family-dispatching jitted inference step. Every family returns a
+    DetResults-compatible structure (bboxes/scores/labels/valid)."""
 
-    return eval_step
+    if arch in ("gfl_deformable_detr", "deformable_detr_il"):
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            return get_bboxes(out.head.cls_scores[-1],
+                              out.head.bbox_preds[-1], img_hw,
+                              scale_factor=scale_factors, reg_max=reg_max,
+                              score_thr=score_thr, max_per_img=max_per_img,
+                              rescale=True)
+        return eval_step
+
+    from collections import namedtuple
+    Det = namedtuple("Det", ["bboxes", "scores", "labels", "valid"])
+
+    if arch == "yolof":
+        from ..models.yolof_head import yolof_anchors, yolof_get_bboxes
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            d = yolof_get_bboxes(out.head, yolof_anchors(out.head.feat_hw),
+                                 img_hw, scale_factor=scale_factors,
+                                 score_thr=max(score_thr, 0.05),
+                                 max_per_img=max_per_img, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return eval_step
+
+    if arch == "yoloy":
+        from ..models.yoloy_head import yoloy_get_bboxes
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            d = yoloy_get_bboxes(out.head, img_hw,
+                                 scale_factor=scale_factors,
+                                 score_thr=max(score_thr, 0.01),
+                                 max_per_img=max_per_img, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return eval_step
+
+    if arch == "gfl":
+        from ..models.gfl_head import gfl_get_bboxes
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            d = gfl_get_bboxes(out.head, img_hw, scale_factor=scale_factors,
+                               reg_max=reg_max,
+                               score_thr=max(score_thr, 0.05),
+                               max_per_img=max_per_img, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return eval_step
+
+    raise ValueError(f"no eval step for arch: {arch}")
 
 
 def evaluate(model, variables, dataset: TaskCocoDataset, loader: DataLoader,
              reg_max: int = 16, score_thr: float = 0.0,
-             max_per_img: int = 100,
-             classwise: bool = False) -> Dict[str, float]:
+             max_per_img: int = 100, classwise: bool = False,
+             arch: str = "gfl_deformable_detr") -> Dict[str, float]:
     """Run inference over the loader and compute COCO bbox stats.
 
     Evaluation classes follow the dataset's PRED_CLASSES (the x-class IL
@@ -45,7 +92,8 @@ def evaluate(model, variables, dataset: TaskCocoDataset, loader: DataLoader,
     pred_label_set = {dataset.cat2label[c] for c in pred_cat_ids}
     ev = CocoDetectionEval(cat_ids=pred_cat_ids)
 
-    eval_step = make_eval_step(model, reg_max, score_thr, max_per_img)
+    eval_step = make_eval_step(model, reg_max, score_thr, max_per_img,
+                               arch=arch)
     seen = set()
     for batch, meta in loader:
         det = eval_step(variables, batch.images, batch.img_hw,

@@ -1,0 +1,127 @@
+"""Per-family train-step construction (the registry glue between the
+incremental driver and each detector family's loss stack)."""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.config import ExperimentConfig
+from .state import TrainState
+from .step import Batch, parse_losses
+
+
+def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
+                           num_prev: int, has_teacher: bool,
+                           use_dropout: bool = True,
+                           compute_dtype=jnp.float32):
+    """Returns a jitted (state, batch, teacher_vars) -> (state, losses)."""
+    if arch in ("gfl_deformable_detr", "deformable_detr_il"):
+        from ..distill.losses import DistillConfig
+        from ..models.gfl_detr_loss import DetLossConfig
+        from .step import make_train_step
+        det_cfg = DetLossConfig(num_classes=cfg.model.num_classes,
+                                reg_max=cfg.model.reg_max)
+        distill_cfg = None
+        if has_teacher:
+            distill_cfg = DistillConfig.from_flags(
+                cates_distill=cfg.distill.cates_distill,
+                locat_distill=cfg.distill.locat_distill,
+                feats_distill=cfg.distill.feats_distill,
+                memory_distill=cfg.distill.memory_distill,
+                num_prev=max(num_prev, 1), reg_max=cfg.model.reg_max)
+        return make_train_step(
+            model, det_cfg, distill_cfg,
+            teacher_score_thr=cfg.distill.teacher_score_thr,
+            teacher_max_per_img=cfg.distill.teacher_max_per_img,
+            use_dropout=use_dropout, compute_dtype=compute_dtype)
+
+    if arch == "yolof":
+        from ..models.yolof import (YOLOFDistillConfig,
+                                    yolof_compute_losses)
+        from ..models.yolof_head import YOLOFLossConfig, yolof_anchors
+        det_cfg = YOLOFLossConfig(num_classes=cfg.model.num_classes)
+        distill_cfg = YOLOFDistillConfig.from_flags(
+            cates_distill=cfg.distill.cates_distill,
+            locat_distill=cfg.distill.locat_distill,
+            feats_distill=cfg.distill.feats_distill) if has_teacher else None
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            anchors = yolof_anchors(out.head.feat_hw)
+            t_out = None
+            if teacher_vars is not None:
+                t_out = model.apply(teacher_vars, batch.images,
+                                    batch.img_hw, deterministic=True)
+            return yolof_compute_losses(
+                out, anchors, batch, det_cfg, teacher_out=t_out,
+                distill_cfg=distill_cfg,
+                teacher_score_thr=cfg.distill.teacher_score_thr,
+                teacher_max_per_img=cfg.distill.teacher_max_per_img)
+
+    elif arch == "yoloy":
+        from ..models.yoloy import YOLOYDistillConfig, yoloy_compute_losses
+        from ..models.yoloy_head import YOLOYLossConfig
+        det_cfg = YOLOYLossConfig(num_classes=cfg.model.num_classes)
+        distill_cfg = YOLOYDistillConfig.from_flags(
+            cates_distill=cfg.distill.cates_distill,
+            feats_distill=cfg.distill.feats_distill) if has_teacher else None
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            t_out = None
+            if teacher_vars is not None:
+                t_out = model.apply(teacher_vars, batch.images,
+                                    batch.img_hw, deterministic=True)
+            return yoloy_compute_losses(
+                out, batch, det_cfg, teacher_out=t_out,
+                distill_cfg=distill_cfg,
+                teacher_score_thr=cfg.distill.teacher_score_thr,
+                teacher_max_per_img=cfg.distill.teacher_max_per_img)
+
+    elif arch == "gfl":
+        from ..models.gfl_head import GFLLossConfig, gfl_detection_loss
+        det_cfg = GFLLossConfig(num_classes=cfg.model.num_classes,
+                                reg_max=cfg.model.reg_max)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            return gfl_detection_loss(out.head, batch.gt_bboxes,
+                                      batch.gt_labels, batch.gt_valid,
+                                      det_cfg)
+
+    elif arch == "detr":
+        from ..models.detr import DETRLossConfig, detr_detection_loss
+        det_cfg = DETRLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            return detr_detection_loss(out, batch.gt_bboxes,
+                                       batch.gt_labels, batch.gt_valid,
+                                       batch.img_hw, det_cfg)
+
+    else:
+        raise ValueError(f"no train step for arch: {arch}")
+
+    def train_step(state: TrainState, batch: Batch, teacher_vars=None):
+        rng, step_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            variables = {"params": params,
+                         "batch_stats": state.batch_stats}
+            losses = losses_fn(variables, batch, teacher_vars, step_rng)
+            return parse_losses(losses), losses
+
+        (total, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads).replace(rng=rng)
+        losses = dict(losses)
+        losses["loss"] = total
+        return new_state, losses
+
+    return jax.jit(train_step, donate_argnums=(0,))

@@ -43,14 +43,41 @@ from .step import Batch, make_train_step
 log = logging.getLogger("dskd_tpu")
 
 
-def build_model(cfg: ExperimentConfig) -> GFLDeformableDETR:
+def build_model(cfg: ExperimentConfig):
+    """Model registry dispatch (replaces the mmdet DETECTORS registry)."""
     m = cfg.model
-    return GFLDeformableDETR(
-        num_classes=m.num_classes, num_query=m.num_query, reg_max=m.reg_max,
-        depth=m.depth, frozen_stages=m.frozen_stages,
-        embed_dims=m.embed_dims, num_encoder_layers=m.num_encoder_layers,
-        num_decoder_layers=m.num_decoder_layers, num_levels=m.num_levels,
-        dropout=m.dropout)
+    if m.arch in ("gfl_deformable_detr", "deformable_detr_il"):
+        return GFLDeformableDETR(
+            num_classes=m.num_classes, num_query=m.num_query,
+            reg_max=m.reg_max, depth=m.depth,
+            frozen_stages=m.frozen_stages, embed_dims=m.embed_dims,
+            num_encoder_layers=m.num_encoder_layers,
+            num_decoder_layers=m.num_decoder_layers,
+            num_levels=m.num_levels, dropout=m.dropout)
+    if m.arch == "yolof":
+        from ..models.yolof import YOLOF
+        return YOLOF(num_classes=m.num_classes, depth=m.depth,
+                     frozen_stages=m.frozen_stages)
+    if m.arch == "yoloy":
+        from ..models.yoloy import YOLOY
+        return YOLOY(num_classes=m.num_classes, depth=m.depth,
+                     frozen_stages=m.frozen_stages)
+    if m.arch == "gfl":
+        from ..models.gfl import GFL
+        return GFL(num_classes=m.num_classes, depth=m.depth,
+                   frozen_stages=m.frozen_stages, reg_max=m.reg_max)
+    if m.arch == "detr":
+        from ..models.detr import DETR
+        return DETR(num_classes=m.num_classes, num_query=m.num_query,
+                    depth=m.depth, frozen_stages=m.frozen_stages,
+                    num_encoder_layers=m.num_encoder_layers,
+                    num_decoder_layers=m.num_decoder_layers,
+                    dropout=m.dropout)
+    if m.arch == "faster_rcnn":
+        from ..models.faster_rcnn import FasterRCNN
+        return FasterRCNN(num_classes=m.num_classes, depth=m.depth,
+                          frozen_stages=m.frozen_stages)
+    raise ValueError(f"unknown arch: {m.arch}")
 
 
 def init_variables(model, cfg: ExperimentConfig, rng):
@@ -97,17 +124,6 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
                         host_id=jax.process_index())
     iters_per_epoch = max(len(loader), 1)
 
-    det_cfg = DetLossConfig(num_classes=cfg.model.num_classes,
-                            reg_max=cfg.model.reg_max)
-    distill_cfg = None
-    if teacher_params is not None:
-        distill_cfg = DistillConfig.from_flags(
-            cates_distill=cfg.distill.cates_distill,
-            locat_distill=cfg.distill.locat_distill,
-            feats_distill=cfg.distill.feats_distill,
-            memory_distill=cfg.distill.memory_distill,
-            num_prev=max(num_prev, 1), reg_max=cfg.model.reg_max)
-
     sched = step_lr_schedule(cfg.train.base_lr, cfg.train.warmup_iters,
                              cfg.train.warmup_ratio, cfg.train.step_epochs,
                              iters_per_epoch)
@@ -126,15 +142,15 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
             {"params": teacher_params,
              "batch_stats": variables.get("batch_stats", {})}, mesh)
 
-    step_fn = make_train_step(
-        model, det_cfg, distill_cfg,
-        teacher_score_thr=cfg.distill.teacher_score_thr,
-        teacher_max_per_img=cfg.distill.teacher_max_per_img,
+    from .family import make_family_train_step
+    step_fn = make_family_train_step(
+        cfg.model.arch, model, cfg, num_prev,
+        has_teacher=teacher_params is not None,
         use_dropout=cfg.train.use_dropout)
 
     log.info("Task %d: %d train imgs, %d iters/epoch, num_prev=%d, "
-             "distill=%s", tid, len(train_ds), iters_per_epoch, num_prev,
-             distill_cfg)
+             "teacher=%s", tid, len(train_ds), iters_per_epoch, num_prev,
+             teacher_params is not None)
 
     from ..utils.logging import MetricsLogger
     from .hooks import assert_loss_keys_consistent, check_invalid_loss
@@ -171,7 +187,8 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
                                      "batch_stats": state.batch_stats},
                              val_ds, val_loader, reg_max=cfg.model.reg_max,
                              score_thr=cfg.test_score_thr,
-                             max_per_img=cfg.test_max_per_img)
+                             max_per_img=cfg.test_max_per_img,
+                             arch=cfg.model.arch)
             log.info("task %d epoch %d eval: %s", tid, epoch,
                      {k: round(v, 4) for k, v in stats.items()
                       if not k.startswith("AP_")})

@@ -70,7 +70,7 @@ def main():
                      reg_max=cfg.model.reg_max,
                      score_thr=cfg.test_score_thr,
                      max_per_img=cfg.test_max_per_img,
-                     classwise=args.classwise)
+                     classwise=args.classwise, arch=cfg.model.arch)
     for k, v in stats.items():
         log.info("%s: %.4f", k, v)
     copypaste = " ".join(f"{stats[k]:.3f}" for k in (
