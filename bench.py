@@ -28,7 +28,9 @@ BASELINE_IMG_S = 6.5  # est. A100 mmdet teacher+student incremental img/s
 
 
 def main():
-    B = int(os.environ.get("BENCH_B", "8"))
+    # B=4 is the validated stable batch on a single 16GB v5e (B=8 compiles
+    # but trips a device fault at run time — tracked for the next round)
+    B = int(os.environ.get("BENCH_B", "4"))
     dtype = (jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
              else jnp.float32)
     from dskd_tpu.distill.losses import DistillConfig

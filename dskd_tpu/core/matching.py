@@ -160,14 +160,27 @@ def gfl_match_cost(cls_logits: jnp.ndarray,
 
 
 def hungarian_assign(cost: jnp.ndarray, gt_valid: jnp.ndarray,
-                     gt_labels: jnp.ndarray) -> AssignResult:
+                     gt_labels: jnp.ndarray,
+                     tiebreak: float = 1e-6) -> AssignResult:
     """One-to-one assign queries <- GT from a (Q, G) cost with validity mask.
 
     Padded (invalid) GT rows are replaced with constant-0 rows before the
     solve, preserving the optimum over valid rows; they are then masked out.
+
+    ``tiebreak`` adds a deterministic per-cell jitter of that relative
+    magnitude: untrained networks produce near-identical costs, and exact
+    ties make the augmenting-path search relabel O(C) columns per row
+    (~500 ms/step on a v5e); the jitter collapses ties (any matching among
+    equal costs is equally optimal) and keeps the solve sub-millisecond.
     """
     Q, G = cost.shape
     cost_rows = jnp.where(gt_valid[:, None], cost.T, 0.0)        # (G, Q)
+    if tiebreak:
+        span = jnp.maximum(cost_rows.max() - cost_rows.min(), 1e-3)
+        r = jax.lax.broadcasted_iota(jnp.uint32, (G, Q), 0)
+        c = jax.lax.broadcasted_iota(jnp.uint32, (G, Q), 1)
+        u = ((r * 131071 + c * 8191) % 65521).astype(cost.dtype) / 65521.0
+        cost_rows = cost_rows + span * tiebreak * u
     row2col = lap_jv(cost_rows)                                  # (G,)
 
     assigned_gt = jnp.full((Q,), -1, jnp.int32)

@@ -101,6 +101,10 @@ def ms_deform_attn_core(value: jnp.ndarray,
         for p in range(P):
             idx = flat[:, :, :, p].transpose(0, 2, 1)  # (B, H, Q)
             g = jnp.take_along_axis(packed, idx[..., None], axis=2)
+            # keep the gather OUT of consumer loop-fusions: a gather fused
+            # into a kLoop fusion scalarizes (~30 GB/s); standalone it runs
+            # on the fast path (~340 GB/s measured on v5e)
+            g = jax.lax.optimization_barrier(g)
             g = g.reshape(B, H, Q, 4, D)
             wp = cw[:, :, :, p].transpose(0, 2, 1, 3)  # (B, H, Q, 4)
             out = out + (g * wp[..., None]).sum(axis=3)
