@@ -108,6 +108,79 @@ def lap_jv(cost: jnp.ndarray) -> jnp.ndarray:
     return row2col
 
 
+def lap_auction(cost: jnp.ndarray, eps_frac: float = 1 / 400,
+                max_iters: int = 1500) -> jnp.ndarray:
+    """Near-optimal LAP via the auction algorithm (Bertsekas), batched-
+    friendly: every iteration is a handful of vectorized (R, C) ops, so the
+    degenerate early-training costs that drive the sequential JV solver to
+    O(R^2) augmenting chains (~500 ms/step, PERF.md) finish in ~R rounds.
+
+    Single phase with eps = span * eps_frac: solution within R*eps of the
+    optimum (ties among near-equal costs may resolve differently than scipy,
+    immaterial for matcher use). Rectangular eps-scaling with price reuse is
+    intentionally NOT used — inflated prices on finally-unmatched columns
+    break rectangular duality and give genuinely suboptimal matchings.
+    If max_iters hits (pathological fully-contested costs), the remaining
+    rows take arbitrary distinct free columns so the result is always a
+    valid one-to-one assignment.
+
+    Returns (R,) column assigned to each row (R <= C).
+    """
+    R, C = cost.shape
+    assert R <= C, (R, C)
+    v = -cost.astype(jnp.float32)
+    span = jnp.maximum(v.max() - v.min(), 1e-6)
+    eps = span * eps_frac
+    rows = jnp.arange(R, dtype=jnp.int32)
+    cols = jnp.arange(C, dtype=jnp.int32)
+
+    def cond(s):
+        _, rowcol, _, it = s
+        return (rowcol < 0).any() & (it < max_iters)
+
+    def body(s):
+        owner, rowcol, prices, it = s
+        val = v - prices[None, :]
+        top2, idx2 = jax.lax.top_k(val, 2)
+        best_col = idx2[:, 0].astype(jnp.int32)
+        bid = prices[best_col] + (top2[:, 0] - top2[:, 1]) + eps
+        active = rowcol < 0
+        tgt = jnp.where(active, best_col, C)
+        best_bid = jnp.full((C + 1,), -jnp.inf).at[tgt].max(
+            jnp.where(active, bid, -jnp.inf))
+        is_best = active & (bid >= best_bid[jnp.clip(tgt, 0, C)])
+        win_row = jnp.full((C + 1,), R, jnp.int32).at[
+            jnp.where(is_best, tgt, C)].min(rows)
+        w = win_row[:C]
+        has_winner = w < R
+        # previous owners of re-auctioned columns lose their match
+        prev = jnp.where(has_winner, owner, -1)
+        lost = jnp.zeros((R + 1,), bool).at[
+            jnp.where(prev >= 0, prev, R)].set(True, mode="drop")[:R]
+        rowcol = jnp.where(lost, -1, rowcol)
+        owner = jnp.where(has_winner, w, owner)
+        rowcol = rowcol.at[jnp.where(has_winner, w, R)].set(
+            cols, mode="drop")
+        prices = jnp.where(has_winner, best_bid[:C], prices)
+        return owner, rowcol, prices, it + 1
+
+    owner0 = jnp.full((C,), -1, jnp.int32)
+    rowcol0 = jnp.full((R,), -1, jnp.int32)
+    owner, rowcol, _, _ = lax.while_loop(
+        cond, body, (owner0, rowcol0, jnp.zeros((C,), jnp.float32),
+                     jnp.int32(0)))
+
+    # completion fallback: pair leftover unassigned rows with free columns
+    # by rank (k-th unassigned row <- k-th free column)
+    unassigned = rowcol < 0
+    free = owner < 0
+    row_rank = jnp.cumsum(unassigned) - 1              # (R,)
+    free_cols = jnp.nonzero(free, size=C, fill_value=C - 1)[0].astype(
+        jnp.int32)
+    fallback = free_cols[jnp.clip(row_rank, 0, C - 1)]
+    return jnp.where(unassigned, fallback, rowcol)
+
+
 class AssignResult(NamedTuple):
     """Static-shape assignment for one image.
 
@@ -161,7 +234,8 @@ def gfl_match_cost(cls_logits: jnp.ndarray,
 
 def hungarian_assign(cost: jnp.ndarray, gt_valid: jnp.ndarray,
                      gt_labels: jnp.ndarray,
-                     tiebreak: float = 1e-6) -> AssignResult:
+                     tiebreak: float = 1e-6,
+                     solver: str = "jv") -> AssignResult:
     """One-to-one assign queries <- GT from a (Q, G) cost with validity mask.
 
     Padded (invalid) GT rows are replaced with constant-0 rows before the
@@ -181,7 +255,8 @@ def hungarian_assign(cost: jnp.ndarray, gt_valid: jnp.ndarray,
         c = jax.lax.broadcasted_iota(jnp.uint32, (G, Q), 1)
         u = ((r * 131071 + c * 8191) % 65521).astype(cost.dtype) / 65521.0
         cost_rows = cost_rows + span * tiebreak * u
-    row2col = lap_jv(cost_rows)                                  # (G,)
+    row2col = (lap_auction(cost_rows) if solver == "auction"
+               else lap_jv(cost_rows))                           # (G,)
 
     assigned_gt = jnp.full((Q,), -1, jnp.int32)
     assigned_labels = jnp.full((Q,), -1, jnp.int32)

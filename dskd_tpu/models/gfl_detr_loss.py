@@ -45,6 +45,9 @@ class DetLossConfig(NamedTuple):
     cost_cls_weight: float = 2.0
     cost_reg_weight: float = 5.0
     cost_iou_weight: float = 2.0
+    # 'jv' = exact Jonker-Volgenant; 'auction' = near-optimal parallel
+    # auction, ~100x faster on the degenerate early-training costs (PERF.md)
+    matcher: str = "auction"
 
 
 class LayerTargets(NamedTuple):
@@ -65,7 +68,7 @@ def assign_all_layers(cls_scores, bbox_cxcywh, gt_bboxes, gt_labels,
             cls_s, box_p, boxes, labels, hw,
             cls_weight=cfg.cost_cls_weight, reg_weight=cfg.cost_reg_weight,
             iou_weight=cfg.cost_iou_weight)
-        res = hungarian_assign(cost, valid, labels)
+        res = hungarian_assign(cost, valid, labels, solver=cfg.matcher)
         G = boxes.shape[0]
         safe = jnp.clip(res.assigned_gt, 0, G - 1)
         h, w = hw[0].astype(box_p.dtype), hw[1].astype(box_p.dtype)

@@ -51,7 +51,8 @@ def _pack_corners(v: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 def ms_deform_attn_core(value: jnp.ndarray,
                         spatial_shapes: Sequence[Tuple[int, int]],
                         sampling_locations: jnp.ndarray,
-                        attention_weights: jnp.ndarray) -> jnp.ndarray:
+                        attention_weights: jnp.ndarray,
+                        mxu_gather_max_rows: int = 2500) -> jnp.ndarray:
     """Fused multi-scale deformable sampling.
 
     Args:
@@ -59,6 +60,10 @@ def ms_deform_attn_core(value: jnp.ndarray,
       spatial_shapes: static list of (h, w) per level.
       sampling_locations: (B, Q, H, L, P, 2) normalized (x, y).
       attention_weights: (B, Q, H, L, P), softmaxed over L*P.
+      mxu_gather_max_rows: on TPU, levels whose packed table has at most
+        this many rows gather via the MXU one-hot kernel (2x+ faster than
+        XLA's scalar-loop gather — see ops/mxu_gather.py / PERF.md);
+        larger levels use the XLA gather. 0 disables the kernel.
 
     Returns:
       (B, Q, H*D).
@@ -67,6 +72,8 @@ def ms_deform_attn_core(value: jnp.ndarray,
     Q = sampling_locations.shape[1]
     P = sampling_locations.shape[4]
     dt = value.dtype
+    use_mxu = (mxu_gather_max_rows > 0
+               and jax.default_backend() == "tpu")
 
     out = jnp.zeros((B, H, Q, D), dt)
     start = 0
@@ -98,15 +105,21 @@ def ms_deform_attn_core(value: jnp.ndarray,
         y0c = jnp.clip(y0 + 1, 0, h + 1).astype(jnp.int32)
         flat = y0c * (w + 2) + x0c                     # (B, Q, H, P)
 
-        for p in range(P):
-            idx = flat[:, :, :, p].transpose(0, 2, 1)  # (B, H, Q)
-            g = jnp.take_along_axis(packed, idx[..., None], axis=2)
-            # keep the gather OUT of consumer loop-fusions: a gather fused
-            # into a kLoop fusion scalarizes (~30 GB/s); standalone it runs
-            # on the fast path (~340 GB/s measured on v5e)
-            g = jax.lax.optimization_barrier(g)
-            g = g.reshape(B, H, Q, 4, D)
-            wp = cw[:, :, :, p].transpose(0, 2, 1, 3)  # (B, H, Q, 4)
-            out = out + (g * wp[..., None]).sum(axis=3)
+        sp = (h + 2) * (w + 2)
+        if use_mxu and sp <= mxu_gather_max_rows:
+            from .mxu_gather import mxu_gather
+            # all P points in one kernel call per level
+            idx = flat.transpose(0, 2, 1, 3).reshape(B * H, Q * P)
+            g = mxu_gather(packed.reshape(B * H, sp, 4 * D), idx)
+            g = g.reshape(B, H, Q, P, 4, D)
+            wp = cw.transpose(0, 2, 1, 3, 4)           # (B, H, Q, P, 4)
+            out = out + (g * wp[..., None]).sum(axis=(3, 4))
+        else:
+            for p in range(P):
+                idx = flat[:, :, :, p].transpose(0, 2, 1)  # (B, H, Q)
+                g = jnp.take_along_axis(packed, idx[..., None], axis=2)
+                g = g.reshape(B, H, Q, 4, D)
+                wp = cw[:, :, :, p].transpose(0, 2, 1, 3)  # (B, H, Q, 4)
+                out = out + (g * wp[..., None]).sum(axis=3)
         start += h * w
     return out.transpose(0, 2, 1, 3).reshape(B, Q, H * D)
