@@ -108,7 +108,6 @@ def yolof_detection_loss(out: YOLOFHeadOutputs, anchors, gt_bboxes,
     anchors: (HWA, 4). gt_*: (B, G, ...) padded.
     """
     B = out.cls_scores.shape[0]
-    A4 = out.bbox_preds.shape[-1]
     C = cfg.num_classes
     cls_flat = out.cls_scores.reshape(B, -1, C)          # (B, HWA, C)
     deltas = out.bbox_preds.reshape(B, -1, 4)            # (B, HWA, 4)
