@@ -209,7 +209,9 @@ def run_incremental(cfg: ExperimentConfig, student_ckpt: Optional[str] = None,
     task_nums = len(cfg.data.catsplit)
     mesh = make_mesh()
     model = build_model(cfg)
-    rng = jax.random.PRNGKey(cfg.train.seed)
+    from ..utils.seed import init_random_seed, set_random_seed
+    cfg.train.seed = init_random_seed(cfg.train.seed)
+    rng = set_random_seed(cfg.train.seed)
     variables = init_variables(model, cfg, rng)
     teacher_params = None
 
