@@ -8,6 +8,7 @@ batches, and an N-deep device prefetch queue so host IO overlaps TPU steps.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import queue as queue_mod
 import threading
 from typing import Iterator, Optional
 
@@ -29,7 +30,8 @@ class DataLoader:
                  pipeline: PipelineConfig = None, train: bool = True,
                  seed: int = 0, num_workers: int = 8,
                  num_hosts: int = 1, host_id: int = 0,
-                 drop_last: bool = True, aspect_buckets=None):
+                 drop_last: bool = True, aspect_buckets=None,
+                 prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.pipeline = pipeline or PipelineConfig()
@@ -40,6 +42,7 @@ class DataLoader:
         self.host_id = host_id
         self.drop_last = drop_last
         self.aspect_buckets = aspect_buckets
+        self.prefetch = max(1, prefetch)
         self.epoch = 0
         self._flags = None
         if aspect_buckets is not None:
@@ -109,33 +112,60 @@ class DataLoader:
             (len(indices) + self.batch_size - 1) // self.batch_size
         base_seed = (self.seed + 1) * 1000003 + self.epoch * 97
 
-        with cf.ThreadPoolExecutor(self.num_workers) as pool:
-            def make_batch(b):
-                idxs = indices[b * self.batch_size:(b + 1) * self.batch_size]
-                samples = list(pool.map(
-                    lambda t: self._load_one(t[1], base_seed + int(t[1])),
-                    enumerate(idxs)))
-                while len(samples) < self.batch_size:  # pad final batch
-                    samples.append(samples[-1])
-                stack = {k: np.stack([s[k] for s in samples])
-                         for k in ("image", "img_hw", "gt_bboxes",
-                                   "gt_labels", "gt_valid")}
-                batch = Batch(stack["image"], stack["img_hw"],
-                              stack["gt_bboxes"], stack["gt_labels"],
-                              stack["gt_valid"])
-                meta = dict(
-                    img_ids=[s["img_id"] for s in samples],
-                    scale_factors=np.stack(
-                        [s["scale_factor"] for s in samples]),
-                    ori_hw=np.stack([s["ori_hw"] for s in samples]))
-                return batch, meta
+        def make_batch(b, pool):
+            idxs = indices[b * self.batch_size:(b + 1) * self.batch_size]
+            samples = list(pool.map(
+                lambda t: self._load_one(t[1], base_seed + int(t[1])),
+                enumerate(idxs)))
+            while len(samples) < self.batch_size:  # pad final batch
+                samples.append(samples[-1])
+            stack = {k: np.stack([s[k] for s in samples])
+                     for k in ("image", "img_hw", "gt_bboxes",
+                               "gt_labels", "gt_valid")}
+            batch = Batch(stack["image"], stack["img_hw"],
+                          stack["gt_bboxes"], stack["gt_labels"],
+                          stack["gt_valid"])
+            meta = dict(
+                img_ids=[s["img_id"] for s in samples],
+                scale_factors=np.stack(
+                    [s["scale_factor"] for s in samples]),
+                ori_hw=np.stack([s["ori_hw"] for s in samples]))
+            return batch, meta
 
-            # simple 2-deep pipelined prefetch
-            pending = None
-            for b in range(nb):
-                if pending is None:
-                    pending = make_batch(b)
-                nxt = make_batch(b + 1) if b + 1 < nb else None
-                yield pending
-                pending = nxt
+        # true async prefetch: a producer thread builds batch b+1..b+N
+        # while the consumer (the device step) is chewing on batch b —
+        # the reference gets this from torch DataLoader worker processes
+        # (datasets/builder.py:176-240); here a bounded queue decouples
+        # host decode/resize from the training loop.
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        _DONE = object()
+
+        def producer():
+            try:
+                with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(nb):
+                        q.put(make_batch(b, pool))
+                q.put(_DONE)
+            except BaseException as e:          # propagate to consumer
+                q.put(e)
+
+        thread = threading.Thread(target=producer, daemon=True,
+                                  name="dskd-loader-producer")
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _DONE:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # unblock a producer stuck on a full queue if the consumer
+            # abandons the iterator early
+            while thread.is_alive():
+                try:
+                    q.get_nowait()
+                except queue_mod.Empty:
+                    thread.join(timeout=0.1)
         self.epoch += 1

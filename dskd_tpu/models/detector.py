@@ -35,6 +35,10 @@ class GFLDeformableDETR(nn.Module):
     num_decoder_layers: int = 6
     num_levels: int = 4
     dropout: float = 0.1
+    # rematerialize encoder/decoder layers on the backward pass; turn OFF for
+    # forward-only applies (the frozen teacher) — remat wraps cost the
+    # scheduler fusion freedom even without a backward
+    remat: bool = True
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, img_hw: jnp.ndarray,
@@ -53,6 +57,7 @@ class GFLDeformableDETR(nn.Module):
             num_encoder_layers=self.num_encoder_layers,
             num_decoder_layers=self.num_decoder_layers,
             num_levels=self.num_levels, dropout=self.dropout,
+            remat=self.remat,
             name="bbox_head")(neck_feats, img_hw, batch_input_shape,
                               deterministic=deterministic)
         return DetectorOutputs(head_out, neck_feats)

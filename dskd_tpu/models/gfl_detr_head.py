@@ -59,6 +59,7 @@ class GFLDeformableDETRHead(nn.Module):
     num_points: int = 4
     feedforward_channels: int = 1024
     dropout: float = 0.1
+    remat: bool = True
 
     @nn.compact
     def __call__(self, mlvl_feats, img_hw, batch_input_shape,
@@ -80,7 +81,7 @@ class GFLDeformableDETRHead(nn.Module):
             num_decoder_layers=self.num_decoder_layers,
             feedforward_channels=self.feedforward_channels,
             dropout=self.dropout, num_query=self.num_query,
-            name="transformer")
+            remat=self.remat, name="transformer")
         hs, init_ref, inter_refs, memory, mask_flat = transformer(
             mlvl_feats, img_hw, batch_input_shape, query_embedding,
             deterministic=deterministic)

@@ -46,13 +46,40 @@ def _cast_floats(tree, dtype):
         else x, tree)
 
 
+def teacher_info(model, teacher_variables, batch: Batch,
+                 det_cfg: DetLossConfig, teacher_score_thr: float = 0.3,
+                 teacher_max_per_img: int = 100,
+                 compute_dtype=jnp.float32):
+    """Frozen-teacher forward -> TeacherInfo (reference out_teacher,
+    deformable_detr_il.py:116-154).
+
+    Runs with remat OFF: the teacher has no backward, so rematerialization
+    buys nothing and costs the scheduler fusion freedom (PERF.md item 4).
+    Call this OUTSIDE value_and_grad so autodiff never traces it.
+    """
+    tmodel = (model.clone(remat=False)
+              if getattr(model, "remat", None) is not None else model)
+    images = batch.images
+    if compute_dtype != jnp.float32:
+        teacher_variables = _cast_floats(teacher_variables, compute_dtype)
+        images = images.astype(compute_dtype)
+    t_out = tmodel.apply(teacher_variables, images, batch.img_hw,
+                         deterministic=True)
+    if compute_dtype != jnp.float32:
+        t_out = _cast_floats(t_out, jnp.float32)
+    return out_teacher(t_out, batch.img_hw, reg_max=det_cfg.reg_max,
+                       score_thr=teacher_score_thr,
+                       max_per_img=teacher_max_per_img)
+
+
 def compute_losses(model, variables, batch: Batch, det_cfg: DetLossConfig,
                    teacher_variables=None,
                    distill_cfg: Optional[DistillConfig] = None,
                    teacher_score_thr: float = 0.3,
                    teacher_max_per_img: int = 100,
                    dropout_rng=None,
-                   compute_dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+                   compute_dtype=jnp.float32,
+                   tinfo=None) -> Dict[str, jnp.ndarray]:
     """Forward + all losses. Pure function of (variables, batch).
 
     ``compute_dtype=bfloat16`` runs the network in bf16 (master params stay
@@ -60,13 +87,14 @@ def compute_losses(model, variables, batch: Batch, det_cfg: DetLossConfig,
     MXUs natively prefer bf16 so no loss scaling is needed).
     """
     rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+    if tinfo is None and teacher_variables is not None:
+        tinfo = teacher_info(model, teacher_variables, batch, det_cfg,
+                             teacher_score_thr, teacher_max_per_img,
+                             compute_dtype)
     images = batch.images
     if compute_dtype != jnp.float32:
         variables = _cast_floats(variables, compute_dtype)
         images = images.astype(compute_dtype)
-        if teacher_variables is not None:
-            teacher_variables = _cast_floats(teacher_variables,
-                                             compute_dtype)
     batch = batch._replace(images=images)
     out = model.apply(variables, batch.images, batch.img_hw,
                       deterministic=dropout_rng is None, rngs=rngs)
@@ -75,15 +103,7 @@ def compute_losses(model, variables, batch: Batch, det_cfg: DetLossConfig,
 
     gt_bboxes, gt_labels, gt_valid = (batch.gt_bboxes, batch.gt_labels,
                                       batch.gt_valid)
-    tinfo = None
-    if teacher_variables is not None:
-        t_out = model.apply(teacher_variables, batch.images, batch.img_hw,
-                            deterministic=True)
-        if compute_dtype != jnp.float32:
-            t_out = _cast_floats(t_out, jnp.float32)
-        tinfo = out_teacher(t_out, batch.img_hw, reg_max=det_cfg.reg_max,
-                            score_thr=teacher_score_thr,
-                            max_per_img=teacher_max_per_img)
+    if tinfo is not None:
         if distill_cfg.hard:
             gt_bboxes, gt_labels, gt_valid = merge_teacher_gt(
                 tinfo.det, gt_bboxes, gt_labels, gt_valid)
@@ -118,6 +138,14 @@ def make_train_step(model, det_cfg: DetLossConfig,
     def train_step(state: TrainState, batch: Batch, teacher_variables=None):
         rng, step_rng = jax.random.split(state.rng)
 
+        # teacher forward runs OUTSIDE value_and_grad: no remat, no vjp
+        # tracing — its outputs enter loss_fn as constants
+        tinfo = None
+        if teacher_variables is not None:
+            tinfo = jax.lax.stop_gradient(teacher_info(
+                model, teacher_variables, batch, det_cfg,
+                teacher_score_thr, teacher_max_per_img, compute_dtype))
+
         def loss_fn(params):
             losses = compute_losses(
                 model, {"params": params,
@@ -125,7 +153,7 @@ def make_train_step(model, det_cfg: DetLossConfig,
                 batch, det_cfg, teacher_variables, distill_cfg,
                 teacher_score_thr, teacher_max_per_img,
                 dropout_rng=step_rng if use_dropout else None,
-                compute_dtype=compute_dtype)
+                compute_dtype=compute_dtype, tinfo=tinfo)
             return parse_losses(losses), losses
 
         (total, losses), grads = jax.value_and_grad(

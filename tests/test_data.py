@@ -100,3 +100,50 @@ def test_preprocess_flip_boxes():
     out = preprocess(img, boxes, labels, cfg,
                      rng=np.random.RandomState(0), train=True)
     np.testing.assert_allclose(out["gt_bboxes"][0], [54, 0, 64, 10])
+
+
+def test_loader_prefetch_overlaps_consumer(tmp_path, monkeypatch):
+    """Batch N+1 must be built by the producer thread WHILE the consumer
+    holds batch N (the reference overlaps via torch DataLoader workers,
+    datasets/builder.py:176-240)."""
+    import time
+
+    import dskd_tpu.data.loader as loader_mod
+    from dskd_tpu.data.loader import DataLoader
+
+    ann = make_coco_json(str(tmp_path), num_images=8)
+    ds = TaskCocoDataset(ann, catsplit=(4,), catload=(1,))
+    assert len(ds) >= 6
+
+    load_events = []
+
+    def fake_load_image(path):
+        load_events.append(time.monotonic())
+        return np.zeros((40, 50, 3), np.uint8)
+
+    monkeypatch.setattr(loader_mod, "load_image", fake_load_image)
+    dl = DataLoader(ds, batch_size=2,
+                    pipeline=PipelineConfig(max_gt=4, bucket=(32, 32),
+                                            img_scale=(32, 32)),
+                    train=True, num_workers=2, prefetch=2)
+    it = iter(dl)
+    batch0, _ = next(it)
+    assert batch0.images.shape == (2, 32, 32, 3)
+    t_sleep_start = time.monotonic()
+    time.sleep(0.5)  # consumer "runs the device step"
+    n_during_sleep = sum(1 for t in load_events if t >= t_sleep_start)
+    # the producer must have kept loading while we slept; with the old
+    # synchronous prefetch nothing loads between yields
+    batch1, _ = next(it)
+    assert batch1.images.shape == (2, 32, 32, 3)
+    assert n_during_sleep >= 0  # events may all predate the sleep (fast
+    # producer already filled the queue); the real assertion:
+    # by the time we ask for batch 1 it must already be built
+    t_ask = time.monotonic()
+    assert t_ask - t_sleep_start >= 0.5
+    # all loads for batches 0..2 (prefetch=2 ahead) happened before the
+    # consumer asked for batch 1
+    assert len(load_events) >= 4, load_events
+    assert max(load_events) < t_ask - 0.4, (
+        "producer did not run ahead during the consumer's step")
+    list(it)  # drain cleanly
