@@ -1,0 +1,23 @@
+"""Faster R-CNN R50-FPN 1x COCO (non-incremental baseline).
+
+Parity target: configs/faster_rcnn/faster_rcnn_r50_fpn_1x_coco.py
+(SGD 0.02, 12 epochs, steps [8, 11]) — the classic two-stage baseline in
+BASELINE.md (37.4 box AP on 8x V100).
+"""
+from dskd_tpu.utils.config import (DataConfig, DistillFlags,
+                                   ExperimentConfig, ModelConfig,
+                                   TrainConfig)
+
+
+def get_config() -> ExperimentConfig:
+    return ExperimentConfig(
+        model=ModelConfig(arch="faster_rcnn", num_classes=80, depth=50),
+        data=DataConfig(catsplit=(80,), samples_per_device=8,
+                        img_scale=(1333, 800), bucket=(800, 1344),
+                        aspect_buckets=((1344, 800), (800, 1344))),
+        train=TrainConfig(base_lr=1e-2, weight_decay=1e-4, grad_clip=35.0,
+                          epochs_per_task=12, step_epochs=(8, 11),
+                          warmup_iters=500,
+                          work_dir="work_dirs/faster_rcnn_r50_1x"),
+        distill=DistillFlags(cates_distill="", feats_distill=""),
+    )

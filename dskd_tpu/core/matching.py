@@ -248,6 +248,30 @@ def hungarian_assign(cost: jnp.ndarray, gt_valid: jnp.ndarray,
     equal costs is equally optimal) and keeps the solve sub-millisecond.
     """
     Q, G = cost.shape
+    if G > Q:
+        # more (merged) GT slots than queries: solve with queries as rows —
+        # min(Q, G) pairs get matched, exactly scipy's rectangular behavior
+        # (extra GT stay unassigned). Invalid GT columns carry a big-M cost
+        # so they are only taken once the valid ones are exhausted.
+        big_m = 1e6
+        cost_rows = jnp.where(gt_valid[None, :], cost, big_m)    # (Q, G)
+        if tiebreak:
+            span = jnp.maximum(cost_rows.max() - cost_rows.min(), 1e-3)
+            r = jax.lax.broadcasted_iota(jnp.uint32, (Q, G), 0)
+            c = jax.lax.broadcasted_iota(jnp.uint32, (Q, G), 1)
+            u = ((r * 131071 + c * 8191) % 65521).astype(
+                cost.dtype) / 65521.0
+            cost_rows = cost_rows + span * tiebreak * u
+        q2g = (lap_auction(cost_rows) if solver == "auction"
+               else lap_jv(cost_rows))                           # (Q,)
+        hit_valid = gt_valid[q2g]
+        assigned_gt = jnp.where(hit_valid, q2g.astype(jnp.int32), -1)
+        assigned_labels = jnp.where(
+            hit_valid, gt_labels[q2g].astype(jnp.int32), -1)
+        pos_mask = assigned_gt >= 0
+        num_pos = pos_mask.sum().astype(jnp.int32)
+        return AssignResult(assigned_gt, assigned_labels, pos_mask, num_pos)
+
     cost_rows = jnp.where(gt_valid[:, None], cost.T, 0.0)        # (G, Q)
     if tiebreak:
         span = jnp.maximum(cost_rows.max() - cost_rows.min(), 1e-3)

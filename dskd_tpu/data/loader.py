@@ -71,9 +71,12 @@ class DataLoader:
             order = np.concatenate([order, order[:per_host * self.num_hosts - n]])
         return order[self.host_id::self.num_hosts]
 
-    def _load_one(self, idx: int, rng_seed: int):
+    def _load_raw(self, idx: int):
         path, _, boxes, labels, img_id = self.dataset.get_raw(int(idx))
-        img = load_image(path)
+        return load_image(path), boxes, labels, img_id
+
+    def _load_one(self, idx: int, rng_seed: int):
+        img, boxes, labels, img_id = self._load_raw(int(idx))
         rng = np.random.RandomState(rng_seed) if self.train else None
         pipe = self.pipeline
         if self._flags is not None:
@@ -81,6 +84,21 @@ class DataLoader:
             import dataclasses
             pipe = dataclasses.replace(pipe, bucket=bucket,
                                        img_scale=bucket)
+        if self.train and rng is not None and (pipe.mosaic or pipe.mixup):
+            from .mix_transforms import mixup, mosaic
+            n = len(self.dataset)
+            if pipe.mosaic:
+                others = [self._load_raw(rng.randint(n))[:3]
+                          for _ in range(3)]
+                img, boxes, labels = mosaic(
+                    [(img, boxes, labels)] + others, pipe.img_scale, rng,
+                    center_ratio_range=pipe.mosaic_center_ratio)
+            if pipe.mixup:
+                r_img, r_boxes, r_labels, _ = self._load_raw(rng.randint(n))
+                img, boxes, labels = mixup(
+                    img, boxes, labels, r_img, r_boxes, r_labels, rng,
+                    dynamic_scale=pipe.img_scale,
+                    ratio_range=pipe.mixup_ratio_range)
         out = preprocess(img, boxes, labels, pipe, rng, self.train)
         out["img_id"] = img_id
         return out

@@ -40,6 +40,11 @@ class PipelineConfig:
     max_gt: int = 100
     bucket: Tuple[int, int] = (640, 640)      # static padded canvas (H, W)
     photo_metric_distortion: bool = False
+    # multi-image mixes (MultiImageMixDataset equivalents; train only)
+    mosaic: bool = False
+    mosaic_center_ratio: Tuple[float, float] = (0.5, 1.5)
+    mixup: bool = False
+    mixup_ratio_range: Tuple[float, float] = (0.5, 1.5)
 
 
 def rescale_size(h: int, w: int, scale: Tuple[int, int]) -> Tuple[int, int, float]:

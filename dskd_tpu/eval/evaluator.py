@@ -77,6 +77,37 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 
+    if arch == "faster_rcnn":
+        from ..models.faster_rcnn import (FasterRCNN, rcnn_get_bboxes,
+                                          rpn_proposals)
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            props, _, pvalid = rpn_proposals(out.rpn, img_hw, nms_pre=1000,
+                                             max_total=1000)
+            d = rcnn_get_bboxes(
+                lambda f: model.apply(variables, f,
+                                      method=FasterRCNN.roi_forward),
+                out.neck_feats, props, pvalid, img_hw,
+                num_classes=model.num_classes, scale_factor=scale_factors,
+                score_thr=max(score_thr, 0.05), max_per_img=max_per_img,
+                rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return eval_step
+
+    if arch == "detr":
+        from ..models.detr import detr_get_bboxes
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            d = detr_get_bboxes(out, img_hw, score_thr=score_thr,
+                                max_per_img=max_per_img,
+                                scale_factor=scale_factors, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return eval_step
+
     raise ValueError(f"no eval step for arch: {arch}")
 
 
@@ -94,7 +125,8 @@ def evaluate(model, variables, dataset: TaskCocoDataset, loader: DataLoader,
 
     eval_step = make_eval_step(model, reg_max, score_thr, max_per_img,
                                arch=arch)
-    seen = set()
+    local_results = []
+    local_seen = set()
     for batch, meta in loader:
         det = eval_step(variables, batch.images, batch.img_hw,
                         jnp.asarray(meta["scale_factors"]))
@@ -103,13 +135,25 @@ def evaluate(model, variables, dataset: TaskCocoDataset, loader: DataLoader,
         labels = np.asarray(det.labels)
         valid = np.asarray(det.valid)
         for i, img_id in enumerate(meta["img_ids"]):
-            if img_id in seen:     # last-batch padding duplicates
+            if img_id in local_seen:     # last-batch padding duplicates
                 continue
-            seen.add(img_id)
+            local_seen.add(img_id)
             keep = valid[i] & np.isin(labels[i],
                                       np.array(sorted(pred_label_set)))
-            ev.add_dt(img_id, boxes[i][keep], scores[i][keep],
-                      [dataset.label2cat[int(l)] for l in labels[i][keep]])
+            local_results.append(
+                (img_id, boxes[i][keep], scores[i][keep],
+                 [dataset.label2cat[int(l)] for l in labels[i][keep]]))
+
+    # multi-host: gather every host's shard (collect_results_cpu contract,
+    # apis/test.py:136-176); every host then scores the full set
+    from ..parallel.collect import collect_image_results
+    all_results = collect_image_results(local_results, max_dets=max_per_img)
+    seen = set()
+    for img_id, b, s, cats in all_results:
+        if img_id in seen:       # cross-host duplicates (uneven shards)
+            continue
+        seen.add(img_id)
+        ev.add_dt(img_id, b, s, list(cats))
 
     # ground truth for the evaluated images
     for img_id in seen:

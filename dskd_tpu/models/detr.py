@@ -5,10 +5,18 @@ ResNet C5 -> 1x1 input proj -> 6-layer full-attention encoder -> 6-layer
 decoder (100 queries, intermediate outputs) -> softmax classifier over C+1
 with 0.1 background weight + 2-FC regression MLP -> sigmoid cxcywh.
 Hungarian matching with ClassificationCost(1) + L1(5) + GIoU(2).
+
+Incremental (DETR_il, detectors/detr_il.py:35-683): the same frozen-teacher
+protocol as the flagship — out_teacher decodes the teacher's detections
+(softmax-head top-k with keep-ids, :116-154), hard distillation merges them
+into the GT ahead of Hungarian matching, soft distillation KL-divs the
+student's logits against the teacher's at the teacher's kept query ids, and
+kldv feature distillation matches the encoder memory. Shapes are static:
+teacher detections are fixed-size (B, K) arrays with a validity mask.
 """
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -26,6 +34,7 @@ class DETROutputs(NamedTuple):
     cls_scores: jnp.ndarray   # (nl, B, Q, C+1) softmax logits
     bbox_preds: jnp.ndarray   # (nl, B, Q, 4) sigmoid cxcywh
     hs: jnp.ndarray           # (nl, B, Q, C)
+    memory: jnp.ndarray       # (B, HW, C) encoder output (feats distill)
 
 
 class DETREncoderLayer(nn.Module):
@@ -123,7 +132,7 @@ class DETR(nn.Module):
         for i in range(2):
             r = nn.relu(nn.Dense(C, name=f"reg_ffn{i}")(r))
         bbox = jax.nn.sigmoid(nn.Dense(4, name="fc_reg")(r))
-        return DETROutputs(cls, bbox, hs)
+        return DETROutputs(cls, bbox, hs, memory)
 
 
 class DETRLossConfig(NamedTuple):
@@ -189,4 +198,125 @@ def detr_detection_loss(out: DETROutputs, gt_bboxes, gt_labels, gt_valid,
         losses[prefix + "loss_cls"] = loss_cls
         losses[prefix + "loss_bbox"] = loss_bbox
         losses[prefix + "loss_iou"] = loss_iou
+    return losses
+
+
+def detr_get_bboxes(out: DETROutputs, img_hw, score_thr: float = 0.0,
+                    max_per_img: int = 100, scale_factor=None,
+                    rescale: bool = False) -> Dict[str, jnp.ndarray]:
+    """Decode the last decoder layer into fixed-size detections.
+
+    Parity: detr_head._get_bboxes_single softmax branch — per-query score =
+    max over foreground classes of softmax(C+1), top-k queries kept, cxcywh
+    scaled to image coords and clamped to the valid (h, w). Returns the
+    keep-ids the teacher protocol needs (detr_il.py out_teacher :116-154).
+    """
+    cls = out.cls_scores[-1]                       # (B, Q, C+1)
+    box = out.bbox_preds[-1]                       # (B, Q, 4) cxcywh in [0,1]
+    B, Q, _ = cls.shape
+    probs = jax.nn.softmax(cls, axis=-1)[..., :-1]
+    scores = probs.max(-1)
+    labels = probs.argmax(-1).astype(jnp.int32)
+
+    k = min(max_per_img, Q)
+    top_scores, keep = jax.lax.top_k(scores, k)    # (B, k)
+    valid = top_scores > score_thr
+    take = lambda a: jnp.take_along_axis(
+        a, keep.reshape(B, k, *([1] * (a.ndim - 2))), axis=1)
+    h = img_hw[:, 0].astype(jnp.float32)
+    w = img_hw[:, 1].astype(jnp.float32)
+    factor = jnp.stack([w, h, w, h], -1)[:, None]  # (B, 1, 4)
+    xyxy = bbox_cxcywh_to_xyxy(take(box)) * factor
+    xyxy = jnp.clip(xyxy, 0.0, factor[..., [1, 0, 1, 0]][..., [2, 3, 0, 1]])
+    # clamp x to w, y to h
+    xyxy = jnp.stack([
+        jnp.clip(xyxy[..., 0], 0, w[:, None]),
+        jnp.clip(xyxy[..., 1], 0, h[:, None]),
+        jnp.clip(xyxy[..., 2], 0, w[:, None]),
+        jnp.clip(xyxy[..., 3], 0, h[:, None])], -1)
+    if rescale and scale_factor is not None:
+        xyxy = xyxy / scale_factor[:, None, :]
+    return dict(bboxes=xyxy, scores=top_scores,
+                labels=take(labels[..., None])[..., 0],
+                logits=take(cls), keep_qid=keep, valid=valid)
+
+
+class DETRDistillConfig(NamedTuple):
+    """Flag-string distill menu for the DETR_il family (detr_il.py:291-305
+    gates teacher products on 'soft' in cates_distill / feats_distill)."""
+    hard: bool = True
+    soft: bool = False
+    feats_kldv: bool = False
+    kd_weight: float = 10.0
+    kd_T: float = 2.0
+    fd_weight: float = 10.0
+    fd_T: float = 2.0
+
+    @classmethod
+    def from_flags(cls, cates_distill="", locat_distill="",
+                   feats_distill="", **kw):
+        return cls(hard="hard" in cates_distill,
+                   soft="soft" in cates_distill,
+                   feats_kldv="kldv" in feats_distill, **kw)
+
+
+def detr_teacher_out(outputs: DETROutputs, img_hw,
+                     score_thr: float = 0.3, max_per_img: int = 100):
+    """Frozen-teacher products (stop-gradded fixed-size detections)."""
+    stop = jax.lax.stop_gradient
+    det = detr_get_bboxes(outputs, img_hw, score_thr=score_thr,
+                          max_per_img=max_per_img)
+    return jax.tree.map(stop, det), jax.tree.map(stop, outputs)
+
+
+def detr_compute_losses(out: DETROutputs, batch,
+                        cfg: DETRLossConfig,
+                        teacher_out: Optional[DETROutputs] = None,
+                        distill_cfg: Optional[DETRDistillConfig] = None,
+                        teacher_score_thr: float = 0.3,
+                        teacher_max_per_img: int = 100
+                        ) -> Dict[str, jnp.ndarray]:
+    """Detection + DETR_il distill menu for one batch (jit-friendly).
+
+    hard: teacher detections concatenated BEFORE the GT (teacher-first,
+    matching the flagship merge order); soft: KL(student ‖ teacher) logits
+    at the teacher's kept query ids, T² scaled; kldv: whole-memory KLDiv.
+    """
+    gt_bboxes, gt_labels, gt_valid = (batch.gt_bboxes, batch.gt_labels,
+                                      batch.gt_valid)
+    tdet = None
+    if teacher_out is not None:
+        tdet, teacher_out = detr_teacher_out(
+            teacher_out, batch.img_hw, teacher_score_thr,
+            teacher_max_per_img)
+        if distill_cfg.hard:
+            gt_bboxes = jnp.concatenate([tdet["bboxes"], gt_bboxes], axis=1)
+            gt_labels = jnp.concatenate(
+                [tdet["labels"].astype(gt_labels.dtype), gt_labels], axis=1)
+            gt_valid = jnp.concatenate([tdet["valid"], gt_valid], axis=1)
+
+    losses = detr_detection_loss(out, gt_bboxes, gt_labels, gt_valid,
+                                 batch.img_hw, cfg)
+
+    if tdet is not None:
+        B, Q = out.cls_scores.shape[1:3]
+        num_keep = jnp.maximum(tdet["valid"].sum().astype(jnp.float32), 1.0)
+        keep_w = jnp.zeros((B, Q), jnp.float32).at[
+            jnp.arange(B)[:, None], tdet["keep_qid"]].max(
+            tdet["valid"].astype(jnp.float32))
+
+        if distill_cfg.soft:
+            Cp1 = out.cls_scores.shape[-1]
+            losses["loss_kd"] = distill_cfg.kd_weight * L.kd_kl_div_loss(
+                out.cls_scores[-1].reshape(-1, Cp1),
+                teacher_out.cls_scores[-1].reshape(-1, Cp1),
+                weight=keep_w.reshape(-1, 1), avg_factor=num_keep,
+                T=distill_cfg.kd_T)
+
+        if distill_cfg.feats_kldv:
+            from ..distill.losses import _kd_kl_axis
+            kl = _kd_kl_axis(out.memory, teacher_out.memory,
+                             distill_cfg.fd_T, axis=-1)
+            losses["loss_fd"] = distill_cfg.fd_weight * kl.sum() / B
+
     return losses

@@ -67,19 +67,38 @@ class RPNHead(nn.Module):
 
 
 class FasterRCNN(nn.Module):
+    """Two-stage detector; the ROI bbox head is a submodule so ONE
+    variables pytree covers backbone+neck+rpn+roi (two_stage.py layout).
+
+    ``__call__`` runs the first stage; ``roi_forward`` runs the second-stage
+    head on RoIAligned features (use ``model.apply(vars, roi_feats,
+    method=FasterRCNN.roi_forward)``). ``init_all`` traces both so init
+    creates every parameter."""
     num_classes: int = 80
     depth: int = 50
     frozen_stages: int = 1
 
-    @nn.compact
+    def setup(self):
+        self.backbone = ResNet(depth=self.depth, out_indices=(0, 1, 2, 3),
+                               frozen_stages=self.frozen_stages)
+        self.neck = FPN(out_channels=256, num_outs=5, start_level=0,
+                        add_extra_convs="")
+        self.rpn_head = RPNHead()
+        self.roi_bbox_head = BBoxHead(num_classes=self.num_classes)
+
     def __call__(self, images, img_hw, deterministic: bool = True):
-        feats = ResNet(depth=self.depth, out_indices=(0, 1, 2, 3),
-                       frozen_stages=self.frozen_stages,
-                       name="backbone")(images)
-        neck = FPN(out_channels=256, num_outs=5, start_level=0,
-                   add_extra_convs="", name="neck")(feats)
-        rpn = RPNHead(name="rpn_head")(neck)
+        feats = self.backbone(images)
+        neck = self.neck(feats)
+        rpn = self.rpn_head(neck)
         return FasterRCNNOutputs(rpn, neck)
+
+    def roi_forward(self, roi_feats):
+        return self.roi_bbox_head(roi_feats)
+
+    def init_all(self, images, img_hw, deterministic: bool = True):
+        out = self(images, img_hw, deterministic)
+        self.roi_bbox_head(jnp.zeros((1, 7, 7, 256), images.dtype))
+        return out
 
 
 class BBoxHead(nn.Module):

@@ -72,6 +72,10 @@ def ms_deform_attn_core(value: jnp.ndarray,
     Q = sampling_locations.shape[1]
     P = sampling_locations.shape[4]
     dt = value.dtype
+    import os
+    env_rows = os.environ.get("DSKD_MXU_GATHER_ROWS")
+    if env_rows is not None:       # bisect/override knob
+        mxu_gather_max_rows = int(env_rows)
     use_mxu = (mxu_gather_max_rows > 0
                and jax.default_backend() == "tpu")
 

@@ -1,0 +1,67 @@
+"""Multi-host result gathering (the collect_results_cpu/gpu contract).
+
+Parity target: mmdet/apis/test.py:136-209 — after a sharded eval pass,
+every host holds detections for its slice of the dataset; the reference
+pickles per-rank shards to a broadcast tmpdir (CPU path) or all_gathers
+padded byte tensors (GPU path). TPU-native: pad each host's fixed-shape
+detection arrays to the global max image count and process_allgather them
+over ICI/DCN — no filesystem rendezvous, no pickling.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import numpy as np
+
+
+def collect_image_results(local: List[Tuple[int, np.ndarray, np.ndarray,
+                                            List[int]]],
+                          max_dets: int) -> List[Tuple[int, np.ndarray,
+                                                       np.ndarray,
+                                                       List[int]]]:
+    """Gather per-image detection tuples from every host.
+
+    local: list of (img_id, boxes (k, 4), scores (k,), cat_ids (k,)) with
+    k <= max_dets. Returns the concatenated list over all hosts (every host
+    gets the full set, deterministically ordered by (host, local index)).
+    Single-process: returns ``local`` unchanged.
+    """
+    if jax.process_count() == 1:
+        return local
+
+    from jax.experimental import multihost_utils
+
+    n_local = len(local)
+    # first agree on the max shard size
+    counts = multihost_utils.process_allgather(
+        np.array([n_local], np.int32))          # (n_hosts, 1)
+    n_max = int(counts.max())
+
+    ids = np.full((n_max,), -1, np.int64)
+    boxes = np.zeros((n_max, max_dets, 4), np.float32)
+    scores = np.zeros((n_max, max_dets), np.float32)
+    cats = np.zeros((n_max, max_dets), np.int32)
+    ndet = np.zeros((n_max,), np.int32)
+    for i, (img_id, b, s, c) in enumerate(local):
+        k = min(len(s), max_dets)
+        ids[i] = img_id
+        boxes[i, :k] = b[:k]
+        scores[i, :k] = s[:k]
+        cats[i, :k] = np.asarray(c[:k], np.int32)
+        ndet[i] = k
+
+    g = multihost_utils.process_allgather(
+        dict(ids=ids, boxes=boxes, scores=scores, cats=cats, ndet=ndet))
+
+    out = []
+    n_hosts = g["ids"].shape[0]
+    for h in range(n_hosts):
+        for i in range(n_max):
+            if g["ids"][h, i] < 0:
+                continue
+            k = int(g["ndet"][h, i])
+            out.append((int(g["ids"][h, i]), g["boxes"][h, i, :k],
+                        g["scores"][h, i, :k],
+                        g["cats"][h, i, :k].tolist()))
+    return out

@@ -48,18 +48,24 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             feats_distill=cfg.distill.feats_distill) if has_teacher else None
 
         def losses_fn(variables, batch, teacher_vars, rng):
-            out = model.apply(variables, batch.images, batch.img_hw,
-                              deterministic=True)
+            # train-mode apply: BN uses batch statistics and UPDATES the
+            # running stats (the reference trains these BNs —
+            # necks/dilated_encoder.py:108 norm requires_grad=True); the
+            # frozen teacher keeps its running stats (deterministic=True).
+            out, mutated = model.apply(
+                variables, batch.images, batch.img_hw, deterministic=False,
+                mutable=["batch_stats"])
             anchors = yolof_anchors(out.head.feat_hw)
             t_out = None
             if teacher_vars is not None:
                 t_out = model.apply(teacher_vars, batch.images,
                                     batch.img_hw, deterministic=True)
-            return yolof_compute_losses(
+            losses = yolof_compute_losses(
                 out, anchors, batch, det_cfg, teacher_out=t_out,
                 distill_cfg=distill_cfg,
                 teacher_score_thr=cfg.distill.teacher_score_thr,
                 teacher_max_per_img=cfg.distill.teacher_max_per_img)
+            return losses, mutated["batch_stats"]
 
     elif arch == "yoloy":
         from ..models.yoloy import YOLOYDistillConfig, yoloy_compute_losses
@@ -70,17 +76,19 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             feats_distill=cfg.distill.feats_distill) if has_teacher else None
 
         def losses_fn(variables, batch, teacher_vars, rng):
-            out = model.apply(variables, batch.images, batch.img_hw,
-                              deterministic=True)
+            out, mutated = model.apply(
+                variables, batch.images, batch.img_hw, deterministic=False,
+                mutable=["batch_stats"])
             t_out = None
             if teacher_vars is not None:
                 t_out = model.apply(teacher_vars, batch.images,
                                     batch.img_hw, deterministic=True)
-            return yoloy_compute_losses(
+            losses = yoloy_compute_losses(
                 out, batch, det_cfg, teacher_out=t_out,
                 distill_cfg=distill_cfg,
                 teacher_score_thr=cfg.distill.teacher_score_thr,
                 teacher_max_per_img=cfg.distill.teacher_max_per_img)
+            return losses, mutated["batch_stats"]
 
     elif arch == "gfl":
         from ..models.gfl_head import GFLLossConfig, gfl_detection_loss
@@ -92,18 +100,55 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                               deterministic=True)
             return gfl_detection_loss(out.head, batch.gt_bboxes,
                                       batch.gt_labels, batch.gt_valid,
-                                      det_cfg)
+                                      det_cfg), None
 
     elif arch == "detr":
-        from ..models.detr import DETRLossConfig, detr_detection_loss
+        from ..models.detr import (DETRDistillConfig, DETRLossConfig,
+                                   detr_compute_losses)
         det_cfg = DETRLossConfig(num_classes=cfg.model.num_classes)
+        distill_cfg = DETRDistillConfig.from_flags(
+            cates_distill=cfg.distill.cates_distill,
+            feats_distill=cfg.distill.feats_distill) if has_teacher else None
 
         def losses_fn(variables, batch, teacher_vars, rng):
             out = model.apply(variables, batch.images, batch.img_hw,
                               deterministic=True)
-            return detr_detection_loss(out, batch.gt_bboxes,
-                                       batch.gt_labels, batch.gt_valid,
-                                       batch.img_hw, det_cfg)
+            t_out = None
+            if teacher_vars is not None:
+                t_out = model.apply(teacher_vars, batch.images,
+                                    batch.img_hw, deterministic=True)
+            return detr_compute_losses(
+                out, batch, det_cfg, teacher_out=t_out,
+                distill_cfg=distill_cfg,
+                teacher_score_thr=cfg.distill.teacher_score_thr,
+                teacher_max_per_img=cfg.distill.teacher_max_per_img), None
+
+    elif arch == "faster_rcnn":
+        from ..models.faster_rcnn import (FasterRCNN, RCNNLossConfig,
+                                          RPNLossConfig, rcnn_forward_train,
+                                          rpn_loss, rpn_proposals)
+        rpn_cfg = RPNLossConfig()
+        rcnn_cfg = RCNNLossConfig(num_classes=cfg.model.num_classes,
+                                  num_samples=cfg.rcnn_num_samples)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            rng1, rng2 = jax.random.split(rng)
+            out = model.apply(variables, batch.images, batch.img_hw)
+            losses = rpn_loss(out.rpn, batch.gt_bboxes, batch.gt_valid,
+                              batch.img_hw, rng1, rpn_cfg)
+            # proposals are detached (the reference never backprops
+            # through NMS'd proposals into the RPN)
+            props, _, valid = rpn_proposals(out.rpn, batch.img_hw,
+                                            nms_pre=1000,
+                                            max_total=cfg.rcnn_num_proposals)
+            props = jax.lax.stop_gradient(props)
+            rcnn_losses, _ = rcnn_forward_train(
+                lambda f: model.apply(variables, f,
+                                      method=FasterRCNN.roi_forward),
+                out.neck_feats, props, valid, batch.gt_bboxes,
+                batch.gt_labels, batch.gt_valid, rng2, rcnn_cfg)
+            losses.update({f"rcnn_{k}": v for k, v in rcnn_losses.items()})
+            return losses, None
 
     else:
         raise ValueError(f"no train step for arch: {arch}")
@@ -114,12 +159,15 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
         def loss_fn(params):
             variables = {"params": params,
                          "batch_stats": state.batch_stats}
-            losses = losses_fn(variables, batch, teacher_vars, step_rng)
-            return parse_losses(losses), losses
+            losses, new_bs = losses_fn(variables, batch, teacher_vars,
+                                       step_rng)
+            return parse_losses(losses), (losses, new_bs)
 
-        (total, losses), grads = jax.value_and_grad(
+        (total, (losses, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads).replace(rng=rng)
+        if new_bs is not None:
+            new_state = new_state.replace(batch_stats=new_bs)
         losses = dict(losses)
         losses["loss"] = total
         return new_state, losses

@@ -84,7 +84,12 @@ def init_variables(model, cfg: ExperimentConfig, rng):
     H, W = cfg.data.bucket
     images = jnp.zeros((1, H, W, 3), jnp.float32)
     img_hw = jnp.array([[H, W]], jnp.int32)
-    variables = model.init(rng, images, img_hw)
+    if cfg.model.arch == "faster_rcnn":
+        # two-stage: trace the ROI head too so init creates its params
+        variables = model.init(rng, images, img_hw,
+                               method=type(model).init_all)
+    else:
+        variables = model.init(rng, images, img_hw)
     if cfg.model.backbone_ckpt:
         from ..utils.torch_weights import load_resnet_weights
         variables = load_resnet_weights(variables, cfg.model.backbone_ckpt)
@@ -108,20 +113,24 @@ def make_datasets(cfg: ExperimentConfig, tid: int, task_nums: int):
 
 
 def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
-                   variables, teacher_params, mesh):
+                   variables, teacher_variables, mesh):
     """Train task ``tid``; returns the trained variables."""
     train_ds, val_ds = make_datasets(cfg, tid, task_nums)
     num_prev = sum(cfg.data.catsplit[:tid - 1])
 
-    pipe = PipelineConfig(img_scale=cfg.data.img_scale,
-                          flip_ratio=cfg.data.flip_ratio,
-                          max_gt=cfg.data.max_gt, bucket=cfg.data.bucket)
+    pipe = PipelineConfig(
+        img_scale=cfg.data.img_scale, flip_ratio=cfg.data.flip_ratio,
+        max_gt=cfg.data.max_gt, bucket=cfg.data.bucket,
+        multi_scales=cfg.data.multi_scales,
+        photo_metric_distortion=cfg.data.photo_metric_distortion,
+        mosaic=cfg.data.mosaic, mixup=cfg.data.mixup)
     global_batch = cfg.data.samples_per_device * len(mesh.devices.flatten())
     loader = DataLoader(train_ds, global_batch, pipe, train=True,
                         seed=cfg.train.seed + tid,
                         num_workers=cfg.data.num_workers,
                         num_hosts=jax.process_count(),
-                        host_id=jax.process_index())
+                        host_id=jax.process_index(),
+                        aspect_buckets=cfg.data.aspect_buckets)
     iters_per_epoch = max(len(loader), 1)
 
     sched = step_lr_schedule(cfg.train.base_lr, cfg.train.warmup_iters,
@@ -137,31 +146,54 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
         jax.random.PRNGKey(cfg.train.seed + 131 * tid))
 
     teacher_vars = None
-    if teacher_params is not None:
+    if teacher_variables is not None:
+        # the frozen teacher carries ITS OWN batch_stats (promotion
+        # snapshots the student's; an external teacher keeps the ones it
+        # was loaded with) — reference set_teacher freezes the whole module
         teacher_vars = replicate(
-            {"params": teacher_params,
-             "batch_stats": variables.get("batch_stats", {})}, mesh)
+            {"params": teacher_variables["params"],
+             "batch_stats": teacher_variables.get("batch_stats", {})}, mesh)
 
     from .family import make_family_train_step
     step_fn = make_family_train_step(
         cfg.model.arch, model, cfg, num_prev,
-        has_teacher=teacher_params is not None,
+        has_teacher=teacher_variables is not None,
         use_dropout=cfg.train.use_dropout)
 
     log.info("Task %d: %d train imgs, %d iters/epoch, num_prev=%d, "
              "teacher=%s", tid, len(train_ds), iters_per_epoch, num_prev,
-             teacher_params is not None)
+             teacher_variables is not None)
 
     from ..utils.logging import MetricsLogger
-    from .hooks import assert_loss_keys_consistent, check_invalid_loss
+    from .hooks import (assert_loss_keys_consistent, check_invalid_loss,
+                        ema_update)
     metrics = MetricsLogger(cfg.train.work_dir
                             if jax.process_index() == 0 else None)
 
+    ema_params = None
+    ema_step_fn = None
+    if cfg.train.use_ema:
+        ema_params = jax.tree.map(jnp.copy, state.params)
+        ema_step_fn = jax.jit(lambda e, p, s: ema_update(
+            e, p, s, momentum=cfg.train.ema_momentum))
+
     for epoch in range(1, cfg.train.epochs_per_task + 1):
+        # YOLOXModeSwitchHook: last no_aug_epochs train without Mosaic/MixUp
+        if (cfg.train.no_aug_epochs and (pipe.mosaic or pipe.mixup)
+                and epoch > cfg.train.epochs_per_task
+                - cfg.train.no_aug_epochs):
+            import dataclasses
+            loader.pipeline = dataclasses.replace(
+                loader.pipeline, mosaic=False, mixup=False)
+            log.info("task %d epoch %d: mosaic/mixup OFF (no-aug phase)",
+                     tid, epoch)
         t0, n_img = time.time(), 0
         for it, (batch, _meta) in enumerate(loader):
             batch = shard_batch(Batch(*map(jnp.asarray, batch)), mesh)
             state, losses = step_fn(state, batch, teacher_vars)
+            if ema_params is not None:
+                ema_params = ema_step_fn(ema_params, state.params,
+                                         state.step)
             n_img += batch.images.shape[0]
             if it == 0:
                 assert_loss_keys_consistent(losses)
@@ -178,12 +210,18 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
                     lr=float(sched(state.step)))
         if epoch % cfg.train.ckpt_interval == 0 and jax.process_index() == 0:
             save_checkpoint(cfg.train.work_dir, tid, epoch, state,
-                            teacher_params)
+                            teacher_variables["params"]
+                            if teacher_variables else None)
         if cfg.train.eval_interval and epoch % cfg.train.eval_interval == 0:
+            # each host evaluates its shard; evaluate() gathers the rest
             val_loader = DataLoader(val_ds, global_batch, pipe, train=False,
                                     num_workers=cfg.data.num_workers,
-                                    drop_last=False)
-            stats = evaluate(model, {"params": state.params,
+                                    drop_last=False,
+                                    num_hosts=jax.process_count(),
+                                    host_id=jax.process_index())
+            eval_params = ema_params if ema_params is not None \
+                else state.params
+            stats = evaluate(model, {"params": eval_params,
                                      "batch_stats": state.batch_stats},
                              val_ds, val_loader, reg_max=cfg.model.reg_max,
                              score_thr=cfg.test_score_thr,
@@ -193,7 +231,10 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
                      {k: round(v, 4) for k, v in stats.items()
                       if not k.startswith("AP_")})
 
-    return {"params": jax.device_get(state.params),
+    # with EMA on, the task's final weights are the averaged ones (the
+    # reference's EMAHook swaps the EMA buffer in before checkpoint/eval)
+    final_params = ema_params if ema_params is not None else state.params
+    return {"params": jax.device_get(final_params),
             "batch_stats": jax.device_get(state.batch_stats)}
 
 
@@ -213,7 +254,7 @@ def run_incremental(cfg: ExperimentConfig, student_ckpt: Optional[str] = None,
     cfg.train.seed = init_random_seed(cfg.train.seed)
     rng = set_random_seed(cfg.train.seed)
     variables = init_variables(model, cfg, rng)
-    teacher_params = None
+    teacher_variables = None
 
     def load_into(variables, path):
         import re
@@ -233,7 +274,7 @@ def run_incremental(cfg: ExperimentConfig, student_ckpt: Optional[str] = None,
         variables = load_into(variables, student_ckpt)
         log.info("student initialized from %s", student_ckpt)
     if teacher_ckpt:
-        teacher_params = load_into(variables, teacher_ckpt)["params"]
+        teacher_variables = load_into(variables, teacher_ckpt)
         log.info("external teacher loaded from %s", teacher_ckpt)
 
     for tid in range(1, task_nums + 1):
@@ -248,14 +289,16 @@ def run_incremental(cfg: ExperimentConfig, student_ckpt: Optional[str] = None,
                 variables = {"params": restored["params"],
                              "batch_stats": restored["batch_stats"]}
             log.info("Task %d skipped (resume_by_task)", tid)
-            teacher_params = copy.deepcopy(variables["params"])
+            teacher_variables = copy.deepcopy(variables)
             continue
         if tid > 1:
             # student -> frozen teacher: a REAL buffer copy (the train step
             # donates student params; an aliasing teacher would be
-            # invalidated by the first donation)
-            teacher_params = jax.tree.map(jnp.copy, variables["params"])
+            # invalidated by the first donation). Snapshot batch_stats too —
+            # the student keeps training its BNs while the teacher's must
+            # stay frozen at promotion values.
+            teacher_variables = jax.tree.map(jnp.copy, variables)
         variables = train_one_task(
             model, cfg, tid, task_nums, variables,
-            teacher_params if (tid > 1 or teacher_ckpt) else None, mesh)
+            teacher_variables if (tid > 1 or teacher_ckpt) else None, mesh)
     return variables

@@ -50,6 +50,17 @@ class DataConfig:
     bucket: Tuple[int, int] = (640, 640)
     img_scale: Tuple[int, int] = (640, 640)
     flip_ratio: float = 0.5
+    # aspect-ratio bucketing (GroupSampler, samplers/group_sampler.py:13-17):
+    # (portrait_hw, landscape_hw) static canvases; None = single bucket.
+    # e.g. ((800, 608), (608, 800)) cuts ~20% encoder tokens vs (800, 800)
+    aspect_buckets: Optional[Tuple[Tuple[int, int], Tuple[int, int]]] = None
+    # multi-scale training (Resize multiscale_mode='value'); the bucket
+    # must cover the largest scale
+    multi_scales: Optional[Tuple[Tuple[int, int], ...]] = None
+    photo_metric_distortion: bool = False
+    # YOLOX-style multi-image mixes (pipelines/transforms.py Mosaic/MixUp)
+    mosaic: bool = False
+    mixup: bool = False
 
 
 @dataclass
@@ -68,6 +79,13 @@ class TrainConfig:
     resume_by_task: int = 0
     work_dir: str = "work_dirs/dskd"
     use_dropout: bool = True
+    # ExpMomentumEMA (core/hook/ema.py): evaluate/checkpoint with an EMA of
+    # the params while training on the raw ones
+    use_ema: bool = False
+    ema_momentum: float = 0.0002
+    # YOLOXModeSwitchHook (core/hook/yolox_mode_switch_hook.py:52): disable
+    # Mosaic/MixUp for the last N epochs of each task
+    no_aug_epochs: int = 0
 
 
 @dataclass
@@ -89,6 +107,10 @@ class ExperimentConfig:
     distill: DistillFlags = field(default_factory=DistillFlags)
     test_score_thr: float = 0.0
     test_max_per_img: int = 100
+    # two-stage (Faster R-CNN) knobs: train-time proposal budget after NMS
+    # and sampled ROIs per image (train_cfg.rcnn sampler num=512)
+    rcnn_num_proposals: int = 512
+    rcnn_num_samples: int = 512
 
 
 def dskd_flagship_config(catsplit=(40, 40),

@@ -93,3 +93,179 @@ def _merge(dst, src):
                     (k, out[k].shape, v.shape)
             out[k] = v
     return out
+
+
+# ---------------------------------------------------------------------------
+# Full mmdet GFL-DeformableDETR checkpoint -> flax variables
+# ---------------------------------------------------------------------------
+
+def convert_mmdet_gfl_ddetr(state: Dict[str, Any], num_heads: int = 8,
+                            depth: int = 50):
+    """mmdet DSKD flagship state_dict -> (params, batch_stats).
+
+    Source naming (reference):
+      * backbone.* — mmdet ResNet (torchvision-style conv1/bn1/layerS.B.*)
+      * neck.convs.{i}.conv/gn, neck.extra_convs.{j}.conv/gn —
+        necks/channel_mapper.py:61-90
+      * bbox_head.query_embedding/prototype (Embedding) and the SHARED
+        cls_branches.0 / reg_branches.0.{0,2,4} (no box refine —
+        gfl_deformable_detr_head_il.py:145-178)
+      * bbox_head.transformer.level_embeds, encoder/decoder
+        layers.{i}.attentions.{k} (mmcv MultiheadAttention wraps torch
+        nn.MultiheadAttention as `.attn`; MSDA exposes sampling_offsets/
+        attention_weights/value_proj/output_proj), ffns.0.layers.0.0 +
+        layers.1, norms.{k}, reference_points —
+        models/utils/transformer.py:713-1055
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(tree, path, val):
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = val
+
+    def linear(dst, src):
+        put(params, dst + ("kernel",), _to_np(state[src + ".weight"]).T)
+        if src + ".bias" in state:
+            put(params, dst + ("bias",), _to_np(state[src + ".bias"]))
+
+    def norm(dst, src):  # LayerNorm / GroupNorm weight->scale
+        put(params, dst + ("scale",), _to_np(state[src + ".weight"]))
+        put(params, dst + ("bias",), _to_np(state[src + ".bias"]))
+
+    def mha(dst, src, C):
+        """torch nn.MultiheadAttention -> flax MultiHeadDotProductAttention."""
+        H = num_heads
+        Dh = C // H
+        w = _to_np(state[src + ".in_proj_weight"])       # (3C, C)
+        b = _to_np(state[src + ".in_proj_bias"])
+        for i, name in enumerate(("query", "key", "value")):
+            put(params, dst + (name, "kernel"),
+                w[i * C:(i + 1) * C].T.reshape(C, H, Dh))
+            put(params, dst + (name, "bias"),
+                b[i * C:(i + 1) * C].reshape(H, Dh))
+        ow = _to_np(state[src + ".out_proj.weight"])     # (C, C)
+        put(params, dst + ("out", "kernel"), ow.T.reshape(H, Dh, C))
+        put(params, dst + ("out", "bias"),
+            _to_np(state[src + ".out_proj.bias"]))
+
+    def msda(dst, src):
+        for lin in ("sampling_offsets", "attention_weights", "value_proj",
+                    "output_proj"):
+            linear(dst + (lin,), f"{src}.{lin}")
+
+    # backbone (strip prefix, reuse the resnet converter)
+    bstate = {k[len("backbone."):]: v for k, v in state.items()
+              if k.startswith("backbone.")}
+    bparams, bstats = convert_resnet_state_dict(bstate, depth)
+    params["backbone"] = bparams
+    stats["backbone"] = bstats
+
+    # neck (ChannelMapper)
+    i = 0
+    while f"neck.convs.{i}.conv.weight" in state:
+        put(params, ("neck", f"conv{i}", "kernel"),
+            _to_np(state[f"neck.convs.{i}.conv.weight"])
+            .transpose(2, 3, 1, 0))
+        if f"neck.convs.{i}.conv.bias" in state:
+            put(params, ("neck", f"conv{i}", "bias"),
+                _to_np(state[f"neck.convs.{i}.conv.bias"]))
+        norm(("neck", f"gn{i}"), f"neck.convs.{i}.gn")
+        i += 1
+    j = 0
+    while f"neck.extra_convs.{j}.conv.weight" in state:
+        put(params, ("neck", f"extra_conv{j}", "kernel"),
+            _to_np(state[f"neck.extra_convs.{j}.conv.weight"])
+            .transpose(2, 3, 1, 0))
+        if f"neck.extra_convs.{j}.conv.bias" in state:
+            put(params, ("neck", f"extra_conv{j}", "bias"),
+                _to_np(state[f"neck.extra_convs.{j}.conv.bias"]))
+        norm(("neck", f"extra_gn{j}"), f"neck.extra_convs.{j}.gn")
+        j += 1
+
+    # head-level params
+    head = ("bbox_head",)
+    put(params, head + ("query_embedding",),
+        _to_np(state["bbox_head.query_embedding.weight"]))
+    if "bbox_head.prototype.weight" in state:
+        put(params, head + ("prototype",),
+            _to_np(state["bbox_head.prototype.weight"]))
+    # shared branches (clones alias the same tensors; take layer 0)
+    linear(head + ("cls_branch",), "bbox_head.cls_branches.0")
+    linear(head + ("reg_fc0",), "bbox_head.reg_branches.0.0")
+    linear(head + ("reg_fc1",), "bbox_head.reg_branches.0.2")
+    linear(head + ("reg_out",), "bbox_head.reg_branches.0.4")
+
+    # transformer
+    tf = head + ("transformer",)
+    tsrc = "bbox_head.transformer"
+    put(params, tf + ("level_embeds",),
+        _to_np(state[f"{tsrc}.level_embeds"]))
+    linear(tf + ("reference_points",), f"{tsrc}.reference_points")
+
+    C = _to_np(state[f"{tsrc}.level_embeds"]).shape[-1]
+    i = 0
+    while f"{tsrc}.encoder.layers.{i}.norms.0.weight" in state:
+        lyr = tf + (f"encoder_layer{i}",)
+        src = f"{tsrc}.encoder.layers.{i}"
+        msda(lyr + ("self_attn",), f"{src}.attentions.0")
+        linear(lyr + ("ffn", "fc1"), f"{src}.ffns.0.layers.0.0")
+        linear(lyr + ("ffn", "fc2"), f"{src}.ffns.0.layers.1")
+        norm(lyr + ("norm1",), f"{src}.norms.0")
+        norm(lyr + ("norm2",), f"{src}.norms.1")
+        i += 1
+    i = 0
+    while f"{tsrc}.decoder.layers.{i}.norms.0.weight" in state:
+        lyr = tf + (f"decoder_layer{i}",)
+        src = f"{tsrc}.decoder.layers.{i}"
+        mha(lyr + ("self_attn", "attn"), f"{src}.attentions.0.attn", C)
+        msda(lyr + ("cross_attn",), f"{src}.attentions.1")
+        linear(lyr + ("ffn", "fc1"), f"{src}.ffns.0.layers.0.0")
+        linear(lyr + ("ffn", "fc2"), f"{src}.ffns.0.layers.1")
+        norm(lyr + ("norm1",), f"{src}.norms.0")
+        norm(lyr + ("norm2",), f"{src}.norms.1")
+        norm(lyr + ("norm3",), f"{src}.norms.2")
+        i += 1
+
+    return params, stats
+
+
+def load_mmdet_checkpoint(variables, ckpt_path: str, depth: int = 50,
+                          num_heads: int = 8, strict: bool = True):
+    """Load a full mmdet DSKD-flagship .pth into initialized variables.
+
+    ``strict`` asserts every converted leaf lands on an existing leaf with
+    the same shape (catches naming drift between the two frameworks)."""
+    import torch
+    state = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    if "state_dict" in state:
+        state = state["state_dict"]
+    return load_mmdet_state_dict(variables, state, depth=depth,
+                                 num_heads=num_heads, strict=strict)
+
+
+def load_mmdet_state_dict(variables, state, depth: int = 50,
+                          num_heads: int = 8, strict: bool = True):
+    params, stats = convert_mmdet_gfl_ddetr(state, num_heads=num_heads,
+                                            depth=depth)
+    variables = dict(variables)
+    if strict:
+        _assert_subtree(variables["params"], params, path="params")
+        _assert_subtree(variables.get("batch_stats", {}), stats,
+                        path="batch_stats")
+    variables["params"] = _merge(variables["params"], params)
+    variables["batch_stats"] = _merge(variables.get("batch_stats", {}),
+                                      stats)
+    return variables
+
+
+def _assert_subtree(dst, src, path=""):
+    for k, v in src.items():
+        assert k in dst, f"converted key missing in model: {path}/{k}"
+        if isinstance(v, dict):
+            _assert_subtree(dst[k], v, f"{path}/{k}")
+        else:
+            assert tuple(dst[k].shape) == tuple(v.shape), \
+                (f"{path}/{k}", tuple(dst[k].shape), tuple(v.shape))

@@ -20,3 +20,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: the suite's wall time is compile-dominated
+# (6+ model families x jit programs); cache hits make re-runs minutes faster
+_cache_dir = os.path.join(os.path.dirname(__file__), "..",
+                          ".jax_compilation_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

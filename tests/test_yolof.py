@@ -138,3 +138,45 @@ def test_yolof_get_bboxes_static(yolof_setup):
     # every box within the image
     b = np.asarray(det["bboxes"])
     assert (b >= 0).all() and (b <= 64).all()
+
+
+def test_yolof_bn_stats_train_and_teacher_frozen(yolof_setup):
+    """Train-mode apply must UPDATE neck/head BN running stats (the
+    reference trains these BNs: necks/dilated_encoder.py:108 norm_cfg
+    requires_grad=True) while the frozen teacher keeps its own."""
+    from dskd_tpu.train.family import make_family_train_step
+    from dskd_tpu.train.optim import make_optimizer
+    from dskd_tpu.train.schedule import step_lr_schedule
+    from dskd_tpu.train.state import TrainState
+    from dskd_tpu.utils.config import ExperimentConfig, ModelConfig
+
+    model, variables, batch = yolof_setup
+    cfg = ExperimentConfig(model=ModelConfig(arch="yolof", num_classes=10,
+                                             depth=18))
+    tx = make_optimizer(variables["params"],
+                        step_lr_schedule(1e-3, iters_per_epoch=10))
+    state = TrainState.create(variables["params"],
+                              variables["batch_stats"], tx,
+                              jax.random.PRNGKey(1))
+    teacher_vars = jax.tree.map(jnp.copy, variables)
+    # the step donates state buffers — snapshot the stats first
+    old_bs = jax.tree.map(jnp.copy, variables["batch_stats"])
+    step = make_family_train_step("yolof", model, cfg, num_prev=5,
+                                  has_teacher=True)
+    new_state, losses = step(state, batch, teacher_vars)
+    assert np.isfinite(float(losses["loss"]))
+
+    new_bs = new_state.batch_stats
+    # neck BN stats must have moved (batch mean of real activations != 0)
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        old_bs["neck"], new_bs["neck"])
+    assert max(jax.tree.leaves(moved)) > 0, moved
+    # frozen backbone stats unchanged
+    same = jax.tree.map(lambda a, b: bool((a == b).all()),
+                        old_bs["backbone"], new_bs["backbone"])
+    assert all(jax.tree.leaves(same))
+    # the teacher pytree is untouched
+    t_same = jax.tree.map(lambda a, b: bool((a == b).all()),
+                          teacher_vars["batch_stats"], old_bs)
+    assert all(jax.tree.leaves(t_same))
