@@ -351,3 +351,43 @@ def distill_hungarian_assign(cls_logits, bbox_cxcywh, teacher_bboxes,
                            teacher_labels, img_hw, cls_cost="softmax",
                            cls_weight=1.0, reg_weight=1.0, iou_weight=1.0)
     return hungarian_assign(cost, teacher_valid, teacher_labels)
+
+
+def distribution_focal_loss_cost(pred_corner: jnp.ndarray,
+                                 target_corner: jnp.ndarray,
+                                 weight: float = 1.0) -> jnp.ndarray:
+    """DistributionFocalLossCost (match_cost.py:277-350).
+
+    pred_corner: (Q*4, reg_max+1) distribution logits (4 corners per query);
+    target_corner: (G*4,) continuous bin targets. Returns (Q, G) cost =
+    per-pair DFL averaged over the 4 matched corners, scaled by 1/(G*4) —
+    the reference's normalization quirk (:347) is preserved.
+
+    NOTE: the reference's own implementation is dead code with a broken
+    reshape ((Q*4*G*4,) -> (Q, G, 4) cannot hold; verified to raise) —
+    no config uses it. The intended semantics (pair corner c of the query
+    with corner c of the GT, average over c) are implemented here.
+    """
+    n_bins = pred_corner.shape[-1]
+    Q = pred_corner.shape[0] // 4
+    G = target_corner.shape[0] // 4
+
+    logp = jax.nn.log_softmax(pred_corner, axis=-1)      # (Q*4, n)
+    t = target_corner
+    dis_left = jnp.clip(t.astype(jnp.int32), 0, n_bins - 1)
+    dis_right = jnp.clip(dis_left + 1, 0, n_bins - 1)
+    w_left = (dis_left + 1).astype(logp.dtype) - t
+    w_right = t - dis_left.astype(logp.dtype)
+
+    # (Q*4, G*4) cross CE at the two bracketing bins
+    ce_l = -logp[:, dis_left]
+    ce_r = -logp[:, dis_right]
+    loss = ce_l * w_left[None, :] + ce_r * w_right[None, :]
+    # pair corner c of query q with corner c of gt g (the reference repeats
+    # flat (Q*4) x (G*4) then reshapes (Q, G, 4) -> pairs index (q*4+c,
+    # g*4+c) ... its reshape actually averages the (c_pred, c_gt) diagonal
+    # blocks; replicate by gathering the matched-corner diagonal)
+    loss = loss.reshape(Q, 4, G, 4)
+    diag = jnp.einsum("qcgc->qcg", loss)                  # matched corners
+    cost = diag.mean(axis=1) / (G * 4)
+    return cost * weight

@@ -150,6 +150,7 @@ class DataLoader:
                 ori_hw=np.stack([s["ori_hw"] for s in samples]))
             return batch, meta
 
+        # (see infinite() for the InfiniteSampler-style endless stream)
         # true async prefetch: a producer thread builds batch b+1..b+N
         # while the consumer (the device step) is chewing on batch b —
         # the reference gets this from torch DataLoader worker processes
@@ -187,3 +188,14 @@ class DataLoader:
                 except queue_mod.Empty:
                     thread.join(timeout=0.1)
         self.epoch += 1
+
+    def infinite(self) -> Iterator[Batch]:
+        """Endless batch stream for iter-based schedules.
+
+        The reference's InfiniteGroupBatchSampler/InfiniteBatchSampler
+        (datasets/samplers/infinite_sampler.py:186) feed IterBasedRunner
+        with an endless, epoch-reshuffled index stream; here each pass
+        through __iter__ reshuffles (self.epoch advances per pass).
+        """
+        while True:
+            yield from iter(self)

@@ -114,7 +114,8 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
 def evaluate(model, variables, dataset: TaskCocoDataset, loader: DataLoader,
              reg_max: int = 16, score_thr: float = 0.0,
              max_per_img: int = 100, classwise: bool = False,
-             arch: str = "gfl_deformable_detr") -> Dict[str, float]:
+             arch: str = "gfl_deformable_detr",
+             results_out: Optional[list] = None) -> Dict[str, float]:
     """Run inference over the loader and compute COCO bbox stats.
 
     Evaluation classes follow the dataset's PRED_CLASSES (the x-class IL
@@ -154,6 +155,14 @@ def evaluate(model, variables, dataset: TaskCocoDataset, loader: DataLoader,
             continue
         seen.add(img_id)
         ev.add_dt(img_id, b, s, list(cats))
+        if results_out is not None:
+            # results2json format: xywh + score + category_id per det
+            for bb, sc, cat in zip(np.asarray(b), np.asarray(s), cats):
+                results_out.append(dict(
+                    image_id=int(img_id),
+                    bbox=[float(bb[0]), float(bb[1]),
+                          float(bb[2] - bb[0]), float(bb[3] - bb[1])],
+                    score=float(sc), category_id=int(cat)))
 
     # ground truth for the evaluated images
     for img_id in seen:
@@ -173,5 +182,68 @@ def evaluate(model, variables, dataset: TaskCocoDataset, loader: DataLoader,
     if classwise:
         per_class = ev.per_class_ap()
         for cid, ap in per_class.items():
+            stats[f"AP_{dataset.ALL_IDS_CLASSES[cid]}"] = ap
+    return stats
+
+
+def evaluate_tta(model, variables, dataset: TaskCocoDataset,
+                 base_pipe, scales, flip: bool = True,
+                 reg_max: int = 16, score_thr: float = 0.0,
+                 max_per_img: int = 100, classwise: bool = False,
+                 arch: str = "gfl_deformable_detr") -> Dict[str, float]:
+    """Multi-scale + flip test-time augmentation evaluation.
+
+    Parity: MultiScaleFlipAug pipeline + merge_augs (tools/test.py with a
+    TTA test pipeline). Each image runs through every (scale, flip)
+    variant on device; detections map back to original coordinates and
+    fuse with one class-aware NMS (eval/tta.py).
+    """
+    from ..data.pipeline import load_image
+    from .tta import map_back, merge_aug_detections, tta_variants
+
+    pred_cat_ids = [dataset.ALL_CLASSES_IDS[n] for n in dataset.PRED_CLASSES]
+    pred_label_set = np.array(
+        sorted(dataset.cat2label[c] for c in pred_cat_ids))
+    ev = CocoDetectionEval(cat_ids=pred_cat_ids)
+    eval_step = make_eval_step(model, reg_max, score_thr, max_per_img,
+                               arch=arch)
+    ones = jnp.ones((1, 4), jnp.float32)
+
+    for i in range(len(dataset)):
+        path, _, _, _, img_id = dataset.get_raw(i)
+        img = load_image(path)
+        per_variant = []
+        for s in tta_variants(img, scales, flip, base_pipe):
+            det = eval_step(variables, jnp.asarray(s["image"][None]),
+                            jnp.asarray(s["img_hw"][None]), ones)
+            keep = np.asarray(det.valid[0])
+            boxes = map_back(np.asarray(det.bboxes[0])[keep],
+                             s["scale_factor"], s["flip"], s["img_hw"])
+            per_variant.append((boxes, np.asarray(det.scores[0])[keep],
+                                np.asarray(det.labels[0])[keep],
+                                np.ones(int(keep.sum()), bool)))
+        boxes, scores, labels, valid = merge_aug_detections(
+            per_variant, max_per_img=max_per_img)
+        sel = valid & np.isin(labels, pred_label_set)
+        ev.add_dt(img_id, boxes[sel], scores[sel],
+                  [dataset.label2cat[int(l)] for l in labels[sel]])
+
+    for i in range(len(dataset)):
+        img_id = dataset.get_raw(i)[4]
+        anns = [a for a in dataset.coco.annotations(img_id)
+                if a["category_id"] in set(pred_cat_ids)]
+        if not anns:
+            continue
+        gt = np.array([[a["bbox"][0], a["bbox"][1],
+                        a["bbox"][0] + a["bbox"][2],
+                        a["bbox"][1] + a["bbox"][3]] for a in anns])
+        ev.add_gt(img_id, gt, [a["category_id"] for a in anns],
+                  iscrowd=[a.get("iscrowd", 0) for a in anns],
+                  areas=[a.get("area", None) or a["bbox"][2] * a["bbox"][3]
+                         for a in anns])
+
+    stats = ev.summarize()
+    if classwise:
+        for cid, ap in ev.per_class_ap().items():
             stats[f"AP_{dataset.ALL_IDS_CLASSES[cid]}"] = ap
     return stats

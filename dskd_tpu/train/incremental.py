@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import copy
 import logging
+import threading
 import time
 from typing import Optional
 
@@ -170,6 +171,7 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
     metrics = MetricsLogger(cfg.train.work_dir
                             if jax.process_index() == 0 else None)
 
+    eval_threads = []
     ema_params = None
     ema_step_fn = None
     if cfg.train.use_ema:
@@ -177,18 +179,34 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
         ema_step_fn = jax.jit(lambda e, p, s: ema_update(
             e, p, s, momentum=cfg.train.ema_momentum))
 
-    for epoch in range(1, cfg.train.epochs_per_task + 1):
+    # iter-based schedule (IterBasedRunner + InfiniteSampler): slice an
+    # endless reshuffled stream into iters_per_epoch-sized virtual epochs
+    if cfg.train.max_iters_per_task > 0:
+        import itertools
+        total_iters = cfg.train.max_iters_per_task
+        n_epochs = -(-total_iters // iters_per_epoch)
+        stream = loader.infinite()
+
+        def epoch_batches(e):
+            k = min(iters_per_epoch, total_iters - (e - 1) * iters_per_epoch)
+            return itertools.islice(stream, k)
+    else:
+        n_epochs = cfg.train.epochs_per_task
+
+        def epoch_batches(e):
+            return iter(loader)
+
+    for epoch in range(1, n_epochs + 1):
         # YOLOXModeSwitchHook: last no_aug_epochs train without Mosaic/MixUp
         if (cfg.train.no_aug_epochs and (pipe.mosaic or pipe.mixup)
-                and epoch > cfg.train.epochs_per_task
-                - cfg.train.no_aug_epochs):
+                and epoch > n_epochs - cfg.train.no_aug_epochs):
             import dataclasses
             loader.pipeline = dataclasses.replace(
                 loader.pipeline, mosaic=False, mixup=False)
             log.info("task %d epoch %d: mosaic/mixup OFF (no-aug phase)",
                      tid, epoch)
         t0, n_img = time.time(), 0
-        for it, (batch, _meta) in enumerate(loader):
+        for it, (batch, _meta) in enumerate(epoch_batches(epoch)):
             batch = shard_batch(Batch(*map(jnp.asarray, batch)), mesh)
             state, losses = step_fn(state, batch, teacher_vars)
             if ema_params is not None:
@@ -213,23 +231,44 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
                             teacher_variables["params"]
                             if teacher_variables else None)
         if cfg.train.eval_interval and epoch % cfg.train.eval_interval == 0:
-            # each host evaluates its shard; evaluate() gathers the rest
+            # async eval (SURVEY §7 hard part 6): snapshot the weights (the
+            # train step donates state buffers) and run the whole eval —
+            # device inference + host COCOeval — on a background thread
+            # while the next epoch trains. Threads join at task end.
+            # Multi-host runs stay synchronous: evaluate() gathers shards
+            # with collectives that must not interleave with training ones.
             val_loader = DataLoader(val_ds, global_batch, pipe, train=False,
                                     num_workers=cfg.data.num_workers,
                                     drop_last=False,
                                     num_hosts=jax.process_count(),
                                     host_id=jax.process_index())
-            eval_params = ema_params if ema_params is not None \
-                else state.params
-            stats = evaluate(model, {"params": eval_params,
-                                     "batch_stats": state.batch_stats},
-                             val_ds, val_loader, reg_max=cfg.model.reg_max,
-                             score_thr=cfg.test_score_thr,
-                             max_per_img=cfg.test_max_per_img,
-                             arch=cfg.model.arch)
-            log.info("task %d epoch %d eval: %s", tid, epoch,
-                     {k: round(v, 4) for k, v in stats.items()
-                      if not k.startswith("AP_")})
+            eval_params = jax.tree.map(
+                jnp.copy, ema_params if ema_params is not None
+                else state.params)
+            eval_stats = jax.tree.map(jnp.copy, state.batch_stats)
+
+            def run_eval(epoch=epoch, params=eval_params, bs=eval_stats,
+                         loader_=val_loader):
+                stats = evaluate(model, {"params": params,
+                                         "batch_stats": bs},
+                                 val_ds, loader_, reg_max=cfg.model.reg_max,
+                                 score_thr=cfg.test_score_thr,
+                                 max_per_img=cfg.test_max_per_img,
+                                 arch=cfg.model.arch)
+                log.info("task %d epoch %d eval: %s", tid, epoch,
+                         {k: round(v, 4) for k, v in stats.items()
+                          if not k.startswith("AP_")})
+
+            if jax.process_count() == 1:
+                th = threading.Thread(target=run_eval, daemon=True,
+                                      name=f"eval-t{tid}e{epoch}")
+                th.start()
+                eval_threads.append(th)
+            else:
+                run_eval()
+
+    for th in eval_threads:
+        th.join()
 
     # with EMA on, the task's final weights are the averaged ones (the
     # reference's EMAHook swaps the EMA buffer in before checkpoint/eval)

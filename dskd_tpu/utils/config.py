@@ -72,6 +72,10 @@ class TrainConfig:
     warmup_ratio: float = 0.01
     step_epochs: Tuple[int, ...] = (8, 11)
     epochs_per_task: int = 12
+    # iter-based schedule (IterBasedRunner + InfiniteSampler equivalent):
+    # when > 0, each task trains this many iterations from an endless
+    # reshuffled stream instead of epochs_per_task epochs
+    max_iters_per_task: int = 0
     seed: int = 42
     log_interval: int = 50
     ckpt_interval: int = 1          # epochs

@@ -1,0 +1,97 @@
+"""Unit oracles for the analysis tools (kmeans anchors, per-image score)."""
+import sys
+import os
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools",
+                                "analysis_tools"))
+
+from analyze_results import per_image_score  # noqa: E402
+from optimize_anchors import kmeans_anchors, wh_iou  # noqa: E402
+
+
+def test_wh_iou_identity():
+    wh = np.array([[10.0, 20.0], [5.0, 5.0]])
+    iou = wh_iou(wh, wh)
+    np.testing.assert_allclose(np.diag(iou), 1.0)
+    # 5x5 inside 10x20: inter 25, union 200
+    np.testing.assert_allclose(iou[0, 1], 25.0 / 200.0)
+
+
+def test_kmeans_recovers_clusters():
+    rng = np.random.RandomState(0)
+    a = np.abs(rng.randn(200, 2) * 2) + [10, 10]
+    b = np.abs(rng.randn(200, 2) * 5) + [100, 50]
+    c = np.abs(rng.randn(200, 2) * 8) + [300, 300]
+    whs = np.concatenate([a, b, c])
+    anchors, mean_iou = kmeans_anchors(whs, 3, iters=50)
+    # sorted by area: near (10,10), (100,50), (300,300)
+    assert mean_iou > 0.8
+    np.testing.assert_allclose(anchors[0], [10, 10], rtol=0.3)
+    np.testing.assert_allclose(anchors[2], [300, 300], rtol=0.2)
+
+
+def test_per_image_score_values():
+    gts = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32)
+    # perfect: both matched, no extras -> 1.0
+    dets = np.array([[0, 0, 10, 10, 0.9], [20, 20, 30, 30, 0.8]],
+                    np.float32)
+    assert per_image_score(dets, gts) == 1.0
+    # one TP of two dets, one GT of two covered -> P=0.5, R=0.5 -> F1=0.5
+    dets = np.array([[0, 0, 10, 10, 0.9], [50, 50, 60, 60, 0.8]],
+                    np.float32)
+    np.testing.assert_allclose(per_image_score(dets, gts), 0.5)
+    # empty dets with GT -> 0; empty both -> 1
+    assert per_image_score(np.zeros((0, 5)), gts) == 0.0
+    assert per_image_score(np.zeros((0, 5)), np.zeros((0, 4))) == 1.0
+
+
+def test_voc_to_coco_roundtrip(tmp_path):
+    """VOC xml -> COCO json conversion (1-indexed inclusive -> xywh)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools", "dataset_converters"))
+    from pascal_voc import voc_split_to_coco
+
+    vocdir = tmp_path / "VOC2007"
+    (vocdir / "Annotations").mkdir(parents=True)
+    (vocdir / "ImageSets" / "Main").mkdir(parents=True)
+    (vocdir / "ImageSets" / "Main" / "trainval.txt").write_text("000001\n")
+    (vocdir / "Annotations" / "000001.xml").write_text("""
+<annotation><size><width>100</width><height>80</height><depth>3</depth>
+</size><object><name>dog</name><difficult>0</difficult>
+<bndbox><xmin>11</xmin><ymin>21</ymin><xmax>50</xmax><ymax>60</ymax>
+</bndbox></object></annotation>""")
+
+    out = tmp_path / "out.json"
+    import json
+    n_img, n_ann = voc_split_to_coco(str(tmp_path), "2007", "trainval",
+                                     str(out))
+    assert (n_img, n_ann) == (1, 1)
+    data = json.load(open(out))
+    ann = data["annotations"][0]
+    # xmin-1=10, ymin-1=20, w=50-10=40, h=60-20=40
+    assert ann["bbox"] == [10.0, 20.0, 40.0, 40.0]
+    dog_id = [c["id"] for c in data["categories"] if c["name"] == "dog"][0]
+    assert ann["category_id"] == dog_id
+
+
+def test_images2coco(tmp_path):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools", "dataset_converters"))
+    import cv2
+    from images2coco import images2coco
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    cv2.imwrite(str(d / "a.jpg"), np.zeros((10, 20, 3), np.uint8))
+    cv2.imwrite(str(d / "b.png"), np.zeros((30, 40, 3), np.uint8))
+    (d / "notes.txt").write_text("skip me")
+    out = tmp_path / "ann.json"
+    n = images2coco(str(d), ["cat", "dog"], str(out))
+    assert n == 2
+    import json
+    data = json.load(open(out))
+    assert data["images"][0]["height"] == 10
+    assert data["images"][1]["width"] == 40
+    assert len(data["categories"]) == 2

@@ -123,3 +123,36 @@ def test_gfl_cost_vs_reference_formula():
     cls_c = bce * np.abs(score - sig) ** 2 * 2.0
 
     np.testing.assert_allclose(got, cls_c + reg + iou_c, rtol=1e-4, atol=1e-4)
+
+
+def test_distribution_focal_loss_cost():
+    """DFL match cost: per-corner CE at bracketing bins, matched-corner
+    average, 1/(G*4) normalization (reference match_cost.py:277-350; its
+    own reshape is broken dead code — semantics re-derived)."""
+    import torch
+    import torch.nn.functional as F
+
+    from dskd_tpu.core.matching import distribution_focal_loss_cost
+
+    rng = np.random.RandomState(0)
+    Q, G, n = 5, 3, 17
+    pred = rng.randn(Q * 4, n).astype(np.float32)
+    tgt = (rng.rand(G * 4) * (n - 1 - 1e-3)).astype(np.float32)
+
+    got = np.asarray(distribution_focal_loss_cost(jnp.asarray(pred),
+                                                  jnp.asarray(tgt)))
+    # torch oracle with explicit loops (matched corners)
+    pred_t, tgt_t = torch.tensor(pred), torch.tensor(tgt)
+    want = np.zeros((Q, G), np.float32)
+    for q in range(Q):
+        for g in range(G):
+            acc = 0.0
+            for c in range(4):
+                p = pred_t[q * 4 + c][None]
+                t = tgt_t[g * 4 + c]
+                dl = t.long()
+                wl, wr = (dl + 1).float() - t, t - dl.float()
+                acc += (F.cross_entropy(p, dl[None]) * wl
+                        + F.cross_entropy(p, dl[None] + 1) * wr).item()
+            want[q, g] = acc / 4 / (G * 4)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -17,6 +17,14 @@ def main():
     parser.add_argument("--epoch", type=int, default=None)
     parser.add_argument("--work-dir", default=None)
     parser.add_argument("--classwise", action="store_true")
+    parser.add_argument("--tta", action="store_true",
+                        help="multi-scale + flip test-time augmentation")
+    parser.add_argument("--tta-scales", nargs="*", type=int, default=None,
+                        help="flat H W pairs, e.g. --tta-scales 640 640 "
+                             "800 800 (default: the config img_scale)")
+    parser.add_argument("--out", default=None,
+                        help="save detections as COCO results json "
+                             "(the reference's results2json/--format-only)")
     parser.add_argument("--set", nargs="*", default=[])
     args = parser.parse_args()
 
@@ -64,13 +72,38 @@ def main():
     pipe = PipelineConfig(img_scale=cfg.data.img_scale, flip_ratio=0.0,
                           max_gt=cfg.data.max_gt, bucket=cfg.data.bucket)
     batch = cfg.data.samples_per_device * jax.device_count()
-    loader = DataLoader(val_ds, batch, pipe, train=False,
-                        num_workers=cfg.data.num_workers, drop_last=False)
-    stats = evaluate(model, variables, val_ds, loader,
-                     reg_max=cfg.model.reg_max,
-                     score_thr=cfg.test_score_thr,
-                     max_per_img=cfg.test_max_per_img,
-                     classwise=args.classwise, arch=cfg.model.arch)
+    if args.tta:
+        from dskd_tpu.eval.evaluator import evaluate_tta
+        if args.tta_scales:
+            it = iter(args.tta_scales)
+            scales = list(zip(it, it))
+        else:
+            scales = [tuple(cfg.data.img_scale)]
+        log.info("TTA eval: scales=%s + flip", scales)
+        stats = evaluate_tta(model, variables, val_ds, pipe, scales,
+                             flip=True, reg_max=cfg.model.reg_max,
+                             score_thr=cfg.test_score_thr,
+                             max_per_img=cfg.test_max_per_img,
+                             classwise=args.classwise, arch=cfg.model.arch)
+    else:
+        loader = DataLoader(val_ds, batch, pipe, train=False,
+                            num_workers=cfg.data.num_workers,
+                            drop_last=False,
+                            num_hosts=jax.process_count(),
+                            host_id=jax.process_index())
+        results_out = [] if args.out else None
+        stats = evaluate(model, variables, val_ds, loader,
+                         reg_max=cfg.model.reg_max,
+                         score_thr=cfg.test_score_thr,
+                         max_per_img=cfg.test_max_per_img,
+                         classwise=args.classwise, arch=cfg.model.arch,
+                         results_out=results_out)
+        if args.out:
+            import json
+            with open(args.out, "w") as f:
+                json.dump(results_out, f)
+            log.info("wrote %d detections to %s", len(results_out),
+                     args.out)
     for k, v in stats.items():
         log.info("%s: %.4f", k, v)
     copypaste = " ".join(f"{stats[k]:.3f}" for k in (
