@@ -208,3 +208,76 @@ def test_smooth_l1_parity(seed):
     got = float(L.smooth_l1_loss(jnp.asarray(pred), jnp.asarray(target),
                                  weight=jnp.asarray(weight), avg_factor=avg))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_corr_distill_parity():
+    """loss_corr: prototype accumulation + L2 distance-matrix MSE against a
+    torch oracle of gfl_deformable_detr_head_il.py:525-555 + 1197-1222
+    (incl. the idx_s = nonzero(num_t) quirk). Fixtures keep every
+    teacher-seen prev class student-populated — the reference divides the
+    student prototype by its own count unguarded (0/0 -> NaN), which our
+    implementation guards; that divergence is intentional and documented."""
+    from collections import namedtuple
+
+    from dskd_tpu.distill.losses import DistillConfig, corr_loss
+
+    B, Q, C, num_classes, prev, K = 2, 20, 8, 6, 3, 5
+    rng = np.random.RandomState(1)
+    s_hs = rng.randn(B, Q, C).astype(np.float32)
+    t_hs = rng.randn(B, Q, C).astype(np.float32)
+    # assignment labels: bg = num_classes; ensure every prev class appears
+    s_labels = rng.randint(0, num_classes + 1, (B, Q)).astype(np.int32)
+    s_labels[0, :3] = [0, 1, 2]
+    keep_qid = np.stack([rng.choice(Q, K, replace=False)
+                         for _ in range(B)]).astype(np.int32)
+    t_labels = rng.randint(0, num_classes, (B, K)).astype(np.int32)
+    t_labels[0, :3] = [0, 1, 2]
+    valid = np.ones((B, K), bool)
+
+    # ---- torch oracle (reference accumulation, :525-551) ----
+    hs_student = torch.tensor(s_hs).reshape(-1, C)
+    student_labels_all = torch.tensor(s_labels).reshape(-1)
+    corr_student = torch.zeros(num_classes + 1, C + 1)
+    teacher_only = torch.zeros_like(student_labels_all)
+    for t_label in range(prev):
+        teacher_only[student_labels_all == t_label] = 1
+    for idx in torch.nonzero(teacher_only):
+        corr_student[student_labels_all[idx][0]][:-1] += hs_student[idx][0]
+        corr_student[student_labels_all[idx][0]][-1] += 1
+
+    hs_teacher = torch.tensor(t_hs).reshape(-1, C)
+    teacher_id = torch.tensor(
+        (keep_qid + np.arange(B)[:, None] * Q).reshape(-1))
+    teacher_labels_all = torch.tensor(t_labels.reshape(-1))
+    corr_teacher = torch.zeros(num_classes + 1, C + 1)
+    for i in range(len(teacher_labels_all)):
+        corr_teacher[teacher_labels_all[i]][:-1] += hs_teacher[teacher_id[i]]
+        corr_teacher[teacher_labels_all[i]][-1] += 1
+
+    # ---- correlation_mat (:1197-1222) ----
+    c_t = corr_teacher[:prev, :-1].clone()
+    num_t = corr_teacher[:prev, -1]
+    idx_t = torch.nonzero(num_t).squeeze(1)
+    c_t[idx_t] = c_t[idx_t] / num_t[idx_t].unsqueeze(1)
+    c_s = corr_student[:prev, :-1].clone()
+    num_s = corr_student[:prev, -1]
+    idx_s = torch.nonzero(num_t).squeeze(1)      # the reference quirk
+    c_s[idx_s] = c_s[idx_s] / num_s[idx_s].unsqueeze(1)
+    l = prev
+    mat_t = torch.zeros(l, l)
+    mat_s = torch.zeros(l, l)
+    for i in range(l):
+        for j in range(l):
+            mat_t[i][j] = torch.dist(c_t[i], c_t[j], p=2)
+            mat_s[i][j] = torch.dist(c_s[i], c_s[j], p=2)
+    want = float(torch.nn.functional.mse_loss(mat_t, mat_s) / l)
+
+    # ---- ours ----
+    Det = namedtuple("Det", ["labels", "keep_qid", "valid"])
+    cfg = DistillConfig.from_flags(feats_distill="corr", num_prev=prev)
+    got = float(corr_loss(
+        jnp.asarray(s_hs), jnp.asarray(s_labels), jnp.asarray(t_hs),
+        Det(jnp.asarray(t_labels), jnp.asarray(keep_qid),
+            jnp.asarray(valid)),
+        num_query=Q, num_classes=num_classes, cfg=cfg))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
