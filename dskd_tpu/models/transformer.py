@@ -46,12 +46,17 @@ def _msda_offset_bias_init(num_heads, num_levels, num_points):
 
 
 class MSDeformAttention(nn.Module):
-    """Multi-scale deformable attention over flattened level tokens."""
+    """Multi-scale deformable attention over flattened level tokens.
+
+    ``raster_queries``: the encoder's self-attention, where query q IS
+    flattened token q — unlocks the windowed level-0 gather (ops/msda.py).
+    """
     embed_dims: int = 256
     num_heads: int = 8
     num_levels: int = 4
     num_points: int = 4
     dropout: float = 0.1
+    raster_queries: bool = False
 
     @nn.compact
     def __call__(self, query, value, query_pos, reference_points,
@@ -89,7 +94,8 @@ class MSDeformAttention(nn.Module):
         locs = (reference_points[:, :, None, :, None, :]
                 + offsets / norm[None, None, None, :, None, :])
 
-        out = ms_deform_attn_core(v, spatial_shapes, locs, weights)
+        out = ms_deform_attn_core(v, spatial_shapes, locs, weights,
+                                  raster_queries=self.raster_queries)
         out = nn.Dense(self.embed_dims,
                        kernel_init=nn.initializers.xavier_uniform(),
                        name="output_proj")(out)
@@ -153,7 +159,7 @@ class EncoderLayer(nn.Module):
                  key_padding_mask, deterministic: bool = True):
         x = MSDeformAttention(self.embed_dims, self.num_heads,
                               self.num_levels, self.num_points, self.dropout,
-                              name="self_attn")(
+                              raster_queries=True, name="self_attn")(
             x, x, pos, reference_points, spatial_shapes,
             key_padding_mask=key_padding_mask, deterministic=deterministic)
         x = nn.LayerNorm(name="norm1")(x)

@@ -52,7 +52,10 @@ def ms_deform_attn_core(value: jnp.ndarray,
                         spatial_shapes: Sequence[Tuple[int, int]],
                         sampling_locations: jnp.ndarray,
                         attention_weights: jnp.ndarray,
-                        mxu_gather_max_rows: int = 2500) -> jnp.ndarray:
+                        mxu_gather_max_rows: int = 2500,
+                        raster_queries: bool = False,
+                        window_tile_q: int = 128,
+                        window_rows: int = 1024) -> jnp.ndarray:
     """Fused multi-scale deformable sampling.
 
     Args:
@@ -64,6 +67,11 @@ def ms_deform_attn_core(value: jnp.ndarray,
         this many rows gather via the MXU one-hot kernel (2x+ faster than
         XLA's scalar-loop gather — see ops/mxu_gather.py / PERF.md);
         larger levels use the XLA gather. 0 disables the kernel.
+      raster_queries: True for the ENCODER self-attention, where query q IS
+        flattened token q. Level-0 queries sampling level 0 then use the
+        windowed MXU kernel (ops/window_gather.py) with a lax.cond fallback
+        to the XLA gather whenever any sample escapes its static window —
+        bit-exact either way.
 
     Returns:
       (B, Q, H*D).
@@ -77,7 +85,9 @@ def ms_deform_attn_core(value: jnp.ndarray,
     if env_rows is not None:       # bisect/override knob
         mxu_gather_max_rows = int(env_rows)
     use_mxu = (mxu_gather_max_rows > 0
-               and jax.default_backend() == "tpu")
+               and (jax.default_backend() == "tpu"
+                    # test hook: exercise the Pallas paths in interpret mode
+                    or os.environ.get("DSKD_FORCE_MXU") == "1"))
 
     out = jnp.zeros((B, H, Q, D), dt)
     start = 0
@@ -110,6 +120,10 @@ def ms_deform_attn_core(value: jnp.ndarray,
         flat = y0c * (w + 2) + x0c                     # (B, Q, H, P)
 
         sp = (h + 2) * (w + 2)
+        n0 = h * w
+        use_window = (use_mxu and sp > mxu_gather_max_rows
+                      and raster_queries and start == 0 and Q >= n0
+                      and n0 % window_tile_q == 0 and sp >= window_rows)
         if use_mxu and sp <= mxu_gather_max_rows:
             from .mxu_gather import mxu_gather
             # all P points in one kernel call per level
@@ -118,6 +132,48 @@ def ms_deform_attn_core(value: jnp.ndarray,
             g = g.reshape(B, H, Q, P, 4, D)
             wp = cw.transpose(0, 2, 1, 3, 4)           # (B, H, Q, P, 4)
             out = out + (g * wp[..., None]).sum(axis=(3, 4))
+        elif use_window:
+            from .window_gather import tile_window_starts, window_gather
+            tile_rows = window_tile_q * P
+            starts = jnp.asarray(tile_window_starts(
+                n0, window_tile_q, w, w + 2, sp, window_rows), jnp.int32)
+            table = packed.reshape(B * H, sp, 4 * D)
+
+            # level-0 queries (raster tokens [0, n0)): windowed MXU with
+            # exactness fallback; remaining queries: XLA gather
+            idx0 = flat[:, :n0].transpose(0, 2, 1, 3).reshape(
+                B * H, n0 * P)                         # tile-major rows
+            local = idx0.reshape(B * H, -1, tile_rows) - starts[None, :,
+                                                                None]
+            in_window = ((local >= 0) & (local < window_rows)).all()
+            w0 = cw[:, :n0].transpose(0, 2, 1, 3, 4)   # (B, H, n0, P, 4)
+
+            def via_window(op):
+                table_, idx_ = op
+                g = window_gather(table_, idx_, starts, tile_rows,
+                                  window_rows)
+                return g.reshape(B, H, n0, P, 4, D)
+
+            def via_gather(op):
+                table_, idx_ = op
+                g = jnp.take_along_axis(
+                    table_, idx_[..., None], axis=1)
+                return g.reshape(B, H, n0, P, 4, D)
+
+            g0 = jax.lax.cond(in_window, via_window, via_gather,
+                              (table, idx0))
+            acc0 = (g0 * w0[..., None]).sum(axis=(3, 4))   # (B, H, n0, D)
+
+            if Q > n0:
+                idxr = flat[:, n0:].transpose(0, 2, 1, 3).reshape(
+                    B * H, (Q - n0) * P)
+                gr = jnp.take_along_axis(table, idxr[..., None], axis=1)
+                gr = gr.reshape(B, H, Q - n0, P, 4, D)
+                wr = cw[:, n0:].transpose(0, 2, 1, 3, 4)
+                accr = (gr * wr[..., None]).sum(axis=(3, 4))
+                out = out + jnp.concatenate([acc0, accr], axis=2)
+            else:
+                out = out + acc0
         else:
             for p in range(P):
                 idx = flat[:, :, :, p].transpose(0, 2, 1)  # (B, H, Q)

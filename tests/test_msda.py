@@ -75,3 +75,54 @@ def test_msda_gradients_finite():
     grads = jax.grad(f, argnums=(0, 1, 2))(value, locs, w)
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_msda_windowed_path_matches_reference(monkeypatch):
+    """The windowed level-0 path (raster encoder queries) must be bit-exact
+    with the plain path — both when every sample stays in its window and
+    when an escape forces the cond fallback."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from dskd_tpu.ops.msda import ms_deform_attn_core
+
+    monkeypatch.setenv("DSKD_FORCE_MXU", "1")
+    rng = np.random.RandomState(0)
+    B, H, D, P = 1, 2, 64, 2
+    shapes = [(16, 16), (8, 8)]       # S = 320; level-0 table 18*18=324
+    S = sum(h * w for h, w in shapes)
+    Q = S                             # encoder: queries are the tokens
+    value = jnp.asarray(rng.randn(B, S, H, D).astype(np.float32))
+    weights = jax.nn.softmax(jnp.asarray(
+        rng.randn(B, Q, H, len(shapes), P).astype(np.float32))
+        .reshape(B, Q, H, -1), -1).reshape(B, Q, H, len(shapes), P)
+
+    # locations near each query's own position (in-window)
+    ys, xs = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    own = np.stack([(xs.ravel() + 0.5) / 16, (ys.ravel() + 0.5) / 16], -1)
+    own = np.concatenate([own, rng.rand(S - 256, 2)], 0)   # level-1 queries
+    locs = (own[None, :, None, None, None, :]
+            + rng.randn(B, Q, H, 2, P, 2).astype(np.float32) * 0.01)
+    locs = jnp.asarray(locs.astype(np.float32))
+
+    kw = dict(mxu_gather_max_rows=100, window_tile_q=32, window_rows=128)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(ms_deform_attn_core(
+            value, shapes, locs, weights, raster_queries=True, **kw))
+    monkeypatch.setenv("DSKD_FORCE_MXU", "0")
+    want = np.asarray(ms_deform_attn_core(
+        value, shapes, locs, weights, raster_queries=False))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+    # one sample far away -> escape -> cond falls back, still exact
+    monkeypatch.setenv("DSKD_FORCE_MXU", "1")
+    locs_far = locs.at[0, 5, 0, 0, 0].set(jnp.array([0.99, 0.99]))
+    with pltpu.force_tpu_interpret_mode():
+        got_far = np.asarray(ms_deform_attn_core(
+            value, shapes, locs_far, weights, raster_queries=True, **kw))
+    monkeypatch.setenv("DSKD_FORCE_MXU", "0")
+    want_far = np.asarray(ms_deform_attn_core(
+        value, shapes, locs_far, weights, raster_queries=False))
+    np.testing.assert_allclose(got_far, want_far, rtol=2e-5, atol=2e-6)
+    assert np.abs(got_far - got).max() > 0    # the escape actually changed it
