@@ -35,6 +35,8 @@ class GFLDeformableDETR(nn.Module):
     num_decoder_layers: int = 6
     num_levels: int = 4
     dropout: float = 0.1
+    # per-stage DCN (reference dcn config variants)
+    dcn_stages: tuple = (False, False, False, False)
     # rematerialize encoder/decoder layers on the backward pass; turn OFF for
     # forward-only applies (the frozen teacher) — remat wraps cost the
     # scheduler fusion freedom even without a backward
@@ -47,6 +49,7 @@ class GFLDeformableDETR(nn.Module):
         batch_input_shape = (images.shape[1], images.shape[2])
         feats = ResNet(depth=self.depth, out_indices=(1, 2, 3),
                        frozen_stages=self.frozen_stages,
+                       dcn_stages=self.dcn_stages,
                        name="backbone")(images)
         neck_feats = ChannelMapper(out_channels=self.embed_dims,
                                    num_outs=self.num_levels,

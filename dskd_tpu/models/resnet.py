@@ -81,18 +81,29 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """Pytorch-style bottleneck: 1x1 -> 3x3(stride) -> 1x1(x4)."""
+    """Pytorch-style bottleneck: 1x1 -> 3x3(stride) -> 1x1(x4).
+
+    ``dcn``: replace conv2 with (modulated) deformable convolution — the
+    reference's DCN stage plugin (backbones/resnet.py dcn config variants).
+    """
     planes: int
     stride: int = 1
     downsample: bool = False
     expansion: int = 4
+    dcn: bool = False
 
     @nn.compact
     def __call__(self, x):
         identity = x
         out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
         out = nn.relu(FrozenBatchNorm(name="bn1")(out))
-        out = _conv(self.planes, 3, self.stride, name="conv2")(out)
+        if self.dcn:
+            from ..ops.deform_conv import DeformConv2d
+            out = DeformConv2d(self.planes, kernel_size=3,
+                               stride=self.stride, padding=1,
+                               modulated=True, name="conv2")(out)
+        else:
+            out = _conv(self.planes, 3, self.stride, name="conv2")(out)
         out = nn.relu(FrozenBatchNorm(name="bn2")(out))
         out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
                       name="conv3")(out)
@@ -115,6 +126,9 @@ class ResNet(nn.Module):
     out_indices: Sequence[int] = (1, 2, 3)
     frozen_stages: int = 1
     base_channels: int = 64
+    # per-stage DCN switch (reference: dcn=dict(...), stage_with_dcn=
+    # (False, True, True, True) in dcn config variants); bottleneck only
+    dcn_stages: Sequence[bool] = (False, False, False, False)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
@@ -134,11 +148,14 @@ class ResNet(nn.Module):
         for i, num_blocks in enumerate(stage_blocks):
             planes = self.base_channels * 2 ** i
             stride = 1 if i == 0 else 2
+            dcn = (block is Bottleneck and i < len(self.dcn_stages)
+                   and self.dcn_stages[i])
             for b in range(num_blocks):
+                kw = {"dcn": True} if dcn else {}
                 out = block(planes=planes,
                             stride=stride if b == 0 else 1,
                             downsample=(b == 0),
-                            name=f"layer{i + 1}_block{b}")(out)
+                            name=f"layer{i + 1}_block{b}", **kw)(out)
             if self.frozen_stages >= i + 1:
                 out = lax.stop_gradient(out)
             if i in self.out_indices:

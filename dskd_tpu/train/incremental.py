@@ -54,7 +54,8 @@ def build_model(cfg: ExperimentConfig):
             frozen_stages=m.frozen_stages, embed_dims=m.embed_dims,
             num_encoder_layers=m.num_encoder_layers,
             num_decoder_layers=m.num_decoder_layers,
-            num_levels=m.num_levels, dropout=m.dropout)
+            num_levels=m.num_levels, dropout=m.dropout,
+            dcn_stages=tuple(m.dcn_stages))
     if m.arch == "yolof":
         from ..models.yolof import YOLOF
         return YOLOF(num_classes=m.num_classes, depth=m.depth,

@@ -31,6 +31,8 @@ class ModelConfig:
     num_decoder_layers: int = 6
     num_levels: int = 4
     dropout: float = 0.1
+    # DCN stage switches (dcn config variants; bottleneck backbones only)
+    dcn_stages: Tuple[bool, bool, bool, bool] = (False, False, False, False)
     backbone_ckpt: Optional[str] = None   # torchvision-style weights
 
 
