@@ -109,7 +109,8 @@ def lap_jv(cost: jnp.ndarray) -> jnp.ndarray:
 
 
 def lap_auction(cost: jnp.ndarray, eps_frac: float = 1 / 400,
-                max_iters: int = 1500) -> jnp.ndarray:
+                max_iters: int = 1500,
+                with_stats: bool = False) -> jnp.ndarray:
     """Near-optimal LAP via the auction algorithm (Bertsekas), batched-
     friendly: every iteration is a handful of vectorized (R, C) ops, so the
     degenerate early-training costs that drive the sequential JV solver to
@@ -124,7 +125,10 @@ def lap_auction(cost: jnp.ndarray, eps_frac: float = 1 / 400,
     rows take arbitrary distinct free columns so the result is always a
     valid one-to-one assignment.
 
-    Returns (R,) column assigned to each row (R <= C).
+    Returns (R,) column assigned to each row (R <= C); with ``with_stats``
+    also returns the number of rows the completion fallback placed (0 when
+    the auction converged — nonzero means the matching quality degraded
+    and should be surfaced in the training log).
     """
     R, C = cost.shape
     assert R <= C, (R, C)
@@ -178,7 +182,10 @@ def lap_auction(cost: jnp.ndarray, eps_frac: float = 1 / 400,
     free_cols = jnp.nonzero(free, size=C, fill_value=C - 1)[0].astype(
         jnp.int32)
     fallback = free_cols[jnp.clip(row_rank, 0, C - 1)]
-    return jnp.where(unassigned, fallback, rowcol)
+    result = jnp.where(unassigned, fallback, rowcol)
+    if with_stats:
+        return result, unassigned.sum().astype(jnp.int32)
+    return result
 
 
 class AssignResult(NamedTuple):
@@ -193,6 +200,10 @@ class AssignResult(NamedTuple):
     assigned_labels: jnp.ndarray
     pos_mask: jnp.ndarray
     num_pos: jnp.ndarray
+    # rows placed by the auction solver's completion fallback (0 for JV /
+    # converged auctions) — surfaced in the training log as a quality
+    # tripwire for the approximate matcher
+    num_fallback: jnp.ndarray = jnp.int32(0)
 
 
 def gfl_match_cost(cls_logits: jnp.ndarray,
@@ -262,15 +273,18 @@ def hungarian_assign(cost: jnp.ndarray, gt_valid: jnp.ndarray,
             u = ((r * 131071 + c * 8191) % 65521).astype(
                 cost.dtype) / 65521.0
             cost_rows = cost_rows + span * tiebreak * u
-        q2g = (lap_auction(cost_rows) if solver == "auction"
-               else lap_jv(cost_rows))                           # (Q,)
+        if solver == "auction":
+            q2g, n_fb = lap_auction(cost_rows, with_stats=True)
+        else:
+            q2g, n_fb = lap_jv(cost_rows), jnp.int32(0)          # (Q,)
         hit_valid = gt_valid[q2g]
         assigned_gt = jnp.where(hit_valid, q2g.astype(jnp.int32), -1)
         assigned_labels = jnp.where(
             hit_valid, gt_labels[q2g].astype(jnp.int32), -1)
         pos_mask = assigned_gt >= 0
         num_pos = pos_mask.sum().astype(jnp.int32)
-        return AssignResult(assigned_gt, assigned_labels, pos_mask, num_pos)
+        return AssignResult(assigned_gt, assigned_labels, pos_mask, num_pos,
+                            n_fb)
 
     cost_rows = jnp.where(gt_valid[:, None], cost.T, 0.0)        # (G, Q)
     if tiebreak:
@@ -279,8 +293,10 @@ def hungarian_assign(cost: jnp.ndarray, gt_valid: jnp.ndarray,
         c = jax.lax.broadcasted_iota(jnp.uint32, (G, Q), 1)
         u = ((r * 131071 + c * 8191) % 65521).astype(cost.dtype) / 65521.0
         cost_rows = cost_rows + span * tiebreak * u
-    row2col = (lap_auction(cost_rows) if solver == "auction"
-               else lap_jv(cost_rows))                           # (G,)
+    if solver == "auction":
+        row2col, n_fb = lap_auction(cost_rows, with_stats=True)  # (G,)
+    else:
+        row2col, n_fb = lap_jv(cost_rows), jnp.int32(0)
 
     assigned_gt = jnp.full((Q,), -1, jnp.int32)
     assigned_labels = jnp.full((Q,), -1, jnp.int32)
@@ -291,7 +307,8 @@ def hungarian_assign(cost: jnp.ndarray, gt_valid: jnp.ndarray,
         gt_labels.astype(jnp.int32), mode="drop")
     pos_mask = assigned_gt >= 0
     num_pos = gt_valid.sum().astype(jnp.int32)
-    return AssignResult(assigned_gt, assigned_labels, pos_mask, num_pos)
+    return AssignResult(assigned_gt, assigned_labels, pos_mask, num_pos,
+                        n_fb)
 
 
 @partial(jax.jit, static_argnames=())

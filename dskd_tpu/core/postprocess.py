@@ -44,6 +44,75 @@ def filter_scores_and_topk(scores: jnp.ndarray, score_thr: float,
     return TopkResult(top_scores, labels, keep_idxs, valid)
 
 
+def matrix_nms(ious: jnp.ndarray, labels: jnp.ndarray,
+               scores: jnp.ndarray, kernel: str = "gaussian",
+               sigma: float = 2.0, valid=None) -> jnp.ndarray:
+    """Matrix NMS score decay (mask_matrix_nms, core/post_processing/
+    matrix_nms.py:5-121) under static shapes.
+
+    Instead of suppressing, every instance's score decays by the min over
+    higher-scored same-class instances of kernel(iou) / kernel(that
+    instance's own max iou to anything above it) — one (N, N) matrix pass,
+    no sequential loop: the TPU-friendly NMS.
+
+    Args:
+      ious: (N, N) symmetric IoU (box IoU or mask IoU — caller's choice;
+        the reference computes mask IoU from flattened masks).
+      labels: (N,) int; scores: (N,) float; valid: (N,) bool or None.
+    Returns decayed scores (N,); invalid entries get 0. Entries must be
+    pre-sorted by descending score (the reference sorts first) — the decay
+    uses the upper triangle as "higher-scored".
+    """
+    n = scores.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    tri = jnp.triu(jnp.ones((n, n), bool), k=1)  # j strictly above i? no:
+    # row i = higher-scored, col j = lower-scored (reference .triu(1))
+    same = (labels[:, None] == labels[None, :]) & valid[:, None] & \
+        valid[None, :]
+    decay_iou = jnp.where(tri & same, ious, 0.0)          # (N, N)
+    # compensation: each HIGHER-scored instance i's own max iou to anything
+    # above it (matrix_nms.py:81-84 — compensate_iou.max(0).T puts the
+    # per-instance value on the row axis)
+    compensate = decay_iou.max(axis=0)                    # (N,)
+    if kernel == "gaussian":
+        decay = jnp.exp(-sigma * decay_iou ** 2) / jnp.exp(
+            -sigma * compensate[:, None] ** 2)
+    elif kernel == "linear":
+        decay = (1 - decay_iou) / (1 - compensate[:, None])
+    else:
+        raise ValueError(f"unsupported kernel {kernel!r}")
+    # min over rows, but only where a same-class higher-scored entry exists
+    decay = jnp.where(tri & same, decay, jnp.inf)
+    coeff = jnp.minimum(decay.min(axis=0), 1.0)
+    return jnp.where(valid, scores * coeff, 0.0)
+
+
+def box_matrix_nms(boxes: jnp.ndarray, labels: jnp.ndarray,
+                   scores: jnp.ndarray, kernel: str = "gaussian",
+                   sigma: float = 2.0, valid=None):
+    """Matrix NMS over xyxy boxes: sorts by score, decays, returns
+    (boxes, decayed_scores, labels, order) all score-sorted, static shape.
+    Threshold the returned scores (the reference's filter_thr) caller-side.
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    order = jnp.argsort(jnp.where(valid, -scores, jnp.inf))
+    b, s, l, v = boxes[order], scores[order], labels[order], valid[order]
+    x1, y1, x2, y2 = (b[:, i] for i in range(4))
+    area = jnp.clip(x2 - x1, 0, None) * jnp.clip(y2 - y1, 0, None)
+    ix1 = jnp.maximum(x1[:, None], x1[None, :])
+    iy1 = jnp.maximum(y1[:, None], y1[None, :])
+    ix2 = jnp.minimum(x2[:, None], x2[None, :])
+    iy2 = jnp.minimum(y2[:, None], y2[None, :])
+    inter = jnp.clip(ix2 - ix1, 0, None) * jnp.clip(iy2 - iy1, 0, None)
+    ious = inter / jnp.clip(area[:, None] + area[None, :] - inter,
+                            1e-6, None)
+    new_scores = matrix_nms(ious, l, s, kernel, sigma, v)
+    return b, new_scores, l, order
+
+
 def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, labels: jnp.ndarray,
                 iou_thr: float, max_out: int, valid=None):
     """Class-aware NMS with static output size (for the CNN-head families).

@@ -77,13 +77,13 @@ def assign_all_layers(cls_scores, bbox_cxcywh, gt_bboxes, gt_labels,
         tgt = jnp.where(res.pos_mask[:, None], gt_cxcywh[safe], 0.0)
         lbl = jnp.where(res.pos_mask, labels[safe].astype(jnp.int32),
                         cfg.num_classes)
-        return lbl, tgt, res.pos_mask, res.assigned_gt
+        return lbl, tgt, res.pos_mask, res.assigned_gt, res.num_fallback
 
     per_img = jax.vmap(one)
     per_layer = jax.vmap(lambda c, b: per_img(
         c, b, gt_bboxes, gt_labels, gt_valid, img_hw))
-    labels, tgts, pos, agt = per_layer(cls_scores, bbox_cxcywh)
-    return LayerTargets(labels, tgts, pos, agt)
+    labels, tgts, pos, agt, n_fb = per_layer(cls_scores, bbox_cxcywh)
+    return LayerTargets(labels, tgts, pos, agt), n_fb.sum()
 
 
 def single_layer_losses(cls_scores, bbox_preds, bbox_cxcywh, targets,
@@ -149,13 +149,18 @@ def detection_loss(cls_scores, bbox_preds, gt_bboxes, gt_labels, gt_valid,
     nl = cls_scores.shape[0]
     bbox_cxcywh = decode_boxes(bbox_preds, cfg.reg_max)
 
-    targets = assign_all_layers(cls_scores, bbox_cxcywh, gt_bboxes,
-                                gt_labels, gt_valid, img_hw, cfg)
+    targets, num_fallback = assign_all_layers(
+        cls_scores, bbox_cxcywh, gt_bboxes, gt_labels, gt_valid, img_hw, cfg)
 
     num_total_pos = jnp.maximum(
         gt_valid.sum().astype(cls_scores.dtype), 1.0)
 
     losses = {}
+    if cfg.matcher == "auction":
+        # logged tripwire, NOT summed into the total (no 'loss' in the key):
+        # rows placed by the auction's completion fallback across all
+        # (layer, image) solves — should stay 0 in healthy training
+        losses["auction_fallback"] = num_fallback.astype(jnp.float32)
     for i in range(nl):
         layer_t = LayerTargets(targets.labels[i], targets.bbox_targets[i],
                                targets.pos_mask[i], targets.assigned_gt[i])
