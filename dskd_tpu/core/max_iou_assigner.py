@@ -85,3 +85,32 @@ def random_sample(rng, assigned_gt: jnp.ndarray, num: int,
     neg_vals, neg_idx = jax.lax.top_k(neg_keys, num_neg_max)
     return SampleResult(pos_idx.astype(jnp.int32), pos_vals > 0,
                         neg_idx.astype(jnp.int32), neg_vals > 0)
+
+
+def ohem_sample(per_roi_loss: jnp.ndarray, assigned_gt: jnp.ndarray,
+                num: int, pos_fraction: float) -> SampleResult:
+    """Online hard example mining (OHEMSampler, samplers/ohem_sampler.py:
+    12-111) under static shapes.
+
+    Where RandomSampler draws uniformly, OHEM keeps the TOP-LOSS rois:
+    positives (assigned) and negatives (assigned_gt == -1, i.e. background)
+    are ranked separately by ``per_roi_loss`` (the reference's
+    reduction_override='none' classification loss re-forwarded through the
+    head — here the caller computes it from the current logits, no second
+    forward needed under one jitted step) and the hardest num*pos_fraction
+    positives + remainder negatives are taken. Scarce groups report
+    invalid slots, exactly like random_sample.
+    """
+    N = assigned_gt.shape[0]
+    num_pos_max = int(num * pos_fraction)
+    num_neg_max = num - num_pos_max
+
+    neg_inf = jnp.asarray(-jnp.inf, per_roi_loss.dtype)
+    pos_keys = jnp.where(assigned_gt >= 0, per_roi_loss, neg_inf)
+    neg_keys = jnp.where(assigned_gt == -1, per_roi_loss, neg_inf)
+    pos_vals, pos_idx = jax.lax.top_k(pos_keys, num_pos_max)
+    neg_vals, neg_idx = jax.lax.top_k(neg_keys, num_neg_max)
+    return SampleResult(pos_idx.astype(jnp.int32),
+                        jnp.isfinite(pos_vals),
+                        neg_idx.astype(jnp.int32),
+                        jnp.isfinite(neg_vals))

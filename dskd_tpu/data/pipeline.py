@@ -45,6 +45,9 @@ class PipelineConfig:
     mosaic_center_ratio: Tuple[float, float] = (0.5, 1.5)
     mixup: bool = False
     mixup_ratio_range: Tuple[float, float] = (0.5, 1.5)
+    # robustness benchmarking (the reference's Corrupt transform):
+    # (corruption_name, severity 1-5) applied to the raw image
+    corruption: Optional[Tuple[str, int]] = None
 
 
 def rescale_size(h: int, w: int, scale: Tuple[int, int]) -> Tuple[int, int, float]:
@@ -99,6 +102,9 @@ def preprocess(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
     scale_factor (4,) f32, ori_hw (2,) i32, flip bool).
     """
     h0, w0 = img.shape[:2]
+    if cfg.corruption is not None:
+        from .corruptions import corrupt
+        img = corrupt(img, cfg.corruption[0], cfg.corruption[1])
     if train and rng is not None and cfg.photo_metric_distortion:
         img = photo_metric_distortion(img, rng)
     flip = bool(train and rng is not None

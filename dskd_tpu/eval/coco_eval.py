@@ -45,14 +45,14 @@ def bbox_iou_xywh(dt: np.ndarray, gt: np.ndarray,
     return inter / np.maximum(union, 1e-10)
 
 
-def _match_numpy(dts, gts, gt_ig, crowd):
+def _match_numpy(dts, gts, gt_ig, crowd, iou_thrs=IOU_THRS):
     """Pure-numpy greedy matching (fallback for the C++ core)."""
-    T, D, G = len(IOU_THRS), len(dts), len(gts)
+    T, D, G = len(iou_thrs), len(dts), len(gts)
     ious = bbox_iou_xywh(dts[:, :4], gts, crowd) if G else np.zeros((D, 0))
     dtm = np.zeros((T, D), np.int64) - 1
     dt_ig = np.zeros((T, D), bool)
     gtm = np.zeros((T, G), np.int64) - 1
-    for t, thr in enumerate(IOU_THRS):
+    for t, thr in enumerate(iou_thrs):
         for d in range(D):
             best, best_iou = -1, min(thr, 1 - 1e-10)
             for g in range(G):
@@ -73,9 +73,9 @@ def _match_numpy(dts, gts, gt_ig, crowd):
     return dtm, dt_ig
 
 
-def _match_native(lib, dts, gts, gt_ig, crowd):
+def _match_native(lib, dts, gts, gt_ig, crowd, iou_thrs=IOU_THRS):
     import ctypes
-    T, D, G = len(IOU_THRS), len(dts), len(gts)
+    T, D, G = len(iou_thrs), len(dts), len(gts)
     dtm = np.zeros((T, D), np.int64)
     dt_ig8 = np.zeros((T, D), np.uint8)
     c = ctypes.c_void_p
@@ -86,13 +86,14 @@ def _match_native(lib, dts, gts, gt_ig, crowd):
         np.ascontiguousarray(gt_ig, np.uint8).ctypes.data_as(c),
         np.ascontiguousarray(crowd, np.uint8).ctypes.data_as(c),
         ctypes.c_int64(G),
-        np.ascontiguousarray(IOU_THRS, np.float64).ctypes.data_as(c),
+        np.ascontiguousarray(iou_thrs, np.float64).ctypes.data_as(c),
         ctypes.c_int64(T),
         dtm.ctypes.data_as(c), dt_ig8.ctypes.data_as(c))
     return dtm, dt_ig8.astype(bool)
 
 
-def _evaluate_img(dts, gts, iscrowd, areas_gt, area_rng, max_det):
+def _evaluate_img(dts, gts, iscrowd, areas_gt, area_rng, max_det,
+                  iou_thrs=IOU_THRS):
     """Greedy matching for one (image, category, area range).
 
     dts: (D, 5) [x, y, w, h, score] sorted desc by score (pre-truncated to
@@ -110,9 +111,9 @@ def _evaluate_img(dts, gts, iscrowd, areas_gt, area_rng, max_det):
     from ..native.build import load_library
     lib = load_library()
     if lib is not None and len(gts) and len(dts):
-        dtm, dt_ig = _match_native(lib, dts, gts, gt_ig, crowd)
+        dtm, dt_ig = _match_native(lib, dts, gts, gt_ig, crowd, iou_thrs)
     else:
-        dtm, dt_ig = _match_numpy(dts, gts, gt_ig, crowd)
+        dtm, dt_ig = _match_numpy(dts, gts, gt_ig, crowd, iou_thrs)
 
     # unmatched dts whose area is outside the range are ignored
     dt_areas = dts[:, 2] * dts[:, 3]
@@ -128,9 +129,12 @@ class CocoDetectionEval:
     detections via add_dt. Boxes are xyxy (converted internally).
     """
 
-    def __init__(self, cat_ids: Sequence[int], max_dets: Sequence[int] = None):
+    def __init__(self, cat_ids: Sequence[int], max_dets: Sequence[int] = None,
+                 iou_thrs: Sequence[float] = None):
         self.cat_ids = list(cat_ids)
         self.max_dets = tuple(max_dets) if max_dets else MAX_DETS
+        self.iou_thrs = (np.asarray(iou_thrs, np.float64)
+                         if iou_thrs is not None else IOU_THRS)
         self.gts: Dict[Tuple[int, int], list] = {}
         self.dts: Dict[Tuple[int, int], list] = {}
         self.img_ids: set = set()
@@ -185,7 +189,8 @@ class CocoDetectionEval:
         """Returns (precision (T,R,K,A,M), recall (T,K,A,M))."""
         img_ids = sorted(self.img_ids)
         K, A, M, T, R = (len(self.cat_ids), len(AREA_RANGES),
-                         len(self.max_dets), len(IOU_THRS), len(REC_THRS))
+                         len(self.max_dets), len(self.iou_thrs),
+                         len(REC_THRS))
         precision = -np.ones((T, R, K, A, M))
         recall = -np.ones((T, K, A, M))
 
@@ -202,7 +207,8 @@ class CocoDetectionEval:
                     order = np.argsort(-d[:, 4], kind="mergesort")
                     d = d[order][:max(self.max_dets)]
                     per_img.append(_evaluate_img(
-                        d, g_boxes, g_crowd, g_areas, rng, max(self.max_dets)))
+                        d, g_boxes, g_crowd, g_areas, rng,
+                        max(self.max_dets), self.iou_thrs))
                 if not per_img:
                     continue
                 n_gt = sum(int((~e[2]).sum()) for e in per_img)
@@ -242,7 +248,7 @@ class CocoDetectionEval:
             mi = self.max_dets.index(m)
             p = precision[..., ai, mi]
             if t is not None:
-                p = p[[np.argmin(np.abs(IOU_THRS - t))]]
+                p = p[[np.argmin(np.abs(self.iou_thrs - t))]]
             p = p[p > -1]
             return float(p.mean()) if p.size else -1.0
 

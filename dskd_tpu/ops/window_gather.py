@@ -30,13 +30,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# dynamic-slice starts into a (sublane, 128)-tiled VMEM table must be
+# sublane-aligned or Mosaic refuses to vector.load ("cannot statically
+# prove that index ... is a multiple of 8"); 16 covers bf16's (16, 128)
+# native tile too
+SUBLANE_ALIGN = 16
+
+
 def tile_window_starts(n_queries: int, tile_q: int, w: int, w_pad: int,
                        s_pad: int, window: int) -> Tuple[int, ...]:
     """Static window start row per query tile.
 
     Queries are raster-ordered level-0 pixels of an (h, w) map; the packed
     table has w_pad = w + 2 columns per image row and s_pad rows total.
-    The window for tile t is centered on the tile's middle image row.
+    The window for tile t is centered on the tile's middle image row, then
+    aligned down to SUBLANE_ALIGN (the kernel asserts the same multiple via
+    pl.multiple_of — the in_window cond fallback keeps exactness either way).
     """
     starts = []
     n_tiles = n_queries // tile_q
@@ -45,14 +54,14 @@ def tile_window_starts(n_queries: int, tile_q: int, w: int, w_pad: int,
         row = mid_q // w + 1                       # +1: padded-grid offset
         center = row * w_pad + w_pad // 2
         ws = int(np.clip(center - window // 2, 0, max(s_pad - window, 0)))
-        starts.append(ws)
+        starts.append(ws - ws % SUBLANE_ALIGN)
     return tuple(starts)
 
 
 def _make_kernels(K: int):
     def fwd_kernel(starts_ref, idx_ref, table_ref, out_ref):
         t = pl.program_id(1)
-        ws = starts_ref[t]
+        ws = pl.multiple_of(starts_ref[t], SUBLANE_ALIGN)
         tmp = idx_ref.shape[1]
         window = table_ref[0, pl.ds(ws, K), :]              # (K, D)
         local = idx_ref[0] - ws                             # (TMP, 1)
@@ -65,7 +74,7 @@ def _make_kernels(K: int):
 
     def bwd_kernel(starts_ref, idx_ref, g_ref, dtable_ref):
         t = pl.program_id(1)
-        ws = starts_ref[t]
+        ws = pl.multiple_of(starts_ref[t], SUBLANE_ALIGN)
         tmp = idx_ref.shape[1]
         local = idx_ref[0] - ws
         cols = jax.lax.broadcasted_iota(jnp.int32, (tmp, K), 1)
