@@ -91,19 +91,27 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     expansion: int = 4
     dcn: bool = False
+    # ResNeXt (backbones/resnext.py): grouped 3x3 with widened mid channels
+    # width = floor(planes * base_width / 64) * groups
+    groups: int = 1
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        width = (self.planes * self.base_width // 64) * self.groups
+        out = nn.Conv(width, (1, 1), use_bias=False, name="conv1")(x)
         out = nn.relu(FrozenBatchNorm(name="bn1")(out))
         if self.dcn:
             from ..ops.deform_conv import DeformConv2d
-            out = DeformConv2d(self.planes, kernel_size=3,
+            out = DeformConv2d(width, kernel_size=3,
                                stride=self.stride, padding=1,
                                modulated=True, name="conv2")(out)
         else:
-            out = _conv(self.planes, 3, self.stride, name="conv2")(out)
+            out = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
+                          padding=[(1, 1), (1, 1)], use_bias=False,
+                          feature_group_count=self.groups,
+                          name="conv2")(out)
         out = nn.relu(FrozenBatchNorm(name="bn2")(out))
         out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
                       name="conv3")(out)
@@ -129,6 +137,10 @@ class ResNet(nn.Module):
     # per-stage DCN switch (reference: dcn=dict(...), stage_with_dcn=
     # (False, True, True, True) in dcn config variants); bottleneck only
     dcn_stages: Sequence[bool] = (False, False, False, False)
+    # ResNeXt (backbones/resnext.py:1-154): groups=32, base_width=4 for
+    # resnext50_32x4d / resnext101_32x4d; groups=1 == plain ResNet
+    groups: int = 1
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
@@ -152,6 +164,9 @@ class ResNet(nn.Module):
                    and self.dcn_stages[i])
             for b in range(num_blocks):
                 kw = {"dcn": True} if dcn else {}
+                if block is Bottleneck:
+                    kw.update(groups=self.groups,
+                              base_width=self.base_width)
                 out = block(planes=planes,
                             stride=stride if b == 0 else 1,
                             downsample=(b == 0),
