@@ -84,6 +84,9 @@ def ms_deform_attn_core(value: jnp.ndarray,
     env_rows = os.environ.get("DSKD_MXU_GATHER_ROWS")
     if env_rows is not None:       # bisect/override knob
         mxu_gather_max_rows = int(env_rows)
+    env_window = os.environ.get("DSKD_WINDOW_ROWS")
+    if env_window is not None:     # windowed level-0 kernel sweep knob;
+        window_rows = int(env_window)   # 0 disables the windowed path
     use_mxu = (mxu_gather_max_rows > 0
                and (jax.default_backend() == "tpu"
                     # test hook: exercise the Pallas paths in interpret mode
@@ -121,7 +124,8 @@ def ms_deform_attn_core(value: jnp.ndarray,
 
         sp = (h + 2) * (w + 2)
         n0 = h * w
-        use_window = (use_mxu and sp > mxu_gather_max_rows
+        use_window = (use_mxu and window_rows > 0
+                      and sp > mxu_gather_max_rows
                       and raster_queries and start == 0 and Q >= n0
                       and n0 % window_tile_q == 0 and sp >= window_rows)
         if use_mxu and sp <= mxu_gather_max_rows:
