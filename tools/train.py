@@ -15,10 +15,22 @@ def main():
     parser.add_argument("--work-dir", default=None)
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--set", nargs="*", default=[])
+    parser.add_argument("--launcher", choices=["none", "dist"],
+                        default="none")
     args = parser.parse_args()
 
     from dskd_tpu.train.incremental import run_incremental
     from dskd_tpu.utils.config import apply_overrides, load_config
+
+    if args.launcher == "dist":
+        import os
+
+        from dskd_tpu.parallel.mesh import init_distributed
+        init_distributed(
+            coordinator=os.environ.get("DSKD_COORDINATOR"),
+            num_processes=int(os.environ.get("DSKD_NUM_PROCESSES", "0"))
+            or None,
+            process_id=int(os.environ.get("DSKD_PROCESS_ID", "0")))
 
     cfg = load_config(args.config)
     if args.work_dir:

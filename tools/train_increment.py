@@ -19,10 +19,27 @@ def main():
     parser.add_argument("--resume-by-task", type=int, default=None)
     parser.add_argument("--set", nargs="*", default=[],
                         help="dotted config overrides key=value")
+    parser.add_argument("--launcher", choices=["none", "dist"],
+                        default="none",
+                        help="'dist' = multi-host bring-up via "
+                             "jax.distributed (TPU pods autodetect; manual "
+                             "launches read DSKD_COORDINATOR / "
+                             "DSKD_NUM_PROCESSES / DSKD_PROCESS_ID — the "
+                             "reference's init_dist('pytorch', nccl) slot)")
     args = parser.parse_args()
 
     from dskd_tpu.train.incremental import run_incremental
     from dskd_tpu.utils.config import apply_overrides, load_config
+
+    if args.launcher == "dist":
+        import os
+
+        from dskd_tpu.parallel.mesh import init_distributed
+        init_distributed(
+            coordinator=os.environ.get("DSKD_COORDINATOR"),
+            num_processes=int(os.environ.get("DSKD_NUM_PROCESSES", "0"))
+            or None,
+            process_id=int(os.environ.get("DSKD_PROCESS_ID", "0")))
 
     cfg = load_config(args.config)
     if args.work_dir:
