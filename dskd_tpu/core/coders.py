@@ -7,6 +7,9 @@ Parity targets:
     scalar/4-vector normalizer. Used by FSAF-style heads.
   * YOLO coder — mmdet/core/bbox/coder/yolo_bbox_coder.py:31-83: grid-cell
     sigmoid-center + log-wh parameterization against anchor boxes.
+  * Bucketing coder — mmdet/core/bbox/coder/bucketing_bbox_coder.py:95-351
+    (SABL): each box side becomes a bucket classification over
+    ceil(num_buckets/2) candidates plus a fine offset regression.
 
 All functions are pure jnp ops over (..., 4) xyxy boxes — vmap/jit friendly,
 no dynamic shapes.
@@ -16,6 +19,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Union
 
 import jax.numpy as jnp
+import numpy as np
 
 Normalizer = Union[float, Sequence[float]]
 
@@ -73,6 +77,125 @@ def tblr2bboxes(priors: jnp.ndarray, tblr: jnp.ndarray,
                          boxes.dtype)
         boxes = jnp.clip(boxes, 0.0, hi)
     return boxes
+
+
+def bbox_rescale(boxes: jnp.ndarray, scale_factor: float) -> jnp.ndarray:
+    """Scale boxes about their centers (bbox/transforms.py:213-242)."""
+    cx = (boxes[..., 0] + boxes[..., 2]) * 0.5
+    cy = (boxes[..., 1] + boxes[..., 3]) * 0.5
+    w = (boxes[..., 2] - boxes[..., 0]) * scale_factor
+    h = (boxes[..., 3] - boxes[..., 1]) * scale_factor
+    return jnp.stack([cx - 0.5 * w, cy - 0.5 * h,
+                      cx + 0.5 * w, cy + 0.5 * h], axis=-1)
+
+
+def _bucket_grid(proposals, num_buckets, scale_factor):
+    """(bucket_w, bucket_h, l/r/t/d bucket centers (n, side_num)) per
+    bucketing_bbox_coder.py generat_buckets (:95-141)."""
+    p = bbox_rescale(proposals, scale_factor)
+    side = int(np.ceil(num_buckets / 2.0))
+    pw = p[:, 2] - p[:, 0]
+    ph = p[:, 3] - p[:, 1]
+    bw = pw / num_buckets
+    bh = ph / num_buckets
+    steps = 0.5 + jnp.arange(side, dtype=p.dtype)
+    l = p[:, 0, None] + steps[None] * bw[:, None]
+    r = p[:, 2, None] - steps[None] * bw[:, None]
+    t = p[:, 1, None] + steps[None] * bh[:, None]
+    d = p[:, 3, None] - steps[None] * bh[:, None]
+    return bw, bh, l, r, t, d
+
+
+def bbox2bucket(proposals: jnp.ndarray, gt: jnp.ndarray, num_buckets: int,
+                scale_factor: float, offset_topk: int = 2,
+                offset_upperbound: float = 1.0,
+                cls_ignore_neighbor: bool = True):
+    """SABL side-aware bucketing targets (bucketing_bbox_coder.py:144-265).
+
+    Returns (offsets (n, 4*side), offset_weights, bucket_labels one-hot
+    (n, 4*side), cls_weights) — each side's nearest bucket is the label;
+    the top-k nearest buckets carry fine-offset regression weight (k >= 1
+    only when within offset_upperbound); cls weights ignore buckets within
+    one bucket-width that are not the label when cls_ignore_neighbor.
+    """
+    import jax
+
+    n = proposals.shape[0]
+    side = int(np.ceil(num_buckets / 2.0))
+    bw, bh, l, r, t, d = _bucket_grid(proposals, num_buckets, scale_factor)
+
+    offs = [(l - gt[:, 0, None]) / bw[:, None],
+            (r - gt[:, 2, None]) / bw[:, None],
+            (t - gt[:, 1, None]) / bh[:, None],
+            (d - gt[:, 3, None]) / bh[:, None]]
+
+    w_parts, lbl_parts, clsw_parts = [], [], []
+    for o in offs:
+        topk_vals, topk_idx = jax.lax.top_k(-jnp.abs(o), offset_topk)
+        topk_vals = -topk_vals
+        w = jnp.zeros((n, side), o.dtype)
+        for k in range(offset_topk):
+            val = (1.0 if k == 0
+                   else (topk_vals[:, k] < offset_upperbound).astype(
+                       o.dtype))
+            w = w.at[jnp.arange(n), topk_idx[:, k]].set(val)
+        label = jax.nn.one_hot(topk_idx[:, 0], side, dtype=o.dtype)
+        clsw = (jnp.abs(o) < 1).astype(o.dtype)
+        if cls_ignore_neighbor:
+            clsw = (~((clsw == 1) & (label == 0))).astype(o.dtype)
+        else:
+            clsw = jnp.ones_like(clsw)
+        w_parts.append(w)
+        lbl_parts.append(label)
+        clsw_parts.append(clsw)
+
+    offsets = jnp.concatenate(offs, axis=-1)
+    offset_weights = jnp.concatenate(w_parts, axis=-1)
+    bucket_labels = jnp.concatenate(lbl_parts, axis=-1)
+    cls_weights = jnp.concatenate(clsw_parts, axis=-1)
+    return offsets, offset_weights, bucket_labels, cls_weights
+
+
+def bucket2bbox(proposals: jnp.ndarray, cls_preds: jnp.ndarray,
+                offset_preds: jnp.ndarray, num_buckets: int,
+                scale_factor: float = 1.0,
+                max_hw: Optional[Sequence[int]] = None):
+    """SABL decode (bucketing_bbox_coder.py:268-351): per side, take the
+    highest-scoring bucket, subtract its fine offset; returns (boxes (n, 4),
+    loc_confidence (n,)) with the bucketing-guided rescoring (top-2 scores
+    summed when adjacent)."""
+    import jax
+
+    n = proposals.shape[0]
+    side = int(np.ceil(num_buckets / 2.0))
+    scores = jax.nn.softmax(cls_preds.reshape(n, 4, side), axis=-1)
+    top2, idx2 = jax.lax.top_k(scores, 2)
+    best = idx2[..., 0]                                    # (n, 4)
+
+    bw, bh, _, _, _, _ = _bucket_grid(proposals, num_buckets, scale_factor)
+    p = bbox_rescale(proposals, scale_factor)
+    steps = 0.5 + best.astype(p.dtype)
+    l_b = p[:, 0] + steps[:, 0] * bw
+    r_b = p[:, 2] - steps[:, 1] * bw
+    t_b = p[:, 1] + steps[:, 2] * bh
+    d_b = p[:, 3] - steps[:, 3] * bh
+
+    off = offset_preds.reshape(n, 4, side)
+    sel = jnp.take_along_axis(off, best[..., None], axis=-1)[..., 0]
+    x1 = l_b - sel[:, 0] * bw
+    x2 = r_b - sel[:, 1] * bw
+    y1 = t_b - sel[:, 2] * bh
+    y2 = d_b - sel[:, 3] * bh
+    if max_hw is not None:
+        x1 = jnp.clip(x1, 0, max_hw[1] - 1)
+        x2 = jnp.clip(x2, 0, max_hw[1] - 1)
+        y1 = jnp.clip(y1, 0, max_hw[0] - 1)
+        y2 = jnp.clip(y2, 0, max_hw[0] - 1)
+    boxes = jnp.stack([x1, y1, x2, y2], axis=-1)
+
+    conf = top2[..., 0] + top2[..., 1] * (
+        jnp.abs(idx2[..., 0] - idx2[..., 1]) == 1)
+    return boxes, conf.mean(axis=-1)
 
 
 def yolo_encode(anchors: jnp.ndarray, gt_bboxes: jnp.ndarray,

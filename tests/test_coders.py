@@ -75,6 +75,46 @@ def test_yolo_roundtrip():
     np.testing.assert_allclose(np.asarray(dec), gts, atol=1e-2)
 
 
+def test_bucketing_roundtrip():
+    """Ideal predictions (one-hot labels as logits + target offsets)
+    decode back to the encoded GT exactly."""
+    from dskd_tpu.core.coders import bbox2bucket, bucket2bbox
+
+    rng = np.random.RandomState(5)
+    num_buckets, scale = 14, 1.7
+    proposals = _rand_boxes(rng, 32)
+    # GT near the proposals (the SABL operating regime)
+    gts = proposals + rng.randn(32, 4).astype(np.float32) * 4
+    gts[:, 2:] = np.maximum(gts[:, 2:], gts[:, :2] + 4)
+    offsets, ow, labels, cw = bbox2bucket(
+        jnp.asarray(proposals), jnp.asarray(gts), num_buckets, scale)
+    boxes, conf = bucket2bbox(jnp.asarray(proposals), labels * 20.0,
+                              offsets, num_buckets, scale)
+    np.testing.assert_allclose(np.asarray(boxes), gts, atol=1e-2)
+    assert conf.shape == (32,)
+    assert np.asarray(conf).min() > 0.5   # one-hot logits -> confident
+
+
+def test_bucketing_targets_structure():
+    from dskd_tpu.core.coders import bbox2bucket
+
+    proposals = jnp.asarray(np.array([[0, 0, 28, 28]], np.float32))
+    gts = jnp.asarray(np.array([[2, 2, 26, 26]], np.float32))
+    num_buckets, side = 8, 4
+    offsets, ow, labels, cw = bbox2bucket(proposals, gts, num_buckets, 1.0)
+    assert offsets.shape == (1, 4 * side)
+    # one label per side
+    assert np.asarray(labels).reshape(4, side).sum(-1).tolist() == [1] * 4
+    # top-1 bucket always carries offset weight; topk=2 gives <= 2 per side
+    per_side_w = np.asarray(ow).reshape(4, side)
+    assert ((per_side_w > 0).sum(-1) >= 1).all()
+    assert ((per_side_w > 0).sum(-1) <= 2).all()
+    # nearest-bucket offset magnitude is at most half a bucket
+    lbl = np.asarray(labels).reshape(4, side).argmax(-1)
+    off = np.asarray(offsets).reshape(4, side)
+    assert all(abs(off[s, lbl[s]]) <= 0.5 + 1e-6 for s in range(4))
+
+
 def test_yolo_decode_matches_reference_formula():
     rng = np.random.RandomState(4)
     anchors = _rand_boxes(rng, 16)
