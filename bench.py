@@ -42,7 +42,10 @@ def main():
     from dskd_tpu.train.step import Batch, make_train_step
 
     H, W, MAXG = 640, 640, 100
-    model = GFLDeformableDETR()  # flagship: R50, 6+6 layers, 300 queries
+    # BENCH_REMAT=0 disables encoder/decoder rematerialization (trades HBM
+    # for skipping the backward recompute of the gather-heavy layers)
+    remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    model = GFLDeformableDETR(remat=remat)  # flagship: R50, 6+6, 300 q
     det_cfg = DetLossConfig()
     distill_cfg = DistillConfig.from_flags(
         cates_distill="hard + teacher-first",

@@ -48,6 +48,9 @@ class PipelineConfig:
     # robustness benchmarking (the reference's Corrupt transform):
     # (corruption_name, severity 1-5) applied to the raw image
     corruption: Optional[Tuple[str, int]] = None
+    # AutoAugment detection policies (pipelines/auto_augment.py); True uses
+    # the built-in default policy set, or pass an explicit policy list
+    auto_augment: object = False
 
 
 def rescale_size(h: int, w: int, scale: Tuple[int, int]) -> Tuple[int, int, float]:
@@ -105,6 +108,13 @@ def preprocess(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
     if cfg.corruption is not None:
         from .corruptions import corrupt
         img = corrupt(img, cfg.corruption[0], cfg.corruption[1])
+    if train and rng is not None and cfg.auto_augment:
+        from .auto_augment import auto_augment
+        policies = (None if cfg.auto_augment is True
+                    else cfg.auto_augment)
+        img, boxes, labels = auto_augment(
+            img.astype(np.float32), np.asarray(boxes, np.float32),
+            np.asarray(labels), rng, policies)
     if train and rng is not None and cfg.photo_metric_distortion:
         img = photo_metric_distortion(img, rng)
     flip = bool(train and rng is not None

@@ -7,8 +7,11 @@ scalar reduced from the outputs.
 
 Usage: python tools/profile_step.py [B]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
