@@ -47,9 +47,13 @@ def main():
     remat = os.environ.get("BENCH_REMAT", "1") == "1"
     model = GFLDeformableDETR(remat=remat)  # flagship: R50, 6+6, 300 q
     det_cfg = DetLossConfig()
+    # bisect knobs: BENCH_CATES / BENCH_FEATS override the distill recipe
     distill_cfg = DistillConfig.from_flags(
-        cates_distill="hard + teacher-first",
-        feats_distill="corr + fg_info + decode_v1", num_prev=40)
+        cates_distill=os.environ.get("BENCH_CATES",
+                                     "hard + teacher-first"),
+        feats_distill=os.environ.get("BENCH_FEATS",
+                                     "corr + fg_info + decode_v1"),
+        num_prev=40)
 
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32) * 0.5)

@@ -81,3 +81,26 @@ def test_auto_augment_in_pipeline():
     out = preprocess(img, boxes, labels, cfg, rng, train=True)
     assert out["image"].shape == (64, 64, 3)
     assert out["gt_valid"].sum() <= 1
+
+
+def test_albu_bridge_gate():
+    """Without albumentations installed the bridge raises an informative
+    ImportError (the reference has the same optional dependency)."""
+    import pytest
+
+    from dskd_tpu.data.albu_bridge import build_albu
+
+    try:
+        import albumentations  # noqa: F401
+        has_albu = True
+    except ImportError:
+        has_albu = False
+    if has_albu:
+        apply = build_albu([dict(type="HorizontalFlip", p=1.0)])
+        img = np.zeros((8, 8, 3), np.float32)
+        boxes = np.array([[0, 0, 4, 4]], np.float32)
+        out, b, l = apply(img, boxes, np.array([1]))
+        assert out.shape == img.shape
+    else:
+        with pytest.raises(ImportError, match="albumentations"):
+            build_albu([dict(type="HorizontalFlip", p=1.0)])
