@@ -125,7 +125,8 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
         max_gt=cfg.data.max_gt, bucket=cfg.data.bucket,
         multi_scales=cfg.data.multi_scales,
         photo_metric_distortion=cfg.data.photo_metric_distortion,
-        mosaic=cfg.data.mosaic, mixup=cfg.data.mixup)
+        mosaic=cfg.data.mosaic, mixup=cfg.data.mixup,
+        auto_augment=cfg.data.auto_augment)
     global_batch = cfg.data.samples_per_device * len(mesh.devices.flatten())
     loader = DataLoader(train_ds, global_batch, pipe, train=True,
                         seed=cfg.train.seed + tid,

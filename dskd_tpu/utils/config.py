@@ -63,6 +63,8 @@ class DataConfig:
     # YOLOX-style multi-image mixes (pipelines/transforms.py Mosaic/MixUp)
     mosaic: bool = False
     mixup: bool = False
+    # AutoAugment detection policies (pipelines/auto_augment.py)
+    auto_augment: bool = False
 
 
 @dataclass
