@@ -42,9 +42,9 @@ def main():
     from dskd_tpu.train.step import Batch, make_train_step
 
     H, W, MAXG = 640, 640, 100
-    # BENCH_REMAT=0 disables encoder/decoder rematerialization (trades HBM
-    # for skipping the backward recompute of the gather-heavy layers)
-    remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    # remat OFF is the measured default (+15%, PERF.md round 2);
+    # BENCH_REMAT=1 re-enables it for memory-bound experiments
+    remat = os.environ.get("BENCH_REMAT", "0") == "1"
     model = GFLDeformableDETR(remat=remat)  # flagship: R50, 6+6, 300 q
     det_cfg = DetLossConfig()
     # bisect knobs: BENCH_CATES / BENCH_FEATS override the distill recipe

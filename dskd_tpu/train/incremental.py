@@ -55,7 +55,7 @@ def build_model(cfg: ExperimentConfig):
             num_encoder_layers=m.num_encoder_layers,
             num_decoder_layers=m.num_decoder_layers,
             num_levels=m.num_levels, dropout=m.dropout,
-            dcn_stages=tuple(m.dcn_stages))
+            dcn_stages=tuple(m.dcn_stages), remat=m.remat)
     if m.arch == "yolof":
         from ..models.yolof import YOLOF
         return YOLOF(num_classes=m.num_classes, depth=m.depth,

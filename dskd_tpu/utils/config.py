@@ -34,6 +34,11 @@ class ModelConfig:
     # DCN stage switches (dcn config variants; bottleneck backbones only)
     dcn_stages: Tuple[bool, bool, bool, bool] = (False, False, False, False)
     backbone_ckpt: Optional[str] = None   # torchvision-style weights
+    # rematerialize transformer layers in the backward. OFF by default:
+    # the flagship recipe (B=4/chip, 640x640) fits v5e HBM without it and
+    # skipping the encoder recompute measures +15% step throughput
+    # (PERF.md round 2). Enable for larger batches/models.
+    remat: bool = False
 
 
 @dataclass
