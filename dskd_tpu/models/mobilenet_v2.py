@@ -1,0 +1,87 @@
+"""MobileNetV2 backbone (parity: mmdet/models/backbones/mobilenet_v2.py).
+
+Inverted residual blocks with ReLU6, the standard 7-stage arch table
+(expand_ratio, channels, num_blocks, stride), mmdet-style out_indices /
+frozen_stages / width_factor. Same FrozenBatchNorm + stop_gradient freeze
+semantics as the ResNet backbone (norm_eval recipe).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import lax
+
+from .resnet import FrozenBatchNorm
+
+# (expand_ratio, out_channels, num_blocks, first_stride)
+ARCH = ((1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+        (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1))
+
+
+def make_divisible(v: float, divisor: int = 8) -> int:
+    new = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new < 0.9 * v:
+        new += divisor
+    return new
+
+
+def _relu6(x):
+    return jnp.clip(x, 0.0, 6.0)
+
+
+class InvertedResidual(nn.Module):
+    out_channels: int
+    stride: int
+    expand_ratio: int
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        hidden = c_in * self.expand_ratio
+        y = x
+        if self.expand_ratio != 1:
+            y = nn.Conv(hidden, (1, 1), use_bias=False, name="expand")(y)
+            y = _relu6(FrozenBatchNorm(name="expand_bn")(y))
+        # depthwise 3x3
+        y = nn.Conv(hidden, (3, 3), strides=(self.stride, self.stride),
+                    padding=[(1, 1), (1, 1)], feature_group_count=hidden,
+                    use_bias=False, name="depthwise")(y)
+        y = _relu6(FrozenBatchNorm(name="depthwise_bn")(y))
+        y = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                    name="project")(y)
+        y = FrozenBatchNorm(name="project_bn")(y)
+        if self.stride == 1 and c_in == self.out_channels:
+            y = x + y
+        return y
+
+
+class MobileNetV2(nn.Module):
+    """out_indices are 0-based stage ids over the 7 inverted-residual
+    stages (mmdet default (1, 2, 4, 6) feeds 4-level necks)."""
+    out_indices: Sequence[int] = (1, 2, 4, 6)
+    frozen_stages: int = -1
+    widen_factor: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        c = make_divisible(32 * self.widen_factor)
+        out = nn.Conv(c, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                      use_bias=False, name="stem_conv")(x)
+        out = _relu6(FrozenBatchNorm(name="stem_bn")(out))
+        if self.frozen_stages >= 0:
+            out = lax.stop_gradient(out)
+
+        outs = []
+        for i, (t, ch, n, s) in enumerate(ARCH):
+            ch = make_divisible(ch * self.widen_factor)
+            for b in range(n):
+                out = InvertedResidual(
+                    out_channels=ch, stride=s if b == 0 else 1,
+                    expand_ratio=t, name=f"stage{i + 1}_block{b}")(out)
+            if self.frozen_stages >= i + 1:
+                out = lax.stop_gradient(out)
+            if i in self.out_indices:
+                outs.append(out)
+        return tuple(outs)
