@@ -1,1 +1,1 @@
-from . import boxes, integral, losses, matching, postprocess  # noqa: F401
+from . import boxes, coders, integral, losses, matching, postprocess  # noqa: F401

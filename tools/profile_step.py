@@ -52,7 +52,8 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     H, W, MAXG = 640, 640, 100
     dtype = jnp.bfloat16
-    model = GFLDeformableDETR()
+    remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    model = GFLDeformableDETR(remat=remat)
     det_cfg = DetLossConfig()
     distill_cfg = DistillConfig.from_flags(
         cates_distill="hard + teacher-first",
