@@ -123,14 +123,23 @@ def main():
     timeit("teacher + student + all losses (no grad)",
            jax.jit(all_losses), dict(variables), teacher_vars, batch)
 
-    # 5. full train step (grad + AdamW)
+    # 5. full train step (grad + AdamW). donate=True is REQUIRED here:
+    # without remat, B=4 with donate=False needs 20.3G HBM (double-buffered
+    # state) and fails to compile — donation is load-bearing, so the timing
+    # loop carries the returned state forward like real training does.
     step = make_train_step(model, det_cfg, distill_cfg, use_dropout=False,
-                           donate=False, compute_dtype=dtype)
-    def run_step(s, b, tv):
-        s2, losses = step(s, b, tv)
-        return losses["loss"]
-    timeit("FULL train step (grad + optimizer)", run_step, state, batch,
-           teacher_vars, iters=5)
+                           donate=True, compute_dtype=dtype)
+    s = state
+    for _ in range(2):                      # compile + warm
+        s, losses = step(s, batch, teacher_vars)
+    fetch(losses["loss"])
+    t0 = time.perf_counter()
+    for _ in range(5):
+        s, losses = step(s, batch, teacher_vars)
+    fetch(losses["loss"])
+    dt = (time.perf_counter() - t0) / 5 * 1000
+    print(f"{'FULL train step (grad + optimizer, donated)':44s} "
+          f"{dt:9.1f} ms")
 
     # 6. detection-loss-only grad (isolates matcher+loss backward)
     def det_grad(params, b):
