@@ -59,8 +59,10 @@ def build_step(B):
     state = TrainState.create(variables["params"],
                               variables.get("batch_stats", {}), tx,
                               jax.random.PRNGKey(1))
+    # donate=True: at no-remat B=4 the donate-less program needs 20.3G HBM
+    # and cannot compile — the trace loop carries the state forward
     step = make_train_step(model, det_cfg, distill_cfg, use_dropout=True,
-                           donate=False, compute_dtype=jnp.bfloat16)
+                           donate=True, compute_dtype=jnp.bfloat16)
     return step, state, batch, teacher_vars
 
 
