@@ -55,7 +55,7 @@ def ms_deform_attn_core(value: jnp.ndarray,
                         mxu_gather_max_rows: int = 2500,
                         raster_queries: bool = False,
                         window_tile_q: int = 128,
-                        window_rows: int = 1024) -> jnp.ndarray:
+                        window_rows: int = 0) -> jnp.ndarray:
     """Fused multi-scale deformable sampling.
 
     Args:
@@ -68,10 +68,14 @@ def ms_deform_attn_core(value: jnp.ndarray,
         XLA's scalar-loop gather — see ops/mxu_gather.py / PERF.md);
         larger levels use the XLA gather. 0 disables the kernel.
       raster_queries: True for the ENCODER self-attention, where query q IS
-        flattened token q. Level-0 queries sampling level 0 then use the
-        windowed MXU kernel (ops/window_gather.py) with a lax.cond fallback
-        to the XLA gather whenever any sample escapes its static window —
-        bit-exact either way.
+        flattened token q. With window_rows > 0 (DSKD_WINDOW_ROWS env),
+        level-0 queries sampling level 0 use the windowed MXU kernel
+        (ops/window_gather.py) with a lax.cond fallback to the XLA gather
+        whenever any sample escapes its static window — bit-exact either
+        way. OFF by default: measured slower than the XLA gather at
+        window=1024 AND its materialized (B, H, n0, P, 4, D) gather output
+        costs ~5G HBM that the fused XLA path never allocates, which OOMs
+        the no-remat step (PERF.md round 2).
 
     Returns:
       (B, Q, H*D).
