@@ -1,0 +1,190 @@
+"""RetinaNet (parity: mmdet retinanet_r50_fpn — detectors/retinanet.py +
+dense_heads/retina_head.py + configs/retinanet/*_r50_fpn_1x_coco.py).
+
+ResNet + FPN (P3-P7, extra convs on INPUT per the retina config) + a
+shared 4-conv-stack head with A = 3 scales x 3 ratios anchors per cell,
+focal-loss classification (prior-prob 0.01 bias init) and L1 on
+delta-encoded boxes under MaxIoU assignment (pos 0.5 / neg 0.4).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import losses as L
+from ..core.anchors import base_anchors, bbox2delta, delta2bbox, grid_anchors
+from ..core.max_iou_assigner import max_iou_assign
+from ..core.postprocess import batched_nms, filter_scores_and_topk
+from .fpn import FPN
+from .gfl_detr_head import bias_init_with_prob
+from .resnet import ResNet
+
+STRIDES = (8, 16, 32, 64, 128)
+OCTAVE_BASE_SCALE = 4
+SCALES_PER_OCTAVE = 3
+RATIOS = (0.5, 1.0, 2.0)
+
+
+class RetinaHeadOutputs(NamedTuple):
+    cls_scores: Tuple[jnp.ndarray, ...]   # per level (B, H, W, A*C)
+    bbox_preds: Tuple[jnp.ndarray, ...]   # per level (B, H, W, A*4)
+
+
+class RetinaNetOutputs(NamedTuple):
+    head: RetinaHeadOutputs
+    neck_feats: Tuple[jnp.ndarray, ...]
+
+
+class RetinaHead(nn.Module):
+    num_classes: int = 80
+    stacked_convs: int = 4
+    feat_channels: int = 256
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]) -> RetinaHeadOutputs:
+        A = SCALES_PER_OCTAVE * len(RATIOS)
+        convs = {}
+        # weights shared across levels (retina_head: one head, all levels)
+        for i in range(self.stacked_convs):
+            convs[f"cls_conv{i}"] = nn.Conv(
+                self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                name=f"cls_conv{i}")
+            convs[f"reg_conv{i}"] = nn.Conv(
+                self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                name=f"reg_conv{i}")
+        retina_cls = nn.Conv(
+            A * self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
+            bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
+            name="retina_cls")
+        retina_reg = nn.Conv(A * 4, (3, 3), padding=[(1, 1), (1, 1)],
+                             name="retina_reg")
+
+        cls_out, reg_out = [], []
+        for f in feats:
+            c = r = f
+            for i in range(self.stacked_convs):
+                c = nn.relu(convs[f"cls_conv{i}"](c))
+                r = nn.relu(convs[f"reg_conv{i}"](r))
+            cls_out.append(retina_cls(c))
+            reg_out.append(retina_reg(r))
+        return RetinaHeadOutputs(tuple(cls_out), tuple(reg_out))
+
+
+class RetinaNet(nn.Module):
+    num_classes: int = 80
+    depth: int = 50
+    frozen_stages: int = 1
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, img_hw: jnp.ndarray,
+                 deterministic: bool = True) -> RetinaNetOutputs:
+        feats = ResNet(depth=self.depth, out_indices=(0, 1, 2, 3),
+                       frozen_stages=self.frozen_stages,
+                       name="backbone")(images)
+        neck = FPN(out_channels=256, num_outs=5, start_level=1,
+                   add_extra_convs="on_input",
+                   relu_before_extra_convs=False, name="neck")(feats)
+        head = RetinaHead(num_classes=self.num_classes,
+                          name="bbox_head")(neck)
+        return RetinaNetOutputs(head, neck)
+
+
+def retina_anchors(featmap_sizes: Sequence[Tuple[int, int]]) -> jnp.ndarray:
+    """All-level anchors, flattened (sum HWA, 4), mmdet AnchorGenerator
+    (octave_base_scale 4, 3 scales/octave, ratios 0.5/1/2)."""
+    scales = tuple(OCTAVE_BASE_SCALE * 2 ** (i / SCALES_PER_OCTAVE)
+                   for i in range(SCALES_PER_OCTAVE))
+    per_level = []
+    for (h, w), stride in zip(featmap_sizes, STRIDES):
+        base = base_anchors(stride, scales, RATIOS)
+        per_level.append(grid_anchors((h, w), stride, base))
+    return jnp.concatenate(per_level, axis=0)
+
+
+class RetinaLossConfig(NamedTuple):
+    num_classes: int = 80
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    loss_cls_weight: float = 1.0
+    loss_bbox_weight: float = 1.0
+    pos_iou_thr: float = 0.5
+    neg_iou_thr: float = 0.4
+
+
+def retina_detection_loss(out: RetinaHeadOutputs, anchors, gt_bboxes,
+                          gt_labels, gt_valid, cfg: RetinaLossConfig):
+    """Batched RetinaNet loss (retina config: FocalLoss + L1 on deltas,
+    MaxIoU pos 0.5 / neg 0.4 / min_pos_iou 0, all anchors sampled)."""
+    B = out.cls_scores[0].shape[0]
+    C = cfg.num_classes
+    cls_flat = jnp.concatenate(
+        [c.reshape(B, -1, C) for c in out.cls_scores], axis=1)
+    deltas = jnp.concatenate(
+        [r.reshape(B, -1, 4) for r in out.bbox_preds], axis=1)
+
+    assign = jax.vmap(
+        lambda b, l, v: max_iou_assign(
+            anchors, b, l, v, C, pos_iou_thr=cfg.pos_iou_thr,
+            neg_iou_thr=cfg.neg_iou_thr, min_pos_iou=0.0))(
+        gt_bboxes, gt_labels, gt_valid)
+
+    pos = assign.assigned_gt >= 0                       # (B, N)
+    ignored = assign.assigned_gt == -2
+    num_total_pos = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
+
+    onehot = jax.nn.one_hot(assign.labels, C + 1)[..., :C]
+    w = (~ignored).astype(jnp.float32)
+    loss_cls = cfg.loss_cls_weight * L.sigmoid_focal_loss(
+        cls_flat.reshape(-1, C), onehot.reshape(-1, C),
+        weight=w.reshape(-1, 1), avg_factor=num_total_pos,
+        gamma=cfg.focal_gamma, alpha=cfg.focal_alpha)
+
+    G = gt_bboxes.shape[1]
+    tgt = jnp.take_along_axis(
+        gt_bboxes, jnp.clip(assign.assigned_gt, 0, G - 1)[..., None],
+        axis=1)
+    delta_tgt = bbox2delta(anchors[None], tgt)
+    loss_bbox = cfg.loss_bbox_weight * L.l1_loss(
+        deltas.reshape(-1, 4), delta_tgt.reshape(-1, 4),
+        weight=pos.astype(jnp.float32).reshape(-1, 1),
+        avg_factor=num_total_pos)
+    return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
+
+
+def retina_get_bboxes(out: RetinaHeadOutputs, anchors, img_hw,
+                      scale_factor=None, score_thr: float = 0.05,
+                      nms_iou: float = 0.5, nms_pre: int = 1000,
+                      max_per_img: int = 100, rescale: bool = False):
+    """Static-shape decode: per-image threshold/top-k, delta decode, clip,
+    class-aware NMS (the retina test_cfg)."""
+    B = out.cls_scores[0].shape[0]
+    C = out.cls_scores[0].shape[-1] // (SCALES_PER_OCTAVE * len(RATIOS))
+    cls_flat = jnp.concatenate(
+        [c.reshape(B, -1, C) for c in out.cls_scores], axis=1)
+    deltas = jnp.concatenate(
+        [r.reshape(B, -1, 4) for r in out.bbox_preds], axis=1)
+
+    def per_image(cls_s, delta, hw, sf):
+        probs = jax.nn.sigmoid(cls_s)
+        top = filter_scores_and_topk(probs, score_thr, nms_pre)
+        boxes = delta2bbox(anchors[top.keep_idxs], delta[top.keep_idxs])
+        h, w = hw[0].astype(boxes.dtype), hw[1].astype(boxes.dtype)
+        boxes = jnp.stack([
+            jnp.clip(boxes[:, 0], 0, w), jnp.clip(boxes[:, 1], 0, h),
+            jnp.clip(boxes[:, 2], 0, w), jnp.clip(boxes[:, 3], 0, h)], -1)
+        nb, ns, nl, keep, _ = batched_nms(boxes, top.scores, top.labels,
+                                          nms_iou, max_per_img,
+                                          valid=top.valid)
+        if rescale and sf is not None:
+            nb = nb / sf[None]
+        return nb, ns, nl, keep
+
+    if scale_factor is None:
+        scale_factor = jnp.ones((B, 4), jnp.float32)
+    nb, ns, nl, keep = jax.vmap(per_image)(cls_flat, deltas, img_hw,
+                                           scale_factor)
+    return dict(bboxes=nb, scores=ns, labels=nl, valid=keep)

@@ -123,6 +123,20 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 teacher_score_thr=cfg.distill.teacher_score_thr,
                 teacher_max_per_img=cfg.distill.teacher_max_per_img), None
 
+    elif arch == "retinanet":
+        from ..models.retinanet import (RetinaLossConfig, retina_anchors,
+                                        retina_detection_loss)
+        det_cfg = RetinaLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            anchors = retina_anchors(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            return retina_detection_loss(
+                out.head, anchors, batch.gt_bboxes, batch.gt_labels,
+                batch.gt_valid, det_cfg), None
+
     elif arch == "faster_rcnn":
         from ..models.faster_rcnn import (FasterRCNN, RCNNLossConfig,
                                           RPNLossConfig, rcnn_forward_train,

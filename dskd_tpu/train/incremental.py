@@ -79,6 +79,10 @@ def build_model(cfg: ExperimentConfig):
         from ..models.faster_rcnn import FasterRCNN
         return FasterRCNN(num_classes=m.num_classes, depth=m.depth,
                           frozen_stages=m.frozen_stages)
+    if m.arch == "retinanet":
+        from ..models.retinanet import RetinaNet
+        return RetinaNet(num_classes=m.num_classes, depth=m.depth,
+                         frozen_stages=m.frozen_stages)
     raise ValueError(f"unknown arch: {m.arch}")
 
 
