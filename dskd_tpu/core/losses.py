@@ -220,6 +220,13 @@ def sigmoid_focal_loss(pred, target, gamma: float = 2.0, alpha: float = 0.25):
 
 
 @_weighted
+def bce_loss(pred, target):
+    """Weighted BCE on logits (mmdet CrossEntropyLoss(use_sigmoid=True) —
+    the FCOS centerness loss)."""
+    return binary_cross_entropy_with_logits(pred, target)
+
+
+@_weighted
 def cross_entropy_loss(pred, label, class_weight=None):
     """Softmax CE with integer labels; (N, C) x (N,) -> (N,)."""
     logp = jax.nn.log_softmax(pred, axis=-1)

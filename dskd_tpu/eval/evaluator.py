@@ -92,6 +92,21 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 
+    if arch == "fcos":
+        from ..models.fcos import fcos_get_bboxes, fcos_points
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            points, _ = fcos_points(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            d = fcos_get_bboxes(out.head, points, img_hw,
+                                scale_factor=scale_factors,
+                                score_thr=max(score_thr, 0.05),
+                                max_per_img=max_per_img, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return eval_step
+
     if arch == "faster_rcnn":
         from ..models.faster_rcnn import (FasterRCNN, rcnn_get_bboxes,
                                           rpn_proposals)

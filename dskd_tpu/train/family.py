@@ -137,6 +137,20 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 out.head, anchors, batch.gt_bboxes, batch.gt_labels,
                 batch.gt_valid, det_cfg), None
 
+    elif arch == "fcos":
+        from ..models.fcos import (FCOSLossConfig, fcos_detection_loss,
+                                   fcos_points)
+        det_cfg = FCOSLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            points, meta = fcos_points(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            return fcos_detection_loss(
+                out.head, points, meta, batch.gt_bboxes, batch.gt_labels,
+                batch.gt_valid, det_cfg), None
+
     elif arch == "faster_rcnn":
         from ..models.faster_rcnn import (FasterRCNN, RCNNLossConfig,
                                           RPNLossConfig, rcnn_forward_train,

@@ -83,6 +83,10 @@ def build_model(cfg: ExperimentConfig):
         from ..models.retinanet import RetinaNet
         return RetinaNet(num_classes=m.num_classes, depth=m.depth,
                          frozen_stages=m.frozen_stages)
+    if m.arch == "fcos":
+        from ..models.fcos import FCOS
+        return FCOS(num_classes=m.num_classes, depth=m.depth,
+                    frozen_stages=m.frozen_stages)
     raise ValueError(f"unknown arch: {m.arch}")
 
 
