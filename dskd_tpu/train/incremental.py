@@ -306,6 +306,16 @@ def run_incremental(cfg: ExperimentConfig, student_ckpt: Optional[str] = None,
     teacher_variables = None
 
     def load_into(variables, path):
+        if path.endswith((".pth", ".pt")):
+            # mmdet/torch checkpoint (the reference's teacher_ckpt files,
+            # configs/...il.py Task1.load_teacher) via the full converter
+            from ..utils.torch_weights import load_mmdet_checkpoint
+            loaded = load_mmdet_checkpoint(
+                {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}, path,
+                depth=cfg.model.depth)
+            return {"params": loaded["params"],
+                    "batch_stats": loaded.get("batch_stats", {})}
         import re
         m = re.search(r"task_(\d+)_epoch_(\d+)", path)
         assert m, f"checkpoint path must contain task_T_epoch_E: {path}"

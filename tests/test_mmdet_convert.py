@@ -169,3 +169,26 @@ def test_mha_conversion_numeric_oracle():
                      jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_pth_file_load(tmp_path):
+    """File-path variant: torch.save'd {'state_dict': ...} checkpoint
+    (the reference teacher_ckpt format) loads through
+    load_mmdet_checkpoint — the driver's teacher_ckpt='*.pth' branch."""
+    import torch
+
+    from dskd_tpu.utils.torch_weights import load_mmdet_checkpoint
+
+    model = GFLDeformableDETR(num_classes=7, num_query=12, depth=18,
+                              num_encoder_layers=1, num_decoder_layers=2)
+    images = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    img_hw = jnp.array([[64, 64]], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), images, img_hw)
+
+    state = _synthetic_mmdet_state()
+    path = tmp_path / "teacher.pth"
+    torch.save({"state_dict": state, "meta": {"epoch": 12}}, str(path))
+    loaded = load_mmdet_checkpoint(dict(variables), str(path), depth=18)
+    old = variables["params"]["bbox_head"]["cls_branch"]["kernel"]
+    new = loaded["params"]["bbox_head"]["cls_branch"]["kernel"]
+    assert float(jnp.abs(jnp.asarray(new) - old).max()) > 0
