@@ -122,15 +122,21 @@ def query_of_merged_gt(assigned_gt: jnp.ndarray, num_merged: int,
 
 
 def _class_prototypes(feats_flat, labels_flat, select_mask, num_classes):
-    """Segment-sum class prototypes. feats (N, C), labels (N,), mask (N,).
+    """Class-prototype accumulation. feats (N, C), labels (N,), mask (N,).
+
+    Formulated as a one-hot contraction instead of segment_sum: the
+    (num_classes, N) x (N, C) matmul runs on the MXU, its backward is a
+    plain matmul too (segment_sum differentiates into a gather/scatter pair
+    that triggered a TPU kernel fault at B=8 — PERF.md round 2), and at
+    these sizes (N <= a few thousand) it is also faster.
 
     Returns (sums (num_classes, C), counts (num_classes,))."""
     w = select_mask.astype(feats_flat.dtype)
     safe_labels = jnp.where(select_mask, labels_flat, num_classes)
-    sums = jax.ops.segment_sum(feats_flat * w[:, None], safe_labels,
-                               num_segments=num_classes + 1)[:num_classes]
-    counts = jax.ops.segment_sum(w, safe_labels,
-                                 num_segments=num_classes + 1)[:num_classes]
+    onehot = jax.nn.one_hot(safe_labels, num_classes + 1,
+                            dtype=feats_flat.dtype)        # (N, K+1)
+    sums = (onehot.T @ (feats_flat * w[:, None]))[:num_classes]
+    counts = (onehot.T @ w[:, None])[:num_classes, 0]
     return sums, counts
 
 
