@@ -126,6 +126,25 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 
+    if arch == "cascade_rcnn":
+        from ..models.cascade_rcnn import CascadeRCNN, cascade_get_bboxes
+        from ..models.faster_rcnn import rpn_proposals
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            props, _, pvalid = rpn_proposals(out.rpn, img_hw, nms_pre=1000,
+                                             max_total=1000)
+            d = cascade_get_bboxes(
+                lambda f, st: model.apply(variables, f, st,
+                                          method=CascadeRCNN.roi_forward),
+                out.neck_feats, props, pvalid, img_hw,
+                num_classes=model.num_classes, scale_factor=scale_factors,
+                score_thr=max(score_thr, 0.05), max_per_img=max_per_img,
+                rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return eval_step
+
     if arch == "detr":
         from ..models.detr import detr_get_bboxes
 

@@ -178,6 +178,31 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             losses.update({f"rcnn_{k}": v for k, v in rcnn_losses.items()})
             return losses, None
 
+    elif arch == "cascade_rcnn":
+        from ..models.cascade_rcnn import (CascadeRCNN,
+                                           cascade_forward_train)
+        from ..models.faster_rcnn import (RPNLossConfig, rpn_loss,
+                                          rpn_proposals)
+        rpn_cfg = RPNLossConfig()
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            rng1, rng2 = jax.random.split(rng)
+            out = model.apply(variables, batch.images, batch.img_hw)
+            losses = rpn_loss(out.rpn, batch.gt_bboxes, batch.gt_valid,
+                              batch.img_hw, rng1, rpn_cfg)
+            props, _, valid = rpn_proposals(out.rpn, batch.img_hw,
+                                            nms_pre=1000,
+                                            max_total=cfg.rcnn_num_proposals)
+            props = jax.lax.stop_gradient(props)
+            losses.update(cascade_forward_train(
+                lambda f, st: model.apply(variables, f, st,
+                                          method=CascadeRCNN.roi_forward),
+                out.neck_feats, props, valid, batch.gt_bboxes,
+                batch.gt_labels, batch.gt_valid, rng2,
+                num_classes=cfg.model.num_classes,
+                num_samples=cfg.rcnn_num_samples))
+            return losses, None
+
     else:
         raise ValueError(f"no train step for arch: {arch}")
 

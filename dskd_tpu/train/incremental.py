@@ -87,6 +87,10 @@ def build_model(cfg: ExperimentConfig):
         from ..models.fcos import FCOS
         return FCOS(num_classes=m.num_classes, depth=m.depth,
                     frozen_stages=m.frozen_stages)
+    if m.arch == "cascade_rcnn":
+        from ..models.cascade_rcnn import CascadeRCNN
+        return CascadeRCNN(num_classes=m.num_classes, depth=m.depth,
+                           frozen_stages=m.frozen_stages)
     raise ValueError(f"unknown arch: {m.arch}")
 
 
@@ -94,8 +98,8 @@ def init_variables(model, cfg: ExperimentConfig, rng):
     H, W = cfg.data.bucket
     images = jnp.zeros((1, H, W, 3), jnp.float32)
     img_hw = jnp.array([[H, W]], jnp.int32)
-    if cfg.model.arch == "faster_rcnn":
-        # two-stage: trace the ROI head too so init creates its params
+    if cfg.model.arch in ("faster_rcnn", "cascade_rcnn"):
+        # two-stage: trace the ROI head(s) too so init creates their params
         variables = model.init(rng, images, img_hw,
                                method=type(model).init_all)
     else:
