@@ -28,8 +28,10 @@ BASELINE_IMG_S = 6.5  # est. A100 mmdet teacher+student incremental img/s
 
 
 def main():
-    # B=4 is the validated stable batch on a single 16GB v5e (B=8 compiles
-    # but trips a device fault at run time — tracked for the next round)
+    # B=4/chip is the fastest validated config on a 16GB v5e (3.47 img/s
+    # with remat off; the reference global batch 32 = 8 chips x B=4 over
+    # the DP mesh). B=8 also RUNS since the corr one-hot fix (PERF.md) but
+    # measures slower per chip (2.81, forwards scale linearly).
     B = int(os.environ.get("BENCH_B", "4"))
     dtype = (jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16"
              else jnp.float32)
