@@ -130,6 +130,10 @@ def lap_auction(cost: jnp.ndarray, eps_frac: float = 1 / 400,
     the auction converged — nonzero means the matching quality degraded
     and should be surfaced in the training log).
     """
+    import os
+    env_eps = os.environ.get("DSKD_AUCTION_EPS")   # sweep knob (1/eps_frac)
+    if env_eps is not None:
+        eps_frac = 1.0 / float(env_eps)
     R, C = cost.shape
     assert R <= C, (R, C)
     v = -cost.astype(jnp.float32)
