@@ -220,6 +220,21 @@ def sigmoid_focal_loss(pred, target, gamma: float = 2.0, alpha: float = 0.25):
 
 
 @_weighted
+def gaussian_focal_loss(pred, gaussian_target, alpha: float = 2.0,
+                        gamma: float = 4.0):
+    """CornerNet/CenterNet heatmap focal loss
+    (losses/gaussian_focal_loss.py:10-25): pred is POST-sigmoid; exact-1
+    targets are positives, everything else penalized with a
+    (1-target)^gamma neighborhood discount."""
+    eps = 1e-12
+    pos_w = (gaussian_target == 1.0).astype(pred.dtype)
+    neg_w = (1 - gaussian_target) ** gamma
+    pos = -jnp.log(pred + eps) * (1 - pred) ** alpha * pos_w
+    neg = -jnp.log(1 - pred + eps) * pred ** alpha * neg_w * (1 - pos_w)
+    return pos + neg
+
+
+@_weighted
 def bce_loss(pred, target):
     """Weighted BCE on logits (mmdet CrossEntropyLoss(use_sigmoid=True) —
     the FCOS centerness loss)."""

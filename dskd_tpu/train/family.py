@@ -203,6 +203,16 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 num_samples=cfg.rcnn_num_samples))
             return losses, None
 
+    elif arch == "centernet":
+        from ..models.centernet import CenterNetLossConfig, centernet_loss
+        det_cfg = CenterNetLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            return centernet_loss(out, batch.gt_bboxes, batch.gt_labels,
+                                  batch.gt_valid, det_cfg), None
+
     else:
         raise ValueError(f"no train step for arch: {arch}")
 

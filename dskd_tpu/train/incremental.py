@@ -91,6 +91,10 @@ def build_model(cfg: ExperimentConfig):
         from ..models.cascade_rcnn import CascadeRCNN
         return CascadeRCNN(num_classes=m.num_classes, depth=m.depth,
                            frozen_stages=m.frozen_stages)
+    if m.arch == "centernet":
+        from ..models.centernet import CenterNet
+        return CenterNet(num_classes=m.num_classes, depth=m.depth,
+                         frozen_stages=m.frozen_stages)
     raise ValueError(f"unknown arch: {m.arch}")
 
 
