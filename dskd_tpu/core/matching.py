@@ -108,7 +108,7 @@ def lap_jv(cost: jnp.ndarray) -> jnp.ndarray:
     return row2col
 
 
-def lap_auction(cost: jnp.ndarray, eps_frac: float = 1 / 400,
+def lap_auction(cost: jnp.ndarray, eps_frac: float = 1 / 100,
                 max_iters: int = 1500,
                 with_stats: bool = False) -> jnp.ndarray:
     """Near-optimal LAP via the auction algorithm (Bertsekas), batched-
