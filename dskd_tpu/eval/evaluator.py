@@ -158,6 +158,20 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 
+    if arch == "ssd":
+        from ..models.ssd import ssd_anchors, ssd_get_bboxes
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            anchors = ssd_anchors([c.shape[1:3] for c in out.cls_scores])
+            d = ssd_get_bboxes(out, anchors, img_hw,
+                               scale_factor=scale_factors,
+                               score_thr=max(score_thr, 0.02),
+                               max_per_img=max_per_img, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return eval_step
+
     if arch == "detr":
         from ..models.detr import detr_get_bboxes
 

@@ -1,0 +1,226 @@
+"""SSD300 (parity: mmdet backbones/ssd_vgg.py + dense_heads/ssd_head.py +
+anchor SSDAnchorGenerator + configs/ssd/ssd300_coco.py).
+
+VGG-16 through conv5 + dilated fc6/fc7 convs, L2Norm on the conv4_3
+output, four extra stride-2 blocks -> 6 detection levels
+(38/19/10/5/3/1 at 300 input). Per-level anchor counts (4,6,6,6,4,4)
+from the basesize-ratio ladder; softmax CE with 3:1 HARD negative mining
+(loss-ranked, the reference ssd_head.loss_single) + smooth-L1 deltas.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import losses as L
+from ..core.anchors import base_anchors, bbox2delta, delta2bbox, grid_anchors
+from ..core.max_iou_assigner import max_iou_assign
+from ..core.postprocess import batched_nms, filter_scores_and_topk
+
+STRIDES = (8, 16, 32, 64, 100, 300)
+# SSD300 COCO basesize ladder (basesize_ratio_range (0.15, 0.9)):
+# min_sizes/max_sizes per level (ssd anchor generator derivation)
+MIN_SIZES = (21, 45, 99, 153, 207, 261)
+MAX_SIZES = (45, 99, 153, 207, 261, 315)
+LEVEL_RATIOS = ((2,), (2, 3), (2, 3), (2, 3), (2,), (2,))
+
+
+def ssd_level_anchors(level: int):
+    """Base anchors for one level: [1, 1'] scales x ratios (ssd_head
+    anchor recipe) -> 4 or 6 anchors."""
+    mn, mx = MIN_SIZES[level], MAX_SIZES[level]
+    boxes = []
+
+    def box(w, h):
+        boxes.append([-w / 2, -h / 2, w / 2, h / 2])
+
+    box(mn, mn)
+    box(float(np.sqrt(mn * mx)), float(np.sqrt(mn * mx)))
+    for r in LEVEL_RATIOS[level]:
+        s = float(np.sqrt(r))
+        box(mn * s, mn / s)
+        box(mn / s, mn * s)
+    return jnp.asarray(boxes, jnp.float32)
+
+
+def ssd_anchors(featmap_sizes: Sequence[Tuple[int, int]]) -> jnp.ndarray:
+    per_level = []
+    for lvl, ((h, w), stride) in enumerate(zip(featmap_sizes, STRIDES)):
+        per_level.append(grid_anchors((h, w), stride,
+                                      ssd_level_anchors(lvl)))
+    return jnp.concatenate(per_level, axis=0)
+
+
+class L2Norm(nn.Module):
+    """conv4_3 channel L2 normalization with learnable per-channel scale
+    (ssd_vgg.py L2Norm, init 20)."""
+    init_scale: float = 20.0
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale",
+                           nn.initializers.constant(self.init_scale), (c,))
+        norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-10)
+        return x / norm * scale
+
+
+def _vgg_block(x, chans, n, name, pool_ceil=False):
+    for i in range(n):
+        x = nn.Conv(chans, (3, 3), padding=[(1, 1), (1, 1)],
+                    name=f"{name}_conv{i}")(x)
+        x = nn.relu(x)
+    return x
+
+
+class SSDOutputs(NamedTuple):
+    cls_scores: Tuple[jnp.ndarray, ...]   # (B, H, W, A*(C+1)) per level
+    bbox_preds: Tuple[jnp.ndarray, ...]   # (B, H, W, A*4)
+    neck_feats: Tuple[jnp.ndarray, ...]
+
+
+class SSDVGG(nn.Module):
+    """VGG-16 trunk + SSD extras; returns the 6 detection feature maps."""
+
+    @nn.compact
+    def __call__(self, x):
+        x = _vgg_block(x, 64, 2, "stage1")
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = _vgg_block(x, 128, 2, "stage2")
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = _vgg_block(x, 256, 3, "stage3")
+        x = nn.max_pool(x, (2, 2), strides=(2, 2), padding=((0, 1), (0, 1)))
+        x = _vgg_block(x, 512, 3, "stage4")
+        c43 = L2Norm(name="l2norm")(x)                 # 38x38 at 300
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = _vgg_block(x, 512, 3, "stage5")
+        x = nn.max_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+        # fc6 (dilated) + fc7 as convs
+        x = nn.relu(nn.Conv(1024, (3, 3), padding=[(6, 6), (6, 6)],
+                            kernel_dilation=(6, 6), name="fc6")(x))
+        x = nn.relu(nn.Conv(1024, (1, 1), name="fc7")(x))   # 19x19
+        feats = [c43, x]
+        # extras: conv8-conv11
+        specs = [(256, 512, 2, 1), (128, 256, 2, 1), (128, 256, 1, 0),
+                 (128, 256, 1, 0)]
+        for i, (mid, out, stride, pad) in enumerate(specs):
+            x = nn.relu(nn.Conv(mid, (1, 1), name=f"extra{i}_1")(x))
+            x = nn.relu(nn.Conv(out, (3, 3), strides=(stride, stride),
+                                padding=[(pad, pad), (pad, pad)],
+                                name=f"extra{i}_2")(x))
+            feats.append(x)
+        return tuple(feats)
+
+
+class SSD(nn.Module):
+    num_classes: int = 80
+    depth: int = 16           # VGG-16 (kept for config uniformity)
+    frozen_stages: int = -1
+
+    @nn.compact
+    def __call__(self, images, img_hw, deterministic: bool = True):
+        feats = SSDVGG(name="backbone")(images)
+        cls_out, reg_out = [], []
+        for lvl, f in enumerate(feats):
+            A = 2 + 2 * len(LEVEL_RATIOS[lvl])
+            cls_out.append(nn.Conv(A * (self.num_classes + 1), (3, 3),
+                                   padding=[(1, 1), (1, 1)],
+                                   name=f"cls_conv{lvl}")(f))
+            reg_out.append(nn.Conv(A * 4, (3, 3),
+                                   padding=[(1, 1), (1, 1)],
+                                   name=f"reg_conv{lvl}")(f))
+        return SSDOutputs(tuple(cls_out), tuple(reg_out), feats)
+
+
+class SSDLossConfig(NamedTuple):
+    num_classes: int = 80
+    neg_pos_ratio: int = 3
+    pos_iou_thr: float = 0.5
+    neg_iou_thr: float = 0.5
+    smoothl1_beta: float = 1.0
+    target_stds: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)
+
+
+def ssd_detection_loss(out: SSDOutputs, anchors, gt_bboxes, gt_labels,
+                       gt_valid, cfg: SSDLossConfig):
+    """Softmax CE with 3:1 hard negative mining + smooth L1
+    (ssd_head.loss_single: negatives ranked by their CE loss)."""
+    B = out.cls_scores[0].shape[0]
+    C = cfg.num_classes
+    cls_flat = jnp.concatenate(
+        [c.reshape(B, -1, C + 1) for c in out.cls_scores], axis=1)
+    deltas = jnp.concatenate(
+        [r.reshape(B, -1, 4) for r in out.bbox_preds], axis=1)
+    N = anchors.shape[0]
+
+    assign = jax.vmap(
+        lambda b, l, v: max_iou_assign(
+            anchors, b, l, v, C, pos_iou_thr=cfg.pos_iou_thr,
+            neg_iou_thr=cfg.neg_iou_thr, min_pos_iou=0.0))(
+        gt_bboxes, gt_labels, gt_valid)
+    pos = assign.assigned_gt >= 0                      # (B, N)
+    num_pos = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
+
+    ce = L.cross_entropy_loss(cls_flat.reshape(-1, C + 1),
+                              assign.labels.reshape(-1),
+                              reduction="none").reshape(B, N)
+    # hard negative mining per image: top (ratio * num_pos_i) negatives
+    neg = assign.assigned_gt == -1
+    neg_rank = jnp.argsort(jnp.argsort(
+        jnp.where(neg, -ce, jnp.inf), axis=1), axis=1)   # rank by loss desc
+    num_neg = jnp.minimum(cfg.neg_pos_ratio * pos.sum(axis=1),
+                          neg.sum(axis=1))               # (B,)
+    keep_neg = neg & (neg_rank < num_neg[:, None])
+    w = (pos | keep_neg).astype(jnp.float32)
+    loss_cls = (ce * w).sum() / num_pos
+
+    G = gt_bboxes.shape[1]
+    tgt = jnp.take_along_axis(
+        gt_bboxes, jnp.clip(assign.assigned_gt, 0, G - 1)[..., None],
+        axis=1)
+    delta_tgt = bbox2delta(anchors[None], tgt, stds=cfg.target_stds)
+    loss_bbox = L.smooth_l1_loss(
+        deltas.reshape(-1, 4), delta_tgt.reshape(-1, 4),
+        beta=cfg.smoothl1_beta,
+        weight=pos.astype(jnp.float32).reshape(-1, 1), avg_factor=num_pos)
+    return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
+
+
+def ssd_get_bboxes(out: SSDOutputs, anchors, img_hw, scale_factor=None,
+                   score_thr: float = 0.02, nms_iou: float = 0.45,
+                   nms_pre: int = 1000, max_per_img: int = 100,
+                   rescale: bool = False,
+                   target_stds=(0.1, 0.1, 0.2, 0.2)):
+    B = out.cls_scores[0].shape[0]
+    Cp1 = out.cls_scores[0].shape[-1] // (
+        2 + 2 * len(LEVEL_RATIOS[0]))
+    cls_flat = jnp.concatenate(
+        [c.reshape(B, -1, Cp1) for c in out.cls_scores], axis=1)
+    deltas = jnp.concatenate(
+        [r.reshape(B, -1, 4) for r in out.bbox_preds], axis=1)
+
+    def per_image(cls_s, delta, hw, sf):
+        probs = jax.nn.softmax(cls_s, -1)[:, :Cp1 - 1]  # drop background
+        top = filter_scores_and_topk(probs, score_thr, nms_pre)
+        boxes = delta2bbox(anchors[top.keep_idxs], delta[top.keep_idxs],
+                           stds=target_stds)
+        h, w = hw[0].astype(boxes.dtype), hw[1].astype(boxes.dtype)
+        boxes = jnp.stack([
+            jnp.clip(boxes[:, 0], 0, w), jnp.clip(boxes[:, 1], 0, h),
+            jnp.clip(boxes[:, 2], 0, w), jnp.clip(boxes[:, 3], 0, h)], -1)
+        nb, ns, nl, keep, _ = batched_nms(boxes, top.scores, top.labels,
+                                          nms_iou, max_per_img,
+                                          valid=top.valid)
+        if rescale and sf is not None:
+            nb = nb / sf[None]
+        return nb, ns, nl, keep
+
+    if scale_factor is None:
+        scale_factor = jnp.ones((B, 4), jnp.float32)
+    nb, ns, nl, keep = jax.vmap(per_image)(cls_flat, deltas, img_hw,
+                                           scale_factor)
+    return dict(bboxes=nb, scores=ns, labels=nl, valid=keep)

@@ -213,6 +213,19 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             return centernet_loss(out, batch.gt_bboxes, batch.gt_labels,
                                   batch.gt_valid, det_cfg), None
 
+    elif arch == "ssd":
+        from ..models.ssd import (SSDLossConfig, ssd_anchors,
+                                  ssd_detection_loss)
+        det_cfg = SSDLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            anchors = ssd_anchors([c.shape[1:3] for c in out.cls_scores])
+            return ssd_detection_loss(out, anchors, batch.gt_bboxes,
+                                      batch.gt_labels, batch.gt_valid,
+                                      det_cfg), None
+
     else:
         raise ValueError(f"no train step for arch: {arch}")
 

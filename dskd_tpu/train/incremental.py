@@ -95,6 +95,9 @@ def build_model(cfg: ExperimentConfig):
         from ..models.centernet import CenterNet
         return CenterNet(num_classes=m.num_classes, depth=m.depth,
                          frozen_stages=m.frozen_stages)
+    if m.arch == "ssd":
+        from ..models.ssd import SSD
+        return SSD(num_classes=m.num_classes)
     raise ValueError(f"unknown arch: {m.arch}")
 
 
