@@ -3,6 +3,10 @@
 tools/analysis_tools/benchmark.py — warmup + synchronized steady-state
 timing; here with jax.block_until_ready instead of cuda synchronize).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import argparse
 import time
 

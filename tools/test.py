@@ -4,9 +4,12 @@
 Loads a task checkpoint and runs COCO bbox evaluation over the selected
 task's validation split (catload = tril row of the task).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import argparse
 import logging
-import sys
 
 
 def main():

@@ -4,9 +4,12 @@
 Trains the detector on the full class set (catsplit=(num_classes,)) with no
 teacher — shares all machinery with the incremental driver.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import argparse
 import logging
-import sys
 
 
 def main():

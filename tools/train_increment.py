@@ -6,9 +6,12 @@ Usage:
   python tools/train_increment.py configs/gfl_deformable_detr_40_40_il.py \
       [--work-dir DIR] [--set data.imgpercent=0.1 train.epochs_per_task=1]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import argparse
 import logging
-import sys
 
 
 def main():
