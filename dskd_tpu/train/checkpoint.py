@@ -33,11 +33,19 @@ def save_checkpoint(work_dir: str, task: int, epoch: int, state,
 
 def restore_checkpoint(work_dir: str, task: int, epoch: int,
                        template: Any = None):
+    """Restore a task checkpoint. Template entries that are None (e.g.
+    eval-time loads passing opt_state=None) are filled from a raw restore
+    instead of strict template matching — the reference's load_checkpoint
+    (weights-only) vs runner.resume (full state) distinction."""
     ckptr = ocp.PyTreeCheckpointer()
     path = _ckpt_dir(work_dir, task, epoch)
-    if template is not None:
-        return ckptr.restore(path, item=template)
-    return ckptr.restore(path)
+    if template is None:
+        return ckptr.restore(path)
+    if any(v is None for v in template.values()):
+        raw = ckptr.restore(path)
+        template = {k: (raw.get(k) if v is None else v)
+                    for k, v in template.items()}
+    return ckptr.restore(path, item=template)
 
 
 def find_latest_checkpoint(work_dir: str, task: Optional[int] = None):
