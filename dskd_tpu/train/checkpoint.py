@@ -41,11 +41,20 @@ def restore_checkpoint(work_dir: str, task: int, epoch: int,
     path = _ckpt_dir(work_dir, task, epoch)
     if template is None:
         return ckptr.restore(path)
-    if any(v is None for v in template.values()):
-        raw = ckptr.restore(path)
-        template = {k: (raw.get(k) if v is None else v)
-                    for k, v in template.items()}
-    return ckptr.restore(path, item=template)
+    if all(v is not None for v in template.values()):
+        try:
+            return ckptr.restore(path, item=template)
+        except ValueError:
+            pass   # structure mismatch (e.g. save_teacher extras on disk)
+    # reconcile: fill None template entries and on-disk extras from a raw
+    # restore, then re-restore against the full structure
+    raw = ckptr.restore(path)
+    item = {k: (raw.get(k) if v is None else v)
+            for k, v in template.items()}
+    for k in raw:
+        item.setdefault(k, raw[k])
+    restored = ckptr.restore(path, item=item)
+    return restored
 
 
 def find_latest_checkpoint(work_dir: str, task: Optional[int] = None):
