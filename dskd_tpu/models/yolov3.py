@@ -1,0 +1,216 @@
+"""YOLOv3 (parity: mmdet backbones/darknet.py + necks/yolo_neck.py +
+dense_heads/yolo_head.py, configs/yolo/yolov3_d53_*).
+
+Darknet-53 (leaky-ReLU conv-BN, residual stages 1/2/8/8/4), the three-
+scale detection neck (top-down 1x1 reduce + upsample + concat, 5-conv
+blocks), and the YOLOv3 head: per level 3 anchors predicting
+(sigmoid-xy within cell, log-wh against the anchor — core/coders.py
+yolo_encode/decode), objectness and per-class BCE. Assignment: each GT's
+best-IoU anchor (across all levels) is responsible; negatives with
+IoU > 0.5 to any GT are ignored for objectness (the GridAssigner
+neg_iou_thr contract).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import losses as L
+from ..core.boxes import bbox_overlaps
+from ..core.coders import yolo_decode, yolo_encode
+from ..core.postprocess import batched_nms, filter_scores_and_topk
+from .dilated_encoder import TrainableBatchNorm
+
+# (w, h) anchor pairs per level, strides 32/16/8 (yolov3_d53 base config)
+ANCHORS = (((116, 90), (156, 198), (373, 326)),
+           ((30, 61), (62, 45), (59, 119)),
+           ((10, 13), (16, 30), (33, 23)))
+STRIDES = (32, 16, 8)
+
+
+def _conv(x, ch, k, stride, name, train):
+    pad = (k - 1) // 2
+    x = nn.Conv(ch, (k, k), strides=(stride, stride),
+                padding=[(pad, pad), (pad, pad)], use_bias=False,
+                name=f"{name}_conv")(x)
+    x = TrainableBatchNorm(name=f"{name}_bn")(x, train)
+    return nn.leaky_relu(x, 0.1)
+
+
+class Darknet53(nn.Module):
+    """Residual stages (1, 2, 8, 8, 4); returns C3, C4, C5."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = _conv(x, 32, 3, 1, "stem", train)
+        outs = []
+        for si, (ch, n) in enumerate(
+                zip((64, 128, 256, 512, 1024), (1, 2, 8, 8, 4))):
+            x = _conv(x, ch, 3, 2, f"down{si}", train)
+            for b in range(n):
+                y = _conv(x, ch // 2, 1, 1, f"s{si}b{b}_1", train)
+                y = _conv(y, ch, 3, 1, f"s{si}b{b}_2", train)
+                x = x + y
+            if si >= 2:
+                outs.append(x)
+        return tuple(outs)       # C3 (s8), C4 (s16), C5 (s32)
+
+
+def _block5(x, ch, name, train):
+    for i, k in enumerate((1, 3, 1, 3, 1)):
+        x = _conv(x, ch if k == 1 else ch * 2, k, 1, f"{name}_{i}", train)
+    return x
+
+
+class YOLOV3Outputs(NamedTuple):
+    preds: Tuple[jnp.ndarray, ...]   # per level (B, H, W, 3*(5+C))
+    neck_feats: Tuple[jnp.ndarray, ...]
+
+
+class YOLOV3(nn.Module):
+    num_classes: int = 80
+
+    @nn.compact
+    def __call__(self, images, img_hw, deterministic: bool = True,
+                 train: bool = False):
+        c3, c4, c5 = Darknet53(name="backbone")(images, train)
+        # neck: detect on C5; reduce+upsample+concat into C4, then C3
+        d5 = _block5(c5, 512, "neck5", train)
+        r4 = _conv(d5, 256, 1, 1, "reduce4", train)
+        r4 = jnp.repeat(jnp.repeat(r4, 2, axis=1), 2, axis=2)
+        d4 = _block5(jnp.concatenate([r4, c4], -1), 256, "neck4", train)
+        r3 = _conv(d4, 128, 1, 1, "reduce3", train)
+        r3 = jnp.repeat(jnp.repeat(r3, 2, axis=1), 2, axis=2)
+        d3 = _block5(jnp.concatenate([r3, c3], -1), 128, "neck3", train)
+
+        preds = []
+        for lvl, (d, ch) in enumerate(zip((d5, d4, d3), (512, 256, 128))):
+            h = _conv(d, ch * 2, 3, 1, f"head{lvl}", train)
+            p = nn.Conv(3 * (5 + self.num_classes), (1, 1),
+                        name=f"pred{lvl}")(h)
+            preds.append(p)
+        return YOLOV3Outputs(tuple(preds), (d5, d4, d3))
+
+
+def yolo_level_anchors(featmap_size, level: int) -> jnp.ndarray:
+    """(H*W*3, 4) xyxy anchor boxes centered on cell centers."""
+    h, w = featmap_size
+    s = STRIDES[level]
+    ys, xs = np.mgrid[:h, :w]
+    cx = (xs + 0.5) * s
+    cy = (ys + 0.5) * s
+    boxes = []
+    for aw, ah in ANCHORS[level]:
+        boxes.append(np.stack([cx - aw / 2, cy - ah / 2,
+                               cx + aw / 2, cy + ah / 2], -1).reshape(-1, 4))
+    # cell-major, anchor-minor: (H*W, 3, 4)
+    return jnp.asarray(np.stack(boxes, 1).reshape(-1, 4), jnp.float32)
+
+
+class YOLOV3LossConfig(NamedTuple):
+    num_classes: int = 80
+    neg_iou_thr: float = 0.5
+    obj_weight: float = 1.0
+    cls_weight: float = 1.0
+    xy_weight: float = 2.0
+    wh_weight: float = 2.0
+
+
+def yolov3_loss(out: YOLOV3Outputs, gt_bboxes, gt_labels, gt_valid,
+                cfg: YOLOV3LossConfig):
+    """Responsible-anchor assignment (best IoU per GT over all anchors),
+    BCE objectness with >neg_iou_thr ignore band, BCE cls, sigmoid-xy +
+    log-wh regression at positives (yolo_head.loss_single semantics)."""
+    B = out.preds[0].shape[0]
+    C = cfg.num_classes
+    sizes = [p.shape[1:3] for p in out.preds]
+    anchors = jnp.concatenate(
+        [yolo_level_anchors(sz, i) for i, sz in enumerate(sizes)], axis=0)
+    strides = jnp.concatenate([
+        jnp.full((h * w * 3,), STRIDES[i], jnp.float32)
+        for i, (h, w) in enumerate(sizes)])
+    preds = jnp.concatenate(
+        [p.reshape(B, -1, 5 + C) for p in out.preds], axis=1)  # (B, N, .)
+    N = anchors.shape[0]
+    G = gt_bboxes.shape[1]
+
+    def per_image(pred, gtb, gtl, gtv):
+        ious = jnp.where(gtv[None], bbox_overlaps(anchors, gtb), -1.0)
+        # responsible anchor: argmax IoU per GT
+        resp = jnp.argmax(ious, axis=0)                    # (G,)
+        pos = jnp.zeros((N,), bool).at[
+            jnp.where(gtv, resp, N)].set(True, mode="drop")
+        gt_of = jnp.full((N,), 0, jnp.int32).at[
+            jnp.where(gtv, resp, N)].set(jnp.arange(G, dtype=jnp.int32),
+                                         mode="drop")
+        ignore = (ious.max(axis=1) > cfg.neg_iou_thr) & ~pos
+        obj_t = pos.astype(jnp.float32)
+        obj_w = (~ignore).astype(jnp.float32)
+
+        tgt_box = gtb[gt_of]
+        enc = yolo_encode(anchors, tgt_box, strides)       # (N, 4)
+        pw = pos.astype(jnp.float32)
+        loss_xy = cfg.xy_weight * L.bce_loss(
+            pred[:, :2], enc[:, :2], weight=pw[:, None],
+            avg_factor=jnp.maximum(pw.sum(), 1.0))
+        loss_wh = cfg.wh_weight * L.mse_loss(
+            pred[:, 2:4], enc[:, 2:], weight=pw[:, None],
+            avg_factor=jnp.maximum(pw.sum(), 1.0))
+        loss_obj = cfg.obj_weight * L.bce_loss(
+            pred[:, 4], obj_t, weight=obj_w,
+            avg_factor=jnp.maximum(pw.sum(), 1.0))
+        onehot = jax.nn.one_hot(gtl[gt_of], C)
+        loss_cls = cfg.cls_weight * L.bce_loss(
+            pred[:, 5:], onehot, weight=pw[:, None],
+            avg_factor=jnp.maximum(pw.sum(), 1.0))
+        return loss_xy, loss_wh, loss_obj, loss_cls
+
+    lxy, lwh, lobj, lcls = jax.vmap(per_image)(
+        preds, gt_bboxes, gt_labels, gt_valid)
+    return dict(loss_xy=lxy.mean(), loss_wh=lwh.mean(),
+                loss_conf=lobj.mean(), loss_cls=lcls.mean())
+
+
+def yolov3_get_bboxes(out: YOLOV3Outputs, img_hw, scale_factor=None,
+                      score_thr: float = 0.05, nms_iou: float = 0.45,
+                      nms_pre: int = 1000, max_per_img: int = 100,
+                      rescale: bool = False):
+    B = out.preds[0].shape[0]
+    C = out.preds[0].shape[-1] // 3 - 5
+    sizes = [p.shape[1:3] for p in out.preds]
+    anchors = jnp.concatenate(
+        [yolo_level_anchors(sz, i) for i, sz in enumerate(sizes)], axis=0)
+    strides = jnp.concatenate([
+        jnp.full((h * w * 3,), STRIDES[i], jnp.float32)
+        for i, (h, w) in enumerate(sizes)])
+    preds = jnp.concatenate(
+        [p.reshape(B, -1, 5 + C) for p in out.preds], axis=1)
+
+    def per_image(pred, hw, sf):
+        obj = jax.nn.sigmoid(pred[:, 4:5])
+        probs = jax.nn.sigmoid(pred[:, 5:]) * obj
+        top = filter_scores_and_topk(probs, score_thr, nms_pre)
+        sel = pred[top.keep_idxs]
+        xywh = jnp.concatenate([jax.nn.sigmoid(sel[:, :2]), sel[:, 2:4]],
+                               -1)
+        boxes = yolo_decode(anchors[top.keep_idxs], xywh,
+                            strides[top.keep_idxs])
+        h, w = hw[0].astype(boxes.dtype), hw[1].astype(boxes.dtype)
+        boxes = jnp.stack([
+            jnp.clip(boxes[:, 0], 0, w), jnp.clip(boxes[:, 1], 0, h),
+            jnp.clip(boxes[:, 2], 0, w), jnp.clip(boxes[:, 3], 0, h)], -1)
+        nb, ns, nl, keep, _ = batched_nms(boxes, top.scores, top.labels,
+                                          nms_iou, max_per_img,
+                                          valid=top.valid)
+        if rescale and sf is not None:
+            nb = nb / sf[None]
+        return nb, ns, nl, keep
+
+    if scale_factor is None:
+        scale_factor = jnp.ones((B, 4), jnp.float32)
+    nb, ns, nl, keep = jax.vmap(per_image)(preds, img_hw, scale_factor)
+    return dict(bboxes=nb, scores=ns, labels=nl, valid=keep)

@@ -226,6 +226,16 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                                       batch.gt_labels, batch.gt_valid,
                                       det_cfg), None
 
+    elif arch == "yolov3":
+        from ..models.yolov3 import YOLOV3LossConfig, yolov3_loss
+        det_cfg = YOLOV3LossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            return yolov3_loss(out, batch.gt_bboxes, batch.gt_labels,
+                               batch.gt_valid, det_cfg), None
+
     else:
         raise ValueError(f"no train step for arch: {arch}")
 

@@ -98,6 +98,9 @@ def build_model(cfg: ExperimentConfig):
     if m.arch == "ssd":
         from ..models.ssd import SSD
         return SSD(num_classes=m.num_classes)
+    if m.arch == "yolov3":
+        from ..models.yolov3 import YOLOV3
+        return YOLOV3(num_classes=m.num_classes)
     raise ValueError(f"unknown arch: {m.arch}")
 
 
