@@ -91,6 +91,10 @@ def ms_deform_attn_core(value: jnp.ndarray,
     env_window = os.environ.get("DSKD_WINDOW_ROWS")
     if env_window is not None:     # windowed level-0 kernel sweep knob;
         window_rows = int(env_window)   # 0 disables the windowed path
+    # fused one-hot sampling kernel (ops/fused_sample.py): levels whose RAW
+    # table has at most this many rows skip corner packing + post-weighting
+    # entirely. 0 = off (measure on chip before making it the default).
+    fused_max_rows = int(os.environ.get("DSKD_FUSED_ROWS", "0"))
     use_mxu = (mxu_gather_max_rows > 0
                and (jax.default_backend() == "tpu"
                     # test hook: exercise the Pallas paths in interpret mode
@@ -100,7 +104,6 @@ def ms_deform_attn_core(value: jnp.ndarray,
     start = 0
     for lvl, (h, w) in enumerate(spatial_shapes):
         v = jax.lax.dynamic_slice_in_dim(value, start, h * w, axis=1)
-        packed = _pack_corners(v, h, w)                # (B, H, S', 4D)
 
         loc = sampling_locations[:, :, :, lvl]         # (B, Q, H, P, 2)
         x = loc[..., 0].astype(jnp.float32) * w - 0.5
@@ -120,6 +123,28 @@ def ms_deform_attn_core(value: jnp.ndarray,
         w11 = (tx * ty * (inx1 & iny1)).astype(dt)
         cw = jnp.stack([w00, w01, w10, w11], axis=-1)  # (B, Q, H, P, 4)
         cw = cw * attention_weights[:, :, :, lvl, :, None]
+
+        if use_mxu and 0 < h * w <= fused_max_rows:
+            # fused path: no packed table, one weighted one-hot contraction
+            # per (b, h) against the RAW level features. Unclipped c00 is
+            # safe: every out-of-range / row-wrapped corner carries zero
+            # weight by the gates above (ops/fused_sample.py docstring).
+            from .fused_sample import fused_msda_sample
+            c00 = (y0 * w + x0).astype(jnp.int32)      # (B, Q, H, P)
+            idx = c00.transpose(0, 2, 1, 3).reshape(B * H, Q, P)
+            wts = cw.transpose(0, 2, 1, 3, 4).reshape(B * H, Q, P, 4)
+            tbl = v.transpose(0, 2, 1, 3).reshape(B * H, h * w, D)
+            tile_q = 128
+            q_pad = (-Q) % tile_q
+            if q_pad:
+                idx = jnp.pad(idx, ((0, 0), (0, q_pad), (0, 0)))
+                wts = jnp.pad(wts, ((0, 0), (0, q_pad), (0, 0), (0, 0)))
+            acc = fused_msda_sample(tbl, idx, wts, w, tile_q=tile_q)
+            out = out + acc[:, :Q].reshape(B, H, Q, D)
+            start += h * w
+            continue
+
+        packed = _pack_corners(v, h, w)                # (B, H, S', 4D)
 
         # flat base index into the padded (h+2)(w+2) grid
         x0c = jnp.clip(x0 + 1, 0, w + 1).astype(jnp.int32)

@@ -126,3 +126,39 @@ def test_msda_windowed_path_matches_reference(monkeypatch):
         value, shapes, locs_far, weights, raster_queries=False))
     np.testing.assert_allclose(got_far, want_far, rtol=2e-5, atol=2e-6)
     assert np.abs(got_far - got).max() > 0    # the escape actually changed it
+
+
+def test_msda_fused_path_matches_reference(monkeypatch):
+    """Fused one-hot sampling kernel (ops/fused_sample.py) is numerically
+    the torch grid_sample semantics too, incl. out-of-bounds corners and
+    the Q-padding to tile multiples."""
+    import jax.numpy as jnp
+
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    monkeypatch.setenv("DSKD_FORCE_MXU", "1")
+    monkeypatch.setenv("DSKD_FUSED_ROWS", "100")
+
+    from dskd_tpu.ops.msda import ms_deform_attn_core
+
+    rng = np.random.RandomState(3)
+    B, H, D, Q, P = 2, 2, 8, 10, 4
+    shapes = [(8, 8), (4, 4), (2, 2)]
+    S = sum(h * w for h, w in shapes)
+    value = rng.randn(B, S, H, D).astype(np.float32)
+    locs = rng.rand(B, Q, H, len(shapes), P, 2).astype(np.float32) * 1.3 - .15
+    w = rng.rand(B, Q, H, len(shapes), P).astype(np.float32)
+    w = w / w.sum((-1, -2), keepdims=True)
+
+    got = np.asarray(ms_deform_attn_core(
+        jnp.array(value), shapes, jnp.array(locs), jnp.array(w)))
+    expect = torch_msda_oracle(torch.from_numpy(value), shapes,
+                               torch.from_numpy(locs),
+                               torch.from_numpy(w)).numpy()
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
