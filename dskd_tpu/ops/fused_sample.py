@@ -33,7 +33,9 @@ def _fwd_kernel(P, W, S, idx_ref, w_ref, table_ref, out_ref):
     for p in range(P):
         base = idx_ref[0, :, p][:, None]                   # (TQ, 1)
         for c, off in enumerate((0, 1, W, W + 1)):
-            wgt = w_ref[0, :, p, c][:, None].astype(jnp.float32)
+            # weights arrive f32: Mosaic cannot insert a minor dim on
+            # sub-32-bit types ("Insertion of minor dim ... 32-bit")
+            wgt = w_ref[0, :, p, c][:, None]
             combined += jnp.where(cols == base + off, wgt, 0.0)
     out_ref[0] = jnp.dot(combined, table_ref[0].astype(jnp.float32),
                          preferred_element_type=jnp.float32
@@ -49,7 +51,7 @@ def _bwd_kernel(P, W, S, idx_ref, w_ref, g_ref, table_ref,
     for p in range(P):
         base = idx_ref[0, :, p][:, None]
         for c, off in enumerate((0, 1, W, W + 1)):
-            wgt = w_ref[0, :, p, c][:, None].astype(jnp.float32)
+            wgt = w_ref[0, :, p, c][:, None]
             combined += jnp.where(cols == base + off, wgt, 0.0)
     g = g_ref[0].astype(jnp.float32)                       # (TQ, D)
     table = table_ref[0].astype(jnp.float32)               # (S, D)
@@ -77,7 +79,8 @@ def fused_msda_sample(table: jnp.ndarray, idx: jnp.ndarray,
     """out[b, q] = sum_{p, c} weights[b, q, p, c] * table[b, idx[b,q,p]+off_c].
 
     table: (B, S, D); idx: (B, Q, P) int32 (c00 flat index; out-of-range
-    corners MUST carry zero weight); weights: (B, Q, P, 4);
+    corners MUST carry zero weight); weights: (B, Q, P, 4) FLOAT32 (the
+    kernel reads scalar-indexed minor dims, unsupported on 16-bit);
     level_w: the level's row width (corner offsets 0/1/W/W+1).
     Returns (B, Q, D) in table.dtype. Q % tile_q == 0.
     """

@@ -132,7 +132,8 @@ def ms_deform_attn_core(value: jnp.ndarray,
             from .fused_sample import fused_msda_sample
             c00 = (y0 * w + x0).astype(jnp.int32)      # (B, Q, H, P)
             idx = c00.transpose(0, 2, 1, 3).reshape(B * H, Q, P)
-            wts = cw.transpose(0, 2, 1, 3, 4).reshape(B * H, Q, P, 4)
+            wts = cw.transpose(0, 2, 1, 3, 4).reshape(
+                B * H, Q, P, 4).astype(jnp.float32)
             tbl = v.transpose(0, 2, 1, 3).reshape(B * H, h * w, D)
             tile_q = 128
             q_pad = (-Q) % tile_q
