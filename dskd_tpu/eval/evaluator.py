@@ -184,6 +184,21 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 
+    if arch == "atss":
+        from ..models.atss import atss_anchors, atss_get_bboxes
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            anchors, _ = atss_anchors(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            d = atss_get_bboxes(out.head, anchors, img_hw,
+                                scale_factor=scale_factors,
+                                score_thr=max(score_thr, 0.05),
+                                max_per_img=max_per_img, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return eval_step
+
     if arch == "detr":
         from ..models.detr import detr_get_bboxes
 

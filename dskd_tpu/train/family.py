@@ -236,6 +236,20 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             return yolov3_loss(out, batch.gt_bboxes, batch.gt_labels,
                                batch.gt_valid, det_cfg), None
 
+    elif arch == "atss":
+        from ..models.atss import (ATSSLossConfig, atss_anchors,
+                                   atss_detection_loss)
+        det_cfg = ATSSLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            anchors, counts = atss_anchors(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            return atss_detection_loss(
+                out.head, anchors, counts, batch.gt_bboxes,
+                batch.gt_labels, batch.gt_valid, det_cfg), None
+
     else:
         raise ValueError(f"no train step for arch: {arch}")
 

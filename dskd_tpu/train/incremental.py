@@ -101,6 +101,10 @@ def build_model(cfg: ExperimentConfig):
     if m.arch == "yolov3":
         from ..models.yolov3 import YOLOV3
         return YOLOV3(num_classes=m.num_classes)
+    if m.arch == "atss":
+        from ..models.atss import ATSS
+        return ATSS(num_classes=m.num_classes, depth=m.depth,
+                    frozen_stages=m.frozen_stages)
     raise ValueError(f"unknown arch: {m.arch}")
 
 
