@@ -234,3 +234,29 @@ def eval_recalls(gts: List[np.ndarray], proposals: List[np.ndarray],
                     else 0
             out[pi, ti] = hit / total_gt
     return out
+
+
+def print_map_summary(mean_ap: float, results: List[Dict],
+                      class_names: Optional[Sequence[str]] = None,
+                      log=print):
+    """Plain-text per-class AP table (the reference's print_map_summary,
+    mean_ap.py:689-750, without the terminaltables dependency)."""
+    headers = ("class", "gts", "dets", "recall", "ap")
+    rows = []
+    for c, r in enumerate(results):
+        name = class_names[c] if class_names else str(c)
+        recall = (float(r["recall"][-1]) if np.ndim(r["recall"])
+                  and len(np.atleast_1d(r["recall"])) else 0.0)
+        rows.append((name, str(r["num_gts"]), str(r["num_dets"]),
+                     f"{recall:.3f}", f"{float(np.mean(r['ap'])):.3f}"))
+    rows.append(("mAP", "", "", "", f"{mean_ap:.3f}"))
+    widths = [max(len(h), *(len(row[i]) for row in rows))
+              for i, h in enumerate(headers)]
+    fmt = "| " + " | ".join(f"{{:<{w}}}" for w in widths) + " |"
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    log(sep)
+    log(fmt.format(*headers))
+    log(sep)
+    for row in rows:
+        log(fmt.format(*row))
+    log(sep)

@@ -79,3 +79,16 @@ def test_eval_recalls_basic():
     # top-1: img0 covers its GT; img1 covers 1 of 2 -> 2/3
     np.testing.assert_allclose(rec[0, 0], 2.0 / 3.0, atol=1e-6)
     np.testing.assert_allclose(rec[1, 0], 1.0, atol=1e-6)
+
+
+def test_print_map_summary(capsys):
+    from dskd_tpu.eval.mean_ap import eval_map, print_map_summary
+
+    dets = [[np.array([[0, 0, 10, 10, 0.9]], np.float32),
+             np.zeros((0, 5), np.float32)]]
+    anns = [dict(bboxes=np.array([[0, 0, 10, 10]], np.float32),
+                 labels=np.array([0]))]
+    mean_ap, results = eval_map(dets, anns)
+    print_map_summary(mean_ap, results, class_names=["cat", "dog"])
+    out = capsys.readouterr().out
+    assert "cat" in out and "mAP" in out and "1.000" in out
