@@ -4,24 +4,30 @@ Parity target: the reference's `Corrupt` pipeline transform
 (mmdet/datasets/pipelines/transforms.py, backed by the external
 `imagecorruptions` package) used by tools/analysis_tools/test_robustness.py.
 This vendors TPU-framework-native implementations of the benchmark's most
-common corruption families with the standard 5-severity parameter ladders
-(Hendrycks & Dietterich, ICLR'19 — public constants). Images are float RGB
-in [0, 255]; outputs are clipped back to [0, 255].
+common corruption families using the imagecorruptions package's published
+5-severity parameter tables verbatim (Hendrycks & Dietterich, ICLR'19), so
+mPC numbers are comparable to published robustness results for these
+families. Two approximations: motion_blur uses a straight-streak kernel of
+the published (radius, sigma) instead of ImageMagick's random-angle motion
+kernel, and brightness adds in RGB rather than HSV-V space — those two
+families are only internally comparable. Images are float RGB in [0, 255];
+outputs are clipped back to [0, 255].
 """
 from __future__ import annotations
 
 import numpy as np
 
+# imagecorruptions severity tables (corruptions.py of that package), verbatim
 _SEV = {
-    "gaussian_noise": [0.04, 0.06, 0.08, 0.09, 0.10],
-    "shot_noise": [500, 250, 100, 75, 50],
-    "impulse_noise": [0.01, 0.02, 0.03, 0.05, 0.07],
+    "gaussian_noise": [0.08, 0.12, 0.18, 0.26, 0.38],
+    "shot_noise": [60, 25, 12, 5, 3],
+    "impulse_noise": [0.03, 0.06, 0.09, 0.17, 0.27],
     "gaussian_blur": [1, 2, 3, 4, 6],
-    "motion_blur": [(6, 1), (10, 1.5), (10, 2), (12, 2.5), (14, 3)],
+    "motion_blur": [(10, 3), (15, 5), (15, 8), (15, 12), (20, 15)],
     "brightness": [0.1, 0.2, 0.3, 0.4, 0.5],
-    "contrast": [0.75, 0.5, 0.4, 0.3, 0.15],
-    "pixelate": [0.95, 0.9, 0.85, 0.75, 0.65],
-    "jpeg_compression": [80, 65, 58, 50, 40],
+    "contrast": [0.4, 0.3, 0.2, 0.1, 0.05],
+    "pixelate": [0.6, 0.5, 0.4, 0.3, 0.25],
+    "jpeg_compression": [25, 18, 15, 10, 7],
 }
 
 CORRUPTIONS = tuple(_SEV)

@@ -18,12 +18,15 @@ from ..core import losses as L
 from ..core.anchors import base_anchors, bbox2delta, delta2bbox, grid_anchors
 from ..core.atss import atss_assign
 from ..core.postprocess import batched_nms, filter_scores_and_topk
+from .fcos import Scale
 from .fpn import FPN
 from .gfl_detr_head import bias_init_with_prob
 from .resnet import ResNet
 
 STRIDES = (8, 16, 32, 64, 128)
 ANCHOR_SCALE = 8
+# DeltaXYWHBBoxCoder target_stds of the reference ATSS config
+DELTA_STDS = (0.1, 0.1, 0.2, 0.2)
 
 
 class ATSSHeadOutputs(NamedTuple):
@@ -48,10 +51,16 @@ class ATSSHead(nn.Module):
         for i in range(self.stacked_convs):
             convs[f"cls_conv{i}"] = nn.Conv(
                 self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                name=f"cls_conv{i}")
+                use_bias=False, name=f"cls_conv{i}")
             convs[f"reg_conv{i}"] = nn.Conv(
                 self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                name=f"reg_conv{i}")
+                use_bias=False, name=f"reg_conv{i}")
+            # ConvModule norm_cfg GN(32) between conv and relu
+            # (atss_head.py / atss_r50_fpn_1x config), conv bias off
+            convs[f"cls_gn{i}"] = nn.GroupNorm(epsilon=1e-5, num_groups=32,
+                                               name=f"cls_gn{i}")
+            convs[f"reg_gn{i}"] = nn.GroupNorm(epsilon=1e-5, num_groups=32,
+                                               name=f"reg_gn{i}")
         atss_cls = nn.Conv(
             self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
             bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
@@ -62,13 +71,15 @@ class ATSSHead(nn.Module):
                            name="atss_centerness")
 
         cls_out, reg_out, ctr_out = [], [], []
-        for f in feats:
+        for lvl, f in enumerate(feats):
             c = r = f
             for i in range(self.stacked_convs):
-                c = nn.relu(convs[f"cls_conv{i}"](c))
-                r = nn.relu(convs[f"reg_conv{i}"](r))
+                c = nn.relu(convs[f"cls_gn{i}"](convs[f"cls_conv{i}"](c)))
+                r = nn.relu(convs[f"reg_gn{i}"](convs[f"reg_conv{i}"](r)))
             cls_out.append(atss_cls(c))
-            reg_out.append(atss_reg(r))
+            # per-level learnable Scale on the reg output (atss_head.py
+            # self.scales)
+            reg_out.append(Scale(name=f"scale{lvl}")(atss_reg(r)))
             ctr_out.append(atss_ctr(r))
         return ATSSHeadOutputs(tuple(cls_out), tuple(reg_out),
                                tuple(ctr_out))
@@ -161,7 +172,7 @@ def atss_detection_loss(out: ATSSHeadOutputs, anchors, level_counts,
     ctr_t = jax.vmap(_centerness_target, in_axes=(None, 0))(anchors, tgt)
     ctr_t = jnp.where(pos, ctr_t, 0.0)
 
-    decoded = delta2bbox(anchors[None], deltas)
+    decoded = delta2bbox(anchors[None], deltas, stds=DELTA_STDS)
     w = (pos.astype(jnp.float32) * ctr_t).reshape(-1)
     loss_bbox = cfg.loss_bbox_weight * L.giou_loss(
         decoded.reshape(-1, 4), tgt.reshape(-1, 4), weight=w,
@@ -190,7 +201,8 @@ def atss_get_bboxes(out: ATSSHeadOutputs, anchors, img_hw,
     def per_image(cls_s, delta, ctr, hw, sf):
         probs = jax.nn.sigmoid(cls_s) * jax.nn.sigmoid(ctr)[:, None]
         top = filter_scores_and_topk(probs, score_thr, nms_pre)
-        boxes = delta2bbox(anchors[top.keep_idxs], delta[top.keep_idxs])
+        boxes = delta2bbox(anchors[top.keep_idxs], delta[top.keep_idxs],
+                           stds=DELTA_STDS)
         h, w = hw[0].astype(boxes.dtype), hw[1].astype(boxes.dtype)
         boxes = jnp.stack([
             jnp.clip(boxes[:, 0], 0, w), jnp.clip(boxes[:, 1], 0, h),

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..core import losses as L
 from ..core.anchors import bbox2delta, delta2bbox
 from ..core.max_iou_assigner import max_iou_assign, random_sample
-from ..core.postprocess import batched_nms
+from ..core.postprocess import batched_nms, filter_scores_and_topk
 from ..ops.roi_align import multi_level_roi_align
 from .faster_rcnn import RPNHead, RPNOutputs
 from .fpn import FPN
@@ -188,11 +188,15 @@ def cascade_get_bboxes(model_apply_roi, neck_feats, proposals,
     probs = probs.reshape(B, S, num_classes)
 
     def per_image(boxes, rv, p, sf):
-        scores = p.max(-1)
-        labels = p.argmax(-1).astype(jnp.int32)
-        scores = jnp.where(rv & (scores > score_thr), scores, 0.0)
-        nb, ns, nl, keep, _ = batched_nms(boxes, scores, labels, nms_iou,
-                                          max_per_img, valid=rv)
+        # multiclass_nms semantics: every (box, class) pair above score_thr
+        # is a detection candidate — a box whose 2nd-best class is a true
+        # positive must survive (round-2 review fix; bbox_head.get_bboxes ->
+        # multiclass_nms over the full (S, C) ensemble score matrix)
+        p = jnp.where(rv[:, None], p, 0.0)
+        top = filter_scores_and_topk(p, score_thr, min(1000, S * num_classes))
+        nb, ns, nl, keep, _ = batched_nms(
+            boxes[top.keep_idxs], top.scores, top.labels, nms_iou,
+            max_per_img, valid=top.valid)
         if rescale and sf is not None:
             nb = nb / sf[None]
         return nb, ns, nl, keep

@@ -28,13 +28,13 @@ class ChannelMapper(nn.Module):
             y = nn.Conv(self.out_channels, (k, k),
                         padding=[(pad, pad), (pad, pad)],
                         name=f"conv{i}")(x)
-            y = nn.GroupNorm(num_groups=self.num_groups, name=f"gn{i}")(y)
+            y = nn.GroupNorm(epsilon=1e-5, num_groups=self.num_groups, name=f"gn{i}")(y)
             outs.append(y)
         x = inputs[-1]
         for j in range(self.num_outs - len(inputs)):
             y = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
                         padding=[(1, 1), (1, 1)], name=f"extra_conv{j}")(x)
-            y = nn.GroupNorm(num_groups=self.num_groups, name=f"extra_gn{j}")(y)
+            y = nn.GroupNorm(epsilon=1e-5, num_groups=self.num_groups, name=f"extra_gn{j}")(y)
             outs.append(y)
             x = y
         return tuple(outs)

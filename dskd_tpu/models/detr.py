@@ -49,10 +49,10 @@ class DETREncoderLayer(nn.Module):
                                name="self_attn")(
             x, x, x, query_pos=pos, key_pos=pos,
             deterministic=deterministic)
-        x = nn.LayerNorm(name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = FFN(self.embed_dims, self.feedforward_channels, self.dropout,
                 name="ffn")(x, deterministic=deterministic)
-        return nn.LayerNorm(name="norm2")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
 
 
 class DETRDecoderLayer(nn.Module):
@@ -67,15 +67,15 @@ class DETRDecoderLayer(nn.Module):
                                name="self_attn")(
             q, q, q, query_pos=query_pos, key_pos=query_pos,
             deterministic=deterministic)
-        q = nn.LayerNorm(name="norm1")(q)
+        q = nn.LayerNorm(epsilon=1e-5, name="norm1")(q)
         q = MultiheadAttention(self.embed_dims, self.num_heads, self.dropout,
                                name="cross_attn")(
             q, memory, memory, query_pos=query_pos, key_pos=mem_pos,
             deterministic=deterministic)
-        q = nn.LayerNorm(name="norm2")(q)
+        q = nn.LayerNorm(epsilon=1e-5, name="norm2")(q)
         q = FFN(self.embed_dims, self.feedforward_channels, self.dropout,
                 name="ffn")(q, deterministic=deterministic)
-        return nn.LayerNorm(name="norm3")(q)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(q)
 
 
 class DETR(nn.Module):
@@ -118,7 +118,7 @@ class DETR(nn.Module):
         qp = jnp.broadcast_to(query_embed[None].astype(x.dtype),
                               (B, self.num_query, C))
 
-        post_norm = nn.LayerNorm(name="post_norm")
+        post_norm = nn.LayerNorm(epsilon=1e-5, name="post_norm")
         inter = []
         for i in range(self.num_decoder_layers):
             q = DETRDecoderLayer(

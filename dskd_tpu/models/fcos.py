@@ -60,10 +60,16 @@ class FCOSHead(nn.Module):
         for i in range(self.stacked_convs):
             convs[f"cls_conv{i}"] = nn.Conv(
                 self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                name=f"cls_conv{i}")
+                use_bias=False, name=f"cls_conv{i}")
             convs[f"reg_conv{i}"] = nn.Conv(
                 self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                name=f"reg_conv{i}")
+                use_bias=False, name=f"reg_conv{i}")
+            # the reference's ConvModule norm_cfg: GN(32) between conv and
+            # relu (fcos_head.py gn-head config), conv bias absorbed by GN
+            convs[f"cls_gn{i}"] = nn.GroupNorm(epsilon=1e-5, num_groups=32,
+                                               name=f"cls_gn{i}")
+            convs[f"reg_gn{i}"] = nn.GroupNorm(epsilon=1e-5, num_groups=32,
+                                               name=f"reg_gn{i}")
         conv_cls = nn.Conv(
             self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
             bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
@@ -77,8 +83,8 @@ class FCOSHead(nn.Module):
         for lvl, f in enumerate(feats):
             c = r = f
             for i in range(self.stacked_convs):
-                c = nn.relu(convs[f"cls_conv{i}"](c))
-                r = nn.relu(convs[f"reg_conv{i}"](r))
+                c = nn.relu(convs[f"cls_gn{i}"](convs[f"cls_conv{i}"](c)))
+                r = nn.relu(convs[f"reg_gn{i}"](convs[f"reg_conv{i}"](r)))
             cls_out.append(conv_cls(c))
             # centerness on the REG branch (fcos_head centerness_on_reg)
             ctr_out.append(conv_ctr(r))

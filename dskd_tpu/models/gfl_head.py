@@ -58,7 +58,7 @@ class GFLHead(nn.Module):
                             padding=[(1, 1), (1, 1)], use_bias=False,
                             kernel_init=nn.initializers.normal(0.01),
                             name=f"{prefix}_conv{i}"),
-                    nn.GroupNorm(num_groups=32, name=f"{prefix}_gn{i}")))
+                    nn.GroupNorm(epsilon=1e-5, num_groups=32, name=f"{prefix}_gn{i}")))
             towers[prefix] = layers
 
         def tower(prefix, x):

@@ -92,11 +92,15 @@ class SwinBlock(nn.Module):
     def __call__(self, x):
         """x: (B, H, W, C), H/W multiples of WINDOW."""
         B, H, W, C = x.shape
+        # reference swin.py: shift is a no-op when the map is not larger
+        # than the window (e.g. the 7x7 stage-4 map at 224 input) —
+        # shift_size is forced to 0 there, so match it
+        shift = self.shift if min(H, W) > WINDOW else 0
         shortcut = x
-        y = nn.LayerNorm(name="norm1")(x)
-        if self.shift:
-            y = jnp.roll(y, (-self.shift, -self.shift), axis=(1, 2))
-            mask = jnp.asarray(_shift_mask(H, W, self.shift))
+        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        if shift:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(_shift_mask(H, W, shift))
         else:
             mask = None
         # window partition
@@ -106,11 +110,11 @@ class SwinBlock(nn.Module):
         y = WindowAttention(self.dim, self.num_heads, name="attn")(y, mask)
         y = y.reshape(B, H // WINDOW, W // WINDOW, WINDOW, WINDOW, C)
         y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
-        if self.shift:
-            y = jnp.roll(y, (self.shift, self.shift), axis=(1, 2))
+        if shift:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
         x = shortcut + y
 
-        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = nn.Dense(4 * C, name="mlp_fc1")(y)
         y = nn.gelu(y)
         y = nn.Dense(C, name="mlp_fc2")(y)
@@ -123,9 +127,14 @@ class PatchMerging(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        y = jnp.concatenate([x[:, 0::2, 0::2], x[:, 1::2, 0::2],
-                             x[:, 0::2, 1::2], x[:, 1::2, 1::2]], -1)
-        y = nn.LayerNorm(name="norm")(y)
+        # channel layout matches mmdet swin.py's nn.Unfold(kernel=2,
+        # stride=2): merged channel c*4 + (i*2 + j) for input channel c and
+        # kernel position (i, j) — reduction/norm weights of converted
+        # mmdet checkpoints apply without permutation
+        y = jnp.stack([x[:, 0::2, 0::2], x[:, 0::2, 1::2],
+                       x[:, 1::2, 0::2], x[:, 1::2, 1::2]], -1)
+        y = y.reshape(B, H // 2, W // 2, 4 * C)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm")(y)
         return nn.Dense(self.out_dim, use_bias=False,
                         name="reduction")(y)
 
@@ -142,7 +151,7 @@ class SwinTransformer(nn.Module):
         cfg = ARCHS[self.arch]
         dim = cfg["embed_dim"]
         x = nn.Conv(dim, (4, 4), strides=(4, 4), name="patch_embed")(x)
-        x = nn.LayerNorm(name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
 
         outs = []
         for si, (depth, heads) in enumerate(zip(cfg["depths"],
@@ -155,5 +164,5 @@ class SwinTransformer(nn.Module):
                               shift=0 if b % 2 == 0 else WINDOW // 2,
                               name=f"stage{si}_block{b}")(x)
             if si in self.out_indices:
-                outs.append(nn.LayerNorm(name=f"out_norm{si}")(x))
+                outs.append(nn.LayerNorm(epsilon=1e-5, name=f"out_norm{si}")(x))
         return tuple(outs)

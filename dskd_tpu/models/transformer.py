@@ -22,7 +22,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.msda import ms_deform_attn_core
+from ..ops.msda import (ms_deform_attn_core, ms_deform_attn_core_premap,
+                        pack_corners_raw)
 from .positional import sine_positional_encoding
 
 
@@ -45,11 +46,35 @@ def _msda_offset_bias_init(num_heads, num_levels, num_points):
     return grid.reshape(-1)
 
 
+class _ProjParams(nn.Module):
+    """Kernel/bias params with nn.Dense's exact names and shapes.
+
+    Lets the premap path own ``value_proj`` weights without applying them to
+    the full (B, S, C) memory — the param tree (and therefore checkpoints +
+    the mmdet converter mapping) is identical to the nn.Dense layout.
+    """
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.xavier_uniform(),
+                       (in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class MSDeformAttention(nn.Module):
     """Multi-scale deformable attention over flattened level tokens.
 
     ``raster_queries``: the encoder's self-attention, where query q IS
     flattened token q — unlocks the windowed level-0 gather (ops/msda.py).
+
+    Premap mode (decoder cross-attention): pass ``packed_tables`` (raw
+    corner tables from ops.msda.pack_corners_raw, built ONCE per model) and
+    ``valid_wh`` instead of ``value``/``key_padding_mask``. Sampling runs in
+    raw C-space and value_proj is applied post-reduction via linearity:
+    proj(sum w_i x_i) = (sum w_i x_i) @ W + b * sum w_i. Bit-compatible
+    params, ~6x less table-packing work per step (PERF.md round 3).
     """
     embed_dims: int = 256
     num_heads: int = 8
@@ -61,7 +86,8 @@ class MSDeformAttention(nn.Module):
     @nn.compact
     def __call__(self, query, value, query_pos, reference_points,
                  spatial_shapes: Sequence[Tuple[int, int]],
-                 key_padding_mask=None, deterministic: bool = True):
+                 key_padding_mask=None, deterministic: bool = True,
+                 packed_tables=None, valid_wh=None):
         """query: (B, Q, C); value: (B, S, C); reference_points: (B, Q, L, 2)
         normalized; key_padding_mask: (B, S) True at padding."""
         B, Q, C = query.shape
@@ -70,12 +96,13 @@ class MSDeformAttention(nn.Module):
         if query_pos is not None:
             query = query + query_pos
 
-        v = nn.Dense(self.embed_dims,
-                     kernel_init=nn.initializers.xavier_uniform(),
-                     name="value_proj")(value)
-        if key_padding_mask is not None:
-            v = jnp.where(key_padding_mask[..., None], 0.0, v)
-        v = v.reshape(B, -1, H, C // H)
+        if packed_tables is None:
+            v = nn.Dense(self.embed_dims,
+                         kernel_init=nn.initializers.xavier_uniform(),
+                         name="value_proj")(value)
+            if key_padding_mask is not None:
+                v = jnp.where(key_padding_mask[..., None], 0.0, v)
+            v = v.reshape(B, -1, H, C // H)
 
         offsets = nn.Dense(H * L * P * 2,
                            kernel_init=nn.initializers.zeros,
@@ -94,8 +121,17 @@ class MSDeformAttention(nn.Module):
         locs = (reference_points[:, :, None, :, None, :]
                 + offsets / norm[None, None, None, :, None, :])
 
-        out = ms_deform_attn_core(v, spatial_shapes, locs, weights,
-                                  raster_queries=self.raster_queries)
+        if packed_tables is not None:
+            D = C // H
+            acc, wsum = ms_deform_attn_core_premap(
+                packed_tables, spatial_shapes, locs, weights, valid_wh)
+            k, b = _ProjParams(self.embed_dims, name="value_proj")(C)
+            out = (jnp.einsum("bqhc,chd->bqhd", acc, k.reshape(C, H, D))
+                   + b.reshape(H, D) * wsum[..., None])
+            out = out.reshape(B, Q, C)
+        else:
+            out = ms_deform_attn_core(v, spatial_shapes, locs, weights,
+                                      raster_queries=self.raster_queries)
         out = nn.Dense(self.embed_dims,
                        kernel_init=nn.initializers.xavier_uniform(),
                        name="output_proj")(out)
@@ -162,10 +198,10 @@ class EncoderLayer(nn.Module):
                               raster_queries=True, name="self_attn")(
             x, x, pos, reference_points, spatial_shapes,
             key_padding_mask=key_padding_mask, deterministic=deterministic)
-        x = nn.LayerNorm(name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = FFN(self.embed_dims, self.feedforward_channels, self.dropout,
                 name="ffn")(x, deterministic=deterministic)
-        return nn.LayerNorm(name="norm2")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
 
 
 class DecoderLayer(nn.Module):
@@ -179,21 +215,23 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, query, query_pos, memory, reference_points,
-                 spatial_shapes, key_padding_mask, deterministic=True):
+                 spatial_shapes, key_padding_mask, deterministic=True,
+                 packed_tables=None, valid_wh=None):
         query = MultiheadAttention(self.embed_dims, self.num_heads,
                                    self.dropout, name="self_attn")(
             query, query, query, query_pos=query_pos, key_pos=query_pos,
             deterministic=deterministic)
-        query = nn.LayerNorm(name="norm1")(query)
+        query = nn.LayerNorm(epsilon=1e-5, name="norm1")(query)
         query = MSDeformAttention(self.embed_dims, self.num_heads,
                                   self.num_levels, self.num_points,
                                   self.dropout, name="cross_attn")(
             query, memory, query_pos, reference_points, spatial_shapes,
-            key_padding_mask=key_padding_mask, deterministic=deterministic)
-        query = nn.LayerNorm(name="norm2")(query)
+            key_padding_mask=key_padding_mask, deterministic=deterministic,
+            packed_tables=packed_tables, valid_wh=valid_wh)
+        query = nn.LayerNorm(epsilon=1e-5, name="norm2")(query)
         query = FFN(self.embed_dims, self.feedforward_channels, self.dropout,
                     name="ffn")(query, deterministic=deterministic)
-        return nn.LayerNorm(name="norm3")(query)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(query)
 
 
 def encoder_reference_points(spatial_shapes, valid_ratios, dtype=jnp.float32):
@@ -251,6 +289,10 @@ class DeformableDetrTransformer(nn.Module):
     dropout: float = 0.1
     num_query: int = 300
     remat: bool = True
+    # decoder cross-attention samples pre-packed RAW memory tables built
+    # once per model instead of re-packing per layer (ops/msda.py premap;
+    # bit-compatible params, measured faster — PERF.md round 3)
+    premap_decoder: bool = True
 
     @nn.compact
     def __call__(self, mlvl_feats, img_hw, batch_input_shape, query_embed,
@@ -268,6 +310,11 @@ class DeformableDetrTransformer(nn.Module):
             (f.shape[1], f.shape[2]) for f in mlvl_feats)
         masks, valid_ratios = level_masks_and_ratios(
             img_hw, batch_input_shape, spatial_shapes)
+        # exact f32 valid (w, h) token counts per level for the premap
+        # padding gate (before the bf16 cast below loses integer exactness)
+        level_wh = jnp.array([[w, h] for (h, w) in spatial_shapes],
+                             jnp.float32)
+        valid_wh = valid_ratios * level_wh[None]
         valid_ratios = valid_ratios.astype(mlvl_feats[0].dtype)
 
         level_embeds = self.param(
@@ -315,6 +362,17 @@ class DeformableDetrTransformer(nn.Module):
 
         dec_layer_cls = (nn.remat(DecoderLayer, static_argnums=(5, 7))
                          if self.remat else DecoderLayer)
+        import os
+        use_premap = (self.premap_decoder
+                      and os.environ.get("DSKD_PREMAP", "1") != "0")
+        if use_premap:
+            # pack the raw memory ONCE; every decoder layer (and the box
+            # refine variants) samples these shared tables
+            packed_tables = pack_corners_raw(memory, spatial_shapes)
+            dec_memory, dec_mask = None, None
+        else:
+            packed_tables, valid_wh = None, None
+            dec_memory, dec_mask = memory, mask_flat
         inter_states, inter_refs = [], []
         for i in range(self.num_decoder_layers):
             ref_input = (reference_points[:, :, None, :]
@@ -322,8 +380,8 @@ class DeformableDetrTransformer(nn.Module):
             query = dec_layer_cls(C, self.num_heads, self.num_levels,
                                   self.num_points, self.feedforward_channels,
                                   self.dropout, name=f"decoder_layer{i}")(
-                query, query_pos, memory, ref_input, spatial_shapes,
-                mask_flat, deterministic)
+                query, query_pos, dec_memory, ref_input, spatial_shapes,
+                dec_mask, deterministic, packed_tables, valid_wh)
             inter_states.append(query)
             inter_refs.append(reference_points)  # no box refine: constant
 

@@ -48,6 +48,97 @@ def _pack_corners(v: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return packed.transpose(0, 2, 1, 3)       # (B, H, S', 4D)
 
 
+def pack_corners_raw(memory: jnp.ndarray,
+                     spatial_shapes: Sequence[Tuple[int, int]]):
+    """Pack UNPROJECTED (B, S, C) memory into per-level corner tables.
+
+    Decoder cross-attention optimization (PERF.md round 3): the encoder
+    memory is constant across all decoder layers, and each layer's
+    ``value_proj`` is linear — so the bilinear gather + corner/attention
+    weighting can run in RAW C-space against tables packed ONCE per model,
+    with the per-layer projection applied to the (B, Q, H, C) reduction
+    instead of the (B, S, C) memory. Removes the per-(layer, level) table
+    rebuild the round-2 trace billed ~22% of the step to.
+
+    Returns a list of (B, (h+2)*(w+2), 4*C) tables; row r = base pixel
+    (y0+1, x0+1) of the zero-padded map, blocks [v00, v01, v10, v11].
+    """
+    B, S, C = memory.shape
+    tables = []
+    start = 0
+    for (h, w) in spatial_shapes:
+        v = jax.lax.dynamic_slice_in_dim(memory, start, h * w, axis=1)
+        vm = v.reshape(B, h, w, C)
+        vp = jnp.pad(vm, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        p00 = vp[:, :-1, :-1]
+        p01 = vp[:, :-1, 1:]
+        p10 = vp[:, 1:, :-1]
+        p11 = vp[:, 1:, 1:]
+        packed = jnp.concatenate([p00, p01, p10, p11], axis=-1)
+        packed = jnp.pad(packed, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        tables.append(packed.reshape(B, (h + 2) * (w + 2), 4 * C))
+        start += h * w
+    return tables
+
+
+def ms_deform_attn_core_premap(tables,
+                               spatial_shapes: Sequence[Tuple[int, int]],
+                               sampling_locations: jnp.ndarray,
+                               attention_weights: jnp.ndarray,
+                               valid_wh: jnp.ndarray):
+    """Deformable sampling against pre-packed RAW corner tables.
+
+    Args:
+      tables: ``pack_corners_raw`` output — list of (B, S'_l, 4C).
+      sampling_locations: (B, Q, H, L, P, 2) normalized (x, y).
+      attention_weights: (B, Q, H, L, P), softmaxed over L*P.
+      valid_wh: (B, L, 2) f32 valid (w, h) token counts per level. Replaces
+        the key_padding_mask zeroing of the projected path: the reference's
+        padding masks are exact rectangles (level_masks_and_ratios), so a
+        corner is dropped analytically iff x >= valid_w or y >= valid_h —
+        bit-identical to gathering a zeroed token.
+
+    Returns (acc, wsum): (B, Q, H, C) raw-space weighted samples and
+    (B, Q, H) total surviving corner weight (for the value_proj bias term:
+    projected = acc @ W + b * wsum, linearity of the projection).
+    """
+    B, Q, H = sampling_locations.shape[:3]
+    P = sampling_locations.shape[4]
+    C = tables[0].shape[-1] // 4
+    dt = tables[0].dtype
+    acc = jnp.zeros((B, Q, H, C), dt)
+    wsum = jnp.zeros((B, Q, H), dt)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        loc = sampling_locations[:, :, :, lvl]         # (B, Q, H, P, 2)
+        x = loc[..., 0].astype(jnp.float32) * w - 0.5
+        y = loc[..., 1].astype(jnp.float32) * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx = (x - x0).astype(dt)
+        ty = (y - y0).astype(dt)
+        vw = valid_wh[:, lvl, 0][:, None, None, None]  # (B, 1, 1, 1)
+        vh = valid_wh[:, lvl, 1][:, None, None, None]
+        gx0 = (x0 >= 0) & (x0 < vw)
+        gx1 = (x0 + 1 >= 0) & (x0 + 1 < vw)
+        gy0 = (y0 >= 0) & (y0 < vh)
+        gy1 = (y0 + 1 >= 0) & (y0 + 1 < vh)
+        w00 = ((1 - tx) * (1 - ty) * (gx0 & gy0)).astype(dt)
+        w01 = (tx * (1 - ty) * (gx1 & gy0)).astype(dt)
+        w10 = ((1 - tx) * ty * (gx0 & gy1)).astype(dt)
+        w11 = (tx * ty * (gx1 & gy1)).astype(dt)
+        cw = jnp.stack([w00, w01, w10, w11], axis=-1)  # (B, Q, H, P, 4)
+        cw = cw * attention_weights[:, :, :, lvl, :, None]
+
+        x0c = jnp.clip(x0 + 1, 0, w + 1).astype(jnp.int32)
+        y0c = jnp.clip(y0 + 1, 0, h + 1).astype(jnp.int32)
+        flat = (y0c * (w + 2) + x0c).reshape(B, Q * H * P)
+        g = jnp.take_along_axis(tables[lvl], flat[..., None], axis=1)
+        g = g.reshape(B, Q, H, P, 4, C)
+        acc = acc + (g * cw[..., None]).sum(axis=(3, 4))
+        wsum = wsum + cw.sum(axis=(3, 4))
+    return acc, wsum
+
+
 def ms_deform_attn_core(value: jnp.ndarray,
                         spatial_shapes: Sequence[Tuple[int, int]],
                         sampling_locations: jnp.ndarray,

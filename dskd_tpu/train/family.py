@@ -111,8 +111,13 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             feats_distill=cfg.distill.feats_distill) if has_teacher else None
 
         def losses_fn(variables, batch, teacher_vars, rng):
-            out = model.apply(variables, batch.images, batch.img_hw,
-                              deterministic=True)
+            # the reference trains vanilla DETR WITH dropout=0.1
+            # (configs/detr/detr_r50_8x2_150e_coco.py); the frozen teacher
+            # forward stays deterministic
+            out = model.apply(
+                variables, batch.images, batch.img_hw,
+                deterministic=not use_dropout,
+                rngs={"dropout": rng} if use_dropout else None)
             t_out = None
             if teacher_vars is not None:
                 t_out = model.apply(teacher_vars, batch.images,
