@@ -1,0 +1,286 @@
+"""Torch-CPU re-statement of the reference GFL-DeformableDETR forward.
+
+Whole-model parity oracle (round-3): composes the reference's forward from
+its documented semantics — torchvision ResNet, ChannelMapper (1x1 conv +
+GN(32)), SinePositionalEncoding, the deformable transformer with
+grid_sample-based MSDA (mmcv multi_scale_deformable_attn_pytorch contract),
+and the GFL-DETR head decode quirks (gfl_deformable_detr_head_il.py:196-281)
+— all driven directly from an mmdet-style state_dict. Feeding the SAME
+state_dict through dskd_tpu.utils.torch_weights and through this module
+proves the converter + flax model assembly agree with a torch execution,
+not just per-op.
+
+Everything is functional (F.conv2d / F.linear on state-dict tensors), eval
+semantics (dropout 0, BN running stats), float32.
+"""
+from __future__ import annotations
+
+import math
+
+import torch
+import torch.nn.functional as F
+
+
+def resnet18_backbone(state, images):
+    """images: (B, 3, H, W) -> [C3, C4, C5] (strides 8/16/32).
+
+    Functional resnet18 (torchvision layout, basic blocks, eval-mode BN)
+    driven straight off the state-dict tensors — torchvision itself is not
+    in the image."""
+    s = {k[len("backbone."):]: v for k, v in state.items()
+         if k.startswith("backbone.")}
+
+    def bn(x, p):
+        return F.batch_norm(x, s[p + ".running_mean"], s[p + ".running_var"],
+                            s[p + ".weight"], s[p + ".bias"],
+                            training=False, eps=1e-5)
+
+    x = F.conv2d(images, s["conv1.weight"], stride=2, padding=3)
+    x = F.relu(bn(x, "bn1"))
+    x = F.max_pool2d(x, 3, stride=2, padding=1)
+    outs = []
+    for stage in (1, 2, 3, 4):
+        for b in range(2):
+            src = f"layer{stage}.{b}"
+            stride = 2 if (b == 0 and stage > 1) else 1
+            idn = x
+            y = F.relu(bn(F.conv2d(x, s[src + ".conv1.weight"],
+                                   stride=stride, padding=1),
+                          src + ".bn1"))
+            y = bn(F.conv2d(y, s[src + ".conv2.weight"], padding=1),
+                   src + ".bn2")
+            if src + ".downsample.0.weight" in s:
+                idn = bn(F.conv2d(x, s[src + ".downsample.0.weight"],
+                                  stride=stride), src + ".downsample.1")
+            x = F.relu(y + idn)
+        if stage >= 2:
+            outs.append(x)
+    return outs
+
+
+def channel_mapper(state, feats, num_extra=1):
+    outs = []
+    for i, f in enumerate(feats):
+        y = F.conv2d(f, state[f"neck.convs.{i}.conv.weight"],
+                     state[f"neck.convs.{i}.conv.bias"])
+        y = F.group_norm(y, 32, state[f"neck.convs.{i}.gn.weight"],
+                         state[f"neck.convs.{i}.gn.bias"], eps=1e-5)
+        outs.append(y)
+    x = feats[-1]
+    for j in range(num_extra):
+        y = F.conv2d(x, state[f"neck.extra_convs.{j}.conv.weight"],
+                     state[f"neck.extra_convs.{j}.conv.bias"],
+                     stride=2, padding=1)
+        y = F.group_norm(y, 32, state[f"neck.extra_convs.{j}.gn.weight"],
+                         state[f"neck.extra_convs.{j}.gn.bias"], eps=1e-5)
+        outs.append(y)
+        x = y
+    return outs
+
+
+def sine_pos_encoding(mask, num_feats=128, temperature=10000.0,
+                      scale=2 * math.pi, offset=-0.5, eps=1e-6):
+    """mask: (B, h, w) bool True at pad -> (B, h, w, 2*num_feats)."""
+    not_mask = (~mask).float()
+    y_embed = not_mask.cumsum(1)
+    x_embed = not_mask.cumsum(2)
+    y_embed = (y_embed + offset) / (y_embed[:, -1:, :] + eps) * scale
+    x_embed = (x_embed + offset) / (x_embed[:, :, -1:] + eps) * scale
+    dim_t = torch.arange(num_feats, dtype=torch.float32)
+    dim_t = temperature ** (2 * torch.div(dim_t, 2, rounding_mode="floor")
+                            / num_feats)
+    pos_x = x_embed[..., None] / dim_t
+    pos_y = y_embed[..., None] / dim_t
+    pos_x = torch.stack([pos_x[..., 0::2].sin(), pos_x[..., 1::2].cos()],
+                        -1).flatten(-2)
+    pos_y = torch.stack([pos_y[..., 0::2].sin(), pos_y[..., 1::2].cos()],
+                        -1).flatten(-2)
+    return torch.cat([pos_y, pos_x], -1)
+
+
+def level_masks(img_hw, batch_input_shape, spatial_shapes):
+    """Nearest-downsampled padding masks per level (True = pad)."""
+    H, W = batch_input_shape
+    masks = []
+    for (h, w) in spatial_shapes:
+        ys = (torch.arange(h) * H) // h
+        xs = (torch.arange(w) * W) // w
+        pad = (ys[None, :, None] >= img_hw[:, 0, None, None]) | (
+            xs[None, None, :] >= img_hw[:, 1, None, None])
+        masks.append(pad)
+    return masks
+
+
+def msda_core(value, spatial_shapes, locs, weights):
+    """mmcv multi_scale_deformable_attn_pytorch contract.
+
+    value: (B, S, H, D); locs: (B, Q, H, L, P, 2) normalized;
+    weights: (B, Q, H, L, P) -> (B, Q, H*D).
+    """
+    B, S, H, D = value.shape
+    Q, P = locs.shape[1], locs.shape[4]
+    L = len(spatial_shapes)
+    splits = [h * w for (h, w) in spatial_shapes]
+    value_list = value.split(splits, dim=1)
+    grids = 2 * locs - 1
+    sampled = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value_list[lvl].flatten(2).transpose(1, 2).reshape(
+            B * H, D, h, w)
+        g = grids[:, :, :, lvl].transpose(1, 2).flatten(0, 1)  # (B*H,Q,P,2)
+        s = F.grid_sample(v, g, mode="bilinear", padding_mode="zeros",
+                          align_corners=False)                 # (B*H,D,Q,P)
+        sampled.append(s)
+    sampled = torch.stack(sampled, dim=-2).flatten(-2)   # (B*H, D, Q, L*P)
+    aw = weights.transpose(1, 2).reshape(B * H, 1, Q, L * P)
+    out = (sampled * aw).sum(-1).view(B, H * D, Q)
+    return out.transpose(1, 2)
+
+
+def _linear(state, src, x):
+    return F.linear(x, state[src + ".weight"], state[src + ".bias"])
+
+
+def _ln(state, src, x):
+    return F.layer_norm(x, x.shape[-1:], state[src + ".weight"],
+                        state[src + ".bias"], eps=1e-5)
+
+
+def msda_attention(state, src, query, value, query_pos, ref_pts,
+                   spatial_shapes, key_padding_mask, num_heads=8,
+                   num_points=4):
+    B, Q, C = query.shape
+    H, P, L = num_heads, num_points, len(spatial_shapes)
+    identity = query
+    if query_pos is not None:
+        query = query + query_pos
+    v = _linear(state, src + ".value_proj", value)
+    v = v.masked_fill(key_padding_mask[..., None], 0.0).view(B, -1, H,
+                                                             C // H)
+    off = _linear(state, src + ".sampling_offsets", query).view(
+        B, Q, H, L, P, 2)
+    aw = _linear(state, src + ".attention_weights", query).view(
+        B, Q, H, L * P).softmax(-1).view(B, Q, H, L, P)
+    normalizer = torch.tensor([[w, h] for (h, w) in spatial_shapes],
+                              dtype=torch.float32)
+    locs = (ref_pts[:, :, None, :, None, :]
+            + off / normalizer[None, None, None, :, None, :])
+    out = msda_core(v, spatial_shapes, locs, aw)
+    return identity + _linear(state, src + ".output_proj", out)
+
+
+def ffn(state, src, x):
+    y = F.relu(_linear(state, src + ".ffns.0.layers.0.0", x))
+    return x + _linear(state, src + ".ffns.0.layers.1", y)
+
+
+def mha_self_attention(state, src, query, query_pos, num_heads=8):
+    C = query.shape[-1]
+    q = (query + query_pos).transpose(0, 1)
+    v = query.transpose(0, 1)
+    out, _ = F.multi_head_attention_forward(
+        q, q, v, C, num_heads,
+        state[src + ".in_proj_weight"], state[src + ".in_proj_bias"],
+        None, None, False, 0.0,
+        state[src + ".out_proj.weight"], state[src + ".out_proj.bias"],
+        training=False, need_weights=False)
+    return query + out.transpose(0, 1)
+
+
+def inverse_sigmoid(x, eps=1e-5):
+    x = x.clamp(0, 1)
+    return torch.log(x.clamp(min=eps) / (1 - x).clamp(min=eps))
+
+
+def flagship_forward(state, images, img_hw, num_query=12, num_classes=7,
+                     reg_max=16, num_enc=1, num_dec=2, num_heads=8,
+                     num_points=4):
+    """Full reference forward. images: (B, 3, H, W) f32; img_hw: (B, 2).
+
+    Returns (cls_scores (nl, B, Q, nc), bbox_preds (nl, B, Q, 2+4(r+1))).
+    """
+    with torch.no_grad():
+        B = images.shape[0]
+        batch_input_shape = images.shape[-2:]
+        feats = channel_mapper(state, resnet18_backbone(state, images))
+        spatial_shapes = [tuple(f.shape[-2:]) for f in feats]
+        C = feats[0].shape[1]
+        L = len(feats)
+
+        masks = level_masks(img_hw, batch_input_shape, spatial_shapes)
+        level_embeds = state["bbox_head.transformer.level_embeds"]
+        feat_flat, mask_flat, pos_flat, valid_ratios = [], [], [], []
+        for lvl, (f, mask) in enumerate(zip(feats, masks)):
+            h, w = spatial_shapes[lvl]
+            pos = sine_pos_encoding(mask, num_feats=C // 2)
+            feat_flat.append(f.flatten(2).transpose(1, 2))      # (B, hw, C)
+            mask_flat.append(mask.flatten(1))
+            pos_flat.append(pos.flatten(1, 2) + level_embeds[lvl])
+            valid_h = (~mask[:, :, 0]).sum(1).float()
+            valid_w = (~mask[:, 0, :]).sum(1).float()
+            valid_ratios.append(torch.stack([valid_w / w, valid_h / h], -1))
+        feat_flat = torch.cat(feat_flat, 1)
+        mask_flat = torch.cat(mask_flat, 1)
+        pos_flat = torch.cat(pos_flat, 1)
+        valid_ratios = torch.stack(valid_ratios, 1)             # (B, L, 2)
+
+        # encoder reference points (per-level 0.5-offset grids)
+        refs = []
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            ry = (torch.arange(h, dtype=torch.float32) + 0.5)
+            rx = (torch.arange(w, dtype=torch.float32) + 0.5)
+            ry = ry[:, None].repeat(1, w).reshape(-1)
+            rx = rx[None, :].repeat(h, 1).reshape(-1)
+            ry = ry[None] / (valid_ratios[:, None, lvl, 1] * h)
+            rx = rx[None] / (valid_ratios[:, None, lvl, 0] * w)
+            refs.append(torch.stack([rx, ry], -1))
+        enc_ref = torch.cat(refs, 1)[:, :, None, :] * \
+            valid_ratios[:, None, :, :]                         # (B, S, L, 2)
+
+        tsrc = "bbox_head.transformer"
+        x = feat_flat
+        for i in range(num_enc):
+            src = f"{tsrc}.encoder.layers.{i}"
+            x = msda_attention(state, f"{src}.attentions.0", x, x, pos_flat,
+                               enc_ref, spatial_shapes, mask_flat,
+                               num_heads, num_points)
+            x = _ln(state, f"{src}.norms.0", x)
+            x = ffn(state, src, x)
+            x = _ln(state, f"{src}.norms.1", x)
+        memory = x
+
+        query_embed = state["bbox_head.query_embedding.weight"]
+        query_pos, query = torch.split(query_embed, C, dim=1)
+        query_pos = query_pos[None].expand(B, -1, -1)
+        query = query[None].expand(B, -1, -1)
+        ref = torch.sigmoid(_linear(state, f"{tsrc}.reference_points",
+                                    query_pos))                 # (B, Q, 2)
+        init_ref = ref
+
+        inter_states = []
+        for i in range(num_dec):
+            src = f"{tsrc}.decoder.layers.{i}"
+            ref_input = ref[:, :, None, :] * valid_ratios[:, None, :, :]
+            query = mha_self_attention(state, f"{src}.attentions.0.attn",
+                                       query, query_pos, num_heads)
+            query = _ln(state, f"{src}.norms.0", query)
+            query = msda_attention(state, f"{src}.attentions.1", query,
+                                   memory, query_pos, ref_input,
+                                   spatial_shapes, mask_flat, num_heads,
+                                   num_points)
+            query = _ln(state, f"{src}.norms.1", query)
+            query = ffn(state, src, query)
+            query = _ln(state, f"{src}.norms.2", query)
+            inter_states.append(query)
+        hs = torch.stack(inter_states, 0)                # (nl, B, Q, C)
+
+        # head: shared branches; layer l decodes against init_ref (no box
+        # refine -> inter refs are constant)
+        cls_scores = _linear(state, "bbox_head.cls_branches.0", hs)
+        y = F.relu(_linear(state, "bbox_head.reg_branches.0.0", hs))
+        y = F.relu(_linear(state, "bbox_head.reg_branches.0.2", y))
+        tmp = _linear(state, "bbox_head.reg_branches.0.4", y)
+        tmp = torch.cat([tmp[..., :2] + inverse_sigmoid(init_ref)[None],
+                         tmp[..., 2:]], -1)
+        bbox_preds = torch.sigmoid(tmp)
+        return cls_scores, bbox_preds
