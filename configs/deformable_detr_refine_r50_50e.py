@@ -1,0 +1,24 @@
+"""Deformable-DETR + iterative bounding-box refinement (46.1 AP ladder).
+
+Parity target: configs/deformable_detr/
+deformable_detr_refine_r50_16x2_50e_coco.py (with_box_refine=True —
+per-layer cls/reg branches, decoder reference refinement,
+transformer.py:1024-1045).
+"""
+from dskd_tpu.utils.config import (DataConfig, DistillFlags,
+                                   ExperimentConfig, ModelConfig,
+                                   TrainConfig)
+
+
+def get_config() -> ExperimentConfig:
+    return ExperimentConfig(
+        model=ModelConfig(arch="deformable_detr", num_classes=80,
+                          num_query=300, depth=50, with_box_refine=True),
+        data=DataConfig(catsplit=(80,), samples_per_device=2,
+                        img_scale=(1333, 800), bucket=(800, 1344),
+                        aspect_buckets=((1344, 800), (800, 1344))),
+        train=TrainConfig(base_lr=2e-4, weight_decay=1e-4, grad_clip=0.1,
+                          epochs_per_task=50, step_epochs=(40,),
+                          work_dir="work_dirs/deformable_detr_refine"),
+        distill=DistillFlags(cates_distill="", feats_distill=""),
+    )

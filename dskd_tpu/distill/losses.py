@@ -71,6 +71,13 @@ class DistillConfig(NamedTuple):
     fg_T: float = 2.0
     corr_weight: float = 1.0
     corr_reduction: str = "mean"
+    # Reference quirk knob (decide-and-document, SURVEY §7): the reference's
+    # fg distills put the TEACHER on the KL pred side and detach the
+    # student, so sg_out/fg_only contribute loss but zero student gradients
+    # (and decode_v1/v2 only leak grads through the semantic mask).
+    # False (default) = faithful to the reference; True = the arguably
+    # intended direction (student on the pred side, teacher detached).
+    fix_fg_grad_direction: bool = False
 
     @classmethod
     def from_flags(cls, cates_distill: str = "", locat_distill: str = "",
@@ -338,8 +345,14 @@ def memory_fg_loss(student: HeadOutputs, student_neck, teacher: TeacherInfo,
             mask = jnp.where(cover, inv[:, :, None, None], 0.0).max(axis=1)
 
         m = jnp.sqrt(mask)[..., None]
-        pred = mem_t * m
-        target = jax.lax.stop_gradient(mem_s * m)
+        if cfg.fix_fg_grad_direction:
+            # corrected: student learns toward the (detached) teacher
+            pred = mem_s * m
+            target = jax.lax.stop_gradient(mem_t * m)
+        else:
+            # faithful: reference pred/target swap (no student grads)
+            pred = mem_t * m
+            target = jax.lax.stop_gradient(mem_s * m)
         total = total + cfg.fg_weight * _kd_kl_axis(
             pred, target, cfg.fg_T, axis=1).sum()
     return total / B
@@ -397,8 +410,13 @@ def semantic_guided_fg_loss(student: HeadOutputs,
 
         # reference: pred side = TEACHER-masked feats (grads via the mask),
         # detached target = STUDENT-masked feats; softmax over the H axis.
-        pred = tf * mask
-        target = jax.lax.stop_gradient(sf) * mask
+        # fix_fg_grad_direction=True flips to the intended direction.
+        if cfg.fix_fg_grad_direction:
+            pred = sf * mask
+            target = jax.lax.stop_gradient(tf * mask)
+        else:
+            pred = tf * mask
+            target = jax.lax.stop_gradient(sf) * mask
         kl = _kd_kl_axis(pred, target, cfg.fg_T, axis=1)  # (B, W, C)
         total = total + cfg.fg_weight * kl.sum()
     return total / B

@@ -211,6 +211,19 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 
+    if arch == "deformable_detr":
+        from ..models.deformable_detr import deformable_detr_get_bboxes
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            d = deformable_detr_get_bboxes(
+                out.head, img_hw, score_thr=score_thr,
+                max_per_img=max_per_img, scale_factor=scale_factors,
+                rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return eval_step
+
     raise ValueError(f"no eval step for arch: {arch}")
 
 

@@ -115,11 +115,18 @@ class MSDeformAttention(nn.Module):
         weights = jax.nn.softmax(weights.reshape(B, Q, H, L * P), axis=-1)
         weights = weights.reshape(B, Q, H, L, P)
 
-        # normalized sampling locations; offset normalizer is (w, h) per level
-        norm = jnp.array([[w, h] for (h, w) in spatial_shapes],
-                         dtype=query.dtype)                     # (L, 2)
-        locs = (reference_points[:, :, None, :, None, :]
-                + offsets / norm[None, None, None, :, None, :])
+        # normalized sampling locations; offset normalizer is (w, h) per
+        # level for 2-dim refs; 4-dim (cx, cy, w, h) refs (box refine /
+        # two-stage) scale offsets by the box size (mmcv :343-356)
+        if reference_points.shape[-1] == 4:
+            ref = reference_points[:, :, None, :, None, :]
+            locs = (ref[..., :2]
+                    + offsets / self.num_points * ref[..., 2:] * 0.5)
+        else:
+            norm = jnp.array([[w, h] for (h, w) in spatial_shapes],
+                             dtype=query.dtype)                 # (L, 2)
+            locs = (reference_points[:, :, None, :, None, :]
+                    + offsets / norm[None, None, None, :, None, :])
 
         if packed_tables is not None:
             D = C // H

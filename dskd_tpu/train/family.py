@@ -30,7 +30,8 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 locat_distill=cfg.distill.locat_distill,
                 feats_distill=cfg.distill.feats_distill,
                 memory_distill=cfg.distill.memory_distill,
-                num_prev=max(num_prev, 1), reg_max=cfg.model.reg_max)
+                num_prev=max(num_prev, 1), reg_max=cfg.model.reg_max,
+                fix_fg_grad_direction=cfg.distill.fix_fg_grad_direction)
         return make_train_step(
             model, det_cfg, distill_cfg,
             teacher_score_thr=cfg.distill.teacher_score_thr,
@@ -127,6 +128,20 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 distill_cfg=distill_cfg,
                 teacher_score_thr=cfg.distill.teacher_score_thr,
                 teacher_max_per_img=cfg.distill.teacher_max_per_img), None
+
+    elif arch == "deformable_detr":
+        from ..models.deformable_detr import (DDETRLossConfig,
+                                              deformable_detr_loss)
+        det_cfg = DDETRLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(
+                variables, batch.images, batch.img_hw,
+                deterministic=not use_dropout,
+                rngs={"dropout": rng} if use_dropout else None)
+            return deformable_detr_loss(
+                out.head, batch.gt_bboxes, batch.gt_labels, batch.gt_valid,
+                batch.img_hw, det_cfg), None
 
     elif arch == "retinanet":
         from ..models.retinanet import (RetinaLossConfig, retina_anchors,

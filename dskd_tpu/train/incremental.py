@@ -56,6 +56,17 @@ def build_model(cfg: ExperimentConfig):
             num_decoder_layers=m.num_decoder_layers,
             num_levels=m.num_levels, dropout=m.dropout,
             dcn_stages=tuple(m.dcn_stages), remat=m.remat)
+    if m.arch == "deformable_detr":
+        from ..models.deformable_detr import DeformableDETR
+        return DeformableDETR(
+            num_classes=m.num_classes, num_query=m.num_query,
+            depth=m.depth, frozen_stages=m.frozen_stages,
+            embed_dims=m.embed_dims,
+            num_encoder_layers=m.num_encoder_layers,
+            num_decoder_layers=m.num_decoder_layers,
+            num_levels=m.num_levels, dropout=m.dropout,
+            with_box_refine=m.with_box_refine,
+            as_two_stage=m.as_two_stage, remat=m.remat)
     if m.arch == "yolof":
         from ..models.yolof import YOLOF
         return YOLOF(num_classes=m.num_classes, depth=m.depth,

@@ -33,6 +33,9 @@ class ModelConfig:
     dropout: float = 0.1
     # DCN stage switches (dcn config variants; bottleneck backbones only)
     dcn_stages: Tuple[bool, bool, bool, bool] = (False, False, False, False)
+    # vanilla deformable-DETR variants (transformer.py:906-1021 ladder)
+    with_box_refine: bool = False
+    as_two_stage: bool = False
     backbone_ckpt: Optional[str] = None   # torchvision-style weights
     # rematerialize transformer layers in the backward. OFF by default:
     # the flagship recipe (B=4/chip, 640x640) fits v5e HBM without it and
@@ -110,6 +113,10 @@ class DistillFlags:
     feats_distill: str = "corr + fg_info + decode_v1"
     teacher_score_thr: float = 0.3
     teacher_max_per_img: int = 100
+    # False = faithful reference fg-distill grad direction (teacher on the
+    # KL pred side — sg_out/fg_only carry no student grads); True = the
+    # corrected student-side direction (distill/losses.py DistillConfig)
+    fix_fg_grad_direction: bool = False
 
 
 @dataclass

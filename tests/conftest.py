@@ -28,3 +28,27 @@ _cache_dir = os.path.join(os.path.dirname(__file__), "..",
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+import pytest  # noqa: E402
+
+# fast/slow tiers: `pytest -m "not slow"` is the <5 min core-parity slice
+# (oracles, geometry, converters); the slow tier holds the e2e /
+# whole-family train-step files whose jit programs dominate wall time.
+_SLOW_FILES = {
+    "test_configs", "test_incremental_e2e", "test_detr_il_e2e",
+    "test_train_step", "test_tp", "test_multihost_collect",
+    "test_checkpoint", "test_serve", "test_analysis_tools",
+    "test_robustness_vis_ohem",
+    "test_deformable_detr",
+    "test_cascade_rcnn", "test_faster_rcnn", "test_yolof", "test_yoloy",
+    "test_yolov3", "test_ssd", "test_centernet", "test_retinanet",
+    "test_fcos", "test_atss_family", "test_gfl", "test_detr",
+    "test_detr_dropout", "test_swin", "test_csp_darknet",
+    "test_mobilenet", "test_resnext", "test_bfp_res2net",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SLOW_FILES:
+            item.add_marker(pytest.mark.slow)

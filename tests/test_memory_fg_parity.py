@@ -136,3 +136,32 @@ def test_sg_out_parity():
 def test_fg_only_parity():
     for seed in (0, 2):
         _run(seed, "fg_only")
+
+
+def test_fix_fg_grad_direction_knob():
+    """Faithful mode: zero student-memory grads; fixed mode: nonzero grads
+    toward the (detached) teacher (DistillConfig.fix_fg_grad_direction)."""
+    import jax
+
+    (img_hw, mem_s, mem_t, s_neck, det_boxes, gt_boxes, cfg, student,
+     teacher) = _fixture(0, "sg_out")
+
+    def loss_of_student_memory(mem, cfg_):
+        st = student._replace(memory=mem)
+        return memory_fg_loss(
+            st, [jnp.asarray(f) for f in s_neck], teacher,
+            jnp.asarray(img_hw), cfg_,
+            gt_bboxes_original=jnp.asarray(gt_boxes),
+            gt_valid_original=jnp.asarray(np.ones((B, GN), bool)))
+
+    mem = jnp.asarray(mem_s)
+    g_faithful = jax.grad(loss_of_student_memory)(mem, cfg)
+    assert float(jnp.abs(g_faithful).max()) == 0.0
+
+    cfg_fixed = cfg._replace(fix_fg_grad_direction=True)
+    g_fixed = jax.grad(loss_of_student_memory)(mem, cfg_fixed)
+    assert float(jnp.abs(g_fixed).max()) > 0.0
+    # and the faithful loss VALUE still matches the torch oracle exactly
+    want = _oracle(img_hw, mem_s, mem_t, det_boxes, gt_boxes, "sg_out")
+    np.testing.assert_allclose(float(loss_of_student_memory(mem, cfg)),
+                               want, rtol=2e-4, atol=2e-5)
