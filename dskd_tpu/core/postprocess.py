@@ -33,7 +33,15 @@ def filter_scores_and_topk(scores: jnp.ndarray, score_thr: float,
     mask = flat > score_thr
     cand = jnp.where(mask, flat, -1.0)
     kk = min(topk, n * k)
-    top_scores, top_idx = jax.lax.top_k(cand, kk)
+    import os
+    if (os.environ.get("DSKD_APPROX_TOPK", "0") == "1"
+            and jax.default_backend() == "tpu" and kk < n * k):
+        # TPU-optimized approximate top-k (recall >= 0.95): the exact
+        # lax.top_k lowers to a full sort; for teacher-det selection the
+        # tail of near-threshold detections is noise-dominated anyway.
+        top_scores, top_idx = jax.lax.approx_max_k(cand, kk)
+    else:
+        top_scores, top_idx = jax.lax.top_k(cand, kk)
     if kk < topk:  # keep the static output size contract
         top_scores = jnp.pad(top_scores, (0, topk - kk),
                              constant_values=-1.0)

@@ -1,0 +1,46 @@
+"""Backbone registry: string spec -> feature-extractor module.
+
+Replaces the mmdet BACKBONES registry for detectors that accept a
+configurable backbone (ModelConfig.backbone). Specs:
+  ""/"resnet"       -> ResNet(depth) 4-stage pyramid (the family default)
+  "resnext"         -> ResNet(depth, groups=32, base_width=4)
+  "regnetx_3.2gf".. -> RegNet (regnet.py arch table)
+  "effb0".."effb5"  -> EfficientNet stride-8/16/32 stages
+  "hrnet_w18" etc.  -> HRNet multi-resolution branches (pair with HRFPN)
+  "swin_tiny" etc.  -> Swin Transformer stages
+"""
+from __future__ import annotations
+
+
+def build_backbone(spec: str, depth: int = 50, frozen_stages: int = 1,
+                   name: str = "backbone"):
+    """Returns (module, pyramid_kind): pyramid_kind is 'c2345' for 4-stage
+    stride-4..32 pyramids, 'c345' for stride-8..32 triples (EfficientNet),
+    'hr' for HRNet branch lists (needs HRFPN)."""
+    from .resnet import ResNet
+
+    if spec in ("", "resnet"):
+        return (ResNet(depth=depth, out_indices=(0, 1, 2, 3),
+                       frozen_stages=frozen_stages, name=name), "c2345")
+    if spec == "resnext":
+        return (ResNet(depth=depth, groups=32, base_width=4,
+                       out_indices=(0, 1, 2, 3),
+                       frozen_stages=frozen_stages, name=name), "c2345")
+    if spec.startswith("regnetx"):
+        from .regnet import RegNet
+        return (RegNet(arch=spec, out_indices=(0, 1, 2, 3),
+                       frozen_stages=frozen_stages, name=name), "c2345")
+    if spec.startswith("effb"):
+        from .efficientnet import EfficientNet
+        return (EfficientNet(arch=spec[3:], out_indices=(2, 4, 6),
+                             frozen_stages=frozen_stages, name=name),
+                "c345")
+    if spec.startswith("hrnet_w"):
+        from .hrnet import HRNet
+        return (HRNet(width=int(spec[len("hrnet_w"):]),
+                      frozen_stages=frozen_stages, name=name), "hr")
+    if spec.startswith("swin"):
+        from .swin import SwinTransformer
+        arch = spec.split("_", 1)[1] if "_" in spec else "tiny"
+        return (SwinTransformer(arch=arch, name=name), "c2345")
+    raise ValueError(f"unknown backbone spec: {spec!r}")

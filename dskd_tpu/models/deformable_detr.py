@@ -236,7 +236,16 @@ class DeformableDETRHead(nn.Module):
         init_reference = reference_points
         dec_layer_cls = (nn.remat(DecoderLayer, static_argnums=(5, 7))
                          if self.remat else DecoderLayer)
-        packed_tables = pack_corners_raw(memory, spatial_shapes)
+        # premap decoder tables measured slower on chip at flagship shapes
+        # (PERF.md round 3) — same opt-in knob as the GFL transformer
+        import os
+        if os.environ.get("DSKD_PREMAP") == "1":
+            packed_tables = pack_corners_raw(memory, spatial_shapes)
+            dec_memory, dec_mask = None, None
+            dec_valid_wh = valid_wh
+        else:
+            packed_tables, dec_valid_wh = None, None
+            dec_memory, dec_mask = memory, mask_flat
 
         inter_states, inter_refs = [], []
         for i in range(self.num_decoder_layers):
@@ -251,8 +260,8 @@ class DeformableDETRHead(nn.Module):
                                   self.num_points,
                                   self.feedforward_channels, self.dropout,
                                   name=f"decoder_layer{i}")(
-                query, query_pos, None, ref_input, spatial_shapes,
-                None, deterministic, packed_tables, valid_wh)
+                query, query_pos, dec_memory, ref_input, spatial_shapes,
+                dec_mask, deterministic, packed_tables, dec_valid_wh)
             inter_states.append(query)
             if self.with_box_refine:
                 # per-layer refinement (reference decoder :1024-1045)

@@ -95,19 +95,28 @@ class FCOSHead(nn.Module):
 
 
 class FCOS(nn.Module):
+    """``backbone`` spec (models/backbones.py): '' = ResNet(depth);
+    'hrnet_w18' mirrors the reference's fcos_hrnetv2p_w18 (HRFPN neck)."""
     num_classes: int = 80
     depth: int = 50
     frozen_stages: int = 1
+    backbone: str = ""
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, img_hw: jnp.ndarray,
                  deterministic: bool = True) -> FCOSOutputs:
-        feats = ResNet(depth=self.depth, out_indices=(0, 1, 2, 3),
-                       frozen_stages=self.frozen_stages,
-                       name="backbone")(images)
-        neck = FPN(out_channels=256, num_outs=5, start_level=1,
-                   add_extra_convs="on_output",
-                   relu_before_extra_convs=True, name="neck")(feats)
+        from .backbones import build_backbone
+        bb, kind = build_backbone(self.backbone, self.depth,
+                                  self.frozen_stages)
+        feats = bb(images)
+        if kind == "hr":
+            from .hrnet import HRFPN
+            neck = HRFPN(out_channels=256, num_outs=5, name="neck")(feats)
+        else:
+            neck = FPN(out_channels=256, num_outs=5,
+                       start_level=1 if kind == "c2345" else 0,
+                       add_extra_convs="on_output",
+                       relu_before_extra_convs=True, name="neck")(feats)
         head = FCOSHead(num_classes=self.num_classes,
                         name="bbox_head")(neck)
         return FCOSOutputs(head, neck)

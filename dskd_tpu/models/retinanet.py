@@ -75,19 +75,29 @@ class RetinaHead(nn.Module):
 
 
 class RetinaNet(nn.Module):
+    """``backbone`` spec (models/backbones.py): '' = ResNet(depth); the
+    reference zoo pairings retinanet_regnetx-3.2GF_fpn / retinanet_effb3
+    map to 'regnetx_3.2gf' / 'effb3'."""
     num_classes: int = 80
     depth: int = 50
     frozen_stages: int = 1
+    backbone: str = ""
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, img_hw: jnp.ndarray,
                  deterministic: bool = True) -> RetinaNetOutputs:
-        feats = ResNet(depth=self.depth, out_indices=(0, 1, 2, 3),
-                       frozen_stages=self.frozen_stages,
-                       name="backbone")(images)
-        neck = FPN(out_channels=256, num_outs=5, start_level=1,
-                   add_extra_convs="on_input",
-                   relu_before_extra_convs=False, name="neck")(feats)
+        from .backbones import build_backbone
+        bb, kind = build_backbone(self.backbone, self.depth,
+                                  self.frozen_stages)
+        feats = bb(images)
+        if kind == "hr":
+            from .hrnet import HRFPN
+            neck = HRFPN(out_channels=256, num_outs=5, name="neck")(feats)
+        else:
+            neck = FPN(out_channels=256, num_outs=5,
+                       start_level=1 if kind == "c2345" else 0,
+                       add_extra_convs="on_input",
+                       relu_before_extra_convs=False, name="neck")(feats)
         head = RetinaHead(num_classes=self.num_classes,
                           name="bbox_head")(neck)
         return RetinaNetOutputs(head, neck)

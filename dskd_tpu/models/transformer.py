@@ -297,9 +297,11 @@ class DeformableDetrTransformer(nn.Module):
     num_query: int = 300
     remat: bool = True
     # decoder cross-attention samples pre-packed RAW memory tables built
-    # once per model instead of re-packing per layer (ops/msda.py premap;
-    # bit-compatible params, measured faster — PERF.md round 3)
-    premap_decoder: bool = True
+    # once per model instead of re-packing per layer (ops/msda.py premap).
+    # MEASURED SLOWER on chip at flagship shapes (3.344 vs 3.485 img/s):
+    # the 4C-wide raw-space gathers move ~4x the bytes the per-layer
+    # packing saves (PERF.md round 3). Kept opt-in: DSKD_PREMAP=1.
+    premap_decoder: bool = False
 
     @nn.compact
     def __call__(self, mlvl_feats, img_hw, batch_input_shape, query_embed,
@@ -370,8 +372,8 @@ class DeformableDetrTransformer(nn.Module):
         dec_layer_cls = (nn.remat(DecoderLayer, static_argnums=(5, 7))
                          if self.remat else DecoderLayer)
         import os
-        use_premap = (self.premap_decoder
-                      and os.environ.get("DSKD_PREMAP", "1") != "0")
+        env = os.environ.get("DSKD_PREMAP")
+        use_premap = (self.premap_decoder if env is None else env == "1")
         if use_premap:
             # pack the raw memory ONCE; every decoder layer (and the box
             # refine variants) samples these shared tables

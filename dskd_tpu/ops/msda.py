@@ -26,12 +26,17 @@ import jax
 import jax.numpy as jnp
 
 
-def _pack_corners(v: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+def _pack_corners(v: jnp.ndarray, h: int, w: int,
+                  head_major: bool = True) -> jnp.ndarray:
     """(B, h*w, H, D) level features -> zero-padded packed corners.
 
     Returns (B, H, (h+2)*(w+2), 4*D): row r = base pixel (y0+1, x0+1) of the
     padded map; the 4*D blocks hold [v(y0,x0), v(y0,x0+1), v(y0+1,x0),
     v(y0+1,x0+1)] of the ORIGINAL map (zeros outside).
+
+    ``head_major=False`` keeps the natural (B, S', H, 4D) layout — no
+    whole-table transpose write; the gather then indexes the middle axis
+    (DSKD_PACK_NOTRANS=1, PERF.md round 3).
     """
     B, S, H, D = v.shape
     vm = v.reshape(B, h, w, H, D)
@@ -45,6 +50,8 @@ def _pack_corners(v: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     # uniform flat index space y0p * (w+2) + x0p with y0p in [0, h+1]
     packed = jnp.pad(packed, ((0, 0), (0, 1), (0, 1), (0, 0), (0, 0)))
     packed = packed.reshape(B, (h + 2) * (w + 2), H, 4 * D)
+    if not head_major:
+        return packed                         # (B, S', H, 4D)
     return packed.transpose(0, 2, 1, 3)       # (B, H, S', 4D)
 
 
@@ -190,6 +197,44 @@ def ms_deform_attn_core(value: jnp.ndarray,
                and (jax.default_backend() == "tpu"
                     # test hook: exercise the Pallas paths in interpret mode
                     or os.environ.get("DSKD_FORCE_MXU") == "1"))
+    # transpose-free table layout: (B, S', H, 4D) + middle-axis gather —
+    # skips the whole-table (0,2,1,3) transpose write per (layer, level)
+    # AND the final (B,H,Q,D)->(B,Q,H,D) output transpose. Bit-identical.
+    notrans = os.environ.get("DSKD_PACK_NOTRANS", "0") == "1"
+    if notrans:
+        out_q = jnp.zeros((B, Q, H, D), dt)
+        start = 0
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            v = jax.lax.dynamic_slice_in_dim(value, start, h * w, axis=1)
+            loc = sampling_locations[:, :, :, lvl]     # (B, Q, H, P, 2)
+            x = loc[..., 0].astype(jnp.float32) * w - 0.5
+            y = loc[..., 1].astype(jnp.float32) * h - 0.5
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            tx = (x - x0).astype(dt)
+            ty = (y - y0).astype(dt)
+            inx0 = (x0 >= 0) & (x0 < w)
+            inx1 = (x0 + 1 >= 0) & (x0 + 1 < w)
+            iny0 = (y0 >= 0) & (y0 < h)
+            iny1 = (y0 + 1 >= 0) & (y0 + 1 < h)
+            w00 = ((1 - tx) * (1 - ty) * (inx0 & iny0)).astype(dt)
+            w01 = (tx * (1 - ty) * (inx1 & iny0)).astype(dt)
+            w10 = ((1 - tx) * ty * (inx0 & iny1)).astype(dt)
+            w11 = (tx * ty * (inx1 & iny1)).astype(dt)
+            cw = jnp.stack([w00, w01, w10, w11], -1)   # (B, Q, H, P, 4)
+            cw = cw * attention_weights[:, :, :, lvl, :, None]
+            packed = _pack_corners(v, h, w, head_major=False)
+            x0c = jnp.clip(x0 + 1, 0, w + 1).astype(jnp.int32)
+            y0c = jnp.clip(y0 + 1, 0, h + 1).astype(jnp.int32)
+            flat = y0c * (w + 2) + x0c                 # (B, Q, H, P)
+            for p in range(P):
+                g = jnp.take_along_axis(
+                    packed, flat[:, :, :, p][..., None], axis=1)
+                g = g.reshape(B, Q, H, 4, D)
+                wp = cw[:, :, :, p]                    # (B, Q, H, 4)
+                out_q = out_q + (g * wp[..., None]).sum(axis=3)
+            start += h * w
+        return out_q.reshape(B, Q, H * D)
 
     out = jnp.zeros((B, H, Q, D), dt)
     start = 0

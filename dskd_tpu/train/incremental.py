@@ -93,11 +93,12 @@ def build_model(cfg: ExperimentConfig):
     if m.arch == "retinanet":
         from ..models.retinanet import RetinaNet
         return RetinaNet(num_classes=m.num_classes, depth=m.depth,
-                         frozen_stages=m.frozen_stages)
+                         frozen_stages=m.frozen_stages,
+                         backbone=m.backbone)
     if m.arch == "fcos":
         from ..models.fcos import FCOS
         return FCOS(num_classes=m.num_classes, depth=m.depth,
-                    frozen_stages=m.frozen_stages)
+                    frozen_stages=m.frozen_stages, backbone=m.backbone)
     if m.arch == "cascade_rcnn":
         from ..models.cascade_rcnn import CascadeRCNN
         return CascadeRCNN(num_classes=m.num_classes, depth=m.depth,

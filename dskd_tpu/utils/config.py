@@ -36,6 +36,10 @@ class ModelConfig:
     # vanilla deformable-DETR variants (transformer.py:906-1021 ladder)
     with_box_refine: bool = False
     as_two_stage: bool = False
+    # backbone spec for families that accept one (models/backbones.py):
+    # '' = family-default ResNet(depth); 'regnetx_3.2gf', 'effb3',
+    # 'hrnet_w18', 'swin_tiny', 'resnext'
+    backbone: str = ""
     backbone_ckpt: Optional[str] = None   # torchvision-style weights
     # rematerialize transformer layers in the backward. OFF by default:
     # the flagship recipe (B=4/chip, 640x640) fits v5e HBM without it and
