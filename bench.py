@@ -51,11 +51,12 @@ def main():
     from dskd_tpu.train.state import TrainState
     from dskd_tpu.train.step import Batch, make_train_step
 
-    # BENCH_HW=640x480 etc. benchmarks a non-square aspect bucket (the
-    # GroupSampler-style buckets wired via DataConfig.aspect_buckets): COCO
-    # is ~70% landscape ~4:3, so the bucketed canvas carries ~25% fewer
-    # encoder tokens than the square 640x640 pad
-    hw = os.environ.get("BENCH_HW", "640x640")
+    # The default canvas is the 4:3 aspect bucket the flagship recipe now
+    # trains with (DataConfig.aspect_buckets — the reference GroupSampler's
+    # per-batch padding made static): ~27% fewer encoder tokens than a
+    # square 640 pad, measured +34% step throughput (PERF.md round 3).
+    # BENCH_HW=640x640 reproduces the round-1/2 square-canvas numbers.
+    hw = os.environ.get("BENCH_HW", "640x480")
     H, W = (int(t) for t in hw.split("x"))
     MAXG = 100
     # remat OFF is the measured default (+15%, PERF.md round 2);

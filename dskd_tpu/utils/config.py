@@ -143,7 +143,12 @@ def dskd_flagship_config(catsplit=(40, 40),
     (chaosuan_gfl_deformable_detr_{40,50,60,70}_*_il.py family)."""
     return ExperimentConfig(
         model=ModelConfig(num_classes=80, depth=50),
-        data=DataConfig(catsplit=tuple(catsplit), samples_per_device=8),
+        # aspect buckets = the reference's GroupSampler + per-batch padding
+        # made static: landscape/portrait canvases carry ~27% fewer encoder
+        # tokens than a square 640 pad (measured +34% step throughput on
+        # chip — PERF.md round 3)
+        data=DataConfig(catsplit=tuple(catsplit), samples_per_device=8,
+                        aspect_buckets=((640, 480), (480, 640))),
         train=TrainConfig(base_lr=2e-4, epochs_per_task=12,
                           step_epochs=(8, 11), work_dir=work_dir),
         distill=DistillFlags(
