@@ -235,6 +235,21 @@ def gaussian_focal_loss(pred, gaussian_target, alpha: float = 2.0,
 
 
 @_weighted
+def varifocal_loss(pred, target, alpha: float = 0.75, gamma: float = 2.0,
+                   iou_weighted: bool = True):
+    """Varifocal loss (losses/varifocal_loss.py:12-60, the VFNet loss):
+    IoU-aware BCE on logits where positives (target = IoU quality q > 0)
+    are weighted by q itself and negatives by alpha * p^gamma — an
+    asymmetric focal treatment that keeps the positive gradient
+    un-downweighted."""
+    p = jax.nn.sigmoid(pred)
+    pos = (target > 0).astype(pred.dtype)
+    focal_w = (target if iou_weighted else 1.0) * pos \
+        + alpha * (p ** gamma) * (1 - pos)
+    return binary_cross_entropy_with_logits(pred, target) * focal_w
+
+
+@_weighted
 def bce_loss(pred, target):
     """Weighted BCE on logits (mmdet CrossEntropyLoss(use_sigmoid=True) —
     the FCOS centerness loss)."""

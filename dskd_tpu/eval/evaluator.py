@@ -211,6 +211,36 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 
+    if arch == "vfnet":
+        from ..models.vfnet import vfnet_get_bboxes, vfnet_points
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            points, _, _ = vfnet_points(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            d = vfnet_get_bboxes(out.head, points, img_hw,
+                                 scale_factor=scale_factors,
+                                 score_thr=max(score_thr, 0.05),
+                                 max_per_img=max_per_img, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return eval_step
+
+    if arch == "tood":
+        from ..models.tood import tood_get_bboxes, tood_points
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            points, _, _ = tood_points(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            d = tood_get_bboxes(out.head, points, img_hw,
+                                scale_factor=scale_factors,
+                                score_thr=max(score_thr, 0.05),
+                                max_per_img=max_per_img, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return eval_step
+
     if arch == "deformable_detr":
         from ..models.deformable_detr import deformable_detr_get_bboxes
 

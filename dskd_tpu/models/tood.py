@@ -1,0 +1,339 @@
+"""TOOD: Task-aligned One-stage Object Detection (parity: mmdet
+dense_heads/tood_head.py + configs/tood/tood_r50_fpn_1x_coco.py, AP 42.4).
+
+The three TOOD mechanisms, rebuilt TPU-first:
+  * task-interactive tower: 6 shared convs whose per-layer outputs are
+    recombined by cls/reg TaskDecomposition blocks (GAP -> layer-attention
+    sigmoid over the 6 layers -> 1x1 reduction + GN);
+  * task-aligned predictions: the classification output is
+    sqrt(sigmoid(logits) * sigmoid(spatial prob)) — a PROBABILITY map —
+    and each side of the decoded box is re-sampled at a learned per-side
+    offset (deform_sampling as analytic bilinear reads, no op needed);
+  * task-aligned assignment (TAL): alignment t = s^alpha * IoU^beta
+    (alpha=1, beta=6), top-13 candidates with centers inside the GT,
+    conflicts resolved by max IoU; cls targets are the per-GT-normalized
+    alignment (t / max_t * max_IoU), trained with the activated
+    quality-focal form; GIoU weighted by the same alignment.
+
+The reference trains the first ``initial_epoch``=4 epochs with ATSS +
+focal before switching to TAL; both paths are implemented
+(``tood_loss(..., use_tal=False)`` gives the initial stage) and the family
+step uses TAL (the steady-state objective).
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core import losses as L
+from ..core.anchors import base_anchors, grid_anchors
+from ..core.atss import atss_assign
+from ..core.boxes import bbox_overlaps, distance2bbox
+from ..core.postprocess import batched_nms, filter_scores_and_topk
+from .fcos import Scale
+from .fpn import FPN
+from .gfl_detr_head import bias_init_with_prob
+from .resnet import ResNet
+
+STRIDES = (8, 16, 32, 64, 128)
+ANCHOR_SCALE = 8
+
+
+class TOODHeadOutputs(NamedTuple):
+    cls_scores: Tuple[jnp.ndarray, ...]   # (B, H, W, C) PROBABILITIES
+    bbox_preds: Tuple[jnp.ndarray, ...]   # (B, H, W, 4) image-space ltrb
+
+
+class TOODOutputs(NamedTuple):
+    head: TOODHeadOutputs
+    neck_feats: Tuple[jnp.ndarray, ...]
+
+
+def _sample_sides(dist_map: jnp.ndarray, offsets: jnp.ndarray):
+    """Re-sample each of the 4 decoded-side maps at its own learned offset
+    (tood_head.deform_sampling, a grouped 1x1 identity deform conv).
+
+    dist_map: (B, H, W, 4); offsets: (B, H, W, 8) as (dy, dx) per side.
+    """
+    B, H, W, _ = dist_map.shape
+    off = offsets.reshape(B, H, W, 4, 2)
+    ii = jnp.arange(H, dtype=dist_map.dtype)[None, :, None, None]
+    jj = jnp.arange(W, dtype=dist_map.dtype)[None, None, :, None]
+    ys = ii + off[..., 0]
+    xs = jj + off[..., 1]
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    ty = ys - y0
+    tx = xs - x0
+
+    def corner(yc, xc, wgt):
+        inb = (yc >= 0) & (yc < H) & (xc >= 0) & (xc < W)
+        yi = jnp.clip(yc, 0, H - 1).astype(jnp.int32)
+        xi = jnp.clip(xc, 0, W - 1).astype(jnp.int32)
+        flat = (yi * W + xi).reshape(B, -1)                   # (B, HW4)
+        v = jnp.take_along_axis(
+            dist_map.reshape(B, H * W, 4),
+            flat[..., None], axis=1).reshape(B, H, W, 4, 4)
+        # channel c sampled at ITS offset: take the diagonal over (tap, c)
+        v = jnp.diagonal(v, axis1=3, axis2=4)                 # (B, H, W, 4)
+        return v * (wgt * inb.astype(dist_map.dtype))
+
+    return (corner(y0, x0, (1 - ty) * (1 - tx))
+            + corner(y0, x0 + 1, (1 - ty) * tx)
+            + corner(y0 + 1, x0, ty * (1 - tx))
+            + corner(y0 + 1, x0 + 1, ty * tx))
+
+
+class TaskDecomposition(nn.Module):
+    feat_channels: int = 256
+    stacked_convs: int = 6
+    la_down_rate: int = 8
+
+    @nn.compact
+    def __call__(self, stacked):
+        """stacked: (B, H, W, n, C) inter-conv outputs."""
+        B, H, W, n, C = stacked.shape
+        flat = stacked.reshape(B, H, W, n * C)
+        gap = flat.mean(axis=(1, 2), keepdims=True)           # (B,1,1,nC)
+        a = nn.relu(nn.Conv(n * C // self.la_down_rate, (1, 1),
+                            name="la_conv1")(gap))
+        a = jax.nn.sigmoid(nn.Conv(n, (1, 1), name="la_conv2")(a))
+        w = a.reshape(B, 1, 1, n, 1)
+        y = (stacked * w).reshape(B, H, W, n * C)
+        y = nn.Conv(C, (1, 1), use_bias=False, name="reduction")(y)
+        return nn.relu(nn.GroupNorm(epsilon=1e-5, num_groups=32,
+                                    name="reduction_gn")(y))
+
+
+class TOODHead(nn.Module):
+    num_classes: int = 80
+    stacked_convs: int = 6
+    feat_channels: int = 256
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]) -> TOODHeadOutputs:
+        C = self.feat_channels
+        inter = []
+        for i in range(self.stacked_convs):
+            inter.append((
+                nn.Conv(C, (3, 3), padding=[(1, 1), (1, 1)],
+                        use_bias=False, name=f"inter_conv{i}"),
+                nn.GroupNorm(epsilon=1e-5, num_groups=32,
+                             name=f"inter_gn{i}")))
+        cls_decomp = TaskDecomposition(C, self.stacked_convs,
+                                       name="cls_decomp")
+        reg_decomp = TaskDecomposition(C, self.stacked_convs,
+                                       name="reg_decomp")
+        tood_cls = nn.Conv(
+            self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
+            bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
+            name="tood_cls")
+        tood_reg = nn.Conv(4, (3, 3), padding=[(1, 1), (1, 1)],
+                           name="tood_reg")
+        prob_c1 = nn.Conv(C // 4, (1, 1), name="cls_prob_conv1")
+        prob_c2 = nn.Conv(
+            1, (3, 3), padding=[(1, 1), (1, 1)],
+            bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
+            name="cls_prob_conv2")
+        off_c1 = nn.Conv(C // 4, (1, 1), name="reg_offset_conv1")
+        off_c2 = nn.Conv(8, (3, 3), padding=[(1, 1), (1, 1)],
+                         kernel_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.zeros,
+                         name="reg_offset_conv2")
+
+        cls_out, reg_out = [], []
+        for lvl, f in enumerate(feats):
+            stride = STRIDES[lvl]
+            x = f
+            layers = []
+            for conv, gn in inter:
+                x = nn.relu(gn(conv(x)))
+                layers.append(x)
+            stacked = jnp.stack(layers, axis=3)               # (B,H,W,n,C)
+            flat = stacked.reshape(
+                stacked.shape[:3] + (-1,))                    # (B,H,W,nC)
+
+            cls_feat = cls_decomp(stacked)
+            logits = tood_cls(cls_feat)
+            prob = prob_c2(nn.relu(prob_c1(flat)))
+            score = jnp.sqrt(jnp.clip(
+                jax.nn.sigmoid(logits) * jax.nn.sigmoid(prob), 1e-12))
+
+            reg_feat = reg_decomp(stacked)
+            dist = jnp.exp(Scale(name=f"scale{lvl}")(
+                tood_reg(reg_feat))) * stride                 # ltrb, image
+            offsets = off_c2(nn.relu(off_c1(flat)))
+            dist = _sample_sides(dist, offsets)
+            cls_out.append(score)
+            reg_out.append(dist)
+        return TOODHeadOutputs(tuple(cls_out), tuple(reg_out))
+
+
+class TOOD(nn.Module):
+    num_classes: int = 80
+    depth: int = 50
+    frozen_stages: int = 1
+
+    @nn.compact
+    def __call__(self, images, img_hw, deterministic: bool = True):
+        feats = ResNet(depth=self.depth, out_indices=(0, 1, 2, 3),
+                       frozen_stages=self.frozen_stages,
+                       name="backbone")(images)
+        neck = FPN(out_channels=256, num_outs=5, start_level=1,
+                   add_extra_convs="on_output",
+                   relu_before_extra_convs=False, name="neck")(feats)
+        head = TOODHead(num_classes=self.num_classes,
+                        name="bbox_head")(neck)
+        return TOODOutputs(head, neck)
+
+
+def tood_points(featmap_sizes):
+    import numpy as np
+    pts, per_level, counts = [], [], []
+    for (h, w), stride in zip(featmap_sizes, STRIDES):
+        ys, xs = np.mgrid[:h, :w]
+        pts.append(np.stack([(xs + 0.5) * stride, (ys + 0.5) * stride],
+                            -1).reshape(-1, 2))
+        base = base_anchors(stride, (ANCHOR_SCALE,), (1.0,))
+        a = grid_anchors((h, w), stride, base)
+        per_level.append(a)
+        counts.append(a.shape[0])
+    return (jnp.asarray(np.concatenate(pts), jnp.float32),
+            jnp.concatenate(per_level, axis=0), tuple(counts))
+
+
+def task_aligned_assign(scores, boxes, points, gt_bboxes, gt_labels,
+                        gt_valid, num_classes: int, topk: int = 13,
+                        alpha: float = 1.0, beta: float = 6.0):
+    """One image (task_aligned_assigner.py): alignment s^a * IoU^b, top-k
+    per GT among center-inside candidates, conflicts -> max IoU.
+
+    scores: (N, C) probabilities; boxes: (N, 4) decoded. Returns
+    (assigned_gt (N,), pos (N,), labels (N,), align (N,), iou (N,))."""
+    N = points.shape[0]
+    G = gt_bboxes.shape[0]
+    ious = bbox_overlaps(boxes, gt_bboxes)                    # (N, G)
+    safe_lbl = jnp.clip(gt_labels, 0, num_classes - 1)
+    s = scores[:, safe_lbl]                                   # (N, G)
+    align = (s ** alpha) * (ious ** beta)
+    inside = ((points[:, 0][:, None] > gt_bboxes[None, :, 0])
+              & (points[:, 0][:, None] < gt_bboxes[None, :, 2])
+              & (points[:, 1][:, None] > gt_bboxes[None, :, 1])
+              & (points[:, 1][:, None] < gt_bboxes[None, :, 3]))
+    cand = jnp.where(inside & gt_valid[None], align, -1.0)    # (N, G)
+    k = min(topk, N)
+    kth = jnp.sort(cand, axis=0)[-k]                          # (G,)
+    is_pos = (cand >= jnp.maximum(kth[None], 1e-12)) & (cand > 0)
+    # conflicts: a point claimed by several gts goes to the max-IoU one
+    iou_masked = jnp.where(is_pos, ious, -1.0)
+    assigned = jnp.argmax(iou_masked, axis=1)                 # (N,)
+    pos = iou_masked.max(axis=1) > 0
+    labels = jnp.where(pos, safe_lbl[assigned], num_classes)
+    a_sel = jnp.take_along_axis(align, assigned[:, None], 1)[:, 0]
+    i_sel = jnp.take_along_axis(ious, assigned[:, None], 1)[:, 0]
+    return assigned, pos, labels, jnp.where(pos, a_sel, 0.0), \
+        jnp.where(pos, i_sel, 0.0)
+
+
+def _qfl_activated(p, q, beta: float = 2.0):
+    """Activated quality focal loss (losses/gfocal_loss.py activated=True):
+    operates on probabilities, modulates BCE by |q - p|^beta."""
+    eps = 1e-12
+    ce = -(q * jnp.log(p + eps) + (1 - q) * jnp.log(1 - p + eps))
+    return ce * jnp.abs(q - p) ** beta
+
+
+class TOODLossConfig(NamedTuple):
+    num_classes: int = 80
+    topk: int = 13
+    alpha: float = 1.0
+    beta: float = 6.0
+    loss_cls_weight: float = 1.0
+    loss_bbox_weight: float = 2.0
+
+
+def tood_loss(out: TOODHeadOutputs, points, anchors, level_counts,
+              gt_bboxes, gt_labels, gt_valid, cfg: TOODLossConfig,
+              use_tal: bool = True) -> Dict[str, jnp.ndarray]:
+    B = out.cls_scores[0].shape[0]
+    C = cfg.num_classes
+    cls_flat = jnp.concatenate(
+        [c.reshape(B, -1, C) for c in out.cls_scores], 1)     # probs
+    dist_flat = jnp.concatenate(
+        [r.reshape(B, -1, 4) for r in out.bbox_preds], 1)
+    boxes = jax.vmap(lambda d: distance2bbox(points, d))(dist_flat)
+
+    G = gt_bboxes.shape[1]
+    if use_tal:
+        assigned, pos, labels, align, iou_sel = jax.vmap(
+            lambda s, bx, gb, gl, gv: task_aligned_assign(
+                jax.lax.stop_gradient(s), jax.lax.stop_gradient(bx),
+                points, gb, gl, gv, C, cfg.topk, cfg.alpha, cfg.beta))(
+            cls_flat, boxes, gt_bboxes, gt_labels, gt_valid)
+        # per-GT normalization: t / max_t * max_iou (tood_head.py targets)
+        onehot_gt = jax.nn.one_hot(assigned, G) \
+            * pos[..., None]                                  # (B, N, G)
+        max_a = jnp.max(
+            jnp.where(onehot_gt > 0, align[..., None], 0.0), axis=1)
+        max_i = jnp.max(
+            jnp.where(onehot_gt > 0, iou_sel[..., None], 0.0), axis=1)
+        norm = jnp.take_along_axis(
+            max_i / jnp.clip(max_a, 1e-12), assigned, axis=1)
+        t = jnp.where(pos, align * norm, 0.0)                 # (B, N)
+    else:
+        assign = jax.vmap(
+            lambda gb, gl, gv: atss_assign(anchors, level_counts, gb, gl,
+                                           gv, C, topk=9))(
+            gt_bboxes, gt_labels, gt_valid)
+        assigned, pos, labels = (assign.assigned_gt, assign.pos_mask,
+                                 assign.labels)
+        t = pos.astype(jnp.float32)
+
+    num_pos = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
+    tgt = jnp.take_along_axis(
+        gt_bboxes, jnp.clip(assigned, 0, G - 1)[..., None], axis=1)
+
+    q = jax.nn.one_hot(labels, C + 1)[..., :C] * t[..., None]
+    lc = _qfl_activated(cls_flat, q).sum(-1).reshape(-1)
+    loss_cls = cfg.loss_cls_weight * lc.sum() / jnp.maximum(t.sum(), 1.0)
+
+    w = t.reshape(-1)
+    loss_bbox = cfg.loss_bbox_weight * L.giou_loss(
+        boxes.reshape(-1, 4), tgt.reshape(-1, 4), weight=w,
+        avg_factor=jnp.maximum(t.sum(), 1.0))
+    return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
+
+
+def tood_get_bboxes(out: TOODHeadOutputs, points, img_hw,
+                    scale_factor=None, score_thr: float = 0.05,
+                    nms_iou: float = 0.6, nms_pre: int = 1000,
+                    max_per_img: int = 100, rescale: bool = False):
+    B = out.cls_scores[0].shape[0]
+    C = out.cls_scores[0].shape[-1]
+    cls_flat = jnp.concatenate(
+        [c.reshape(B, -1, C) for c in out.cls_scores], 1)
+    dist_flat = jnp.concatenate(
+        [r.reshape(B, -1, 4) for r in out.bbox_preds], 1)
+
+    def per_image(probs, dist, hw, sf):
+        top = filter_scores_and_topk(probs, score_thr, nms_pre)
+        boxes = distance2bbox(points[top.keep_idxs], dist[top.keep_idxs])
+        h, w = hw[0].astype(boxes.dtype), hw[1].astype(boxes.dtype)
+        boxes = jnp.stack([
+            jnp.clip(boxes[:, 0], 0, w), jnp.clip(boxes[:, 1], 0, h),
+            jnp.clip(boxes[:, 2], 0, w), jnp.clip(boxes[:, 3], 0, h)], -1)
+        nb, ns, nl, keep, _ = batched_nms(boxes, top.scores, top.labels,
+                                          nms_iou, max_per_img,
+                                          valid=top.valid)
+        if rescale and sf is not None:
+            nb = nb / sf[None]
+        return nb, ns, nl, keep
+
+    if scale_factor is None:
+        scale_factor = jnp.ones((B, 4), jnp.float32)
+    nb, ns, nl, keep = jax.vmap(per_image)(cls_flat, dist_flat, img_hw,
+                                           scale_factor)
+    return dict(bboxes=nb, scores=ns, labels=nl, valid=keep)

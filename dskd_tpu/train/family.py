@@ -270,6 +270,33 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 out.head, anchors, counts, batch.gt_bboxes,
                 batch.gt_labels, batch.gt_valid, det_cfg), None
 
+    elif arch == "vfnet":
+        from ..models.vfnet import (VFNetLossConfig, vfnet_loss,
+                                    vfnet_points)
+        det_cfg = VFNetLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            points, anchors, counts = vfnet_points(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            return vfnet_loss(out.head, points, anchors, counts,
+                              batch.gt_bboxes, batch.gt_labels,
+                              batch.gt_valid, det_cfg), None
+
+    elif arch == "tood":
+        from ..models.tood import TOODLossConfig, tood_loss, tood_points
+        det_cfg = TOODLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            points, anchors, counts = tood_points(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            return tood_loss(out.head, points, anchors, counts,
+                             batch.gt_bboxes, batch.gt_labels,
+                             batch.gt_valid, det_cfg, use_tal=True), None
+
     else:
         raise ValueError(f"no train step for arch: {arch}")
 

@@ -117,6 +117,14 @@ def build_model(cfg: ExperimentConfig):
         from ..models.atss import ATSS
         return ATSS(num_classes=m.num_classes, depth=m.depth,
                     frozen_stages=m.frozen_stages)
+    if m.arch == "vfnet":
+        from ..models.vfnet import VFNet
+        return VFNet(num_classes=m.num_classes, depth=m.depth,
+                     frozen_stages=m.frozen_stages)
+    if m.arch == "tood":
+        from ..models.tood import TOOD
+        return TOOD(num_classes=m.num_classes, depth=m.depth,
+                    frozen_stages=m.frozen_stages)
     raise ValueError(f"unknown arch: {m.arch}")
 
 

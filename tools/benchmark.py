@@ -18,6 +18,7 @@ def main():
     parser.add_argument("--iters", type=int, default=200)
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--size", type=int, default=640)
+    parser.add_argument("--dtype", default="f32", choices=("f32", "bf16"))
     args = parser.parse_args()
 
     import jax
@@ -34,28 +35,44 @@ def main():
         reg_max = cfg.model.reg_max
     else:
         from dskd_tpu.models.detector import GFLDeformableDETR
-        model = GFLDeformableDETR()
+        # inference has no backward: remat wrappers only cost fusion
+        model = GFLDeformableDETR(remat=False)
         reg_max = 16
 
     B, S = args.batch, args.size
     images = jnp.zeros((B, S, S, 3), jnp.float32)
     img_hw = jnp.asarray(np.tile([[S, S]], (B, 1)).astype(np.int32))
     variables = model.init(jax.random.PRNGKey(0), images[:1], img_hw[:1])
+    if args.dtype == "bf16":
+        cast = lambda t: jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
+                                                      jnp.floating)
+            else x, t)
+        variables = cast(variables)
+        images = images.astype(jnp.bfloat16)
 
     @jax.jit
     def infer(images, img_hw):
         out = model.apply(variables, images, img_hw, deterministic=True)
-        return get_bboxes(out.head.cls_scores[-1], out.head.bbox_preds[-1],
-                          img_hw, reg_max=reg_max, max_per_img=100)
+        det = get_bboxes(out.head.cls_scores[-1].astype(jnp.float32),
+                         out.head.bbox_preds[-1].astype(jnp.float32),
+                         img_hw, reg_max=reg_max, max_per_img=100)
+        return det
+
+    def sync(det):
+        # block_until_ready does NOT sync through the axon tunnel
+        # (PERF.md measurement traps) — fetch a host scalar instead
+        return float(jnp.asarray(det.scores).ravel()[0])
 
     for _ in range(args.warmup):
         det = infer(images, img_hw)
-    jax.block_until_ready(det.bboxes)
+    sync(det)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
         det = infer(images, img_hw)
-    jax.block_until_ready(det.bboxes)
+    sync(det)
     dt = time.perf_counter() - t0
     fps = args.iters * B / dt
     print(f"Overall fps: {fps:.1f} img/s, {1000 * dt / args.iters / B:.2f} "
