@@ -211,6 +211,21 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 
+    if arch in ("foveabox", "fsaf"):
+        if arch == "foveabox":
+            from ..models.foveabox import fovea_get_bboxes as _decode
+        else:
+            from ..models.fsaf import fsaf_get_bboxes as _decode
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            d = _decode(out.head, img_hw, scale_factor=scale_factors,
+                        score_thr=max(score_thr, 0.05),
+                        max_per_img=max_per_img, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return eval_step
+
     if arch == "vfnet":
         from ..models.vfnet import vfnet_get_bboxes, vfnet_points
 

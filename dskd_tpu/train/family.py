@@ -297,6 +297,26 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                              batch.gt_bboxes, batch.gt_labels,
                              batch.gt_valid, det_cfg, use_tal=True), None
 
+    elif arch == "foveabox":
+        from ..models.foveabox import FoveaLossConfig, fovea_loss
+        det_cfg = FoveaLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            return fovea_loss(out.head, batch.gt_bboxes, batch.gt_labels,
+                              batch.gt_valid, det_cfg), None
+
+    elif arch == "fsaf":
+        from ..models.fsaf import FSAFLossConfig, fsaf_loss
+        det_cfg = FSAFLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            return fsaf_loss(out.head, batch.gt_bboxes, batch.gt_labels,
+                             batch.gt_valid, det_cfg), None
+
     else:
         raise ValueError(f"no train step for arch: {arch}")
 

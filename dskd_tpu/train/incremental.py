@@ -125,6 +125,14 @@ def build_model(cfg: ExperimentConfig):
         from ..models.tood import TOOD
         return TOOD(num_classes=m.num_classes, depth=m.depth,
                     frozen_stages=m.frozen_stages)
+    if m.arch == "foveabox":
+        from ..models.foveabox import FoveaBox
+        return FoveaBox(num_classes=m.num_classes, depth=m.depth,
+                        frozen_stages=m.frozen_stages)
+    if m.arch == "fsaf":
+        from ..models.fsaf import FSAF
+        return FSAF(num_classes=m.num_classes, depth=m.depth,
+                    frozen_stages=m.frozen_stages)
     raise ValueError(f"unknown arch: {m.arch}")
 
 

@@ -32,7 +32,9 @@ def build_step(B):
     from dskd_tpu.train.state import TrainState
     from dskd_tpu.train.step import Batch, make_train_step
 
-    H, W, MAXG = 640, 640, 100
+    hw = os.environ.get("BENCH_HW", "640x480")
+    H, W = (int(t) for t in hw.split("x"))
+    MAXG = 100
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
     model = GFLDeformableDETR(remat=remat)
     det_cfg = DetLossConfig()
