@@ -317,6 +317,19 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             return fsaf_loss(out.head, batch.gt_bboxes, batch.gt_labels,
                              batch.gt_valid, det_cfg), None
 
+    elif arch == "cornernet":
+        from ..models.cornernet import CornerLossConfig, cornernet_loss
+        det_cfg = CornerLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            # hourglass BN trains (reference cornernet: no norm_eval)
+            out, mutated = model.apply(
+                variables, batch.images, batch.img_hw, deterministic=False,
+                mutable=["batch_stats"])
+            return cornernet_loss(out.head, batch.gt_bboxes,
+                                  batch.gt_labels, batch.gt_valid,
+                                  det_cfg), mutated["batch_stats"]
+
     else:
         raise ValueError(f"no train step for arch: {arch}")
 
