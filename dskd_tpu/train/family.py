@@ -317,6 +317,17 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             return fsaf_loss(out.head, batch.gt_bboxes, batch.gt_labels,
                              batch.gt_valid, det_cfg), None
 
+    elif arch == "reppoints":
+        from ..models.reppoints import RepPointsLossConfig, reppoints_loss
+        det_cfg = RepPointsLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            return reppoints_loss(out.head, out.moment, batch.gt_bboxes,
+                                  batch.gt_labels, batch.gt_valid,
+                                  det_cfg), None
+
     elif arch == "cornernet":
         from ..models.cornernet import CornerLossConfig, cornernet_loss
         det_cfg = CornerLossConfig(num_classes=cfg.model.num_classes)

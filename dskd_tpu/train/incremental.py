@@ -133,6 +133,10 @@ def build_model(cfg: ExperimentConfig):
         from ..models.fsaf import FSAF
         return FSAF(num_classes=m.num_classes, depth=m.depth,
                     frozen_stages=m.frozen_stages)
+    if m.arch == "reppoints":
+        from ..models.reppoints import RepPoints
+        return RepPoints(num_classes=m.num_classes, depth=m.depth,
+                         frozen_stages=m.frozen_stages)
     if m.arch == "cornernet":
         from ..models.cornernet import CornerNet
         return CornerNet(num_classes=m.num_classes)
