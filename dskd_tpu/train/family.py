@@ -328,6 +328,20 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                                   batch.gt_labels, batch.gt_valid,
                                   det_cfg), None
 
+    elif arch == "sabl_retina":
+        from ..models.sabl_retina import (SABLLossConfig, sabl_anchors,
+                                          sabl_loss)
+        det_cfg = SABLLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            squares, approxs = sabl_anchors(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            return sabl_loss(out.head, squares, approxs, batch.gt_bboxes,
+                             batch.gt_labels, batch.gt_valid,
+                             det_cfg), None
+
     elif arch == "cornernet":
         from ..models.cornernet import CornerLossConfig, cornernet_loss
         det_cfg = CornerLossConfig(num_classes=cfg.model.num_classes)
