@@ -328,6 +328,18 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                                   batch.gt_labels, batch.gt_valid,
                                   det_cfg), None
 
+    elif arch == "paa":
+        from ..models.paa import PAALossConfig, paa_anchors, paa_loss
+        det_cfg = PAALossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            anchors, counts = paa_anchors(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            return paa_loss(out.head, anchors, counts, batch.gt_bboxes,
+                            batch.gt_labels, batch.gt_valid, det_cfg), None
+
     elif arch == "sabl_retina":
         from ..models.sabl_retina import (SABLLossConfig, sabl_anchors,
                                           sabl_loss)

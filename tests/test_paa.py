@@ -1,0 +1,68 @@
+"""PAA: fixed-iteration GMM split, forward/loss/decode/step."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dskd_tpu.models.paa import (PAA, PAALossConfig, gmm_split,
+                                 paa_anchors, paa_get_bboxes, paa_loss)
+
+B, HW, NC = 2, 64, 6
+
+
+def test_gmm_split_separates_bimodal():
+    rng = np.random.RandomState(0)
+    lo = rng.normal(0.5, 0.05, 20)
+    hi = rng.normal(5.0, 0.3, 25)
+    scores = jnp.asarray(np.concatenate([lo, hi]).astype(np.float32))
+    valid = jnp.ones((45,), bool)
+    m = np.asarray(gmm_split(scores, valid))
+    assert m[:20].all() and not m[20:].any()
+    # invalid entries never become positives
+    valid2 = jnp.asarray(np.arange(45) < 10)
+    m2 = np.asarray(gmm_split(scores, valid2))
+    assert not m2[10:].any()
+
+
+def test_paa_forward_loss_decode_step():
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(B, HW, HW, 3).astype(np.float32) * 0.2)
+    img_hw = jnp.asarray(np.tile([[HW, HW]], (B, 1)).astype(np.int32))
+    xy = rng.rand(B, 3, 2).astype(np.float32) * 20
+    wh = rng.rand(B, 3, 2).astype(np.float32) * 25 + 10
+    gt = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+    labels = jnp.asarray(rng.randint(0, NC, (B, 3)).astype(np.int32))
+    valid = jnp.asarray(np.tile(np.arange(3) < 2, (B, 1)))
+
+    model = PAA(num_classes=NC, depth=18)
+    v = model.init(jax.random.PRNGKey(0), images, img_hw)
+    out = model.apply(v, images, img_hw)
+    assert out.head.iou_preds[0].shape[-1] == 1
+
+    anchors, counts = paa_anchors(
+        [c.shape[1:3] for c in out.head.cls_scores])
+    losses = paa_loss(out.head, anchors, counts, gt, labels, valid,
+                      PAALossConfig(num_classes=NC))
+    assert {"loss_cls", "loss_bbox", "loss_iou"} == set(losses)
+    for k, x in losses.items():
+        assert np.isfinite(float(x)), (k, float(x))
+
+    d = paa_get_bboxes(out.head, anchors, img_hw, score_thr=-1.0,
+                       max_per_img=5)
+    assert d["bboxes"].shape == (B, 5, 4)
+
+    from dskd_tpu.train.family import make_family_train_step
+    from dskd_tpu.train.optim import make_optimizer
+    from dskd_tpu.train.state import TrainState
+    from dskd_tpu.train.step import Batch
+    from dskd_tpu.utils.config import (DistillFlags, ExperimentConfig,
+                                       ModelConfig)
+    cfg = ExperimentConfig(
+        model=ModelConfig(arch="paa", num_classes=NC),
+        distill=DistillFlags(cates_distill="", feats_distill=""))
+    tx = make_optimizer(v["params"], lambda i: 1e-4)
+    state = TrainState.create(v["params"], v.get("batch_stats", {}), tx,
+                              jax.random.PRNGKey(1))
+    step = make_family_train_step("paa", model, cfg, num_prev=0,
+                                  has_teacher=False, use_dropout=False)
+    _, losses = step(state, Batch(images, img_hw, gt, labels, valid))
+    assert np.isfinite(float(losses["loss"]))
