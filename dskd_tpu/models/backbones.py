@@ -43,4 +43,13 @@ def build_backbone(spec: str, depth: int = 50, frozen_stages: int = 1,
         from .swin import SwinTransformer
         arch = spec.split("_", 1)[1] if "_" in spec else "tiny"
         return (SwinTransformer(arch=arch, name=name), "c2345")
+    if spec.startswith("resnest"):
+        from .resnest import ResNeSt
+        d = int(spec[len("resnest"):]) if len(spec) > 7 else 50
+        return (ResNeSt(depth=d, out_indices=(0, 1, 2, 3),
+                        frozen_stages=frozen_stages, name=name), "c2345")
+    if spec.startswith("pvt"):
+        from .pvt import PVT
+        arch = spec.split("_", 1)[1] if "_" in spec else "tiny"
+        return (PVT(arch=arch, name=name), "c2345")
     raise ValueError(f"unknown backbone spec: {spec!r}")

@@ -94,3 +94,41 @@ def test_detector_with_zoo_backbone(spec, arch):
     # retinanet heads emit anchors*classes channels, fcos emits classes
     per_cell = 9 * 6 if arch == "retinanet" else 6
     assert out.head.cls_scores[0].shape[-1] == per_cell
+
+
+def test_resnest50_shapes_and_params():
+    from dskd_tpu.models.resnest import ResNeSt
+    m = ResNeSt(depth=50)
+    x = jnp.zeros((1, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    assert [o.shape for o in outs] == [
+        (1, 16, 16, 256), (1, 8, 8, 512), (1, 4, 4, 1024),
+        (1, 2, 2, 2048)]
+    n = _n_params(v["params"])
+    # resnest50 25.4M total minus 2.05M classifier ~ 23.4M; split-attn fc
+    # layout differences keep it within a loose band
+    assert 20e6 < n < 28e6, n
+
+
+def test_pvt_tiny_shapes():
+    from dskd_tpu.models.pvt import PVT
+    m = PVT(arch="tiny")
+    x = jnp.zeros((1, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    assert [o.shape for o in outs] == [
+        (1, 16, 16, 64), (1, 8, 8, 128), (1, 4, 4, 320), (1, 2, 2, 512)]
+    n = _n_params(v["params"])
+    assert 10e6 < n < 16e6, n      # PVT-tiny ~13M w/o classifier
+
+
+def test_retinanet_with_resnest_and_pvt():
+    from dskd_tpu.models.retinanet import RetinaNet
+    for spec in ("resnest50", "pvt_tiny"):
+        model = RetinaNet(num_classes=6, backbone=spec)
+        x = jnp.zeros((1, 64, 64, 3))
+        hw = jnp.array([[64, 64]], jnp.int32)
+        v = model.init(jax.random.PRNGKey(0), x, hw)
+        out = model.apply(v, x, hw)
+        assert len(out.head.cls_scores) == 5, spec
