@@ -328,6 +328,18 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                                   batch.gt_labels, batch.gt_valid,
                                   det_cfg), None
 
+    elif arch == "autoassign":
+        from ..models.autoassign import (AutoAssignLossConfig,
+                                         autoassign_loss)
+        det_cfg = AutoAssignLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            return autoassign_loss(
+                out.head, out.prior_mean, out.prior_sigma, batch.gt_bboxes,
+                batch.gt_labels, batch.gt_valid, det_cfg), None
+
     elif arch == "paa":
         from ..models.paa import PAALossConfig, paa_anchors, paa_loss
         det_cfg = PAALossConfig(num_classes=cfg.model.num_classes)

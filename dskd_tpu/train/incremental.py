@@ -137,6 +137,10 @@ def build_model(cfg: ExperimentConfig):
         from ..models.reppoints import RepPoints
         return RepPoints(num_classes=m.num_classes, depth=m.depth,
                          frozen_stages=m.frozen_stages)
+    if m.arch == "autoassign":
+        from ..models.autoassign import AutoAssign
+        return AutoAssign(num_classes=m.num_classes, depth=m.depth,
+                          frozen_stages=m.frozen_stages)
     if m.arch == "paa":
         from ..models.paa import PAA
         return PAA(num_classes=m.num_classes, depth=m.depth,

@@ -116,3 +116,29 @@ def test_lvis_load_and_federated_eval(tmp_path):
         labels=np.array([0, 0], np.int32))
     out2 = ds.evaluate(results)
     assert out2["AP"] < 1.0, out2
+
+
+def test_cityscapes_wrapper(tmp_path):
+    """CityscapesDataset = COCO-format annotations bound to the 8 traffic
+    classes in the given (non-alphabetical) order."""
+    import json as _json
+
+    from dskd_tpu.data.cityscapes import (CITYSCAPES_CLASSES,
+                                          CityscapesDataset)
+    cats = [dict(id=i + 10, name=n)
+            for i, n in enumerate(CITYSCAPES_CLASSES)]
+    data = dict(
+        categories=cats,
+        images=[dict(id=1, file_name="munich_0.png", height=64,
+                     width=64)],
+        annotations=[dict(id=1, image_id=1, category_id=12,   # "car"
+                          bbox=[4, 4, 20, 16], area=320, iscrowd=0)])
+    p = str(tmp_path / "cs.json")
+    with open(p, "w") as f:
+        _json.dump(data, f)
+    ds = CityscapesDataset(p, test_mode=True)
+    assert ds.CLASSES == CITYSCAPES_CLASSES or tuple(
+        ds.PRED_CLASSES) == CITYSCAPES_CLASSES
+    _, hw, boxes, labels, _ = ds.get_raw(0)
+    assert hw == (64, 64)
+    assert int(labels[0]) == CITYSCAPES_CLASSES.index("car")
