@@ -328,6 +328,21 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                                   batch.gt_labels, batch.gt_valid,
                                   det_cfg), None
 
+    elif arch == "free_anchor":
+        from ..models.free_anchor import (FreeAnchorLossConfig,
+                                          free_anchor_loss)
+        from ..models.retinanet import retina_anchors
+        det_cfg = FreeAnchorLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            anchors = retina_anchors(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            return free_anchor_loss(out.head, anchors, batch.gt_bboxes,
+                                    batch.gt_labels, batch.gt_valid,
+                                    det_cfg), None
+
     elif arch == "autoassign":
         from ..models.autoassign import (AutoAssignLossConfig,
                                          autoassign_loss)

@@ -137,6 +137,11 @@ def build_model(cfg: ExperimentConfig):
         from ..models.reppoints import RepPoints
         return RepPoints(num_classes=m.num_classes, depth=m.depth,
                          frozen_stages=m.frozen_stages)
+    if m.arch == "free_anchor":
+        from ..models.retinanet import RetinaNet
+        return RetinaNet(num_classes=m.num_classes, depth=m.depth,
+                         frozen_stages=m.frozen_stages,
+                         backbone=m.backbone)
     if m.arch == "autoassign":
         from ..models.autoassign import AutoAssign
         return AutoAssign(num_classes=m.num_classes, depth=m.depth,
