@@ -86,9 +86,14 @@ class ATSSHead(nn.Module):
 
 
 class ATSS(nn.Module):
+    """``dyhead_blocks`` > 0 inserts the DyHead attention neck between the
+    FPN and the head (configs/dyhead/atss_r50_fpn_dyhead_1x, which also
+    drops the head towers: head_stacked_convs=0)."""
     num_classes: int = 80
     depth: int = 50
     frozen_stages: int = 1
+    dyhead_blocks: int = 0
+    head_stacked_convs: int = 4
 
     @nn.compact
     def __call__(self, images, img_hw, deterministic: bool = True):
@@ -98,7 +103,12 @@ class ATSS(nn.Module):
         neck = FPN(out_channels=256, num_outs=5, start_level=1,
                    add_extra_convs="on_output",
                    relu_before_extra_convs=True, name="neck")(feats)
+        if self.dyhead_blocks > 0:
+            from .dyhead import DyHead
+            neck = DyHead(out_channels=256, num_blocks=self.dyhead_blocks,
+                          name="dyhead")(neck)
         head = ATSSHead(num_classes=self.num_classes,
+                        stacked_convs=self.head_stacked_convs,
                         name="bbox_head")(neck)
         return ATSSOutputs(head, neck)
 

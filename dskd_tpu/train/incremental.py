@@ -116,7 +116,9 @@ def build_model(cfg: ExperimentConfig):
     if m.arch == "atss":
         from ..models.atss import ATSS
         return ATSS(num_classes=m.num_classes, depth=m.depth,
-                    frozen_stages=m.frozen_stages)
+                    frozen_stages=m.frozen_stages,
+                    dyhead_blocks=m.dyhead_blocks,
+                    head_stacked_convs=0 if m.dyhead_blocks else 4)
     if m.arch == "vfnet":
         from ..models.vfnet import VFNet
         return VFNet(num_classes=m.num_classes, depth=m.depth,

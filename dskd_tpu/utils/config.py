@@ -36,6 +36,8 @@ class ModelConfig:
     # vanilla deformable-DETR variants (transformer.py:906-1021 ladder)
     with_box_refine: bool = False
     as_two_stage: bool = False
+    # DyHead attention blocks between neck and head (arch='atss')
+    dyhead_blocks: int = 0
     # backbone spec for families that accept one (models/backbones.py):
     # '' = family-default ResNet(depth); 'regnetx_3.2gf', 'effb3',
     # 'hrnet_w18', 'swin_tiny', 'resnext'

@@ -44,7 +44,7 @@ def build_step(B):
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32) * 0.5)
     img_hw = jnp.asarray(np.stack([np.full(B, H),
-                                   rng.randint(500, W + 1, B)], -1)
+                                   rng.randint(int(W * 0.78125), W + 1, B)], -1)
                          .astype(np.int32))
     xy = rng.rand(B, MAXG, 2).astype(np.float32) * 400
     wh = rng.rand(B, MAXG, 2).astype(np.float32) * 150 + 20
