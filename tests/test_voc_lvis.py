@@ -142,3 +142,47 @@ def test_cityscapes_wrapper(tmp_path):
     _, hw, boxes, labels, _ = ds.get_raw(0)
     assert hw == (64, 64)
     assert int(labels[0]) == CITYSCAPES_CLASSES.index("car")
+
+
+def test_openimages_loader_and_hierarchy(tmp_path):
+    """CSV parsing, normalized->pixel boxes, group-of->ignore, ancestor
+    expansion of both GT and detections."""
+    from dskd_tpu.data.openimages import OpenImagesDataset
+
+    (tmp_path / "cls.csv").write_text(
+        "/m/animal,Animal\n/m/cat,Cat\n/m/car,Car\n")
+    (tmp_path / "hier.json").write_text(_json_dump({
+        "LabelName": "/m/entity", "Subcategory": [
+            {"LabelName": "/m/animal",
+             "Subcategory": [{"LabelName": "/m/cat"}]},
+            {"LabelName": "/m/car"}]}))
+    (tmp_path / "ann.csv").write_text(
+        "ImageID,LabelName,XMin,XMax,YMin,YMax,IsGroupOf\n"
+        "img1,/m/cat,0.1,0.5,0.2,0.6,0\n"
+        "img1,/m/car,0.0,0.3,0.0,0.3,1\n")
+
+    ds = OpenImagesDataset(str(tmp_path / "ann.csv"),
+                           str(tmp_path / "cls.csv"),
+                           hierarchy_file=str(tmp_path / "hier.json"),
+                           image_dims={"img1": (100, 200)},
+                           test_mode=True)
+    assert ds.CLASSES == ("Animal", "Cat", "Car")
+    _, hw, boxes, labels, _ = ds.get_raw(0)
+    assert hw == (100, 200)
+    np.testing.assert_allclose(boxes[0], [20, 20, 100, 60])   # *w, *h
+    assert list(labels) == [1]                                # Cat
+    ann = ds.get_ann(0)
+    # gt expanded: Cat + ancestor Animal; group-of car -> ignore
+    assert sorted(ann["labels"].tolist()) == [0, 1]
+    assert ann["bboxes_ignore"].shape == (1, 4)
+
+    # perfect Cat detection scores mAP 1.0 on BOTH Cat and Animal
+    dets = [np.zeros((0, 5), np.float32) for _ in range(3)]
+    dets[1] = np.array([[20, 20, 100, 60, 0.9]], np.float32)
+    res = ds.evaluate([dets])
+    assert res["mAP"] == 1.0
+
+
+def _json_dump(obj):
+    import json as _j
+    return _j.dumps(obj)
