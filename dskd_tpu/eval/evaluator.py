@@ -64,7 +64,7 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 
-    if arch == "gfl":
+    if arch in ("gfl", "ld"):
         from ..models.gfl_head import gfl_get_bboxes
 
         @jax.jit

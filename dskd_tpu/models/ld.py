@@ -1,0 +1,68 @@
+"""LD: Localization Distillation for dense detectors (parity: mmdet
+dense_heads/ld_head.py + detectors/kd_one_stage.py +
+configs/ld/ld_r18_gflv1_r101_fpn_coco_1x.py, box AP 36.0 r18<-r101).
+
+A GFL student trained with an extra KL term transferring the TEACHER's
+per-side corner DISTRIBUTIONS (the general localization representation)
+at the student's positive anchors: loss_ld = KLDiv(T=10, weight 0.25) on
+the 4 x (reg_max+1) logits, weighted like DFL (detached max class prob)
+and normalized by the global weight sum. The teacher is a frozen GFL
+model of the same head geometry (the reference pairs r101 -> r18; here
+the teacher arrives as a frozen variables pytree, same protocol as every
+other distill family in this repo).
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import losses as L
+from ..core.atss import atss_assign
+from ..core.boxes import bbox_overlaps
+from .gfl_head import GFLLossConfig, gfl_anchors, gfl_detection_loss
+
+
+class LDLossConfig(NamedTuple):
+    gfl: GFLLossConfig = GFLLossConfig()
+    ld_T: float = 10.0
+    ld_weight: float = 0.25
+
+
+def ld_loss(student_out, teacher_out, gt_bboxes, gt_labels, gt_valid,
+            cfg: LDLossConfig) -> Dict[str, jnp.ndarray]:
+    """GFL detection losses + the localization-distillation KL."""
+    losses = gfl_detection_loss(student_out, gt_bboxes, gt_labels,
+                                gt_valid, cfg.gfl)
+
+    g = cfg.gfl
+    B = student_out.cls_scores[0].shape[0]
+    C = g.num_classes
+    n_bins = g.reg_max + 1
+    featmap_sizes = [c.shape[1:3] for c in student_out.cls_scores]
+    anchors_per_level = gfl_anchors(featmap_sizes, g.strides)
+    num_level_anchors = [a.shape[0] for a in anchors_per_level]
+    anchors = jnp.concatenate(anchors_per_level, 0)
+
+    assign = jax.vmap(lambda b, l, v: atss_assign(
+        anchors, num_level_anchors, b, l, v, C, g.atss_topk))(
+        gt_bboxes, gt_labels, gt_valid)
+    pos = assign.pos_mask
+
+    cls_flat = jnp.concatenate(
+        [c.reshape(B, -1, C) for c in student_out.cls_scores], 1)
+    s_reg = jnp.concatenate(
+        [r.reshape(B, -1, 4, n_bins) for r in student_out.bbox_preds], 1)
+    t_reg = jnp.concatenate(
+        [r.reshape(B, -1, 4, n_bins) for r in teacher_out.bbox_preds], 1)
+    t_reg = jax.lax.stop_gradient(t_reg)
+
+    w = jax.lax.stop_gradient(jax.nn.sigmoid(cls_flat).max(-1)) \
+        * pos.astype(jnp.float32)                     # (B, N)
+    kl = L.kd_kl_div_loss(s_reg.reshape(-1, n_bins),
+                          t_reg.reshape(-1, n_bins), T=cfg.ld_T,
+                          weight=jnp.repeat(w.reshape(-1), 4),
+                          avg_factor=4.0 * jnp.maximum(w.sum(), 1.0))
+    losses["loss_ld"] = cfg.ld_weight * kl
+    return losses

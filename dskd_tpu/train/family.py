@@ -103,6 +103,23 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                                       batch.gt_labels, batch.gt_valid,
                                       det_cfg), None
 
+    elif arch == "ld":
+        from ..models.gfl_head import GFLLossConfig
+        from ..models.ld import LDLossConfig, ld_loss
+        det_cfg = LDLossConfig(
+            gfl=GFLLossConfig(num_classes=cfg.model.num_classes,
+                              reg_max=cfg.model.reg_max))
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            assert teacher_vars is not None, \
+                "arch='ld' requires a frozen teacher (kd_one_stage.py)"
+            t_out = model.apply(teacher_vars, batch.images, batch.img_hw,
+                                deterministic=True)
+            return ld_loss(out.head, t_out.head, batch.gt_bboxes,
+                           batch.gt_labels, batch.gt_valid, det_cfg), None
+
     elif arch == "detr":
         from ..models.detr import (DETRDistillConfig, DETRLossConfig,
                                    detr_compute_losses)

@@ -75,6 +75,10 @@ def build_model(cfg: ExperimentConfig):
         from ..models.yoloy import YOLOY
         return YOLOY(num_classes=m.num_classes, depth=m.depth,
                      frozen_stages=m.frozen_stages)
+    if m.arch == "ld":
+        from ..models.gfl import GFL
+        return GFL(num_classes=m.num_classes, depth=m.depth,
+                   frozen_stages=m.frozen_stages, reg_max=m.reg_max)
     if m.arch == "gfl":
         from ..models.gfl import GFL
         return GFL(num_classes=m.num_classes, depth=m.depth,
