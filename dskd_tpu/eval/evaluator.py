@@ -252,6 +252,21 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 
+    if arch == "ga_retina":
+        from ..models.guided_anchor import ga_geometry, ga_get_bboxes
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            centers, strides, _, _ = ga_geometry(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            d = ga_get_bboxes(out.head, centers, strides, img_hw,
+                              scale_factor=scale_factors,
+                              score_thr=max(score_thr, 0.05),
+                              max_per_img=max_per_img, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return eval_step
+
     if arch == "sabl_retina":
         from ..models.sabl_retina import sabl_anchors, sabl_get_bboxes
 

@@ -384,6 +384,20 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             return paa_loss(out.head, anchors, counts, batch.gt_bboxes,
                             batch.gt_labels, batch.gt_valid, det_cfg), None
 
+    elif arch == "ga_retina":
+        from ..models.guided_anchor import (GALossConfig, ga_geometry,
+                                            ga_loss)
+        det_cfg = GALossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            centers, strides, approxs, counts = ga_geometry(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            return ga_loss(out.head, centers, strides, approxs, counts,
+                           batch.gt_bboxes, batch.gt_labels,
+                           batch.gt_valid, det_cfg), None
+
     elif arch == "sabl_retina":
         from ..models.sabl_retina import (SABLLossConfig, sabl_anchors,
                                           sabl_loss)

@@ -156,6 +156,10 @@ def build_model(cfg: ExperimentConfig):
         from ..models.paa import PAA
         return PAA(num_classes=m.num_classes, depth=m.depth,
                    frozen_stages=m.frozen_stages)
+    if m.arch == "ga_retina":
+        from ..models.guided_anchor import GARetinaNet
+        return GARetinaNet(num_classes=m.num_classes, depth=m.depth,
+                           frozen_stages=m.frozen_stages)
     if m.arch == "sabl_retina":
         from ..models.sabl_retina import SABLRetinaNet
         return SABLRetinaNet(num_classes=m.num_classes, depth=m.depth,
