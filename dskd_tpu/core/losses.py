@@ -250,6 +250,21 @@ def varifocal_loss(pred, target, alpha: float = 0.75, gamma: float = 2.0,
 
 
 @_weighted
+def balanced_l1_loss(pred, target, beta: float = 1.0, alpha: float = 0.5,
+                     gamma: float = 1.5):
+    """Balanced L1 (Libra R-CNN, losses/balanced_l1_loss.py:10-56):
+    promotes inlier gradients — log-shaped inside beta, linear outside,
+    C1-continuous at the knee (b = exp(gamma/alpha) - 1)."""
+    import numpy as np
+    b = np.e ** (gamma / alpha) - 1
+    d = jnp.abs(pred - target)
+    inner = (alpha / b) * (b * d + 1) * jnp.log(b * d / beta + 1) \
+        - alpha * d
+    outer = gamma * d + gamma / b - alpha * beta
+    return jnp.where(d < beta, inner, outer)
+
+
+@_weighted
 def bce_loss(pred, target):
     """Weighted BCE on logits (mmdet CrossEntropyLoss(use_sigmoid=True) —
     the FCOS centerness loss)."""

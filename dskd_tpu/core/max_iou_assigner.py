@@ -114,3 +114,50 @@ def ohem_sample(per_roi_loss: jnp.ndarray, assigned_gt: jnp.ndarray,
                         jnp.isfinite(pos_vals),
                         neg_idx.astype(jnp.int32),
                         jnp.isfinite(neg_vals))
+
+
+def iou_balanced_sample(rng, assigned_gt: jnp.ndarray,
+                        max_ious: jnp.ndarray, num: int,
+                        pos_fraction: float,
+                        num_bins: int = 3,
+                        neg_iou_ub: float = 0.5) -> SampleResult:
+    """IoUBalancedNegSampler (Libra R-CNN, samplers/
+    iou_balanced_neg_sampler.py): negatives are drawn EVENLY from
+    ``num_bins`` IoU intervals over [0, neg_iou_ub) instead of uniformly —
+    hard negatives (higher IoU) stop being swamped by easy ones. Static
+    shapes: per-bin top-k quotas with a global fallback fill."""
+    N = assigned_gt.shape[0]
+    num_pos_max = int(num * pos_fraction)
+    num_neg_max = num - num_pos_max
+
+    pos_mask = assigned_gt >= 0
+    neg_mask = assigned_gt == -1
+    keys = jax.random.split(rng, num_bins + 2)
+    pos_keys = jnp.where(pos_mask, jax.random.uniform(keys[0], (N,)), -1.0)
+    pos_vals, pos_idx = jax.lax.top_k(pos_keys, num_pos_max)
+
+    quota = num_neg_max // num_bins
+    taken = jnp.zeros((N,), bool)
+    neg_parts_idx, neg_parts_val = [], []
+    for b in range(num_bins):
+        lo = neg_iou_ub * b / num_bins
+        hi = neg_iou_ub * (b + 1) / num_bins
+        in_bin = neg_mask & (max_ious >= lo) & (max_ious < hi)
+        k = jnp.where(in_bin, jax.random.uniform(keys[1 + b], (N,)), -1.0)
+        v, i = jax.lax.top_k(k, quota)
+        neg_parts_idx.append(i)
+        neg_parts_val.append(v)
+        taken = taken.at[jnp.where(v > 0, i, N)].set(True, mode="drop")
+    # fallback fill: any remaining negatives for the residual quota
+    rest = num_neg_max - num_bins * quota
+    k = jnp.where(neg_mask & ~taken,
+                  jax.random.uniform(keys[-1], (N,)), -1.0)
+    v, i = jax.lax.top_k(k, num_neg_max)   # oversized pool for refills
+    # fill shortfalls: concatenate bins then fallback, keep first num_neg
+    all_idx = jnp.concatenate(neg_parts_idx + [i])
+    all_val = jnp.concatenate(neg_parts_val + [v])
+    order = jnp.argsort(~(all_val > 0))    # valid picks first, stable
+    neg_idx = all_idx[order][:num_neg_max]
+    neg_val = all_val[order][:num_neg_max]
+    return SampleResult(pos_idx.astype(jnp.int32), pos_vals > 0,
+                        neg_idx.astype(jnp.int32), neg_val > 0)

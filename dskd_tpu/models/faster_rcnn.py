@@ -77,18 +77,25 @@ class FasterRCNN(nn.Module):
     num_classes: int = 80
     depth: int = 50
     frozen_stages: int = 1
+    # Libra R-CNN (configs/libra_rcnn): BFP balanced refinement after FPN
+    use_bfp: bool = False
 
     def setup(self):
         self.backbone = ResNet(depth=self.depth, out_indices=(0, 1, 2, 3),
                                frozen_stages=self.frozen_stages)
         self.neck = FPN(out_channels=256, num_outs=5, start_level=0,
                         add_extra_convs="")
+        if self.use_bfp:
+            from .bfp import BFP
+            self.bfp = BFP(refine_level=2)
         self.rpn_head = RPNHead()
         self.roi_bbox_head = BBoxHead(num_classes=self.num_classes)
 
     def __call__(self, images, img_hw, deterministic: bool = True):
         feats = self.backbone(images)
         neck = self.neck(feats)
+        if self.use_bfp:
+            neck = self.bfp(neck)
         rpn = self.rpn_head(neck)
         return FasterRCNNOutputs(rpn, neck)
 
@@ -240,6 +247,9 @@ class RCNNLossConfig(NamedTuple):
     pos_iou_thr: float = 0.5
     neg_iou_thr: float = 0.5
     min_pos_iou: float = 0.5
+    # Libra R-CNN options: balanced L1 bbox loss + IoU-balanced negatives
+    balanced_l1: bool = False
+    iou_balanced_neg: bool = False
 
 
 def rcnn_forward_train(bbox_head_apply, neck_feats, proposals,
@@ -259,7 +269,13 @@ def rcnn_forward_train(bbox_head_apply, neck_feats, proposals,
                                 cfg.min_pos_iou, match_low_quality=False)
         # invalid rois can never be sampled
         a = jnp.where(rv, assign.assigned_gt, -2)
-        sample = random_sample(r, a, cfg.num_samples, cfg.pos_fraction)
+        if cfg.iou_balanced_neg:
+            from ..core.max_iou_assigner import iou_balanced_sample
+            sample = iou_balanced_sample(r, a, assign.max_ious,
+                                         cfg.num_samples,
+                                         cfg.pos_fraction)
+        else:
+            sample = random_sample(r, a, cfg.num_samples, cfg.pos_fraction)
         idx = jnp.concatenate([sample.pos_idx, sample.neg_idx])
         valid = jnp.concatenate([sample.pos_valid, sample.neg_valid])
         is_pos = jnp.concatenate([sample.pos_valid,
@@ -299,8 +315,12 @@ def rcnn_forward_train(bbox_head_apply, neck_feats, proposals,
         reg, safe_lab[:, None, None].repeat(4, -1), axis=1)[:, 0]
     deltas_tgt = bbox2delta(rois.reshape(-1, 4), tgt_boxes.reshape(-1, 4),
                             means=RCNN_TARGET_MEANS, stds=RCNN_TARGET_STDS)
-    loss_bbox = (jnp.abs(reg_at - deltas_tgt).sum(-1)
-                 * is_pos_flat).sum() / num_total
+    if cfg.balanced_l1:
+        per = L.balanced_l1_loss(reg_at, deltas_tgt,
+                                 reduction="none").sum(-1)
+    else:
+        per = jnp.abs(reg_at - deltas_tgt).sum(-1)
+    loss_bbox = (per * is_pos_flat).sum() / num_total
 
     acc_pos = is_pos_flat.sum()
     return dict(loss_cls=loss_cls, loss_bbox=loss_bbox), acc_pos

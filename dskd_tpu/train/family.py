@@ -188,13 +188,16 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 out.head, points, meta, batch.gt_bboxes, batch.gt_labels,
                 batch.gt_valid, det_cfg), None
 
-    elif arch == "faster_rcnn":
+    elif arch in ("faster_rcnn", "libra_faster_rcnn"):
         from ..models.faster_rcnn import (FasterRCNN, RCNNLossConfig,
                                           RPNLossConfig, rcnn_forward_train,
                                           rpn_loss, rpn_proposals)
         rpn_cfg = RPNLossConfig()
+        libra = arch == "libra_faster_rcnn"
         rcnn_cfg = RCNNLossConfig(num_classes=cfg.model.num_classes,
-                                  num_samples=cfg.rcnn_num_samples)
+                                  num_samples=cfg.rcnn_num_samples,
+                                  balanced_l1=libra,
+                                  iou_balanced_neg=libra)
 
         def losses_fn(variables, batch, teacher_vars, rng):
             rng1, rng2 = jax.random.split(rng)
