@@ -79,6 +79,8 @@ class FasterRCNN(nn.Module):
     frozen_stages: int = 1
     # Libra R-CNN (configs/libra_rcnn): BFP balanced refinement after FPN
     use_bfp: bool = False
+    # Double-Head R-CNN: fc cls branch + conv reg branch in the ROI head
+    double_head: bool = False
 
     def setup(self):
         self.backbone = ResNet(depth=self.depth, out_indices=(0, 1, 2, 3),
@@ -89,7 +91,10 @@ class FasterRCNN(nn.Module):
             from .bfp import BFP
             self.bfp = BFP(refine_level=2)
         self.rpn_head = RPNHead()
-        self.roi_bbox_head = BBoxHead(num_classes=self.num_classes)
+        self.roi_bbox_head = (
+            DoubleBBoxHead(num_classes=self.num_classes)
+            if self.double_head else
+            BBoxHead(num_classes=self.num_classes))
 
     def __call__(self, images, img_hw, deterministic: bool = True):
         feats = self.backbone(images)
@@ -106,6 +111,47 @@ class FasterRCNN(nn.Module):
         out = self(images, img_hw, deterministic)
         self.roi_bbox_head(jnp.zeros((1, 7, 7, 256), images.dtype))
         return out
+
+
+class DoubleBBoxHead(nn.Module):
+    """Double-Head R-CNN ROI head (parity: mmdet roi_heads/bbox_heads/
+    double_bbox_head.py + configs/double_heads, box AP 40.0): the
+    classification branch is fully-connected (2x FC 1024) while the
+    regression branch is convolutional (residual 3x3 blocks + GAP + FC) —
+    the paper's observation that fc suits cls and conv suits loc."""
+    num_classes: int = 80
+    fc_channels: int = 1024
+    conv_channels: int = 1024
+    num_convs: int = 4
+
+    @nn.compact
+    def __call__(self, roi_feats: jnp.ndarray):
+        # conv (reg) branch: widen then residual bottleneck blocks
+        y = nn.Conv(self.conv_channels, (1, 1), name="conv_widen")(
+            roi_feats)
+        for i in range(self.num_convs):
+            idn = y
+            z = nn.relu(nn.Conv(self.conv_channels // 4, (1, 1),
+                                name=f"res{i}_reduce")(y))
+            z = nn.relu(nn.Conv(self.conv_channels // 4, (3, 3),
+                                padding=[(1, 1), (1, 1)],
+                                name=f"res{i}_conv")(z))
+            z = nn.Conv(self.conv_channels, (1, 1),
+                        name=f"res{i}_expand")(z)
+            y = nn.relu(idn + z)
+        y = y.mean(axis=(1, 2))                          # GAP
+        reg = nn.Dense(self.num_classes * 4,
+                       kernel_init=nn.initializers.normal(0.001),
+                       name="fc_reg")(y)
+
+        # fc (cls) branch
+        x = roi_feats.reshape(roi_feats.shape[0], -1)
+        x = nn.relu(nn.Dense(self.fc_channels, name="cls_fc0")(x))
+        x = nn.relu(nn.Dense(self.fc_channels, name="cls_fc1")(x))
+        cls = nn.Dense(self.num_classes + 1,
+                       kernel_init=nn.initializers.normal(0.01),
+                       name="fc_cls")(x)
+        return cls, reg
 
 
 class BBoxHead(nn.Module):

@@ -188,7 +188,8 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 out.head, points, meta, batch.gt_bboxes, batch.gt_labels,
                 batch.gt_valid, det_cfg), None
 
-    elif arch in ("faster_rcnn", "libra_faster_rcnn"):
+    elif arch in ("faster_rcnn", "libra_faster_rcnn",
+                  "double_head_rcnn"):
         from ..models.faster_rcnn import (FasterRCNN, RCNNLossConfig,
                                           RPNLossConfig, rcnn_forward_train,
                                           rpn_loss, rpn_proposals)

@@ -85,3 +85,48 @@ def test_libra_family_step():
                                   use_dropout=False)
     _, losses = step(state, Batch(images, img_hw, gt, labels, valid))
     assert np.isfinite(float(losses["loss"]))
+
+
+def test_double_head_rcnn_step():
+    """Double-Head ROI: fc cls + conv reg branches, one family step."""
+    from dskd_tpu.models.faster_rcnn import DoubleBBoxHead, FasterRCNN
+    from dskd_tpu.train.family import make_family_train_step
+    from dskd_tpu.train.optim import make_optimizer
+    from dskd_tpu.train.state import TrainState
+    from dskd_tpu.train.step import Batch
+    from dskd_tpu.utils.config import (DistillFlags, ExperimentConfig,
+                                       ModelConfig)
+
+    head = DoubleBBoxHead(num_classes=5, fc_channels=64, conv_channels=64)
+    feats = jnp.zeros((3, 7, 7, 32))
+    hv = head.init(jax.random.PRNGKey(0), feats)
+    cls, reg = head.apply(hv, feats)
+    assert cls.shape == (3, 6) and reg.shape == (3, 20)
+    assert "res0_conv" in hv["params"] and "cls_fc0" in hv["params"]
+
+    NC, HW, B = 6, 64, 1
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(B, HW, HW, 3).astype(np.float32) * 0.2)
+    img_hw = jnp.asarray(np.tile([[HW, HW]], (B, 1)).astype(np.int32))
+    xy = rng.rand(B, 3, 2).astype(np.float32) * 20
+    wh = rng.rand(B, 3, 2).astype(np.float32) * 25 + 10
+    gt = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+    labels = jnp.asarray(rng.randint(0, NC, (B, 3)).astype(np.int32))
+    valid = jnp.asarray(np.tile(np.arange(3) < 2, (B, 1)))
+
+    model = FasterRCNN(num_classes=NC, depth=18, double_head=True)
+    cfg = ExperimentConfig(
+        model=ModelConfig(arch="double_head_rcnn", num_classes=NC),
+        distill=DistillFlags(cates_distill="", feats_distill=""))
+    cfg.rcnn_num_proposals = 16
+    cfg.rcnn_num_samples = 16
+    v = model.init(jax.random.PRNGKey(0), images, img_hw,
+                   method=FasterRCNN.init_all)
+    tx = make_optimizer(v["params"], lambda i: 1e-4)
+    state = TrainState.create(v["params"], v.get("batch_stats", {}), tx,
+                              jax.random.PRNGKey(1))
+    step = make_family_train_step("double_head_rcnn", model, cfg,
+                                  num_prev=0, has_teacher=False,
+                                  use_dropout=False)
+    _, losses = step(state, Batch(images, img_hw, gt, labels, valid))
+    assert np.isfinite(float(losses["loss"]))
