@@ -283,6 +283,19 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 
+    if arch == "centripetalnet":
+        from ..models.centripetal import centripetalnet_get_bboxes
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            d = centripetalnet_get_bboxes(
+                out.head, img_hw, scale_factor=scale_factors,
+                score_thr=max(score_thr, 0.05),
+                max_per_img=max_per_img, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return eval_step
+
     if arch == "cornernet":
         from ..models.cornernet import cornernet_get_bboxes
 

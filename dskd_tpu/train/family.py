@@ -416,6 +416,19 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                              batch.gt_labels, batch.gt_valid,
                              det_cfg), None
 
+    elif arch == "centripetalnet":
+        from ..models.centripetal import (CentripetalLossConfig,
+                                          centripetalnet_loss)
+        det_cfg = CentripetalLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out, mutated = model.apply(
+                variables, batch.images, batch.img_hw, deterministic=False,
+                mutable=["batch_stats"])
+            return centripetalnet_loss(
+                out.head, batch.gt_bboxes, batch.gt_labels,
+                batch.gt_valid, det_cfg), mutated["batch_stats"]
+
     elif arch == "cornernet":
         from ..models.cornernet import CornerLossConfig, cornernet_loss
         det_cfg = CornerLossConfig(num_classes=cfg.model.num_classes)

@@ -102,3 +102,61 @@ def test_cornernet_forward_loss_decode_and_step():
     # BN running stats moved (trainable-BN family)
     b1 = np.asarray(jax.tree.leaves(new_state.batch_stats)[0])
     assert b1.shape == b0.shape
+
+def test_centripetalnet_forward_loss_decode_step():
+    """CentripetalNet: shift targets, loss structure, gated pair decode,
+    one train step."""
+    from dskd_tpu.models.centripetal import (CentripetalLossConfig,
+                                             CentripetalNet,
+                                             _shift_targets,
+                                             centripetalnet_get_bboxes,
+                                             centripetalnet_loss)
+
+    # shift-target algebra: gt [8,8,40,36]/4 -> tl corner (2,2), center
+    # (6, 5.5): guiding = center - floor(corner); centripetal = log(c-side)
+    gt1 = jnp.asarray(np.array([[8.0, 8.0, 40.0, 36.0]]))
+    tg, bg_, tc, bc_ = _shift_targets(gt1, jnp.asarray([True]), 16, 16)
+    np.testing.assert_allclose(np.asarray(tg[0]), [4.0, 3.5])
+    np.testing.assert_allclose(np.asarray(tc[0]),
+                               np.log([4.0, 3.5]), rtol=1e-5)
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(B, HW, HW, 3).astype(np.float32) * 0.2)
+    img_hw = jnp.asarray(np.tile([[HW, HW]], (B, 1)).astype(np.int32))
+    gt = jnp.asarray(np.array([[[8, 8, 40, 36], [20, 24, 56, 60],
+                                [0, 0, 0, 0]]], np.float32))
+    labels = jnp.asarray(np.array([[1, 3, 0]], np.int32))
+    valid = jnp.asarray(np.array([[True, True, False]]))
+
+    model = CentripetalNet(num_classes=NC, num_stacks=1)
+    v = model.init(jax.random.PRNGKey(0), images, img_hw)
+    out = model.apply(v, images, img_hw)
+    assert out.head.tl_centripetal[0].shape[-1] == 2
+
+    losses = centripetalnet_loss(out.head, gt, labels, valid,
+                                 CentripetalLossConfig(num_classes=NC))
+    assert {"loss_heatmap", "loss_offset", "loss_guiding",
+            "loss_centripetal"} == set(losses)
+    for key, x in losses.items():
+        assert np.isfinite(float(x)), (key, float(x))
+
+    d = centripetalnet_get_bboxes(out.head, img_hw, k=20, max_per_img=10)
+    assert d["bboxes"].shape == (B, 10, 4)
+
+    from dskd_tpu.train.family import make_family_train_step
+    from dskd_tpu.train.optim import make_optimizer
+    from dskd_tpu.train.state import TrainState
+    from dskd_tpu.train.step import Batch
+    from dskd_tpu.utils.config import (DistillFlags, ExperimentConfig,
+                                       ModelConfig)
+    cfg = ExperimentConfig(
+        model=ModelConfig(arch="centripetalnet", num_classes=NC),
+        distill=DistillFlags(cates_distill="", feats_distill=""))
+    tx = make_optimizer(v["params"], lambda i: 1e-4)
+    state = TrainState.create(v["params"], v["batch_stats"], tx,
+                              jax.random.PRNGKey(1))
+    step = make_family_train_step("centripetalnet", model, cfg,
+                                  num_prev=0, has_teacher=False,
+                                  use_dropout=False)
+    _, losses = step(state, Batch(images, img_hw, gt, labels, valid))
+    assert np.isfinite(float(losses["loss"]))
