@@ -283,6 +283,20 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 
+    if arch == "sparse_rcnn":
+        from ..models.sparse_rcnn import sparse_rcnn_get_bboxes
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            d = sparse_rcnn_get_bboxes(out, img_hw,
+                                       scale_factor=scale_factors,
+                                       score_thr=score_thr,
+                                       max_per_img=max_per_img,
+                                       rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return eval_step
+
     if arch == "centripetalnet":
         from ..models.centripetal import centripetalnet_get_bboxes
 

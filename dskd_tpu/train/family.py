@@ -416,6 +416,18 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                              batch.gt_labels, batch.gt_valid,
                              det_cfg), None
 
+    elif arch == "sparse_rcnn":
+        from ..models.sparse_rcnn import (SparseRCNNLossConfig,
+                                          sparse_rcnn_loss)
+        det_cfg = SparseRCNNLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            return sparse_rcnn_loss(out, batch.gt_bboxes,
+                                    batch.gt_labels, batch.gt_valid,
+                                    batch.img_hw, det_cfg), None
+
     elif arch == "centripetalnet":
         from ..models.centripetal import (CentripetalLossConfig,
                                           centripetalnet_loss)

@@ -167,6 +167,10 @@ def build_model(cfg: ExperimentConfig):
         from ..models.sabl_retina import SABLRetinaNet
         return SABLRetinaNet(num_classes=m.num_classes, depth=m.depth,
                              frozen_stages=m.frozen_stages)
+    if m.arch == "sparse_rcnn":
+        from ..models.sparse_rcnn import SparseRCNN
+        return SparseRCNN(num_classes=m.num_classes, depth=m.depth,
+                          frozen_stages=m.frozen_stages)
     if m.arch == "centripetalnet":
         from ..models.centripetal import CentripetalNet
         return CentripetalNet(num_classes=m.num_classes)
