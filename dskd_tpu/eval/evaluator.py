@@ -238,7 +238,7 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 
-    if arch == "paa":
+    if arch in ("paa", "lad"):
         from ..models.paa import paa_anchors, paa_get_bboxes
 
         @jax.jit

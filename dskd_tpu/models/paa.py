@@ -157,8 +157,14 @@ class PAALossConfig(NamedTuple):
 
 
 def paa_loss(out: PAAHeadOutputs, anchors, level_counts, gt_bboxes,
-             gt_labels, gt_valid, cfg: PAALossConfig
+             gt_labels, gt_valid, cfg: PAALossConfig,
+             assign_out: PAAHeadOutputs = None
              ) -> Dict[str, jnp.ndarray]:
+    """``assign_out``: head outputs that drive the candidate losses /
+    GMM assignment. None = the student's own (PAA); a frozen TEACHER's
+    outputs = Label Assignment Distillation (detectors/lad.py +
+    lad_head.get_label_assignment — the teacher picks the positives, the
+    student trains its own losses under them)."""
     B = out.cls_scores[0].shape[0]
     C = cfg.num_classes
     N = anchors.shape[0]
@@ -218,8 +224,17 @@ def paa_loss(out: PAAHeadOutputs, anchors, level_counts, gt_bboxes,
         labels = jnp.where(pos, safe_lbl[jnp.clip(assigned, 0, G - 1)], C)
         return assigned, pos, labels
 
+    if assign_out is None:
+        a_cls, a_dec = cls_flat, decoded
+    else:
+        a_cls = jnp.concatenate(
+            [c.reshape(B, -1, C) for c in assign_out.cls_scores], 1)
+        a_reg = jnp.concatenate(
+            [r.reshape(B, -1, 4) for r in assign_out.bbox_preds], 1)
+        a_dec = delta2bbox(anchors[None], a_reg, stds=DELTA_STDS)
     assigned, pos, labels = jax.vmap(assign_one)(
-        cls_flat, decoded, gt_bboxes, gt_labels, gt_valid)
+        jax.lax.stop_gradient(a_cls), jax.lax.stop_gradient(a_dec),
+        gt_bboxes, gt_labels, gt_valid)
     num_pos = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
     safe = jnp.clip(assigned, 0, G - 1)
     tgt = jnp.take_along_axis(gt_bboxes, safe[..., None], axis=1)

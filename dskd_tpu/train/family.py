@@ -376,17 +376,26 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 out.head, out.prior_mean, out.prior_sigma, batch.gt_bboxes,
                 batch.gt_labels, batch.gt_valid, det_cfg), None
 
-    elif arch == "paa":
+    elif arch in ("paa", "lad"):
         from ..models.paa import PAALossConfig, paa_anchors, paa_loss
         det_cfg = PAALossConfig(num_classes=cfg.model.num_classes)
+        is_lad = arch == "lad"
 
         def losses_fn(variables, batch, teacher_vars, rng):
             out = model.apply(variables, batch.images, batch.img_hw,
                               deterministic=True)
             anchors, counts = paa_anchors(
                 [c.shape[1:3] for c in out.head.cls_scores])
+            assign_out = None
+            if is_lad:
+                assert teacher_vars is not None, \
+                    "arch='lad' requires a frozen teacher (lad.py)"
+                assign_out = model.apply(teacher_vars, batch.images,
+                                         batch.img_hw,
+                                         deterministic=True).head
             return paa_loss(out.head, anchors, counts, batch.gt_bboxes,
-                            batch.gt_labels, batch.gt_valid, det_cfg), None
+                            batch.gt_labels, batch.gt_valid, det_cfg,
+                            assign_out=assign_out), None
 
     elif arch == "ga_retina":
         from ..models.guided_anchor import (GALossConfig, ga_geometry,

@@ -155,7 +155,7 @@ def build_model(cfg: ExperimentConfig):
         from ..models.autoassign import AutoAssign
         return AutoAssign(num_classes=m.num_classes, depth=m.depth,
                           frozen_stages=m.frozen_stages)
-    if m.arch == "paa":
+    if m.arch in ("paa", "lad"):
         from ..models.paa import PAA
         return PAA(num_classes=m.num_classes, depth=m.depth,
                    frozen_stages=m.frozen_stages)

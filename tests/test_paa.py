@@ -66,3 +66,38 @@ def test_paa_forward_loss_decode_step():
                                   has_teacher=False, use_dropout=False)
     _, losses = step(state, Batch(images, img_hw, gt, labels, valid))
     assert np.isfinite(float(losses["loss"]))
+
+
+def test_lad_teacher_assignment():
+    """LAD: the teacher's outputs drive the GMM assignment; identical
+    teacher == plain PAA; a different teacher changes the losses."""
+    from dskd_tpu.models.paa import paa_anchors, paa_loss
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(B, HW, HW, 3).astype(np.float32) * 0.2)
+    img_hw = jnp.asarray(np.tile([[HW, HW]], (B, 1)).astype(np.int32))
+    xy = rng.rand(B, 3, 2).astype(np.float32) * 20
+    wh = rng.rand(B, 3, 2).astype(np.float32) * 25 + 10
+    gt = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+    labels = jnp.asarray(rng.randint(0, NC, (B, 3)).astype(np.int32))
+    valid = jnp.asarray(np.tile(np.arange(3) < 2, (B, 1)))
+
+    model = PAA(num_classes=NC, depth=18)
+    v = model.init(jax.random.PRNGKey(0), images, img_hw)
+    out = model.apply(v, images, img_hw)
+    anchors, counts = paa_anchors(
+        [c.shape[1:3] for c in out.head.cls_scores])
+    cfg = PAALossConfig(num_classes=NC)
+
+    base = paa_loss(out.head, anchors, counts, gt, labels, valid, cfg)
+    same = paa_loss(out.head, anchors, counts, gt, labels, valid, cfg,
+                    assign_out=out.head)
+    np.testing.assert_allclose(float(base["loss_cls"]),
+                               float(same["loss_cls"]), rtol=1e-6)
+
+    v2 = model.init(jax.random.PRNGKey(5), images, img_hw)
+    t_out = model.apply(v2, images, img_hw)
+    lad = paa_loss(out.head, anchors, counts, gt, labels, valid, cfg,
+                   assign_out=t_out.head)
+    for k in lad:
+        assert np.isfinite(float(lad[k])), k
