@@ -81,6 +81,9 @@ class FasterRCNN(nn.Module):
     use_bfp: bool = False
     # Double-Head R-CNN: fc cls branch + conv reg branch in the ROI head
     double_head: bool = False
+    # Fast R-CNN (detectors/fast_rcnn.py): no RPN — proposals arrive from
+    # outside (the reference reads precomputed proposal files)
+    with_rpn: bool = True
 
     def setup(self):
         self.backbone = ResNet(depth=self.depth, out_indices=(0, 1, 2, 3),
@@ -90,7 +93,8 @@ class FasterRCNN(nn.Module):
         if self.use_bfp:
             from .bfp import BFP
             self.bfp = BFP(refine_level=2)
-        self.rpn_head = RPNHead()
+        if self.with_rpn:
+            self.rpn_head = RPNHead()
         self.roi_bbox_head = (
             DoubleBBoxHead(num_classes=self.num_classes)
             if self.double_head else
@@ -101,7 +105,7 @@ class FasterRCNN(nn.Module):
         neck = self.neck(feats)
         if self.use_bfp:
             neck = self.bfp(neck)
-        rpn = self.rpn_head(neck)
+        rpn = self.rpn_head(neck) if self.with_rpn else None
         return FasterRCNNOutputs(rpn, neck)
 
     def roi_forward(self, roi_feats):

@@ -463,6 +463,32 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                                   batch.gt_labels, batch.gt_valid,
                                   det_cfg), mutated["batch_stats"]
 
+    elif arch == "fast_rcnn":
+        from ..models.faster_rcnn import (FasterRCNN, RCNNLossConfig,
+                                          rcnn_forward_train)
+        rcnn_cfg = RCNNLossConfig(num_classes=cfg.model.num_classes,
+                                  num_samples=cfg.rcnn_num_samples)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            # Fast R-CNN consumes EXTERNAL proposals (the reference's
+            # precomputed .pkl files). Absent proposal files in this
+            # environment, jittered GT boxes stand in for the
+            # high-recall proposal distribution (documented).
+            rng1, rng2 = jax.random.split(rng)
+            G = batch.gt_bboxes.shape[1]
+            reps = max(1, cfg.rcnn_num_proposals // max(G, 1))
+            base = jnp.tile(batch.gt_bboxes, (1, reps, 1))
+            noise = jax.random.normal(rng1, base.shape) * 8.0
+            props = base + noise
+            valid = jnp.tile(batch.gt_valid, (1, reps))
+            out = model.apply(variables, batch.images, batch.img_hw)
+            losses, _ = rcnn_forward_train(
+                lambda f: model.apply(variables, f,
+                                      method=FasterRCNN.roi_forward),
+                out.neck_feats, props, valid, batch.gt_bboxes,
+                batch.gt_labels, batch.gt_valid, rng2, rcnn_cfg)
+            return losses, None
+
     else:
         raise ValueError(f"no train step for arch: {arch}")
 

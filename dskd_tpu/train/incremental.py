@@ -90,6 +90,10 @@ def build_model(cfg: ExperimentConfig):
                     num_encoder_layers=m.num_encoder_layers,
                     num_decoder_layers=m.num_decoder_layers,
                     dropout=m.dropout)
+    if m.arch == "fast_rcnn":
+        from ..models.faster_rcnn import FasterRCNN
+        return FasterRCNN(num_classes=m.num_classes, depth=m.depth,
+                          frozen_stages=m.frozen_stages, with_rpn=False)
     if m.arch in ("faster_rcnn", "libra_faster_rcnn",
                   "double_head_rcnn"):
         from ..models.faster_rcnn import FasterRCNN
@@ -185,7 +189,8 @@ def init_variables(model, cfg: ExperimentConfig, rng):
     images = jnp.zeros((1, H, W, 3), jnp.float32)
     img_hw = jnp.array([[H, W]], jnp.int32)
     if cfg.model.arch in ("faster_rcnn", "libra_faster_rcnn",
-                          "double_head_rcnn", "cascade_rcnn"):
+                          "double_head_rcnn", "fast_rcnn",
+                          "cascade_rcnn"):
         # two-stage: trace the ROI head(s) too so init creates their params
         variables = model.init(rng, images, img_hw,
                                method=type(model).init_all)

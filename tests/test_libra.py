@@ -130,3 +130,42 @@ def test_double_head_rcnn_step():
                                   use_dropout=False)
     _, losses = step(state, Batch(images, img_hw, gt, labels, valid))
     assert np.isfinite(float(losses["loss"]))
+
+
+def test_fast_rcnn_no_rpn_step():
+    """Fast R-CNN: no RPN params; trains the ROI head on external
+    (here GT-jittered stand-in) proposals."""
+    from dskd_tpu.models.faster_rcnn import FasterRCNN
+    from dskd_tpu.train.family import make_family_train_step
+    from dskd_tpu.train.optim import make_optimizer
+    from dskd_tpu.train.state import TrainState
+    from dskd_tpu.train.step import Batch
+    from dskd_tpu.utils.config import (DistillFlags, ExperimentConfig,
+                                       ModelConfig)
+
+    NC, HW, B = 6, 64, 1
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(B, HW, HW, 3).astype(np.float32) * 0.2)
+    img_hw = jnp.asarray(np.tile([[HW, HW]], (B, 1)).astype(np.int32))
+    xy = rng.rand(B, 3, 2).astype(np.float32) * 20
+    wh = rng.rand(B, 3, 2).astype(np.float32) * 25 + 10
+    gt = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+    labels = jnp.asarray(rng.randint(0, NC, (B, 3)).astype(np.int32))
+    valid = jnp.asarray(np.tile(np.arange(3) < 2, (B, 1)))
+
+    model = FasterRCNN(num_classes=NC, depth=18, with_rpn=False)
+    v = model.init(jax.random.PRNGKey(0), images, img_hw,
+                   method=FasterRCNN.init_all)
+    assert "rpn_head" not in v["params"]
+    cfg = ExperimentConfig(
+        model=ModelConfig(arch="fast_rcnn", num_classes=NC),
+        distill=DistillFlags(cates_distill="", feats_distill=""))
+    cfg.rcnn_num_proposals = 12
+    cfg.rcnn_num_samples = 16
+    tx = make_optimizer(v["params"], lambda i: 1e-4)
+    state = TrainState.create(v["params"], v.get("batch_stats", {}), tx,
+                              jax.random.PRNGKey(1))
+    step = make_family_train_step("fast_rcnn", model, cfg, num_prev=0,
+                                  has_teacher=False, use_dropout=False)
+    _, losses = step(state, Batch(images, img_hw, gt, labels, valid))
+    assert np.isfinite(float(losses["loss"]))
