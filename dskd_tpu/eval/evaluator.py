@@ -92,7 +92,7 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 
-    if arch == "fcos":
+    if arch in ("fcos", "nasfcos"):
         from ..models.fcos import fcos_get_bboxes, fcos_points
 
         @jax.jit

@@ -96,11 +96,14 @@ class FCOSHead(nn.Module):
 
 class FCOS(nn.Module):
     """``backbone`` spec (models/backbones.py): '' = ResNet(depth);
-    'hrnet_w18' mirrors the reference's fcos_hrnetv2p_w18 (HRFPN neck)."""
+    'hrnet_w18' mirrors the reference's fcos_hrnetv2p_w18 (HRFPN neck).
+    ``nas_fpn=True`` swaps the FPN for the NAS-FCOS searched neck
+    (detectors/nasfcos.py pairing)."""
     num_classes: int = 80
     depth: int = 50
     frozen_stages: int = 1
     backbone: str = ""
+    nas_fpn: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, img_hw: jnp.ndarray,
@@ -112,6 +115,10 @@ class FCOS(nn.Module):
         if kind == "hr":
             from .hrnet import HRFPN
             neck = HRFPN(out_channels=256, num_outs=5, name="neck")(feats)
+        elif self.nas_fpn:
+            from .nasfcos_fpn import NASFCOSFPN
+            neck = NASFCOSFPN(out_channels=256, num_outs=5,
+                              name="neck")(feats[1:], deterministic)
         else:
             neck = FPN(out_channels=256, num_outs=5,
                        start_level=1 if kind == "c2345" else 0,

@@ -174,7 +174,7 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 out.head, anchors, batch.gt_bboxes, batch.gt_labels,
                 batch.gt_valid, det_cfg), None
 
-    elif arch == "fcos":
+    elif arch in ("fcos", "nasfcos"):
         from ..models.fcos import (FCOSLossConfig, fcos_detection_loss,
                                    fcos_points)
         det_cfg = FCOSLossConfig(num_classes=cfg.model.num_classes)

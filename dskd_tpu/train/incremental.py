@@ -106,10 +106,11 @@ def build_model(cfg: ExperimentConfig):
         return RetinaNet(num_classes=m.num_classes, depth=m.depth,
                          frozen_stages=m.frozen_stages,
                          backbone=m.backbone)
-    if m.arch == "fcos":
+    if m.arch in ("fcos", "nasfcos"):
         from ..models.fcos import FCOS
         return FCOS(num_classes=m.num_classes, depth=m.depth,
-                    frozen_stages=m.frozen_stages, backbone=m.backbone)
+                    frozen_stages=m.frozen_stages, backbone=m.backbone,
+                    nas_fpn=(m.arch == "nasfcos"))
     if m.arch == "cascade_rcnn":
         from ..models.cascade_rcnn import CascadeRCNN
         return CascadeRCNN(num_classes=m.num_classes, depth=m.depth,

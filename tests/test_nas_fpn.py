@@ -45,3 +45,28 @@ def test_nas_fpn_shapes_and_bn():
     b0 = jax.tree.leaves(v["batch_stats"])[0]
     b1 = jax.tree.leaves(mutated["batch_stats"])[0]
     assert b0.shape == b1.shape
+
+
+def test_nasfcos_fpn_and_family():
+    """NASFCOS searched FPN: DAG shapes + FCOS pairing forward."""
+    from dskd_tpu.models.nasfcos_fpn import NASFCOSFPN
+
+    rng = np.random.RandomState(0)
+    inputs = tuple(jnp.asarray(rng.randn(1, s, s, c).astype(np.float32))
+                   for s, c in ((16, 32), (8, 64), (4, 128)))
+    neck = NASFCOSFPN(out_channels=32, num_outs=5)
+    v = neck.init(jax.random.PRNGKey(0), inputs)
+    outs = neck.apply(v, inputs)
+    assert [o.shape for o in outs] == [
+        (1, 16, 16, 32), (1, 8, 8, 32), (1, 4, 4, 32), (1, 2, 2, 32),
+        (1, 1, 1, 32)]
+    # searched cells exist by name
+    assert "c22_1" in v["params"] and "c61" in v["params"]
+
+    from dskd_tpu.models.fcos import FCOS
+    model = FCOS(num_classes=6, depth=18, nas_fpn=True)
+    x = jnp.zeros((1, 64, 64, 3))
+    hw = jnp.array([[64, 64]], jnp.int32)
+    mv = model.init(jax.random.PRNGKey(0), x, hw)
+    out = model.apply(mv, x, hw)
+    assert len(out.head.cls_scores) == 5
