@@ -283,6 +283,60 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 
+    if arch == "grid_rcnn":
+        from ..core.postprocess import batched_nms
+        from ..models.faster_rcnn import rpn_proposals
+        from ..models.grid_rcnn import (GridRCNN, extend_rois,
+                                        grid_decode)
+        from ..ops.roi_align import multi_level_roi_align
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            props, _, pvalid = rpn_proposals(out.rpn, img_hw,
+                                             nms_pre=1000, max_total=256)
+            B = props.shape[0]
+
+            def per_image(feats, rois, rv, hw, sf):
+                f7 = multi_level_roi_align(feats, rois, rv)
+                cls_logits, _ = model.apply(variables, f7,
+                                            method=GridRCNN.roi_forward)
+                p = jax.nn.softmax(cls_logits, -1)[:, :-1]
+                p = jnp.where(rv[:, None], p, 0.0)
+                scores = p.max(-1)
+                labels = p.argmax(-1).astype(jnp.int32)
+                k = min(max_per_img, rois.shape[0])
+                top_s, keep = jax.lax.top_k(scores, k)
+                rois_k = rois[keep]
+                erois = extend_rois(rois_k)
+                f14 = multi_level_roi_align(feats, erois, rv[keep],
+                                            out_size=14)
+                grid_pred = model.apply(variables, f14,
+                                        method=GridRCNN.grid_forward)
+                boxes = grid_decode(grid_pred["fused"], erois)
+                h = hw[0].astype(boxes.dtype)
+                w = hw[1].astype(boxes.dtype)
+                boxes = jnp.stack([
+                    jnp.clip(boxes[:, 0], 0, w),
+                    jnp.clip(boxes[:, 1], 0, h),
+                    jnp.clip(boxes[:, 2], 0, w),
+                    jnp.clip(boxes[:, 3], 0, h)], -1)
+                nb, ns, nl, kp, _ = batched_nms(
+                    boxes, jnp.where(top_s > max(score_thr, 0.05),
+                                     top_s, 0.0),
+                    labels[keep], 0.5, max_per_img, valid=top_s > 0.0)
+                return nb / sf[None], ns, nl, kp
+
+            feats_pi = [tuple(f[b] for f in out.neck_feats[:4])
+                        for b in range(B)]
+            rs = [per_image(feats_pi[b], props[b], pvalid[b], img_hw[b],
+                            scale_factors[b]) for b in range(B)]
+            return Det(jnp.stack([r[0] for r in rs]),
+                       jnp.stack([r[1] for r in rs]),
+                       jnp.stack([r[2] for r in rs]),
+                       jnp.stack([r[3] for r in rs]))
+        return eval_step
+
     if arch == "sparse_rcnn":
         from ..models.sparse_rcnn import sparse_rcnn_get_bboxes
 

@@ -425,6 +425,83 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                              batch.gt_labels, batch.gt_valid,
                              det_cfg), None
 
+    elif arch == "grid_rcnn":
+        from ..core.max_iou_assigner import max_iou_assign, random_sample
+        from ..models.faster_rcnn import (RPNLossConfig, rpn_loss,
+                                          rpn_proposals)
+        from ..models.grid_rcnn import (GridRCNN, extend_rois,
+                                        grid_head_loss)
+        from ..ops.roi_align import multi_level_roi_align
+        rpn_cfg = RPNLossConfig()
+        NCgr = cfg.model.num_classes
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            from ..core import losses as CL
+            rng1, rng2 = jax.random.split(rng)
+            out = model.apply(variables, batch.images, batch.img_hw)
+            losses = rpn_loss(out.rpn, batch.gt_bboxes, batch.gt_valid,
+                              batch.img_hw, rng1, rpn_cfg)
+            props, _, pvalid = rpn_proposals(
+                out.rpn, batch.img_hw, nms_pre=1000,
+                max_total=cfg.rcnn_num_proposals)
+            props = jax.lax.stop_gradient(props)
+            B = props.shape[0]
+            G = batch.gt_bboxes.shape[1]
+            S = cfg.rcnn_num_samples
+
+            def per_image(r, rois, rv, gtb, gtl, gtv, feats):
+                rois_all = jnp.concatenate([rois, gtb], 0)
+                rv_all = jnp.concatenate([rv, gtv], 0)
+                assign = max_iou_assign(rois_all, gtb, gtl, gtv, NCgr,
+                                        0.5, 0.5, 0.5,
+                                        match_low_quality=False)
+                a = jnp.where(rv_all, assign.assigned_gt, -2)
+                sample = random_sample(r, a, S, 0.25)
+                idx = jnp.concatenate([sample.pos_idx, sample.neg_idx])
+                is_pos = jnp.concatenate(
+                    [sample.pos_valid, jnp.zeros_like(sample.neg_valid)])
+                valid = jnp.concatenate([sample.pos_valid,
+                                         sample.neg_valid])
+                srois = rois_all[idx]
+                safe = jnp.clip(a[idx], 0, G - 1)
+                labels = jnp.where(is_pos, gtl[safe].astype(jnp.int32),
+                                   NCgr)
+                f7 = multi_level_roi_align(feats, srois, valid)
+                # grid stage: POSITIVES only, extended 2x
+                prois = rois_all[sample.pos_idx]
+                erois = extend_rois(prois)
+                f14 = multi_level_roi_align(feats, erois,
+                                            sample.pos_valid,
+                                            out_size=14)
+                ptgt = gtb[jnp.clip(a[sample.pos_idx], 0, G - 1)]
+                return (f7, labels, valid, f14, erois, ptgt,
+                        sample.pos_valid)
+
+            feats_pi = [tuple(f[b] for f in out.neck_feats[:4])
+                        for b in range(B)]
+            parts = [per_image(jax.random.fold_in(rng2, b), props[b],
+                               pvalid[b], batch.gt_bboxes[b],
+                               batch.gt_labels[b], batch.gt_valid[b],
+                               feats_pi[b]) for b in range(B)]
+            f7 = jnp.concatenate([p[0] for p in parts])
+            labels = jnp.concatenate([p[1] for p in parts])
+            valid = jnp.concatenate([p[2] for p in parts])
+            cls_logits, _ = model.apply(variables, f7,
+                                        method=GridRCNN.roi_forward)
+            nt = jnp.maximum(valid.sum().astype(jnp.float32), 1.0)
+            losses["rcnn_loss_cls"] = CL.cross_entropy_loss(
+                cls_logits, labels, weight=valid.astype(jnp.float32),
+                avg_factor=nt)
+            f14 = jnp.concatenate([p[3] for p in parts])
+            erois = jnp.concatenate([p[4] for p in parts])
+            ptgt = jnp.concatenate([p[5] for p in parts])
+            pvalid_all = jnp.concatenate([p[6] for p in parts])
+            grid_pred = model.apply(variables, f14,
+                                    method=GridRCNN.grid_forward)
+            losses["loss_grid"] = grid_head_loss(grid_pred, erois, ptgt,
+                                                 pvalid_all)
+            return losses, None
+
     elif arch == "sparse_rcnn":
         from ..models.sparse_rcnn import (SparseRCNNLossConfig,
                                           sparse_rcnn_loss)

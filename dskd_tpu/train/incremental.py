@@ -172,6 +172,10 @@ def build_model(cfg: ExperimentConfig):
         from ..models.sabl_retina import SABLRetinaNet
         return SABLRetinaNet(num_classes=m.num_classes, depth=m.depth,
                              frozen_stages=m.frozen_stages)
+    if m.arch == "grid_rcnn":
+        from ..models.grid_rcnn import GridRCNN
+        return GridRCNN(num_classes=m.num_classes, depth=m.depth,
+                        frozen_stages=m.frozen_stages)
     if m.arch == "sparse_rcnn":
         from ..models.sparse_rcnn import SparseRCNN
         return SparseRCNN(num_classes=m.num_classes, depth=m.depth,
@@ -191,7 +195,7 @@ def init_variables(model, cfg: ExperimentConfig, rng):
     img_hw = jnp.array([[H, W]], jnp.int32)
     if cfg.model.arch in ("faster_rcnn", "libra_faster_rcnn",
                           "double_head_rcnn", "fast_rcnn",
-                          "cascade_rcnn"):
+                          "grid_rcnn", "cascade_rcnn"):
         # two-stage: trace the ROI head(s) too so init creates their params
         variables = model.init(rng, images, img_hw,
                                method=type(model).init_all)
