@@ -127,6 +127,28 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 
+    if arch == "tridentnet":
+        from ..models.faster_rcnn import rcnn_get_bboxes, rpn_proposals
+        from ..models.trident import TridentFasterRCNN
+        scales = TridentFasterRCNN.anchor_scales()
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            # deploy fast path: single branch (dilation 2), plain C4 cost
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            props, _, pvalid = rpn_proposals(out.rpn, img_hw, nms_pre=1000,
+                                             max_total=500, strides=(16,),
+                                             scales=scales)
+            d = rcnn_get_bboxes(
+                lambda f: model.apply(
+                    variables, f, method=TridentFasterRCNN.roi_forward),
+                (out.c4,), props, pvalid, img_hw,
+                num_classes=model.num_classes, scale_factor=scale_factors,
+                score_thr=max(score_thr, 0.05), max_per_img=max_per_img,
+                rescale=True, strides=(16,), out_size=14)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return eval_step
+
     if arch == "cascade_rcnn":
         from ..models.cascade_rcnn import CascadeRCNN, cascade_get_bboxes
         from ..models.faster_rcnn import rpn_proposals

@@ -186,11 +186,11 @@ def rpn_anchors(featmap_sizes, strides=(4, 8, 16, 32, 64),
 def rpn_proposals(rpn: RPNOutputs, img_hw, nms_pre: int = 1000,
                   max_total: int = 1000, nms_iou: float = 0.7,
                   min_box_size: float = 0.0,
-                  strides=(4, 8, 16, 32, 64)):
+                  strides=(4, 8, 16, 32, 64), scales=(8.0,)):
     """Proposal generation, static shapes. Returns (B, max_total, 4) + valid."""
     B = rpn.cls_scores[0].shape[0]
     featmap_sizes = [c.shape[1:3] for c in rpn.cls_scores]
-    anchors = rpn_anchors(featmap_sizes, strides)
+    anchors = rpn_anchors(featmap_sizes, strides, scales)
 
     lvl_boxes, lvl_scores, lvl_ids = [], [], []
     for i, (c, r) in enumerate(zip(rpn.cls_scores, rpn.bbox_preds)):
@@ -237,11 +237,12 @@ class RPNLossConfig(NamedTuple):
 
 
 def rpn_loss(rpn: RPNOutputs, gt_bboxes, gt_valid, img_hw, rng,
-             cfg: RPNLossConfig, strides=(4, 8, 16, 32, 64)):
+             cfg: RPNLossConfig, strides=(4, 8, 16, 32, 64),
+             scales=(8.0,)):
     """RPN losses: binary CE on sampled anchors + L1 on positives."""
     B = rpn.cls_scores[0].shape[0]
     featmap_sizes = [c.shape[1:3] for c in rpn.cls_scores]
-    anchors = jnp.concatenate(rpn_anchors(featmap_sizes, strides), 0)
+    anchors = jnp.concatenate(rpn_anchors(featmap_sizes, strides, scales), 0)
     N = anchors.shape[0]
     cls_flat = jnp.concatenate(
         [c.reshape(B, -1) for c in rpn.cls_scores], 1)
@@ -300,18 +301,24 @@ class RCNNLossConfig(NamedTuple):
     # Libra R-CNN options: balanced L1 bbox loss + IoU-balanced negatives
     balanced_l1: bool = False
     iou_balanced_neg: bool = False
+    # TridentNet's C4 config samples without GT-as-proposals
+    add_gt_as_proposals: bool = True
 
 
 def rcnn_forward_train(bbox_head_apply, neck_feats, proposals,
                        proposal_valid, gt_bboxes, gt_labels, gt_valid, rng,
-                       cfg: RCNNLossConfig):
+                       cfg: RCNNLossConfig, strides=(4, 8, 16, 32),
+                       out_size: int = 7):
     """Sample ROIs (GT boxes appended as in the reference's add_gt_as_
     proposals), extract RoIAlign features, compute CE + L1 losses."""
     B = proposals.shape[0]
     G = gt_bboxes.shape[1]
     C = cfg.num_classes
-    rois_all = jnp.concatenate([proposals, gt_bboxes], axis=1)
-    rois_valid = jnp.concatenate([proposal_valid, gt_valid], axis=1)
+    if cfg.add_gt_as_proposals:
+        rois_all = jnp.concatenate([proposals, gt_bboxes], axis=1)
+        rois_valid = jnp.concatenate([proposal_valid, gt_valid], axis=1)
+    else:
+        rois_all, rois_valid = proposals, proposal_valid
 
     def per_image(r, rois, rv, gtb, gtl, gtv):
         assign = max_iou_assign(rois, gtb, gtl, gtv, C,
@@ -344,11 +351,13 @@ def rcnn_forward_train(bbox_head_apply, neck_feats, proposals,
     # RoIAlign over levels (P2-P5), per image
     feats_per_img = [tuple(f[b] for f in neck_feats[:4]) for b in range(B)]
     roi_feats = jnp.stack([
-        multi_level_roi_align(feats_per_img[b], rois[b], valid[b])
-        for b in range(B)])                         # (B, S, 7, 7, 256)
+        multi_level_roi_align(feats_per_img[b], rois[b], valid[b],
+                              strides=strides, out_size=out_size)
+        for b in range(B)])                         # (B, S, out, out, 256)
 
     S = rois.shape[1]
-    cls_logits, reg = bbox_head_apply(roi_feats.reshape(B * S, 7, 7, -1))
+    cls_logits, reg = bbox_head_apply(
+        roi_feats.reshape(B * S, out_size, out_size, -1))
     labels_flat = labels.reshape(-1)
     valid_flat = valid.reshape(-1).astype(jnp.float32)
     is_pos_flat = is_pos.reshape(-1)
@@ -379,14 +388,17 @@ def rcnn_forward_train(bbox_head_apply, neck_feats, proposals,
 def rcnn_get_bboxes(bbox_head_apply, neck_feats, proposals, proposal_valid,
                     img_hw, num_classes: int, scale_factor=None,
                     score_thr: float = 0.05, nms_iou: float = 0.5,
-                    max_per_img: int = 100, rescale: bool = False):
+                    max_per_img: int = 100, rescale: bool = False,
+                    strides=(4, 8, 16, 32), out_size: int = 7):
     """Second-stage decode + per-class NMS, static shapes."""
     B, S = proposals.shape[:2]
     feats_per_img = [tuple(f[b] for f in neck_feats[:4]) for b in range(B)]
     roi_feats = jnp.stack([
         multi_level_roi_align(feats_per_img[b], proposals[b],
-                              proposal_valid[b]) for b in range(B)])
-    cls_logits, reg = bbox_head_apply(roi_feats.reshape(B * S, 7, 7, -1))
+                              proposal_valid[b], strides=strides,
+                              out_size=out_size) for b in range(B)])
+    cls_logits, reg = bbox_head_apply(
+        roi_feats.reshape(B * S, out_size, out_size, -1))
     probs = jax.nn.softmax(cls_logits, -1)[:, :num_classes]
     probs = probs.reshape(B, S, num_classes)
     reg = reg.reshape(B, S, num_classes, 4)

@@ -219,6 +219,45 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             losses.update({f"rcnn_{k}": v for k, v in rcnn_losses.items()})
             return losses, None
 
+    elif arch == "tridentnet":
+        from ..models.faster_rcnn import (RCNNLossConfig, RPNLossConfig,
+                                          rcnn_forward_train, rpn_loss,
+                                          rpn_proposals)
+        from ..models.trident import TridentFasterRCNN
+        rpn_cfg = RPNLossConfig()
+        # C4 config: 128 samples, pos_fraction 0.5, no GT-as-proposals
+        rcnn_cfg = RCNNLossConfig(num_classes=cfg.model.num_classes,
+                                  num_samples=cfg.rcnn_num_samples,
+                                  pos_fraction=0.5,
+                                  add_gt_as_proposals=False)
+        scales = TridentFasterRCNN.anchor_scales()
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            rng1, rng2 = jax.random.split(rng)
+            # train: all 3 dilated branches run; each behaves as an extra
+            # batch replica (GT tiled alongside)
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              train_branches=True)
+            nb = out.num_branch
+            gt_b = jnp.tile(batch.gt_bboxes, (nb, 1, 1))
+            gt_l = jnp.tile(batch.gt_labels, (nb, 1))
+            gt_v = jnp.tile(batch.gt_valid, (nb, 1))
+            hw = jnp.tile(batch.img_hw, (nb, 1))
+            losses = rpn_loss(out.rpn, gt_b, gt_v, hw, rng1, rpn_cfg,
+                              strides=(16,), scales=scales)
+            props, _, valid = rpn_proposals(
+                out.rpn, hw, nms_pre=1000,
+                max_total=cfg.rcnn_num_proposals,
+                strides=(16,), scales=scales)
+            props = jax.lax.stop_gradient(props)
+            rcnn_losses, _ = rcnn_forward_train(
+                lambda f: model.apply(
+                    variables, f, method=TridentFasterRCNN.roi_forward),
+                (out.c4,), props, valid, gt_b, gt_l, gt_v, rng2, rcnn_cfg,
+                strides=(16,), out_size=14)
+            losses.update({f"rcnn_{k}": v for k, v in rcnn_losses.items()})
+            return losses, None
+
     elif arch == "cascade_rcnn":
         from ..models.cascade_rcnn import (CascadeRCNN,
                                            cascade_forward_train)

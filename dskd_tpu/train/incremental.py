@@ -176,6 +176,10 @@ def build_model(cfg: ExperimentConfig):
         from ..models.grid_rcnn import GridRCNN
         return GridRCNN(num_classes=m.num_classes, depth=m.depth,
                         frozen_stages=m.frozen_stages)
+    if m.arch == "tridentnet":
+        from ..models.trident import TridentFasterRCNN
+        return TridentFasterRCNN(num_classes=m.num_classes, depth=m.depth,
+                                 frozen_stages=m.frozen_stages)
     if m.arch == "sparse_rcnn":
         from ..models.sparse_rcnn import SparseRCNN
         return SparseRCNN(num_classes=m.num_classes, depth=m.depth,
@@ -195,7 +199,7 @@ def init_variables(model, cfg: ExperimentConfig, rng):
     img_hw = jnp.array([[H, W]], jnp.int32)
     if cfg.model.arch in ("faster_rcnn", "libra_faster_rcnn",
                           "double_head_rcnn", "fast_rcnn",
-                          "grid_rcnn", "cascade_rcnn"):
+                          "grid_rcnn", "cascade_rcnn", "tridentnet"):
         # two-stage: trace the ROI head(s) too so init creates their params
         variables = model.init(rng, images, img_hw,
                                method=type(model).init_all)
