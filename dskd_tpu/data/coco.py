@@ -175,3 +175,10 @@ class TaskCocoDataset:
         labels = np.array([self.cat2label[a["category_id"]] for a in anns],
                           np.int32)
         return path, (info["height"], info["width"]), boxes, labels, img_id
+
+    def get_segmentations(self, idx: int):
+        """Raw COCO 'segmentation' payloads (polygon lists / RLE dicts),
+        aligned with get_raw's box order; None entries where absent
+        (LoadAnnotations(with_mask=True) equivalent)."""
+        _, anns = self.samples[idx]
+        return [a.get("segmentation") for a in anns]

@@ -99,7 +99,13 @@ class DataLoader:
                     img, boxes, labels, r_img, r_boxes, r_labels, rng,
                     dynamic_scale=pipe.img_scale,
                     ratio_range=pipe.mixup_ratio_range)
-        out = preprocess(img, boxes, labels, pipe, rng, self.train)
+        segs = None
+        if pipe.with_mask:
+            assert not (pipe.mosaic or pipe.mixup or pipe.auto_augment), \
+                "with_mask is incompatible with box-only geometric augs"
+            segs = self.dataset.get_segmentations(int(idx))
+        out = preprocess(img, boxes, labels, pipe, rng, self.train,
+                         segmentations=segs)
         out["img_id"] = img_id
         return out
 
@@ -142,7 +148,10 @@ class DataLoader:
                                "gt_labels", "gt_valid")}
             batch = Batch(stack["image"], stack["img_hw"],
                           stack["gt_bboxes"], stack["gt_labels"],
-                          stack["gt_valid"])
+                          stack["gt_valid"],
+                          gt_masks=(np.stack([s["gt_masks"]
+                                              for s in samples])
+                                    if "gt_masks" in samples[0] else None))
             meta = dict(
                 img_ids=[s["img_id"] for s in samples],
                 scale_factors=np.stack(

@@ -1,0 +1,136 @@
+"""Instance-mask structures (parity: mmdet core/mask/structures.py
+BitmapMasks/PolygonMasks + the vendored pycocotools mask.py RLE codec +
+core/mask/mask_target.py's bitmap conversion).
+
+Dependency-free numpy implementations (pycocotools is not vendored
+here): COCO polygon rasterization by scanline ray casting at pixel
+centers, uncompressed + LEB128-compressed RLE decode, and the
+annotation->padded-batch-bitmap conversion the Mask R-CNN family
+consumes (models/mask_rcnn.py)."""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+
+def polygon_to_bitmap(polygons: Sequence[Sequence[float]], h: int,
+                      w: int) -> np.ndarray:
+    """COCO polygon list [[x0,y0,x1,y1,...], ...] -> (h, w) bool bitmap.
+
+    Even-odd fill evaluated at pixel centers (x+0.5, y+0.5): a center is
+    inside when an upward ray-cast parity is odd, accumulated over all
+    polygon parts (matches pycocotools frPyObjects+decode up to half-pixel
+    boundary rounding)."""
+    count = np.zeros((h, w), np.int32)
+    yc = np.arange(h, dtype=np.float64) + 0.5
+    xc = np.arange(w, dtype=np.float64) + 0.5
+    for poly in polygons:
+        p = np.asarray(poly, np.float64).reshape(-1, 2)
+        if p.shape[0] < 3:
+            continue
+        x0, y0 = p[:, 0], p[:, 1]
+        x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+        # edge e crosses row y when min(y0,y1) <= y < max(y0,y1)
+        lo = np.minimum(y0, y1)[:, None]
+        hi = np.maximum(y0, y1)[:, None]
+        crosses = (yc[None, :] >= lo) & (yc[None, :] < hi)   # (E, h)
+        dy = np.where(y1 - y0 == 0, 1.0, y1 - y0)
+        t = (yc[None, :] - y0[:, None]) / dy[:, None]
+        xint = x0[:, None] + t * (x1 - x0)[:, None]          # (E, h)
+        xint = np.where(crosses, xint, -np.inf)
+        # parity of crossings strictly right of the pixel center
+        count += (xint[:, :, None] > xc[None, None, :]).sum(0)
+    return (count % 2) == 1
+
+
+def rle_decode_uncompressed(counts: Sequence[int], h: int,
+                            w: int) -> np.ndarray:
+    """COCO uncompressed RLE (column-major run lengths, zeros first) ->
+    (h, w) bool."""
+    flat = np.zeros(h * w, bool)
+    pos, val = 0, False
+    for c in counts:
+        flat[pos:pos + int(c)] = val
+        pos += int(c)
+        val = not val
+    return flat.reshape(w, h).T          # F order
+
+
+def rle_string_to_counts(s) -> List[int]:
+    """pycocotools compressed RLE string -> run-length ints (mask.c
+    rleFrString: 6-bit chunks, bit 5 = continuation, sign-extension via
+    bit 4 of the last chunk, and counts[i] += counts[i-2] for i > 1)."""
+    if isinstance(s, str):
+        s = s.encode()
+    cnts: List[int] = []
+    p = 0
+    while p < len(s):
+        x, k, more = 0, 0, True
+        while more:
+            c = s[p] - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            p += 1
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(cnts) > 2:
+            x += cnts[-2]
+        cnts.append(x)
+    return cnts
+
+
+def rle_decode(rle: Dict, h: int, w: int) -> np.ndarray:
+    """COCO 'segmentation' RLE dict (compressed string or uncompressed
+    list) -> (h, w) bool."""
+    counts = rle["counts"]
+    if isinstance(counts, (str, bytes)):
+        counts = rle_string_to_counts(counts)
+    return rle_decode_uncompressed(counts, h, w)
+
+
+def ann_to_bitmap(segmentation, h: int, w: int) -> np.ndarray:
+    """Any COCO 'segmentation' payload (polygon list or RLE dict) ->
+    (h, w) bool."""
+    if isinstance(segmentation, dict):
+        return rle_decode(segmentation, segmentation.get("size", [h, w])[0],
+                          segmentation.get("size", [h, w])[1])
+    return polygon_to_bitmap(segmentation, h, w)
+
+
+def batch_gt_masks(segmentations, orig_hw, scale, canvas_hw, max_gt: int,
+                   mask_stride: int = 4, flip: bool = False) -> np.ndarray:
+    """Rasterize one image's GT segmentations into the padded batch
+    layout models/mask_rcnn.py trains on: (max_gt, H/stride, W/stride)
+    float32, resized by the same ``scale`` the image pipeline applied and
+    placed on the padded canvas.
+
+    ``scale`` may be a scalar or an (sy, sx) pair (mmdet Resize keeps
+    w_scale/h_scale separately; they differ by int rounding).
+
+    Uses nearest-neighbor subsampling at mask_stride (mmdet rescales the
+    full bitmap; at stride 4 vs a 28x28 target the difference is
+    sub-pixel)."""
+    Hc, Wc = canvas_hw
+    hs, ws = Hc // mask_stride, Wc // mask_stride
+    out = np.zeros((max_gt, hs, ws), np.float32)
+    oh, ow = orig_hw
+    sy, sx = (scale if isinstance(scale, (tuple, list, np.ndarray))
+              else (scale, scale))
+    for i, seg in enumerate(segmentations[:max_gt]):
+        if seg is None:
+            continue
+        bm = ann_to_bitmap(seg, oh, ow)
+        if flip:
+            bm = bm[:, ::-1]
+        # sample the original bitmap at the canvas grid (inverse scale)
+        ys = np.clip((np.arange(hs) * mask_stride + mask_stride / 2)
+                     / sy, 0, oh - 1).astype(np.int64)
+        xs = np.clip((np.arange(ws) * mask_stride + mask_stride / 2)
+                     / sx, 0, ow - 1).astype(np.int64)
+        valid_y = (np.arange(hs) * mask_stride) < oh * sy
+        valid_x = (np.arange(ws) * mask_stride) < ow * sx
+        out[i] = (bm[ys][:, xs] & valid_y[:, None]
+                  & valid_x[None, :]).astype(np.float32)
+    return out

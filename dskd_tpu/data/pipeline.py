@@ -51,6 +51,11 @@ class PipelineConfig:
     # AutoAugment detection policies (pipelines/auto_augment.py); True uses
     # the built-in default policy set, or pass an explicit policy list
     auto_augment: object = False
+    # instance masks (LoadAnnotations with_mask=True): rasterize GT
+    # segmentations to (max_gt, H/mask_stride, W/mask_stride) bitmaps;
+    # incompatible with mosaic/mixup/auto_augment (box-only transforms)
+    with_mask: bool = False
+    mask_stride: int = 4
 
 
 def rescale_size(h: int, w: int, scale: Tuple[int, int]) -> Tuple[int, int, float]:
@@ -97,12 +102,13 @@ def photo_metric_distortion(img: np.ndarray, rng,
 
 def preprocess(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
                cfg: PipelineConfig, rng: Optional[np.random.RandomState],
-               train: bool = True):
+               train: bool = True, segmentations=None):
     """One sample -> static-shape tensors.
 
     Returns dict(image (H, W, 3) f32, img_hw (2,) i32 valid shape,
     gt_bboxes (max_gt, 4), gt_labels (max_gt,), gt_valid (max_gt,),
-    scale_factor (4,) f32, ori_hw (2,) i32, flip bool).
+    scale_factor (4,) f32, ori_hw (2,) i32, flip bool); plus gt_masks
+    (max_gt, H/mask_stride, W/mask_stride) f32 when cfg.with_mask.
     """
     h0, w0 = img.shape[:2]
     if cfg.corruption is not None:
@@ -152,8 +158,15 @@ def preprocess(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
     gt_labels[:n] = labels[:n]
     gt_valid[:n] = True
 
-    return dict(image=canvas,
-                img_hw=np.array([new_h, new_w], np.int32),
-                gt_bboxes=gt_bboxes, gt_labels=gt_labels, gt_valid=gt_valid,
-                scale_factor=scale_factor,
-                ori_hw=np.array([h0, w0], np.int32), flip=flip)
+    out = dict(image=canvas,
+               img_hw=np.array([new_h, new_w], np.int32),
+               gt_bboxes=gt_bboxes, gt_labels=gt_labels, gt_valid=gt_valid,
+               scale_factor=scale_factor,
+               ori_hw=np.array([h0, w0], np.int32), flip=flip)
+    if cfg.with_mask:
+        from .masks import batch_gt_masks
+        out["gt_masks"] = batch_gt_masks(
+            segmentations if segmentations is not None else [],
+            (h0, w0), (h_scale, w_scale), (H, W), cfg.max_gt,
+            mask_stride=cfg.mask_stride, flip=flip)
+    return out

@@ -127,6 +127,27 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 
+    if arch == "mask_rcnn":
+        from ..models.faster_rcnn import rcnn_get_bboxes, rpn_proposals
+        from ..models.mask_rcnn import MaskRCNN
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            # box path identical to Faster R-CNN; per-det 28x28 masks via
+            # mask_rcnn_get_masks (separate call — Det is box-typed)
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            props, _, pvalid = rpn_proposals(out.rpn, img_hw, nms_pre=1000,
+                                             max_total=1000)
+            d = rcnn_get_bboxes(
+                lambda f: model.apply(variables, f,
+                                      method=MaskRCNN.roi_forward),
+                out.neck_feats, props, pvalid, img_hw,
+                num_classes=model.num_classes, scale_factor=scale_factors,
+                score_thr=max(score_thr, 0.05), max_per_img=max_per_img,
+                rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return eval_step
+
     if arch == "tridentnet":
         from ..models.faster_rcnn import rcnn_get_bboxes, rpn_proposals
         from ..models.trident import TridentFasterRCNN

@@ -291,6 +291,18 @@ def rpn_loss(rpn: RPNOutputs, gt_bboxes, gt_valid, img_hw, rng,
                 loss_rpn_bbox=cfg.bbox_weight * loss_bbox)
 
 
+class RCNNSamples(NamedTuple):
+    """Sampled-ROI layout from rcnn_forward_train: positives FIRST
+    (pos slots then neg slots) so mask-branch consumers can slice a
+    static leading block instead of gathering."""
+    rois: jnp.ndarray        # (B, S, 4)
+    valid: jnp.ndarray       # (B, S) sampled-slot validity
+    is_pos: jnp.ndarray      # (B, S)
+    labels: jnp.ndarray      # (B, S) class or C for background
+    gt_idx: jnp.ndarray      # (B, S) matched GT index (clipped)
+    acc_pos: jnp.ndarray     # scalar positive count
+
+
 class RCNNLossConfig(NamedTuple):
     num_classes: int = 80
     num_samples: int = 512
@@ -342,10 +354,10 @@ def rcnn_forward_train(bbox_head_apply, neck_feats, proposals,
         safe = jnp.clip(assigned, 0, G - 1)
         labels = jnp.where(is_pos, gtl[safe].astype(jnp.int32), C)
         tgt_box = gtb[safe]
-        return sampled_rois, valid, is_pos, labels, tgt_box
+        return sampled_rois, valid, is_pos, labels, tgt_box, safe
 
     rngs = jax.random.split(rng, B)
-    rois, valid, is_pos, labels, tgt_boxes = jax.vmap(per_image)(
+    rois, valid, is_pos, labels, tgt_boxes, gt_idx = jax.vmap(per_image)(
         rngs, rois_all, rois_valid, gt_bboxes, gt_labels, gt_valid)
 
     # RoIAlign over levels (P2-P5), per image
@@ -382,7 +394,8 @@ def rcnn_forward_train(bbox_head_apply, neck_feats, proposals,
     loss_bbox = (per * is_pos_flat).sum() / num_total
 
     acc_pos = is_pos_flat.sum()
-    return dict(loss_cls=loss_cls, loss_bbox=loss_bbox), acc_pos
+    return dict(loss_cls=loss_cls, loss_bbox=loss_bbox), RCNNSamples(
+        rois, valid, is_pos, labels, gt_idx, acc_pos)
 
 
 def rcnn_get_bboxes(bbox_head_apply, neck_feats, proposals, proposal_valid,

@@ -1,0 +1,173 @@
+"""Mask R-CNN (parity: mmdet detectors/mask_rcnn.py +
+roi_heads/mask_heads/fcn_mask_head.py + roi_heads/standard_roi_head.py
+mask branch + configs/mask_rcnn, box AP 38.2 / mask AP 34.7 @ R50-1x).
+
+TPU-first static-shape design:
+  * the sampled-ROI layout from ``rcnn_forward_train`` is positives-FIRST
+    (pos_idx then neg_idx slots), so the mask branch slices the leading
+    ``num_samples * pos_fraction`` rows instead of gathering a dynamic
+    positive set;
+  * GT instance masks ride the batch as padded bitmaps at a fixed
+    ``mask_stride`` (default 4) — (B, G, H/4, W/4) — instead of the
+    reference's per-image full-resolution BitmapMasks list (mask targets
+    are crops of these bitmaps, so stride 4 costs <1px of target
+    resolution at the 28x28 target size);
+  * mask pasting samples the 28x28 grid back at image coordinates with a
+    single gather-free bilinear map (mmdet's _do_paste_mask contract)
+    rather than scattering per-instance rectangles.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core import losses as L
+from ..ops.roi_align import roi_align
+from .faster_rcnn import BBoxHead, RPNHead
+from .fpn import FPN
+from .resnet import ResNet
+
+MASK_SIZE = 28
+
+
+class FCNMaskHead(nn.Module):
+    """fcn_mask_head.py: 4 convs -> x2 deconv -> per-class 1x1 logits."""
+    num_classes: int = 80
+    num_convs: int = 4
+    channels: int = 256
+
+    @nn.compact
+    def __call__(self, roi_feats):
+        """(M, 14, 14, C) -> (M, 28, 28, num_classes) mask logits."""
+        x = roi_feats
+        for i in range(self.num_convs):
+            x = nn.relu(nn.Conv(self.channels, (3, 3),
+                                padding=[(1, 1), (1, 1)],
+                                name=f"conv{i}")(x))
+        x = nn.relu(nn.ConvTranspose(self.channels, (2, 2), strides=(2, 2),
+                                     name="upsample")(x))
+        return nn.Conv(self.num_classes, (1, 1), name="logits")(x)
+
+
+class MaskRCNNOutputs(NamedTuple):
+    rpn: object
+    neck_feats: Tuple[jnp.ndarray, ...]
+
+
+class MaskRCNN(nn.Module):
+    """Two-stage box detector + FCN mask branch (detectors/mask_rcnn.py:
+    StandardRoIHead with both bbox_head and mask_head)."""
+    num_classes: int = 80
+    depth: int = 50
+    frozen_stages: int = 1
+
+    def setup(self):
+        self.backbone = ResNet(depth=self.depth, out_indices=(0, 1, 2, 3),
+                               frozen_stages=self.frozen_stages)
+        self.neck = FPN(out_channels=256, num_outs=5, start_level=0,
+                        add_extra_convs="")
+        self.rpn_head = RPNHead()
+        self.roi_bbox_head = BBoxHead(num_classes=self.num_classes)
+        self.mask_head = FCNMaskHead(num_classes=self.num_classes)
+
+    def __call__(self, images, img_hw, deterministic: bool = True):
+        feats = self.backbone(images)
+        neck = self.neck(feats)
+        return MaskRCNNOutputs(self.rpn_head(neck), neck)
+
+    def roi_forward(self, roi_feats):
+        return self.roi_bbox_head(roi_feats)
+
+    def mask_forward(self, roi_feats14):
+        return self.mask_head(roi_feats14)
+
+    def init_all(self, images, img_hw, deterministic: bool = True):
+        out = self(images, img_hw, deterministic)
+        self.roi_bbox_head(jnp.zeros((1, 7, 7, 256), images.dtype))
+        self.mask_head(jnp.zeros((1, 14, 14, 256), images.dtype))
+        return out
+
+
+def mask_targets(rois, gt_mask_sel, mask_stride: int = 4):
+    """Crop each positive ROI's matched GT bitmap to the 28x28 target
+    (mask_target.py: roi-align the instance bitmap, threshold 0.5).
+
+    rois: (P, 4) xyxy image coords; gt_mask_sel: (P, Hm, Wm) bitmaps at
+    ``mask_stride``. Returns (P, 28, 28) float 0/1."""
+    def one(m, r):
+        c = roi_align(m[..., None].astype(jnp.float32), r[None],
+                      out_size=MASK_SIZE,
+                      spatial_scale=1.0 / mask_stride)
+        return c[0, :, :, 0]
+
+    return (jax.vmap(one)(gt_mask_sel, rois) >= 0.5).astype(jnp.float32)
+
+
+def mask_loss(mask_logits, targets, labels, pos_valid):
+    """BCE at each positive's GT-class channel (fcn_mask_head.py loss:
+    class-specific masks, averaged over positives)."""
+    P = mask_logits.shape[0]
+    sel = jnp.take_along_axis(
+        mask_logits, jnp.clip(labels, 0, mask_logits.shape[-1] - 1)
+        [:, None, None, None], axis=-1)[..., 0]        # (P, 28, 28)
+    w = pos_valid.astype(jnp.float32)[:, None, None]
+    navg = jnp.maximum(pos_valid.sum().astype(jnp.float32), 1.0) \
+        * MASK_SIZE * MASK_SIZE
+    return L.bce_loss(sel.reshape(-1), targets.reshape(-1),
+                      weight=jnp.broadcast_to(w, sel.shape).reshape(-1),
+                      avg_factor=navg)
+
+
+def paste_masks(masks28, boxes, out_hw, thr: float = 0.5):
+    """(R, 28, 28) sigmoid probs + (R, 4) boxes -> (R, H, W) bool pasted
+    masks (fcn_mask_head.py _do_paste_mask: bilinear-sample the 28-grid at
+    every image pixel inside the box).
+
+    Memory is R*H*W — paste at a downscaled out_hw or in chunks for large
+    R; eval-time use only."""
+    H, W = out_hw
+    ys = jnp.arange(H, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(W, dtype=jnp.float32) + 0.5
+
+    def one(m, b):
+        bw = jnp.clip(b[2] - b[0], 1e-3)
+        bh = jnp.clip(b[3] - b[1], 1e-3)
+        gy = (ys - b[1]) / bh * MASK_SIZE - 0.5         # 28-grid coords
+        gx = (xs - b[0]) / bw * MASK_SIZE - 0.5
+        y0 = jnp.clip(jnp.floor(gy), 0, MASK_SIZE - 1)
+        x0 = jnp.clip(jnp.floor(gx), 0, MASK_SIZE - 1)
+        ty = jnp.clip(gy - y0, 0.0, 1.0)
+        tx = jnp.clip(gx - x0, 0.0, 1.0)
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
+        y1i = jnp.minimum(y0i + 1, MASK_SIZE - 1)
+        x1i = jnp.minimum(x0i + 1, MASK_SIZE - 1)
+        v = (m[y0i][:, x0i] * (1 - ty)[:, None] * (1 - tx)[None]
+             + m[y0i][:, x1i] * (1 - ty)[:, None] * tx[None]
+             + m[y1i][:, x0i] * ty[:, None] * (1 - tx)[None]
+             + m[y1i][:, x1i] * ty[:, None] * tx[None])
+        inside = ((ys[:, None] >= b[1]) & (ys[:, None] <= b[3])
+                  & (xs[None] >= b[0]) & (xs[None] <= b[2]))
+        return (v >= thr) & inside
+
+    return jax.vmap(one)(masks28, boxes)
+
+
+def mask_rcnn_get_masks(model, variables, neck_feats, det_boxes, det_valid):
+    """Second-stage mask inference: 14x14 RoIAlign on the FINAL detection
+    boxes -> mask head -> (B, R, 28, 28, num_classes) sigmoid probs
+    (standard_roi_head.py simple_test_mask). Select the det's label
+    channel and paste with ``paste_masks`` for full-image masks."""
+    from ..ops.roi_align import multi_level_roi_align
+    B, R = det_boxes.shape[:2]
+    feats_pi = [tuple(f[b] for f in neck_feats[:4]) for b in range(B)]
+    f14 = jnp.stack([
+        multi_level_roi_align(feats_pi[b], det_boxes[b], det_valid[b],
+                              out_size=14) for b in range(B)])
+    logits = model.apply(variables, f14.reshape(B * R, 14, 14, -1),
+                         method=MaskRCNN.mask_forward)
+    return jax.nn.sigmoid(logits).reshape(
+        B, R, MASK_SIZE, MASK_SIZE, -1)

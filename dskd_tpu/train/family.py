@@ -219,6 +219,57 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             losses.update({f"rcnn_{k}": v for k, v in rcnn_losses.items()})
             return losses, None
 
+    elif arch == "mask_rcnn":
+        from ..models.faster_rcnn import (RCNNLossConfig, RPNLossConfig,
+                                          rcnn_forward_train, rpn_loss,
+                                          rpn_proposals)
+        from ..models.mask_rcnn import (MaskRCNN, mask_loss, mask_targets)
+        from ..ops.roi_align import multi_level_roi_align
+        rpn_cfg = RPNLossConfig()
+        rcnn_cfg = RCNNLossConfig(num_classes=cfg.model.num_classes,
+                                  num_samples=cfg.rcnn_num_samples)
+        mask_stride = getattr(cfg, "mask_stride", 4)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            rng1, rng2 = jax.random.split(rng)
+            out = model.apply(variables, batch.images, batch.img_hw)
+            losses = rpn_loss(out.rpn, batch.gt_bboxes, batch.gt_valid,
+                              batch.img_hw, rng1, rpn_cfg)
+            props, _, valid = rpn_proposals(out.rpn, batch.img_hw,
+                                            nms_pre=1000,
+                                            max_total=cfg.rcnn_num_proposals)
+            props = jax.lax.stop_gradient(props)
+            rcnn_losses, samples = rcnn_forward_train(
+                lambda f: model.apply(variables, f,
+                                      method=MaskRCNN.roi_forward),
+                out.neck_feats, props, valid, batch.gt_bboxes,
+                batch.gt_labels, batch.gt_valid, rng2, rcnn_cfg)
+            losses.update({f"rcnn_{k}": v for k, v in rcnn_losses.items()})
+
+            # mask branch on the leading positive slots (pos-first layout)
+            B = props.shape[0]
+            P = max(1, int(rcnn_cfg.num_samples * rcnn_cfg.pos_fraction))
+            rois_p = samples.rois[:, :P]
+            pos_v = samples.is_pos[:, :P]
+            lab_p = samples.labels[:, :P]
+            gi_p = samples.gt_idx[:, :P]
+            feats_pi = [tuple(f[b] for f in out.neck_feats[:4])
+                        for b in range(B)]
+            f14 = jnp.stack([
+                multi_level_roi_align(feats_pi[b], rois_p[b], pos_v[b],
+                                      out_size=14) for b in range(B)])
+            logits = model.apply(variables,
+                                 f14.reshape(B * P, 14, 14, -1),
+                                 method=MaskRCNN.mask_forward)
+            gm = jax.vmap(lambda m, i: m[i])(batch.gt_masks, gi_p)
+            tgt = mask_targets(rois_p.reshape(-1, 4),
+                               gm.reshape((B * P,) + gm.shape[2:]),
+                               mask_stride)
+            losses["loss_mask"] = mask_loss(
+                logits, jax.lax.stop_gradient(tgt),
+                lab_p.reshape(-1), pos_v.reshape(-1))
+            return losses, None
+
     elif arch == "tridentnet":
         from ..models.faster_rcnn import (RCNNLossConfig, RPNLossConfig,
                                           rcnn_forward_train, rpn_loss,

@@ -176,6 +176,10 @@ def build_model(cfg: ExperimentConfig):
         from ..models.grid_rcnn import GridRCNN
         return GridRCNN(num_classes=m.num_classes, depth=m.depth,
                         frozen_stages=m.frozen_stages)
+    if m.arch == "mask_rcnn":
+        from ..models.mask_rcnn import MaskRCNN
+        return MaskRCNN(num_classes=m.num_classes, depth=m.depth,
+                        frozen_stages=m.frozen_stages)
     if m.arch == "tridentnet":
         from ..models.trident import TridentFasterRCNN
         return TridentFasterRCNN(num_classes=m.num_classes, depth=m.depth,
@@ -199,7 +203,8 @@ def init_variables(model, cfg: ExperimentConfig, rng):
     img_hw = jnp.array([[H, W]], jnp.int32)
     if cfg.model.arch in ("faster_rcnn", "libra_faster_rcnn",
                           "double_head_rcnn", "fast_rcnn",
-                          "grid_rcnn", "cascade_rcnn", "tridentnet"):
+                          "grid_rcnn", "cascade_rcnn", "tridentnet",
+                          "mask_rcnn"):
         # two-stage: trace the ROI head(s) too so init creates their params
         variables = model.init(rng, images, img_hw,
                                method=type(model).init_all)
@@ -239,7 +244,8 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
         multi_scales=cfg.data.multi_scales,
         photo_metric_distortion=cfg.data.photo_metric_distortion,
         mosaic=cfg.data.mosaic, mixup=cfg.data.mixup,
-        auto_augment=cfg.data.auto_augment)
+        auto_augment=cfg.data.auto_augment,
+        with_mask=cfg.model.arch == "mask_rcnn")
     global_batch = cfg.data.samples_per_device * len(mesh.devices.flatten())
     loader = DataLoader(train_ds, global_batch, pipe, train=True,
                         seed=cfg.train.seed + tid,
@@ -322,7 +328,9 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
                      tid, epoch)
         t0, n_img = time.time(), 0
         for it, (batch, _meta) in enumerate(epoch_batches(epoch)):
-            batch = shard_batch(Batch(*map(jnp.asarray, batch)), mesh)
+            batch = shard_batch(Batch(*(None if x is None else
+                                        jnp.asarray(x) for x in batch)),
+                                mesh)
             state, losses = step_fn(state, batch, teacher_vars)
             if ema_params is not None:
                 ema_params = ema_step_fn(ema_params, state.params,

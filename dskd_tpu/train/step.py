@@ -37,6 +37,9 @@ class Batch(NamedTuple):
     gt_bboxes: jnp.ndarray
     gt_labels: jnp.ndarray
     gt_valid: jnp.ndarray
+    # optional padded GT instance bitmaps at mask_stride resolution
+    # (B, G, H/stride, W/stride); None for box-only families
+    gt_masks: jnp.ndarray = None
 
 
 def _cast_floats(tree, dtype):

@@ -86,10 +86,21 @@ def test_arch_config_steps(name, path):
     xy = rng.rand(B, 4, 2).astype(np.float32) * 30
     wh = rng.rand(B, 4, 2).astype(np.float32) * 20 + 6
     nc = cfg.model.num_classes
-    batch = Batch(images, img_hw,
-                  jnp.asarray(np.concatenate([xy, xy + wh], -1)),
+    gtb = np.concatenate([xy, xy + wh], -1)
+    gt_masks = None
+    if cfg.model.arch == "mask_rcnn":
+        # box-filled bitmaps at mask stride 4
+        yy, xx = np.mgrid[0:H // 4, 0:W // 4]
+        gt_masks = jnp.asarray(
+            ((yy[None, None] * 4 >= gtb[:, :, 1, None, None])
+             & (yy[None, None] * 4 <= gtb[:, :, 3, None, None])
+             & (xx[None, None] * 4 >= gtb[:, :, 0, None, None])
+             & (xx[None, None] * 4 <= gtb[:, :, 2, None, None]))
+            .astype(np.float32))
+    batch = Batch(images, img_hw, jnp.asarray(gtb),
                   jnp.asarray(rng.randint(0, nc, (B, 4)).astype(np.int32)),
-                  jnp.asarray(np.tile(np.arange(4) < 2, (B, 1))))
+                  jnp.asarray(np.tile(np.arange(4) < 2, (B, 1))),
+                  gt_masks=gt_masks)
 
     has_teacher = bool(cfg.distill.cates_distill
                        or cfg.distill.feats_distill)
