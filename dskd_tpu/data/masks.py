@@ -99,6 +99,42 @@ def ann_to_bitmap(segmentation, h: int, w: int) -> np.ndarray:
     return polygon_to_bitmap(segmentation, h, w)
 
 
+def paste_masks_np(masks: np.ndarray, boxes: np.ndarray, out_hw,
+                   thr: float = 0.5) -> np.ndarray:
+    """Host-side mirror of models/mask_rcnn.py paste_masks (mmdet
+    _do_paste_mask): (R, 28, 28) probs + (R, 4) xyxy boxes -> (R, H, W)
+    bool pasted instance masks. Used by the evaluator to expand per-det
+    mask grids to original image size before segm matching."""
+    H, W = int(out_hw[0]), int(out_hw[1])
+    R, S, _ = masks.shape
+    out = np.zeros((R, H, W), bool)
+    ys = np.arange(H, dtype=np.float64) + 0.5
+    xs = np.arange(W, dtype=np.float64) + 0.5
+    for r in range(R):
+        x1, y1, x2, y2 = boxes[r]
+        bw, bh = max(x2 - x1, 1e-3), max(y2 - y1, 1e-3)
+        # only pixels inside the box can be set — restrict the sample grid
+        yi = np.where((ys >= y1) & (ys <= y2))[0]
+        xi = np.where((xs >= x1) & (xs <= x2))[0]
+        if len(yi) == 0 or len(xi) == 0:
+            continue
+        gy = (ys[yi] - y1) / bh * S - 0.5
+        gx = (xs[xi] - x1) / bw * S - 0.5
+        y0 = np.clip(np.floor(gy), 0, S - 1).astype(np.int64)
+        x0 = np.clip(np.floor(gx), 0, S - 1).astype(np.int64)
+        ty = np.clip(gy - y0, 0.0, 1.0)
+        tx = np.clip(gx - x0, 0.0, 1.0)
+        y1i = np.minimum(y0 + 1, S - 1)
+        x1i = np.minimum(x0 + 1, S - 1)
+        m = masks[r].astype(np.float64)
+        v = (m[np.ix_(y0, x0)] * (1 - ty)[:, None] * (1 - tx)[None]
+             + m[np.ix_(y0, x1i)] * (1 - ty)[:, None] * tx[None]
+             + m[np.ix_(y1i, x0)] * ty[:, None] * (1 - tx)[None]
+             + m[np.ix_(y1i, x1i)] * ty[:, None] * tx[None])
+        out[r][np.ix_(yi, xi)] = v >= thr
+    return out
+
+
 def batch_gt_masks(segmentations, orig_hw, scale, canvas_hw, max_gt: int,
                    mask_stride: int = 4, flip: bool = False) -> np.ndarray:
     """Rasterize one image's GT segmentations into the padded batch

@@ -45,10 +45,30 @@ def bbox_iou_xywh(dt: np.ndarray, gt: np.ndarray,
     return inter / np.maximum(union, 1e-10)
 
 
-def _match_numpy(dts, gts, gt_ig, crowd, iou_thrs=IOU_THRS):
-    """Pure-numpy greedy matching (fallback for the C++ core)."""
+def mask_iou(dt_masks: np.ndarray, gt_masks: np.ndarray,
+             iscrowd: np.ndarray) -> np.ndarray:
+    """Pairwise IoU of binary instance masks (pycocotools iouType='segm').
+
+    dt_masks (D, H*W) / gt_masks (G, H*W) bool or 0/1; crowd GT uses IoF
+    (union = dt area), matching mask.c rleIou's crowd semantics."""
+    if len(dt_masks) == 0 or len(gt_masks) == 0:
+        return np.zeros((len(dt_masks), len(gt_masks)))
+    d = dt_masks.astype(np.float32)
+    g = gt_masks.astype(np.float32)
+    inter = d @ g.T                                   # (D, G)
+    da = d.sum(-1)[:, None]
+    ga = g.sum(-1)[None]
+    union = np.where(iscrowd[None].astype(bool), da, da + ga - inter)
+    return inter / np.maximum(union, 1e-10)
+
+
+def _match_numpy(dts, gts, gt_ig, crowd, iou_thrs=IOU_THRS, ious=None):
+    """Pure-numpy greedy matching (fallback for the C++ core; also the
+    segm path, which passes precomputed mask IoUs)."""
     T, D, G = len(iou_thrs), len(dts), len(gts)
-    ious = bbox_iou_xywh(dts[:, :4], gts, crowd) if G else np.zeros((D, 0))
+    if ious is None:
+        ious = bbox_iou_xywh(dts[:, :4], gts, crowd) if G \
+            else np.zeros((D, 0))
     dtm = np.zeros((T, D), np.int64) - 1
     dt_ig = np.zeros((T, D), bool)
     gtm = np.zeros((T, G), np.int64) - 1
@@ -93,13 +113,15 @@ def _match_native(lib, dts, gts, gt_ig, crowd, iou_thrs=IOU_THRS):
 
 
 def _evaluate_img(dts, gts, iscrowd, areas_gt, area_rng, max_det,
-                  iou_thrs=IOU_THRS):
+                  iou_thrs=IOU_THRS, dt_masks=None, gt_masks=None):
     """Greedy matching for one (image, category, area range).
 
     dts: (D, 5) [x, y, w, h, score] sorted desc by score (pre-truncated to
     max_det). gts: (G, 4) xywh. Returns (dt_matches (T, D), dt_ignore (T, D),
     gt_ignore (G,), dt_scores (D,)). Dispatches to the C++ matcher when
-    available (dskd_tpu/native), numpy otherwise."""
+    available (dskd_tpu/native), numpy otherwise. When dt_masks/gt_masks
+    ((D/G, H*W) binary) are given, matching uses mask IoU (iouType segm)
+    and dt areas are mask pixel counts."""
     gt_ig = (iscrowd.astype(bool) | (areas_gt < area_rng[0])
              | (areas_gt > area_rng[1]))
     # sort gts: non-ignored first (pycocotools order)
@@ -108,15 +130,22 @@ def _evaluate_img(dts, gts, iscrowd, areas_gt, area_rng, max_det,
     gt_ig = gt_ig[gt_order]
     crowd = iscrowd[gt_order].astype(bool)
 
-    from ..native.build import load_library
-    lib = load_library()
-    if lib is not None and len(gts) and len(dts):
-        dtm, dt_ig = _match_native(lib, dts, gts, gt_ig, crowd, iou_thrs)
+    if dt_masks is not None:
+        ious = mask_iou(dt_masks, gt_masks[gt_order], crowd)
+        dtm, dt_ig = _match_numpy(dts, gts, gt_ig, crowd, iou_thrs,
+                                  ious=ious)
+        dt_areas = dt_masks.sum(-1).astype(np.float64)
     else:
-        dtm, dt_ig = _match_numpy(dts, gts, gt_ig, crowd, iou_thrs)
+        from ..native.build import load_library
+        lib = load_library()
+        if lib is not None and len(gts) and len(dts):
+            dtm, dt_ig = _match_native(lib, dts, gts, gt_ig, crowd,
+                                       iou_thrs)
+        else:
+            dtm, dt_ig = _match_numpy(dts, gts, gt_ig, crowd, iou_thrs)
+        dt_areas = dts[:, 2] * dts[:, 3]
 
     # unmatched dts whose area is outside the range are ignored
-    dt_areas = dts[:, 2] * dts[:, 3]
     out_rng = (dt_areas < area_rng[0]) | (dt_areas > area_rng[1])
     dt_ig = dt_ig | ((dtm == -1) & out_rng[None])
     return dtm, dt_ig, gt_ig, dts[:, 4]
@@ -130,14 +159,27 @@ class CocoDetectionEval:
     """
 
     def __init__(self, cat_ids: Sequence[int], max_dets: Sequence[int] = None,
-                 iou_thrs: Sequence[float] = None):
+                 iou_thrs: Sequence[float] = None, iou_type: str = "bbox"):
+        assert iou_type in ("bbox", "segm")
         self.cat_ids = list(cat_ids)
+        self.iou_type = iou_type
         self.max_dets = tuple(max_dets) if max_dets else MAX_DETS
         self.iou_thrs = (np.asarray(iou_thrs, np.float64)
                          if iou_thrs is not None else IOU_THRS)
         self.gts: Dict[Tuple[int, int], list] = {}
         self.dts: Dict[Tuple[int, int], list] = {}
+        # segm: per-(img, cat) instance bitmaps, bit-packed (np.packbits
+        # along the flattened H*W axis) to keep full-dataset eval in RAM
+        self.gt_masks: Dict[Tuple[int, int], list] = {}
+        self.dt_masks: Dict[Tuple[int, int], list] = {}
+        self.mask_npix: Dict[int, int] = {}    # img_id -> H*W
         self.img_ids: set = set()
+
+    @staticmethod
+    def _pack(masks):
+        m = np.asarray(masks)
+        m = m.reshape(len(m), -1).astype(bool)
+        return np.packbits(m, axis=1), m.shape[1]
 
     @staticmethod
     def _xyxy_to_xywh(b):
@@ -146,10 +188,11 @@ class CocoDetectionEval:
                          b[:, 3] - b[:, 1]], -1)
 
     def add_gt(self, img_id: int, boxes_xyxy, cat_ids, iscrowd=None,
-               areas=None, ignore_flags=None):
+               areas=None, ignore_flags=None, masks=None):
         """``ignore_flags`` marks GT that may match but never counts —
         the COCOEvalXclassWrapper's ignored_split semantics (they are folded
-        into the crowd/ignore mechanics of the matcher)."""
+        into the crowd/ignore mechanics of the matcher). ``masks``
+        ((N, H, W) binary, required for iou_type='segm') are bit-packed."""
         boxes = self._xyxy_to_xywh(boxes_xyxy)
         cat_ids = np.asarray(cat_ids).reshape(-1)
         iscrowd = (np.zeros(len(boxes)) if iscrowd is None
@@ -160,20 +203,41 @@ class CocoDetectionEval:
         areas = (boxes[:, 2] * boxes[:, 3] if areas is None
                  else np.asarray(areas)).reshape(-1)
         self.img_ids.add(img_id)
+        if self.iou_type == "segm":
+            assert masks is not None and len(masks) == len(boxes)
+            packed, npix = self._pack(masks)
+            self.mask_npix[img_id] = npix
         for c in set(cat_ids.tolist()):
             m = cat_ids == c
             self.gts.setdefault((img_id, int(c)), []).append(
                 (boxes[m], iscrowd[m], areas[m]))
+            if self.iou_type == "segm":
+                self.gt_masks.setdefault((img_id, int(c)), []).append(
+                    packed[m])
 
-    def add_dt(self, img_id: int, boxes_xyxy, scores, cat_ids):
+    def add_dt(self, img_id: int, boxes_xyxy, scores, cat_ids, masks=None):
         boxes = self._xyxy_to_xywh(boxes_xyxy)
         scores = np.asarray(scores).reshape(-1)
         cat_ids = np.asarray(cat_ids).reshape(-1)
         self.img_ids.add(img_id)
+        if self.iou_type == "segm":
+            assert masks is not None and len(masks) == len(boxes)
+            packed, npix = self._pack(masks)
+            self.mask_npix[img_id] = npix
         for c in set(cat_ids.tolist()):
             m = cat_ids == c
             det = np.concatenate([boxes[m], scores[m, None]], -1)
             self.dts.setdefault((img_id, int(c)), []).append(det)
+            if self.iou_type == "segm":
+                self.dt_masks.setdefault((img_id, int(c)), []).append(
+                    packed[m])
+
+    def _get_masks(self, store, key, npix):
+        """Concatenated unpacked (N, H*W) binary masks for one (img, cat)."""
+        if key not in store:
+            return np.zeros((0, npix), bool)
+        packed = np.concatenate(store[key])
+        return np.unpackbits(packed, axis=1)[:, :npix].astype(bool)
 
     def _get(self, store, key, width):
         if key not in store:
@@ -205,10 +269,19 @@ class CocoDetectionEval:
                     if len(g_boxes) == 0 and len(d) == 0:
                         continue
                     order = np.argsort(-d[:, 4], kind="mergesort")
-                    d = d[order][:max(self.max_dets)]
+                    order = order[:max(self.max_dets)]
+                    d = d[order]
+                    dm = gm = None
+                    if self.iou_type == "segm":
+                        npix = self.mask_npix[img]
+                        dm = self._get_masks(self.dt_masks, (img, cat),
+                                             npix)[order]
+                        gm = self._get_masks(self.gt_masks, (img, cat),
+                                             npix)
                     per_img.append(_evaluate_img(
                         d, g_boxes, g_crowd, g_areas, rng,
-                        max(self.max_dets), self.iou_thrs))
+                        max(self.max_dets), self.iou_thrs,
+                        dt_masks=dm, gt_masks=gm))
                 if not per_img:
                     continue
                 n_gt = sum(int((~e[2]).sum()) for e in per_img)
@@ -260,10 +333,12 @@ class CocoDetectionEval:
             r = r[r > -1]
             return float(r.mean()) if r.size else -1.0
 
+        p = self.iou_type                      # "bbox" or "segm" key prefix
         stats = {
-            "bbox_mAP": ap(), "bbox_mAP_50": ap(0.5), "bbox_mAP_75": ap(0.75),
-            "bbox_mAP_s": ap(a="small"), "bbox_mAP_m": ap(a="medium"),
-            "bbox_mAP_l": ap(a="large"),
+            f"{p}_mAP": ap(), f"{p}_mAP_50": ap(0.5),
+            f"{p}_mAP_75": ap(0.75),
+            f"{p}_mAP_s": ap(a="small"), f"{p}_mAP_m": ap(a="medium"),
+            f"{p}_mAP_l": ap(a="large"),
         }
         for md in self.max_dets:
             stats[f"AR@{md}"] = ar(m=md)

@@ -129,12 +129,15 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
 
     if arch == "mask_rcnn":
         from ..models.faster_rcnn import rcnn_get_bboxes, rpn_proposals
-        from ..models.mask_rcnn import MaskRCNN
+        from ..models.mask_rcnn import MaskRCNN, mask_rcnn_get_masks
+        DetM = namedtuple("DetM",
+                          ["bboxes", "scores", "labels", "valid", "masks"])
 
         @jax.jit
         def eval_step(variables, images, img_hw, scale_factors):
-            # box path identical to Faster R-CNN; per-det 28x28 masks via
-            # mask_rcnn_get_masks (separate call — Det is box-typed)
+            # box path identical to Faster R-CNN; then 14x14 RoIAlign on
+            # the final det boxes -> mask head -> per-det label-channel
+            # 28x28 probs (simple_test_mask); paste happens host-side
             out = model.apply(variables, images, img_hw, deterministic=True)
             props, _, pvalid = rpn_proposals(out.rpn, img_hw, nms_pre=1000,
                                              max_total=1000)
@@ -145,7 +148,14 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
                 num_classes=model.num_classes, scale_factor=scale_factors,
                 score_thr=max(score_thr, 0.05), max_per_img=max_per_img,
                 rescale=True)
-            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+            rois_in = d["bboxes"] * scale_factors[:, None, :]  # input coords
+            probs = mask_rcnn_get_masks(model, variables, out.neck_feats,
+                                        rois_in, d["valid"])
+            sel = jnp.take_along_axis(
+                probs, jnp.clip(d["labels"], 0, probs.shape[-1] - 1)
+                [:, :, None, None, None].astype(jnp.int32), axis=-1)[..., 0]
+            return DetM(d["bboxes"], d["scores"], d["labels"], d["valid"],
+                        sel)
         return eval_step
 
     if arch == "tridentnet":
@@ -481,6 +491,12 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
     raise ValueError(f"no eval step for arch: {arch}")
 
 
+def _box_poly(bbox_xywh):
+    """Box-fill polygon for GT annotations that lack a segmentation."""
+    x, y, w, h = bbox_xywh
+    return [[x, y, x + w, y, x + w, y + h, x, y + h]]
+
+
 def evaluate(model, variables, dataset: TaskCocoDataset, loader: DataLoader,
              reg_max: int = 16, score_thr: float = 0.0,
              max_per_img: int = 100, classwise: bool = False,
@@ -498,6 +514,7 @@ def evaluate(model, variables, dataset: TaskCocoDataset, loader: DataLoader,
                                arch=arch)
     local_results = []
     local_seen = set()
+    with_masks = False
     for batch, meta in loader:
         det = eval_step(variables, batch.images, batch.img_hw,
                         jnp.asarray(meta["scale_factors"]))
@@ -505,26 +522,43 @@ def evaluate(model, variables, dataset: TaskCocoDataset, loader: DataLoader,
         scores = np.asarray(det.scores)
         labels = np.asarray(det.labels)
         valid = np.asarray(det.valid)
+        det_masks = getattr(det, "masks", None)
+        if det_masks is not None:
+            # quantize the 28x28 probs for the cross-host gather
+            det_masks = (np.asarray(det_masks) * 255).astype(np.uint8)
+            with_masks = True
         for i, img_id in enumerate(meta["img_ids"]):
             if img_id in local_seen:     # last-batch padding duplicates
                 continue
             local_seen.add(img_id)
             keep = valid[i] & np.isin(labels[i],
                                       np.array(sorted(pred_label_set)))
-            local_results.append(
-                (img_id, boxes[i][keep], scores[i][keep],
-                 [dataset.label2cat[int(l)] for l in labels[i][keep]]))
+            rec = (img_id, boxes[i][keep], scores[i][keep],
+                   [dataset.label2cat[int(l)] for l in labels[i][keep]])
+            if det_masks is not None:
+                rec = rec + (det_masks[i][keep],)
+            local_results.append(rec)
 
     # multi-host: gather every host's shard (collect_results_cpu contract,
     # apis/test.py:136-176); every host then scores the full set
     from ..parallel.collect import collect_image_results
     all_results = collect_image_results(local_results, max_dets=max_per_img)
+    ev_segm = (CocoDetectionEval(cat_ids=pred_cat_ids, iou_type="segm")
+               if with_masks else None)
     seen = set()
-    for img_id, b, s, cats in all_results:
+    for rec in all_results:
+        img_id, b, s, cats = rec[:4]
         if img_id in seen:       # cross-host duplicates (uneven shards)
             continue
         seen.add(img_id)
         ev.add_dt(img_id, b, s, list(cats))
+        if ev_segm is not None:
+            from ..data.masks import paste_masks_np
+            info = dataset.coco.images[img_id]
+            pasted = paste_masks_np(
+                np.asarray(rec[4], np.float32) / 255.0, np.asarray(b),
+                (info["height"], info["width"]))
+            ev_segm.add_dt(img_id, b, s, list(cats), masks=pasted)
         if results_out is not None:
             # results2json format: xywh + score + category_id per det
             for bb, sc, cat in zip(np.asarray(b), np.asarray(s), cats):
@@ -543,12 +577,26 @@ def evaluate(model, variables, dataset: TaskCocoDataset, loader: DataLoader,
         gt = np.array([[a["bbox"][0], a["bbox"][1],
                         a["bbox"][0] + a["bbox"][2],
                         a["bbox"][1] + a["bbox"][3]] for a in anns])
-        ev.add_gt(img_id, gt, [a["category_id"] for a in anns],
-                  iscrowd=[a.get("iscrowd", 0) for a in anns],
-                  areas=[a.get("area", None) or
-                         a["bbox"][2] * a["bbox"][3] for a in anns])
+        cats_g = [a["category_id"] for a in anns]
+        crowd_g = [a.get("iscrowd", 0) for a in anns]
+        areas_g = [a.get("area", None) or a["bbox"][2] * a["bbox"][3]
+                   for a in anns]
+        ev.add_gt(img_id, gt, cats_g, iscrowd=crowd_g, areas=areas_g)
+        if ev_segm is not None:
+            from ..data.masks import ann_to_bitmap
+            info = dataset.coco.images[img_id]
+            h0, w0 = info["height"], info["width"]
+            gm = np.stack([
+                ann_to_bitmap(a.get("segmentation")
+                              or _box_poly(a["bbox"]), h0, w0)
+                for a in anns])
+            ev_segm.add_gt(img_id, gt, cats_g, iscrowd=crowd_g,
+                           areas=areas_g, masks=gm)
 
     stats = ev.summarize()
+    if ev_segm is not None:
+        stats.update({k: v for k, v in ev_segm.summarize().items()
+                      if k.startswith("segm")})
     if classwise:
         per_class = ev.per_class_ap()
         for cid, ap in per_class.items():

@@ -23,9 +23,12 @@ def collect_image_results(local: List[Tuple[int, np.ndarray, np.ndarray,
     """Gather per-image detection tuples from every host.
 
     local: list of (img_id, boxes (k, 4), scores (k,), cat_ids (k,)) with
-    k <= max_dets. Returns the concatenated list over all hosts (every host
-    gets the full set, deterministically ordered by (host, local index)).
-    Single-process: returns ``local`` unchanged.
+    k <= max_dets, optionally extended with a 5th element of per-det
+    uint8 mask grids (k, S, S) (Mask R-CNN's quantized 28x28 probs) which
+    rides the same fixed-shape allgather. Returns the concatenated list
+    over all hosts (every host gets the full set, deterministically
+    ordered by (host, local index)). Single-process: returns ``local``
+    unchanged.
     """
     if jax.process_count() == 1:
         return local
@@ -33,26 +36,39 @@ def collect_image_results(local: List[Tuple[int, np.ndarray, np.ndarray,
     from jax.experimental import multihost_utils
 
     n_local = len(local)
-    # first agree on the max shard size
+    has_masks = any(len(r) > 4 for r in local)
+    # first agree on the max shard size (and the mask grid size, if any)
+    s_local = max((r[4].shape[-1] for r in local if len(r) > 4),
+                  default=0)
     counts = multihost_utils.process_allgather(
-        np.array([n_local], np.int32))          # (n_hosts, 1)
-    n_max = int(counts.max())
+        np.array([n_local, s_local], np.int32))     # (n_hosts, 2)
+    n_max = int(counts[:, 0].max())
+    s_max = int(counts[:, 1].max())
+    has_masks = has_masks or s_max > 0
 
     ids = np.full((n_max,), -1, np.int64)
     boxes = np.zeros((n_max, max_dets, 4), np.float32)
     scores = np.zeros((n_max, max_dets), np.float32)
     cats = np.zeros((n_max, max_dets), np.int32)
     ndet = np.zeros((n_max,), np.int32)
-    for i, (img_id, b, s, c) in enumerate(local):
+    masks = (np.zeros((n_max, max_dets, s_max, s_max), np.uint8)
+             if has_masks else None)
+    for i, rec in enumerate(local):
+        img_id, b, s, c = rec[:4]
         k = min(len(s), max_dets)
         ids[i] = img_id
         boxes[i, :k] = b[:k]
         scores[i, :k] = s[:k]
         cats[i, :k] = np.asarray(c[:k], np.int32)
         ndet[i] = k
+        if has_masks and len(rec) > 4:
+            masks[i, :k] = rec[4][:k]
 
-    g = multihost_utils.process_allgather(
-        dict(ids=ids, boxes=boxes, scores=scores, cats=cats, ndet=ndet))
+    payload = dict(ids=ids, boxes=boxes, scores=scores, cats=cats,
+                   ndet=ndet)
+    if has_masks:
+        payload["masks"] = masks
+    g = multihost_utils.process_allgather(payload)
 
     out = []
     n_hosts = g["ids"].shape[0]
@@ -61,7 +77,9 @@ def collect_image_results(local: List[Tuple[int, np.ndarray, np.ndarray,
             if g["ids"][h, i] < 0:
                 continue
             k = int(g["ndet"][h, i])
-            out.append((int(g["ids"][h, i]), g["boxes"][h, i, :k],
-                        g["scores"][h, i, :k],
-                        g["cats"][h, i, :k].tolist()))
+            rec = (int(g["ids"][h, i]), g["boxes"][h, i, :k],
+                   g["scores"][h, i, :k], g["cats"][h, i, :k].tolist())
+            if has_masks:
+                rec = rec + (g["masks"][h, i, :k],)
+            out.append(rec)
     return out

@@ -3,6 +3,7 @@ family train step; data/masks.py polygon + RLE codecs."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dskd_tpu.models.mask_rcnn import (FCNMaskHead, MaskRCNN, mask_loss,
                                        mask_targets, paste_masks)
@@ -193,6 +194,89 @@ def test_loader_yields_gt_masks(tmp_path, monkeypatch):
     ref[1:3, 1:4] = 1
     np.testing.assert_array_equal(m, ref)
     assert np.asarray(batch.gt_masks[0, 1]).sum() == 0  # padding slot
+
+
+def test_segm_eval_protocol():
+    """iou_type='segm' matches by mask IoU: perfect masks -> mAP 1; the
+    same boxes with disjoint masks -> 0 (the box IoU is 1 either way)."""
+    from dskd_tpu.eval.coco_eval import CocoDetectionEval, mask_iou
+
+    gtb = np.array([[10.0, 10.0, 40.0, 40.0]])
+    gm = np.zeros((1, 60, 60), bool)
+    gm[0, 10:40, 10:40] = True
+
+    ev = CocoDetectionEval(cat_ids=[1], iou_type="segm")
+    ev.add_gt(1, gtb, [1], masks=gm)
+    ev.add_dt(1, gtb, [0.9], [1], masks=gm.copy())
+    assert ev.summarize()["segm_mAP"] == 1.0
+
+    bad = np.zeros((1, 60, 60), bool)
+    bad[0, 41:59, 41:59] = True                       # disjoint support
+    ev2 = CocoDetectionEval(cat_ids=[1], iou_type="segm")
+    ev2.add_gt(1, gtb, [1], masks=gm)
+    ev2.add_dt(1, gtb, [0.9], [1], masks=bad)
+    assert ev2.summarize()["segm_mAP"] == 0.0
+
+    # mask_iou oracle: half-overlap squares
+    a = np.zeros((1, 100), bool); a[0, :40] = True
+    b = np.zeros((1, 100), bool); b[0, 20:60] = True
+    iou = mask_iou(a.reshape(1, -1), b.reshape(1, -1), np.zeros(1))
+    assert iou[0, 0] == pytest.approx(20 / 60)
+    # crowd GT uses IoF (union = dt area)
+    iou_c = mask_iou(a.reshape(1, -1), b.reshape(1, -1), np.ones(1))
+    assert iou_c[0, 0] == pytest.approx(20 / 40)
+
+
+def test_paste_masks_np_matches_device_paste():
+    from dskd_tpu.data.masks import paste_masks_np
+    rng = np.random.RandomState(0)
+    probs = rng.rand(2, 28, 28).astype(np.float32)
+    boxes = np.array([[5.0, 7.0, 45.0, 39.0], [0.0, 0.0, 20.0, 60.0]])
+    host = paste_masks_np(probs, boxes, (64, 64))
+    dev = np.asarray(paste_masks(jnp.asarray(probs), jnp.asarray(boxes),
+                                 (64, 64)))
+    assert (host == dev).mean() > 0.995  # fp-order boundary ties only
+
+
+def test_mask_rcnn_evaluate_segm_stats(tmp_path, monkeypatch):
+    """evaluate(arch='mask_rcnn') produces finite bbox AND segm stats from
+    a polygon-annotated fixture (random weights; protocol smoke)."""
+    import json
+    import os
+
+    import dskd_tpu.data.loader as loader_mod
+    from dskd_tpu.data.coco import (COCO_CLASSES_ALPHA_ORDER,
+                                    TaskCocoDataset)
+    from dskd_tpu.data.loader import DataLoader
+    from dskd_tpu.data.pipeline import PipelineConfig
+    from dskd_tpu.eval.evaluator import evaluate
+
+    cats = [{"id": cid, "name": n} for n, cid in COCO_CLASSES_ALPHA_ORDER]
+    images = [{"id": i + 1, "file_name": f"{i}.jpg", "width": 64,
+               "height": 64} for i in range(2)]
+    anns = [{"id": i + 1, "image_id": i + 1, "category_id": 5,
+             "bbox": [8, 8, 24, 24], "area": 576, "iscrowd": 0,
+             "segmentation": [[8, 8, 32, 8, 32, 32, 8, 32]]}
+            for i in range(2)]
+    ann = os.path.join(str(tmp_path), "ann.json")
+    with open(ann, "w") as f:
+        json.dump({"images": images, "annotations": anns,
+                   "categories": cats}, f)
+    ds = TaskCocoDataset(ann, catsplit=(4,), catload=(1,), test_mode=True)
+    monkeypatch.setattr(loader_mod, "load_image",
+                        lambda p: np.zeros((64, 64, 3), np.uint8))
+    dl = DataLoader(ds, batch_size=2, train=False,
+                    pipeline=PipelineConfig(max_gt=4, bucket=(64, 64),
+                                            img_scale=(64, 64)))
+    model = MaskRCNN(num_classes=4, depth=18)
+    v = model.init(jax.random.PRNGKey(0),
+                   jnp.zeros((1, 64, 64, 3)),
+                   jnp.asarray([[64, 64]], np.int32),
+                   method=MaskRCNN.init_all)
+    stats = evaluate(model, v, ds, dl, arch="mask_rcnn", max_per_img=10)
+    assert "bbox_mAP" in stats and "segm_mAP" in stats
+    assert np.isfinite(stats["segm_mAP"])
+    assert "segm_mAP_50" in stats and "segm_mAP_l" in stats
 
 
 def test_batch_gt_masks_layout():

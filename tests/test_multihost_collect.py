@@ -33,17 +33,19 @@ CHILD = textwrap.dedent("""
         all_results[img_id] = (
             rng.rand(k, 4).astype(np.float32) * 50,
             rng.rand(k).astype(np.float32),
-            rng.randint(1, 10, k).tolist())
+            rng.randint(1, 10, k).tolist(),
+            rng.randint(0, 256, (k, 7, 7)).astype(np.uint8))
     local = [(i,) + all_results[i] for i in my_ids]
 
     gathered = collect_image_results(local, max_dets=4)
     got = {g[0]: g[1:] for g in gathered}
     assert set(got) == {1, 2, 3, 4, 5}, set(got)
-    for img_id, (b, s, c) in all_results.items():
-        gb, gs, gc = got[img_id]
+    for img_id, (b, s, c, m) in all_results.items():
+        gb, gs, gc, gm = got[img_id]
         np.testing.assert_allclose(gb, b, rtol=1e-6)
         np.testing.assert_allclose(gs, s, rtol=1e-6)
         assert list(gc) == list(c)
+        np.testing.assert_array_equal(gm, m)   # uint8 mask grids ride along
     print(f"host {pid} OK")
 """)
 
