@@ -299,9 +299,16 @@ def ms_deform_attn_core(value: jnp.ndarray,
             # all P points in one kernel call per level
             idx = flat.transpose(0, 2, 1, 3).reshape(B * H, Q * P)
             g = mxu_gather(packed.reshape(B * H, sp, 4 * D), idx)
-            g = g.reshape(B, H, Q, P, 4, D)
+            # keep the corner axis fused into the 4D=128 lane dim: a
+            # (..., 4, D=32) minor pair tiles T(4,128) at 4x padding
+            # (measured 1.56G for a 398M buffer in the B=8 OOM dump);
+            # (..., 4D) rows tile exactly. Broadcast each corner weight
+            # across its D-lane chunk, reduce P in-lane, fold corners
+            # on the small per-(B,H,Q) result only.
+            g = g.reshape(B, H, Q, P, 4 * D)
             wp = cw.transpose(0, 2, 1, 3, 4)           # (B, H, Q, P, 4)
-            out = out + (g * wp[..., None]).sum(axis=(3, 4))
+            acc = (g * jnp.repeat(wp, D, axis=-1)).sum(axis=3)
+            out = out + sum(acc[..., c * D:(c + 1) * D] for c in range(4))
         elif use_window:
             from .window_gather import tile_window_starts, window_gather
             tile_rows = window_tile_q * P
@@ -345,11 +352,17 @@ def ms_deform_attn_core(value: jnp.ndarray,
             else:
                 out = out + acc0
         else:
+            # level-0 XLA-gather path: accumulate in the packed 4D=128
+            # lane layout (a (..., 4, D=32) minor pair tiles T(4,128) at
+            # 4x padding; measured +9% step throughput from the same fix
+            # on the MXU branch) and fold the corner chunks once per
+            # level on the small (B, H, Q, 4D) accumulator.
+            acc = jnp.zeros((B, H, Q, 4 * D), dt)
             for p in range(P):
                 idx = flat[:, :, :, p].transpose(0, 2, 1)  # (B, H, Q)
                 g = jnp.take_along_axis(packed, idx[..., None], axis=2)
-                g = g.reshape(B, H, Q, 4, D)
                 wp = cw[:, :, :, p].transpose(0, 2, 1, 3)  # (B, H, Q, 4)
-                out = out + (g * wp[..., None]).sum(axis=3)
+                acc = acc + g * jnp.repeat(wp, D, axis=-1)
+            out = out + sum(acc[..., c * D:(c + 1) * D] for c in range(4))
         start += h * w
     return out.transpose(0, 2, 1, 3).reshape(B, Q, H * D)
