@@ -1,0 +1,21 @@
+"""Panoptic FPN R50 1x COCO (parity: configs/panoptic_fpn/
+panoptic_fpn_r50_fpn_1x_coco.py, PQ 40.2 / box AP 40.0 / mask AP 36.5;
+80 thing + 53 stuff classes)."""
+from dskd_tpu.utils.config import (DataConfig, DistillFlags,
+                                   ExperimentConfig, ModelConfig,
+                                   TrainConfig)
+
+
+def get_config() -> ExperimentConfig:
+    return ExperimentConfig(
+        model=ModelConfig(arch="panoptic_fpn", num_classes=80,
+                          num_stuff_classes=53, depth=50),
+        data=DataConfig(catsplit=(80,), samples_per_device=2,
+                        img_scale=(1333, 800), bucket=(800, 1344),
+                        aspect_buckets=((1344, 800), (800, 1344))),
+        train=TrainConfig(base_lr=2e-2, weight_decay=1e-4, grad_clip=35.0,
+                          epochs_per_task=12, step_epochs=(8, 11),
+                          warmup_iters=500,
+                          work_dir="work_dirs/panoptic_fpn_r50"),
+        distill=DistillFlags(cates_distill="", feats_distill=""),
+    )

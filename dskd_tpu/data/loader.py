@@ -99,13 +99,16 @@ class DataLoader:
                     img, boxes, labels, r_img, r_boxes, r_labels, rng,
                     dynamic_scale=pipe.img_scale,
                     ratio_range=pipe.mixup_ratio_range)
-        segs = None
-        if pipe.with_mask:
+        segs = sem = None
+        if pipe.with_mask or pipe.with_semantic:
             assert not (pipe.mosaic or pipe.mixup or pipe.auto_augment), \
-                "with_mask is incompatible with box-only geometric augs"
+                "with_mask/with_semantic need full geometric transforms"
+        if pipe.with_mask:
             segs = self.dataset.get_segmentations(int(idx))
+        if pipe.with_semantic:
+            sem = self.dataset.get_semantic(int(idx))
         out = preprocess(img, boxes, labels, pipe, rng, self.train,
-                         segmentations=segs)
+                         segmentations=segs, semantic=sem)
         out["img_id"] = img_id
         return out
 
@@ -151,7 +154,11 @@ class DataLoader:
                           stack["gt_valid"],
                           gt_masks=(np.stack([s["gt_masks"]
                                               for s in samples])
-                                    if "gt_masks" in samples[0] else None))
+                                    if "gt_masks" in samples[0] else None),
+                          gt_semantic=(np.stack([s["gt_semantic"]
+                                                 for s in samples])
+                                       if "gt_semantic" in samples[0]
+                                       else None))
             meta = dict(
                 img_ids=[s["img_id"] for s in samples],
                 scale_factors=np.stack(

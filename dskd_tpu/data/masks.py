@@ -57,6 +57,19 @@ def rle_decode_uncompressed(counts: Sequence[int], h: int,
     return flat.reshape(w, h).T          # F order
 
 
+def rle_encode_uncompressed(bm: np.ndarray) -> Dict:
+    """(h, w) bool -> COCO uncompressed RLE dict (column-major runs,
+    zeros first) — the inverse of rle_decode_uncompressed."""
+    h, w = bm.shape
+    flat = np.asarray(bm, bool).T.reshape(-1)       # F order
+    change = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+    bounds = np.concatenate([[0], change, [flat.size]])
+    counts = np.diff(bounds).tolist()
+    if flat.size and flat[0]:                       # must start with a 0-run
+        counts = [0] + counts
+    return {"counts": counts, "size": [h, w]}
+
+
 def rle_string_to_counts(s) -> List[int]:
     """pycocotools compressed RLE string -> run-length ints (mask.c
     rleFrString: 6-bit chunks, bit 5 = continuation, sign-extension via

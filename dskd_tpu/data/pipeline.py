@@ -56,6 +56,9 @@ class PipelineConfig:
     # incompatible with mosaic/mixup/auto_augment (box-only transforms)
     with_mask: bool = False
     mask_stride: int = 4
+    # per-pixel semantic GT (LoadPanopticAnnotations with_seg=True):
+    # (H/mask_stride, W/mask_stride) int32 contiguous labels, 255 = void
+    with_semantic: bool = False
 
 
 def rescale_size(h: int, w: int, scale: Tuple[int, int]) -> Tuple[int, int, float]:
@@ -102,13 +105,15 @@ def photo_metric_distortion(img: np.ndarray, rng,
 
 def preprocess(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
                cfg: PipelineConfig, rng: Optional[np.random.RandomState],
-               train: bool = True, segmentations=None):
+               train: bool = True, segmentations=None, semantic=None):
     """One sample -> static-shape tensors.
 
     Returns dict(image (H, W, 3) f32, img_hw (2,) i32 valid shape,
     gt_bboxes (max_gt, 4), gt_labels (max_gt,), gt_valid (max_gt,),
     scale_factor (4,) f32, ori_hw (2,) i32, flip bool); plus gt_masks
-    (max_gt, H/mask_stride, W/mask_stride) f32 when cfg.with_mask.
+    (max_gt, H/mask_stride, W/mask_stride) f32 when cfg.with_mask and
+    gt_semantic (H/mask_stride, W/mask_stride) i32 when
+    cfg.with_semantic (``semantic``: (h0, w0) label map, 255 = void).
     """
     h0, w0 = img.shape[:2]
     if cfg.corruption is not None:
@@ -169,4 +174,19 @@ def preprocess(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
             segmentations if segmentations is not None else [],
             (h0, w0), (h_scale, w_scale), (H, W), cfg.max_gt,
             mask_stride=cfg.mask_stride, flip=flip)
+    if cfg.with_semantic:
+        st = cfg.mask_stride
+        hs, ws = H // st, W // st
+        sem = np.full((hs, ws), 255, np.int32)
+        if semantic is not None:
+            s0 = semantic[:, ::-1] if flip else semantic
+            ys = np.clip((np.arange(hs) * st + st / 2) / h_scale,
+                         0, h0 - 1).astype(np.int64)
+            xs = np.clip((np.arange(ws) * st + st / 2) / w_scale,
+                         0, w0 - 1).astype(np.int64)
+            vy = (np.arange(hs) * st) < h0 * h_scale
+            vx = (np.arange(ws) * st) < w0 * w_scale
+            grid = s0[ys][:, xs].astype(np.int32)
+            sem = np.where(vy[:, None] & vx[None, :], grid, 255)
+        out["gt_semantic"] = sem
     return out

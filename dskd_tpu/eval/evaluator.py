@@ -158,6 +158,38 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
                         sel)
         return eval_step
 
+    if arch == "panoptic_fpn":
+        from ..models.faster_rcnn import rcnn_get_bboxes, rpn_proposals
+        from ..models.mask_rcnn import mask_rcnn_get_masks
+        from ..models.panoptic_fpn import PanopticFPN
+        DetP = namedtuple("DetP", ["bboxes", "scores", "labels", "valid",
+                                   "masks", "seg"])
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            # Mask R-CNN box+mask path plus the semantic logits; the
+            # heuristic panoptic fusion runs host-side (heuristic_fuse)
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            props, _, pvalid = rpn_proposals(out.rpn, img_hw, nms_pre=1000,
+                                             max_total=1000)
+            d = rcnn_get_bboxes(
+                lambda f: model.apply(variables, f,
+                                      method=PanopticFPN.roi_forward),
+                out.neck_feats, props, pvalid, img_hw,
+                num_classes=model.num_classes, scale_factor=scale_factors,
+                score_thr=max(score_thr, 0.05), max_per_img=max_per_img,
+                rescale=True)
+            rois_in = d["bboxes"] * scale_factors[:, None, :]
+            probs = mask_rcnn_get_masks(model, variables, out.neck_feats,
+                                        rois_in, d["valid"],
+                                        method=PanopticFPN.mask_forward)
+            sel = jnp.take_along_axis(
+                probs, jnp.clip(d["labels"], 0, probs.shape[-1] - 1)
+                [:, :, None, None, None].astype(jnp.int32), axis=-1)[..., 0]
+            return DetP(d["bboxes"], d["scores"], d["labels"], d["valid"],
+                        sel, out.seg_logits)
+        return eval_step
+
     if arch == "tridentnet":
         from ..models.faster_rcnn import rcnn_get_bboxes, rpn_proposals
         from ..models.trident import TridentFasterRCNN

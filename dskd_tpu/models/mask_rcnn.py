@@ -156,11 +156,14 @@ def paste_masks(masks28, boxes, out_hw, thr: float = 0.5):
     return jax.vmap(one)(masks28, boxes)
 
 
-def mask_rcnn_get_masks(model, variables, neck_feats, det_boxes, det_valid):
+def mask_rcnn_get_masks(model, variables, neck_feats, det_boxes, det_valid,
+                        method=None):
     """Second-stage mask inference: 14x14 RoIAlign on the FINAL detection
     boxes -> mask head -> (B, R, 28, 28, num_classes) sigmoid probs
     (standard_roi_head.py simple_test_mask). Select the det's label
-    channel and paste with ``paste_masks`` for full-image masks."""
+    channel and paste with ``paste_masks`` for full-image masks.
+    ``method`` overrides the mask-forward bound method (PanopticFPN
+    shares this path)."""
     from ..ops.roi_align import multi_level_roi_align
     B, R = det_boxes.shape[:2]
     feats_pi = [tuple(f[b] for f in neck_feats[:4]) for b in range(B)]
@@ -168,6 +171,6 @@ def mask_rcnn_get_masks(model, variables, neck_feats, det_boxes, det_valid):
         multi_level_roi_align(feats_pi[b], det_boxes[b], det_valid[b],
                               out_size=14) for b in range(B)])
     logits = model.apply(variables, f14.reshape(B * R, 14, 14, -1),
-                         method=MaskRCNN.mask_forward)
+                         method=method or MaskRCNN.mask_forward)
     return jax.nn.sigmoid(logits).reshape(
         B, R, MASK_SIZE, MASK_SIZE, -1)

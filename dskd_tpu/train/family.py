@@ -219,16 +219,17 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             losses.update({f"rcnn_{k}": v for k, v in rcnn_losses.items()})
             return losses, None
 
-    elif arch == "mask_rcnn":
+    elif arch in ("mask_rcnn", "panoptic_fpn"):
         from ..models.faster_rcnn import (RCNNLossConfig, RPNLossConfig,
                                           rcnn_forward_train, rpn_loss,
                                           rpn_proposals)
-        from ..models.mask_rcnn import (MaskRCNN, mask_loss, mask_targets)
+        from ..models.mask_rcnn import mask_loss, mask_targets
         from ..ops.roi_align import multi_level_roi_align
         rpn_cfg = RPNLossConfig()
         rcnn_cfg = RCNNLossConfig(num_classes=cfg.model.num_classes,
                                   num_samples=cfg.rcnn_num_samples)
         mask_stride = getattr(cfg, "mask_stride", 4)
+        panoptic = arch == "panoptic_fpn"
 
         def losses_fn(variables, batch, teacher_vars, rng):
             rng1, rng2 = jax.random.split(rng)
@@ -241,7 +242,7 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             props = jax.lax.stop_gradient(props)
             rcnn_losses, samples = rcnn_forward_train(
                 lambda f: model.apply(variables, f,
-                                      method=MaskRCNN.roi_forward),
+                                      method=type(model).roi_forward),
                 out.neck_feats, props, valid, batch.gt_bboxes,
                 batch.gt_labels, batch.gt_valid, rng2, rcnn_cfg)
             losses.update({f"rcnn_{k}": v for k, v in rcnn_losses.items()})
@@ -260,7 +261,7 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                                       out_size=14) for b in range(B)])
             logits = model.apply(variables,
                                  f14.reshape(B * P, 14, 14, -1),
-                                 method=MaskRCNN.mask_forward)
+                                 method=type(model).mask_forward)
             gm = jax.vmap(lambda m, i: m[i])(batch.gt_masks, gi_p)
             tgt = mask_targets(rois_p.reshape(-1, 4),
                                gm.reshape((B * P,) + gm.shape[2:]),
@@ -268,6 +269,14 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             losses["loss_mask"] = mask_loss(
                 logits, jax.lax.stop_gradient(tgt),
                 lab_p.reshape(-1), pos_v.reshape(-1))
+            if panoptic:
+                # semantic branch (seg_logits ride the model outputs;
+                # loss weight 0.5 per panoptic_fpn_r50_fpn_1x_coco.py)
+                from ..models.panoptic_fpn import semantic_loss
+                losses["loss_seg"] = 0.5 * semantic_loss(
+                    out.seg_logits, batch.gt_semantic,
+                    num_things=cfg.model.num_classes,
+                    num_stuff=model.num_stuff_classes)
             return losses, None
 
     elif arch == "tridentnet":

@@ -40,6 +40,10 @@ class Batch(NamedTuple):
     # optional padded GT instance bitmaps at mask_stride resolution
     # (B, G, H/stride, W/stride); None for box-only families
     gt_masks: jnp.ndarray = None
+    # optional per-pixel semantic GT at mask_stride resolution
+    # (B, H/stride, W/stride) int32 contiguous labels, 255 = void/pad;
+    # None except for panoptic families
+    gt_semantic: jnp.ndarray = None
 
 
 def _cast_floats(tree, dtype):

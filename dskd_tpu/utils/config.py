@@ -38,6 +38,8 @@ class ModelConfig:
     as_two_stage: bool = False
     # DyHead attention blocks between neck and head (arch='atss')
     dyhead_blocks: int = 0
+    # stuff classes for the panoptic semantic branch (arch='panoptic_fpn')
+    num_stuff_classes: int = 53
     # backbone spec for families that accept one (models/backbones.py):
     # '' = family-default ResNet(depth); 'regnetx_3.2gf', 'effb3',
     # 'hrnet_w18', 'swin_tiny', 'resnext'

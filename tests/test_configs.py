@@ -87,8 +87,8 @@ def test_arch_config_steps(name, path):
     wh = rng.rand(B, 4, 2).astype(np.float32) * 20 + 6
     nc = cfg.model.num_classes
     gtb = np.concatenate([xy, xy + wh], -1)
-    gt_masks = None
-    if cfg.model.arch == "mask_rcnn":
+    gt_masks = gt_semantic = None
+    if cfg.model.arch in ("mask_rcnn", "panoptic_fpn"):
         # box-filled bitmaps at mask stride 4
         yy, xx = np.mgrid[0:H // 4, 0:W // 4]
         gt_masks = jnp.asarray(
@@ -97,10 +97,14 @@ def test_arch_config_steps(name, path):
              & (xx[None, None] * 4 >= gtb[:, :, 0, None, None])
              & (xx[None, None] * 4 <= gtb[:, :, 2, None, None]))
             .astype(np.float32))
+    if cfg.model.arch == "panoptic_fpn":
+        total = cfg.model.num_classes + cfg.model.num_stuff_classes
+        gt_semantic = jnp.asarray(
+            rng.randint(0, total, (B, H // 4, W // 4)).astype(np.int32))
     batch = Batch(images, img_hw, jnp.asarray(gtb),
                   jnp.asarray(rng.randint(0, nc, (B, 4)).astype(np.int32)),
                   jnp.asarray(np.tile(np.arange(4) < 2, (B, 1))),
-                  gt_masks=gt_masks)
+                  gt_masks=gt_masks, gt_semantic=gt_semantic)
 
     has_teacher = bool(cfg.distill.cates_distill
                        or cfg.distill.feats_distill)
