@@ -158,6 +158,52 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
                         sel)
         return eval_step
 
+    if arch == "ms_rcnn":
+        from ..models.faster_rcnn import rcnn_get_bboxes, rpn_proposals
+        from ..models.ms_rcnn import MSRCNN
+        from ..ops.roi_align import multi_level_roi_align
+        DetS = namedtuple("DetS", ["bboxes", "scores", "labels", "valid",
+                                   "masks", "mask_scores"])
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            # Mask R-CNN path + MaskIoU rescoring: segm detections are
+            # ranked by cls_score * predicted mask IoU
+            # (mask_scoring_roi_head.py simple_test_mask + maskiou_head
+            # get_mask_scores)
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            props, _, pvalid = rpn_proposals(out.rpn, img_hw, nms_pre=1000,
+                                             max_total=1000)
+            d = rcnn_get_bboxes(
+                lambda f: model.apply(variables, f,
+                                      method=MSRCNN.roi_forward),
+                out.neck_feats, props, pvalid, img_hw,
+                num_classes=model.num_classes, scale_factor=scale_factors,
+                score_thr=max(score_thr, 0.05), max_per_img=max_per_img,
+                rescale=True)
+            rois_in = d["bboxes"] * scale_factors[:, None, :]
+            B, R = rois_in.shape[:2]
+            feats_pi = [tuple(f[b] for f in out.neck_feats[:4])
+                        for b in range(B)]
+            f14 = jnp.stack([
+                multi_level_roi_align(feats_pi[b], rois_in[b], d["valid"][b],
+                                      out_size=14) for b in range(B)])
+            logits = model.apply(variables, f14.reshape(B * R, 14, 14, -1),
+                                 method=MSRCNN.mask_forward)
+            labf = jnp.clip(d["labels"].reshape(-1), 0,
+                            logits.shape[-1] - 1).astype(jnp.int32)
+            sel = jnp.take_along_axis(logits, labf[:, None, None, None],
+                                      axis=-1)[..., 0]
+            iou_pred = model.apply(variables,
+                                   f14.reshape(B * R, 14, 14, -1), sel,
+                                   method=MSRCNN.maskiou_forward)
+            iou_sel = jnp.take_along_axis(iou_pred, labf[:, None],
+                                          axis=-1).reshape(B, R)
+            return DetS(d["bboxes"], d["scores"], d["labels"], d["valid"],
+                        jax.nn.sigmoid(sel).reshape(B, R, 28, 28),
+                        d["scores"] * jnp.clip(iou_sel, 0.0, 1.0))
+        return eval_step
+
     if arch == "panoptic_fpn":
         from ..models.faster_rcnn import rcnn_get_bboxes, rpn_proposals
         from ..models.mask_rcnn import mask_rcnn_get_masks
@@ -559,6 +605,9 @@ def evaluate(model, variables, dataset: TaskCocoDataset, loader: DataLoader,
             # quantize the 28x28 probs for the cross-host gather
             det_masks = (np.asarray(det_masks) * 255).astype(np.uint8)
             with_masks = True
+        det_mscores = getattr(det, "mask_scores", None)
+        if det_mscores is not None:
+            det_mscores = np.asarray(det_mscores)
         for i, img_id in enumerate(meta["img_ids"]):
             if img_id in local_seen:     # last-batch padding duplicates
                 continue
@@ -569,6 +618,8 @@ def evaluate(model, variables, dataset: TaskCocoDataset, loader: DataLoader,
                    [dataset.label2cat[int(l)] for l in labels[i][keep]])
             if det_masks is not None:
                 rec = rec + (det_masks[i][keep],)
+            if det_mscores is not None:
+                rec = rec + (det_mscores[i][keep],)
             local_results.append(rec)
 
     # multi-host: gather every host's shard (collect_results_cpu contract,
@@ -590,7 +641,9 @@ def evaluate(model, variables, dataset: TaskCocoDataset, loader: DataLoader,
             pasted = paste_masks_np(
                 np.asarray(rec[4], np.float32) / 255.0, np.asarray(b),
                 (info["height"], info["width"]))
-            ev_segm.add_dt(img_id, b, s, list(cats), masks=pasted)
+            # MS R-CNN ranks segm dets by cls_score * predicted mask IoU
+            s_m = rec[5] if len(rec) > 5 else s
+            ev_segm.add_dt(img_id, b, s_m, list(cats), masks=pasted)
         if results_out is not None:
             # results2json format: xywh + score + category_id per det
             for bb, sc, cat in zip(np.asarray(b), np.asarray(s), cats):

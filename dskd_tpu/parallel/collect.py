@@ -24,8 +24,9 @@ def collect_image_results(local: List[Tuple[int, np.ndarray, np.ndarray,
 
     local: list of (img_id, boxes (k, 4), scores (k,), cat_ids (k,)) with
     k <= max_dets, optionally extended with a 5th element of per-det
-    uint8 mask grids (k, S, S) (Mask R-CNN's quantized 28x28 probs) which
-    rides the same fixed-shape allgather. Returns the concatenated list
+    uint8 mask grids (k, S, S) (Mask R-CNN's quantized 28x28 probs) and a
+    6th of per-det mask scores (MS R-CNN's IoU-rescored segm ranking),
+    both riding the same fixed-shape allgather. Returns the concatenated list
     over all hosts (every host gets the full set, deterministically
     ordered by (host, local index)). Single-process: returns ``local``
     unchanged.
@@ -53,6 +54,11 @@ def collect_image_results(local: List[Tuple[int, np.ndarray, np.ndarray,
     ndet = np.zeros((n_max,), np.int32)
     masks = (np.zeros((n_max, max_dets, s_max, s_max), np.uint8)
              if has_masks else None)
+    has_mscores = any(len(r) > 5 for r in local)
+    has_mscores = bool(multihost_utils.process_allgather(
+        np.array([has_mscores], np.int32)).max())
+    mscores = (np.zeros((n_max, max_dets), np.float32)
+               if has_mscores else None)
     for i, rec in enumerate(local):
         img_id, b, s, c = rec[:4]
         k = min(len(s), max_dets)
@@ -63,11 +69,15 @@ def collect_image_results(local: List[Tuple[int, np.ndarray, np.ndarray,
         ndet[i] = k
         if has_masks and len(rec) > 4:
             masks[i, :k] = rec[4][:k]
+        if has_mscores and len(rec) > 5:
+            mscores[i, :k] = rec[5][:k]
 
     payload = dict(ids=ids, boxes=boxes, scores=scores, cats=cats,
                    ndet=ndet)
     if has_masks:
         payload["masks"] = masks
+    if has_mscores:
+        payload["mscores"] = mscores
     g = multihost_utils.process_allgather(payload)
 
     out = []
@@ -81,5 +91,7 @@ def collect_image_results(local: List[Tuple[int, np.ndarray, np.ndarray,
                    g["scores"][h, i, :k], g["cats"][h, i, :k].tolist())
             if has_masks:
                 rec = rec + (g["masks"][h, i, :k],)
+            if has_mscores:
+                rec = rec + (g["mscores"][h, i, :k],)
             out.append(rec)
     return out

@@ -219,7 +219,7 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             losses.update({f"rcnn_{k}": v for k, v in rcnn_losses.items()})
             return losses, None
 
-    elif arch in ("mask_rcnn", "panoptic_fpn"):
+    elif arch in ("mask_rcnn", "panoptic_fpn", "ms_rcnn"):
         from ..models.faster_rcnn import (RCNNLossConfig, RPNLossConfig,
                                           rcnn_forward_train, rpn_loss,
                                           rpn_proposals)
@@ -230,6 +230,7 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                                   num_samples=cfg.rcnn_num_samples)
         mask_stride = getattr(cfg, "mask_stride", 4)
         panoptic = arch == "panoptic_fpn"
+        mask_scoring = arch == "ms_rcnn"
 
         def losses_fn(variables, batch, teacher_vars, rng):
             rng1, rng2 = jax.random.split(rng)
@@ -269,6 +270,27 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             losses["loss_mask"] = mask_loss(
                 logits, jax.lax.stop_gradient(tgt),
                 lab_p.reshape(-1), pos_v.reshape(-1))
+            if mask_scoring:
+                # MaskIoU head on the same positives (mask_scoring_roi_
+                # head.py _mask_forward_train)
+                from ..models.ms_rcnn import (MSRCNN, maskiou_loss,
+                                              maskiou_targets)
+                labf = jnp.clip(lab_p.reshape(-1), 0,
+                                logits.shape[-1] - 1)
+                sel = jnp.take_along_axis(
+                    logits, labf[:, None, None, None], axis=-1)[..., 0]
+                iou_pred = model.apply(
+                    variables, f14.reshape(B * P, 14, 14, -1), sel,
+                    method=MSRCNN.maskiou_forward)
+                iou_sel = jnp.take_along_axis(
+                    iou_pred, labf[:, None], axis=-1)[:, 0]
+                iou_tgt = maskiou_targets(
+                    jax.lax.stop_gradient(sel), tgt,
+                    rois_p.reshape(-1, 4),
+                    gm.reshape((B * P,) + gm.shape[2:]), mask_stride)
+                losses["loss_mask_iou"] = maskiou_loss(
+                    iou_sel, jax.lax.stop_gradient(iou_tgt),
+                    pos_v.reshape(-1))
             if panoptic:
                 # semantic branch (seg_logits ride the model outputs;
                 # loss weight 0.5 per panoptic_fpn_r50_fpn_1x_coco.py)

@@ -180,6 +180,10 @@ def build_model(cfg: ExperimentConfig):
         from ..models.mask_rcnn import MaskRCNN
         return MaskRCNN(num_classes=m.num_classes, depth=m.depth,
                         frozen_stages=m.frozen_stages)
+    if m.arch == "ms_rcnn":
+        from ..models.ms_rcnn import MSRCNN
+        return MSRCNN(num_classes=m.num_classes, depth=m.depth,
+                      frozen_stages=m.frozen_stages)
     if m.arch == "panoptic_fpn":
         from ..models.panoptic_fpn import PanopticFPN
         return PanopticFPN(num_classes=m.num_classes,
@@ -209,7 +213,7 @@ def init_variables(model, cfg: ExperimentConfig, rng):
     if cfg.model.arch in ("faster_rcnn", "libra_faster_rcnn",
                           "double_head_rcnn", "fast_rcnn",
                           "grid_rcnn", "cascade_rcnn", "tridentnet",
-                          "mask_rcnn", "panoptic_fpn"):
+                          "mask_rcnn", "panoptic_fpn", "ms_rcnn"):
         # two-stage: trace the ROI head(s) too so init creates their params
         variables = model.init(rng, images, img_hw,
                                method=type(model).init_all)
@@ -250,7 +254,8 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
         photo_metric_distortion=cfg.data.photo_metric_distortion,
         mosaic=cfg.data.mosaic, mixup=cfg.data.mixup,
         auto_augment=cfg.data.auto_augment,
-        with_mask=cfg.model.arch in ("mask_rcnn", "panoptic_fpn"),
+        with_mask=cfg.model.arch in ("mask_rcnn", "panoptic_fpn",
+                                     "ms_rcnn"),
         with_semantic=cfg.model.arch == "panoptic_fpn")
     global_batch = cfg.data.samples_per_device * len(mesh.devices.flatten())
     loader = DataLoader(train_ds, global_batch, pipe, train=True,
