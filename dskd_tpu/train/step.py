@@ -70,8 +70,16 @@ def teacher_info(model, teacher_variables, batch: Batch,
     if compute_dtype != jnp.float32:
         teacher_variables = _cast_floats(teacher_variables, compute_dtype)
         images = images.astype(compute_dtype)
-    t_out = tmodel.apply(teacher_variables, images, batch.img_hw,
-                         deterministic=True)
+    import os
+    if os.environ.get("DSKD_INT8_TEACHER", "0") == "1":
+        # the frozen teacher has no backward: run its big Dense/Conv
+        # layers s8 x s8 -> s32 on the MXU (ops/int8.py; measured knob)
+        from ..ops.int8 import apply_int8
+        t_out = apply_int8(tmodel, teacher_variables, images, batch.img_hw,
+                           deterministic=True)
+    else:
+        t_out = tmodel.apply(teacher_variables, images, batch.img_hw,
+                             deterministic=True)
     if compute_dtype != jnp.float32:
         t_out = _cast_floats(t_out, jnp.float32)
     return out_teacher(t_out, batch.img_hw, reg_max=det_cfg.reg_max,
