@@ -103,29 +103,40 @@ def _stage_sample_and_targets(rng, rois, rois_valid, gt_bboxes, gt_labels,
     safe = jnp.clip(a[idx], 0, G - 1)
     labels = jnp.where(is_pos, gt_labels[safe].astype(jnp.int32),
                        num_classes)
-    return idx, valid, is_pos, labels, gt_bboxes[safe]
+    return idx, valid, is_pos, labels, gt_bboxes[safe], safe
 
 
 def cascade_forward_train(model_apply_roi, neck_feats, proposals,
                           proposal_valid, gt_bboxes, gt_labels, gt_valid,
                           rng, num_classes: int, num_samples: int = 512,
-                          pos_fraction: float = 0.25):
+                          pos_fraction: float = 0.25,
+                          collect_samples: bool = False):
     """All cascade stages: sample -> RoIAlign -> head -> loss; refine
-    boxes between stages with that stage's agnostic deltas."""
+    boxes between stages with that stage's agnostic deltas.
+
+    ``collect_samples``: also return, per stage, the sampled rois /
+    validity / positivity / labels / matched-GT index (positives-first
+    layout from ``random_sample``) so a mask branch can train on each
+    stage's own sampling results (cascade_roi_head.py mask path)."""
     B = proposals.shape[0]
     losses = {}
+    stage_samples = []
     rois = jnp.concatenate([proposals, gt_bboxes], axis=1)
     rois_valid = jnp.concatenate([proposal_valid, gt_valid], axis=1)
 
     for stage, (iou, stds, wgt) in enumerate(
             zip(STAGE_IOUS, STAGE_STDS, STAGE_WEIGHTS)):
         rngs = jax.random.split(jax.random.fold_in(rng, stage), B)
-        idx, valid, is_pos, labels, tgt_boxes = jax.vmap(
+        idx, valid, is_pos, labels, tgt_boxes, gt_idx = jax.vmap(
             lambda r, ro, rv, b, l, v: _stage_sample_and_targets(
                 r, ro, rv, b, l, v, num_classes, iou, num_samples,
                 pos_fraction))(rngs, rois, rois_valid, gt_bboxes,
                                gt_labels, gt_valid)
         sampled = jnp.take_along_axis(rois, idx[..., None], axis=1)
+        if collect_samples:
+            stage_samples.append(dict(rois=sampled, valid=valid,
+                                      is_pos=is_pos, labels=labels,
+                                      gt_idx=gt_idx))
 
         feats_per_img = [tuple(f[b] for f in neck_feats[:4])
                          for b in range(B)]
@@ -152,6 +163,8 @@ def cascade_forward_train(model_apply_roi, neck_feats, proposals,
         refined = delta2bbox(sampled.reshape(-1, 4), reg, stds=stds)
         rois = jax.lax.stop_gradient(refined.reshape(B, S, 4))
         rois_valid = valid
+    if collect_samples:
+        return losses, stage_samples
     return losses
 
 

@@ -340,12 +340,13 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             losses.update({f"rcnn_{k}": v for k, v in rcnn_losses.items()})
             return losses, None
 
-    elif arch == "cascade_rcnn":
-        from ..models.cascade_rcnn import (CascadeRCNN,
+    elif arch in ("cascade_rcnn", "cascade_mask_rcnn"):
+        from ..models.cascade_rcnn import (STAGE_WEIGHTS, CascadeRCNN,
                                            cascade_forward_train)
         from ..models.faster_rcnn import (RPNLossConfig, rpn_loss,
                                           rpn_proposals)
         rpn_cfg = RPNLossConfig()
+        with_mask = arch == "cascade_mask_rcnn"
 
         def losses_fn(variables, batch, teacher_vars, rng):
             rng1, rng2 = jax.random.split(rng)
@@ -356,13 +357,48 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                                             nms_pre=1000,
                                             max_total=cfg.rcnn_num_proposals)
             props = jax.lax.stop_gradient(props)
-            losses.update(cascade_forward_train(
+            res = cascade_forward_train(
                 lambda f, st: model.apply(variables, f, st,
                                           method=CascadeRCNN.roi_forward),
                 out.neck_feats, props, valid, batch.gt_bboxes,
                 batch.gt_labels, batch.gt_valid, rng2,
                 num_classes=cfg.model.num_classes,
-                num_samples=cfg.rcnn_num_samples))
+                num_samples=cfg.rcnn_num_samples,
+                collect_samples=with_mask)
+            if not with_mask:
+                losses.update(res)
+                return losses, None
+            stage_losses, samples = res
+            losses.update(stage_losses)
+            # per-stage mask heads on each stage's own positives
+            # (cascade_roi_head.py _mask_forward_train, stage weights)
+            from ..models.cascade_mask_rcnn import CascadeMaskRCNN
+            from ..models.mask_rcnn import mask_loss, mask_targets
+            from ..ops.roi_align import multi_level_roi_align
+            mask_stride = getattr(cfg, "mask_stride", 4)
+            B = props.shape[0]
+            P = max(1, cfg.rcnn_num_samples // 4)
+            feats_pi = [tuple(f[b] for f in out.neck_feats[:4])
+                        for b in range(B)]
+            for st, s in enumerate(samples):
+                rois_p = s["rois"][:, :P]
+                pos_v = s["is_pos"][:, :P]
+                lab_p = s["labels"][:, :P]
+                gi_p = s["gt_idx"][:, :P]
+                f14 = jnp.stack([
+                    multi_level_roi_align(feats_pi[b], rois_p[b],
+                                          pos_v[b], out_size=14)
+                    for b in range(B)])
+                logits = model.apply(
+                    variables, f14.reshape(B * P, 14, 14, -1), st,
+                    method=CascadeMaskRCNN.mask_forward)
+                gm = jax.vmap(lambda m, i: m[i])(batch.gt_masks, gi_p)
+                tgt = mask_targets(rois_p.reshape(-1, 4),
+                                   gm.reshape((B * P,) + gm.shape[2:]),
+                                   mask_stride)
+                losses[f"s{st}.loss_mask"] = STAGE_WEIGHTS[st] * mask_loss(
+                    logits, jax.lax.stop_gradient(tgt),
+                    lab_p.reshape(-1), pos_v.reshape(-1))
             return losses, None
 
     elif arch == "centernet":

@@ -115,6 +115,10 @@ def build_model(cfg: ExperimentConfig):
         from ..models.cascade_rcnn import CascadeRCNN
         return CascadeRCNN(num_classes=m.num_classes, depth=m.depth,
                            frozen_stages=m.frozen_stages)
+    if m.arch == "cascade_mask_rcnn":
+        from ..models.cascade_mask_rcnn import CascadeMaskRCNN
+        return CascadeMaskRCNN(num_classes=m.num_classes, depth=m.depth,
+                               frozen_stages=m.frozen_stages)
     if m.arch == "centernet":
         from ..models.centernet import CenterNet
         return CenterNet(num_classes=m.num_classes, depth=m.depth,
@@ -213,6 +217,7 @@ def init_variables(model, cfg: ExperimentConfig, rng):
     if cfg.model.arch in ("faster_rcnn", "libra_faster_rcnn",
                           "double_head_rcnn", "fast_rcnn",
                           "grid_rcnn", "cascade_rcnn", "tridentnet",
+                          "cascade_mask_rcnn",
                           "mask_rcnn", "panoptic_fpn", "ms_rcnn"):
         # two-stage: trace the ROI head(s) too so init creates their params
         variables = model.init(rng, images, img_hw,
@@ -255,7 +260,7 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
         mosaic=cfg.data.mosaic, mixup=cfg.data.mixup,
         auto_augment=cfg.data.auto_augment,
         with_mask=cfg.model.arch in ("mask_rcnn", "panoptic_fpn",
-                                     "ms_rcnn"),
+                                     "ms_rcnn", "cascade_mask_rcnn"),
         with_semantic=cfg.model.arch == "panoptic_fpn")
     global_batch = cfg.data.samples_per_device * len(mesh.devices.flatten())
     loader = DataLoader(train_ds, global_batch, pipe, train=True,

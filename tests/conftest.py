@@ -44,6 +44,7 @@ _SLOW_FILES = {
     "test_fovea_fsaf", "test_cornernet", "test_reppoints", "test_sabl",
     "test_paa", "test_autoassign", "test_free_anchor", "test_dyhead",
     "test_trident_detectors", "test_ld", "test_guided_anchor", "test_libra",
+    "test_ms_rcnn", "test_cascade_mask_rcnn", "test_int8",
     "test_sparse_rcnn", "test_grid_rcnn", "test_tridentnet", "test_mask_rcnn",
     "test_panoptic",
     "test_nas_fpn",

@@ -88,7 +88,8 @@ def test_arch_config_steps(name, path):
     nc = cfg.model.num_classes
     gtb = np.concatenate([xy, xy + wh], -1)
     gt_masks = gt_semantic = None
-    if cfg.model.arch in ("mask_rcnn", "panoptic_fpn", "ms_rcnn"):
+    if cfg.model.arch in ("mask_rcnn", "panoptic_fpn", "ms_rcnn",
+                          "cascade_mask_rcnn"):
         # box-filled bitmaps at mask stride 4
         yy, xx = np.mgrid[0:H // 4, 0:W // 4]
         gt_masks = jnp.asarray(
