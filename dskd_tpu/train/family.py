@@ -401,6 +401,17 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                     lab_p.reshape(-1), pos_v.reshape(-1))
             return losses, None
 
+    elif arch == "solo":
+        from ..models.solo import solo_loss
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw)
+            return solo_loss(
+                out, batch.gt_bboxes, batch.gt_labels, batch.gt_valid,
+                batch.gt_masks,
+                canvas_hw=tuple(batch.images.shape[1:3]),
+                num_classes=cfg.model.num_classes), None
+
     elif arch == "centernet":
         from ..models.centernet import CenterNetLossConfig, centernet_loss
         det_cfg = CenterNetLossConfig(num_classes=cfg.model.num_classes)

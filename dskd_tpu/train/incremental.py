@@ -115,6 +115,10 @@ def build_model(cfg: ExperimentConfig):
         from ..models.cascade_rcnn import CascadeRCNN
         return CascadeRCNN(num_classes=m.num_classes, depth=m.depth,
                            frozen_stages=m.frozen_stages)
+    if m.arch == "solo":
+        from ..models.solo import SOLO
+        return SOLO(num_classes=m.num_classes, depth=m.depth,
+                    frozen_stages=m.frozen_stages)
     if m.arch == "cascade_mask_rcnn":
         from ..models.cascade_mask_rcnn import CascadeMaskRCNN
         return CascadeMaskRCNN(num_classes=m.num_classes, depth=m.depth,
@@ -260,7 +264,8 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
         mosaic=cfg.data.mosaic, mixup=cfg.data.mixup,
         auto_augment=cfg.data.auto_augment,
         with_mask=cfg.model.arch in ("mask_rcnn", "panoptic_fpn",
-                                     "ms_rcnn", "cascade_mask_rcnn"),
+                                     "ms_rcnn", "cascade_mask_rcnn",
+                                     "solo"),
         with_semantic=cfg.model.arch == "panoptic_fpn")
     global_batch = cfg.data.samples_per_device * len(mesh.devices.flatten())
     loader = DataLoader(train_ds, global_batch, pipe, train=True,
