@@ -294,6 +294,25 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
                         d["scores"], d["labels"], d["valid"], d["masks28"])
         return eval_step
 
+    if arch == "yolact":
+        from ..models.yolact import yolact_anchors, yolact_decode
+        DetM = namedtuple("DetM",
+                          ["bboxes", "scores", "labels", "valid", "masks"])
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            sizes = [tuple(c.shape[1:3]) for c in out.head.cls_scores]
+            anchors = yolact_anchors(sizes)
+            d = yolact_decode(out, anchors, img_hw,
+                              num_classes=model.num_classes,
+                              score_thr=max(score_thr, 0.05),
+                              max_per_img=max_per_img)
+            return DetM(d["bboxes"] / scale_factors[:, None, :],
+                        d["scores"], d["labels"], d["valid"], d["masks28"])
+        return eval_step
+
     if arch == "cascade_mask_rcnn":
         from ..models.cascade_mask_rcnn import cascade_mask_probs
         from ..models.cascade_rcnn import CascadeRCNN, cascade_get_bboxes

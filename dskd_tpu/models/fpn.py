@@ -25,6 +25,7 @@ class FPN(nn.Module):
     start_level: int = 1
     add_extra_convs: str = "on_output"   # '', 'on_input', 'on_output'
     relu_before_extra_convs: bool = True
+    upsample: str = "nearest"            # YOLACT's fpn uses 'bilinear'
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
@@ -34,7 +35,13 @@ class FPN(nn.Module):
             for i, x in enumerate(used)]
 
         for i in range(len(laterals) - 1, 0, -1):
-            up = _upsample_nearest_2x(laterals[i])
+            tgt_hw = laterals[i - 1].shape[1:3]
+            if self.upsample == "bilinear":
+                up = jax.image.resize(
+                    laterals[i], (laterals[i].shape[0],) + tuple(tgt_hw)
+                    + (laterals[i].shape[-1],), method="bilinear")
+            else:
+                up = _upsample_nearest_2x(laterals[i])
             # crop in case of odd sizes
             up = up[:, :laterals[i - 1].shape[1], :laterals[i - 1].shape[2]]
             laterals[i - 1] = laterals[i - 1] + up

@@ -412,6 +412,21 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 canvas_hw=tuple(batch.images.shape[1:3]),
                 num_classes=cfg.model.num_classes), None
 
+    elif arch == "yolact":
+        from ..models.yolact import (YOLACTLossConfig, yolact_anchors,
+                                     yolact_loss)
+        det_cfg = YOLACTLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw)
+            sizes = [tuple(c.shape[1:3]) for c in out.head.cls_scores]
+            anchors = yolact_anchors(sizes)
+            return yolact_loss(
+                out, anchors, batch.gt_bboxes, batch.gt_labels,
+                batch.gt_valid, batch.gt_masks,
+                canvas_hw=tuple(batch.images.shape[1:3]),
+                cfg=det_cfg), None
+
     elif arch == "centernet":
         from ..models.centernet import CenterNetLossConfig, centernet_loss
         det_cfg = CenterNetLossConfig(num_classes=cfg.model.num_classes)

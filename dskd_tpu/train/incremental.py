@@ -119,6 +119,10 @@ def build_model(cfg: ExperimentConfig):
         from ..models.solo import SOLO
         return SOLO(num_classes=m.num_classes, depth=m.depth,
                     frozen_stages=m.frozen_stages)
+    if m.arch == "yolact":
+        from ..models.yolact import YOLACT
+        return YOLACT(num_classes=m.num_classes, depth=m.depth,
+                      frozen_stages=m.frozen_stages)
     if m.arch == "cascade_mask_rcnn":
         from ..models.cascade_mask_rcnn import CascadeMaskRCNN
         return CascadeMaskRCNN(num_classes=m.num_classes, depth=m.depth,
@@ -265,7 +269,7 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
         auto_augment=cfg.data.auto_augment,
         with_mask=cfg.model.arch in ("mask_rcnn", "panoptic_fpn",
                                      "ms_rcnn", "cascade_mask_rcnn",
-                                     "solo"),
+                                     "solo", "yolact"),
         with_semantic=cfg.model.arch == "panoptic_fpn")
     global_batch = cfg.data.samples_per_device * len(mesh.devices.flatten())
     loader = DataLoader(train_ds, global_batch, pipe, train=True,
