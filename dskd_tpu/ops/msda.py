@@ -153,7 +153,8 @@ def ms_deform_attn_core(value: jnp.ndarray,
                         mxu_gather_max_rows: int = 2500,
                         raster_queries: bool = False,
                         window_tile_q: int = 128,
-                        window_rows: int = 0) -> jnp.ndarray:
+                        window_rows: int = 0,
+                        fwin_tile_q: int = 128) -> jnp.ndarray:
     """Fused multi-scale deformable sampling.
 
     Args:
@@ -189,6 +190,13 @@ def ms_deform_attn_core(value: jnp.ndarray,
     env_window = os.environ.get("DSKD_WINDOW_ROWS")
     if env_window is not None:     # windowed level-0 kernel sweep knob;
         window_rows = int(env_window)   # 0 disables the windowed path
+    # fused windowed sampling (ops/fused_window.py): encoder level-0
+    # gather + corner weighting + P-reduce in one MXU kernel, windows per
+    # source-level query segment, cond fallback to the XLA gather on any
+    # escape. Opt-in via DSKD_FWIN=1 until the chip A/B lands a number;
+    # margin rows tune the window height.
+    fwin_on = os.environ.get("DSKD_FWIN", "0") == "1"
+    fwin_margin = int(os.environ.get("DSKD_FWIN_MARGIN", "6"))
     # fused one-hot sampling kernel (ops/fused_sample.py): levels whose RAW
     # table has at most this many rows skip corner packing + post-weighting
     # entirely. 0 = off (measure on chip before making it the default).
@@ -294,6 +302,9 @@ def ms_deform_attn_core(value: jnp.ndarray,
                       and sp > mxu_gather_max_rows
                       and raster_queries and start == 0 and Q >= n0
                       and n0 % window_tile_q == 0 and sp >= window_rows)
+        use_fwin = (use_mxu and fwin_on and raster_queries
+                    and sp > mxu_gather_max_rows
+                    and Q == sum(hh * ww for hh, ww in spatial_shapes))
         if use_mxu and sp <= mxu_gather_max_rows:
             from .mxu_gather import mxu_gather
             # all P points in one kernel call per level
@@ -308,6 +319,68 @@ def ms_deform_attn_core(value: jnp.ndarray,
             g = g.reshape(B, H, Q, P, 4 * D)
             wp = cw.transpose(0, 2, 1, 3, 4)           # (B, H, Q, P, 4)
             acc = (g * jnp.repeat(wp, D, axis=-1)).sum(axis=3)
+            out = out + sum(acc[..., c * D:(c + 1) * D] for c in range(4))
+        elif use_fwin:
+            # segmented fused windows: queries are the concatenated raster
+            # tokens of all levels; a tile of consecutive source-level
+            # tokens maps to a narrow band of THIS level's rows, so each
+            # segment gathers from per-tile static windows at MXU speed
+            # (ops/fused_window.py). Segments whose window would exceed
+            # sp // 3 (coarse sources spanning the whole map) and the
+            # escape case fall back to the XLA weighted gather.
+            from .fused_window import (fused_window_sample,
+                                       segment_window_starts)
+            tile_q = fwin_tile_q
+            idxf = flat.transpose(0, 2, 1, 3).reshape(B * H, Q, P)
+            cwf = cw.transpose(0, 2, 1, 3, 4).reshape(
+                B * H, Q, P, 4).astype(jnp.float32)
+            tbl = packed.reshape(B * H, sp, 4 * D)
+
+            def xla_weighted(ops_):
+                idx_s, w_s = ops_
+                a = jnp.zeros(idx_s.shape[:2] + (4 * D,), dt)
+                for p in range(P):
+                    g = jnp.take_along_axis(
+                        tbl, idx_s[:, :, p][..., None], axis=1)
+                    a = a + g * jnp.repeat(
+                        w_s[:, :, p].astype(dt), D, axis=-1)
+                return a
+
+            parts = []
+            q0 = 0
+            for (hs, ws_) in spatial_shapes:
+                n = hs * ws_
+                rows_per_tile = (tile_q / ws_) * (h / hs)
+                need = int(rows_per_tile) + 2 * fwin_margin + 2
+                k_seg = min(-(-(need * (w + 2)) // 16) * 16, sp)
+                n_pad = -(-n // tile_q) * tile_q
+                idx_s = idxf[:, q0:q0 + n]
+                w_s = cwf[:, q0:q0 + n]
+                if k_seg > sp // 2 or n < tile_q:
+                    parts.append(xla_weighted((idx_s, w_s)))
+                    q0 += n
+                    continue
+                starts = segment_window_starts(
+                    n, tile_q, (hs, ws_), (h, w), sp, k_seg)
+                starts_a = jnp.asarray(starts, jnp.int32)
+                if n_pad > n:   # pad into the last tile's window
+                    idx_s = jnp.pad(idx_s, ((0, 0), (0, n_pad - n),
+                                            (0, 0)),
+                                    constant_values=starts[-1])
+                    w_s = jnp.pad(w_s, ((0, 0), (0, n_pad - n),
+                                        (0, 0), (0, 0)))
+                local = idx_s - jnp.repeat(starts_a, tile_q)[None, :,
+                                                             None]
+                in_win = ((local >= 0) & (local < k_seg)).all()
+                seg = jax.lax.cond(
+                    in_win,
+                    lambda ops_: fused_window_sample(
+                        tbl, ops_[0], ops_[1], starts_a, k_seg,
+                        tile_q).astype(dt),
+                    xla_weighted, (idx_s, w_s))
+                parts.append(seg[:, :n])
+                q0 += n
+            acc = jnp.concatenate(parts, axis=1).reshape(B, H, Q, 4 * D)
             out = out + sum(acc[..., c * D:(c + 1) * D] for c in range(4))
         elif use_window:
             from .window_gather import tile_window_starts, window_gather

@@ -88,6 +88,7 @@ def test_msda_windowed_path_matches_reference(monkeypatch):
     from dskd_tpu.ops.msda import ms_deform_attn_core
 
     monkeypatch.setenv("DSKD_FORCE_MXU", "1")
+    monkeypatch.setenv("DSKD_FWIN", "0")   # pin the legacy window branch
     rng = np.random.RandomState(0)
     B, H, D, P = 1, 2, 64, 2
     shapes = [(16, 16), (8, 8)]       # S = 320; level-0 table 18*18=324
@@ -162,3 +163,91 @@ def test_msda_fused_path_matches_reference(monkeypatch):
                                torch.from_numpy(locs),
                                torch.from_numpy(w)).numpy()
     np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
+
+
+def _fwin_setup(seed=0):
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.RandomState(seed)
+    B, H, D, P = 1, 2, 64, 2
+    shapes = [(16, 16), (8, 8)]
+    S = sum(h * w for h, w in shapes)
+    Q = S
+    value = jnp.asarray(rng.randn(B, S, H, D).astype(np.float32))
+    weights = jax.nn.softmax(jnp.asarray(
+        rng.randn(B, Q, H, len(shapes), P).astype(np.float32))
+        .reshape(B, Q, H, -1), -1).reshape(B, Q, H, len(shapes), P)
+    ys, xs = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    own0 = np.stack([(xs.ravel() + 0.5) / 16, (ys.ravel() + 0.5) / 16], -1)
+    ys1, xs1 = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    own1 = np.stack([(xs1.ravel() + 0.5) / 8, (ys1.ravel() + 0.5) / 8], -1)
+    own = np.concatenate([own0, own1], 0)
+    locs = (own[None, :, None, None, None, :]
+            + rng.randn(B, Q, H, 2, P, 2).astype(np.float32) * 0.01)
+    return value, shapes, jnp.asarray(locs.astype(np.float32)), weights
+
+
+def test_msda_fwin_path_matches_reference(monkeypatch):
+    """Fused windowed level-0 sampling (ops/fused_window.py via the
+    DSKD_FWIN branch) matches the plain path, in-window and on escape."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from dskd_tpu.ops.msda import ms_deform_attn_core
+
+    monkeypatch.setenv("DSKD_FORCE_MXU", "1")
+    monkeypatch.setenv("DSKD_FWIN", "1")
+    monkeypatch.setenv("DSKD_FWIN_MARGIN", "1")
+    value, shapes, locs, weights = _fwin_setup()
+    kw = dict(mxu_gather_max_rows=100, fwin_tile_q=32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(ms_deform_attn_core(
+            value, shapes, locs, weights, raster_queries=True, **kw))
+    monkeypatch.setenv("DSKD_FORCE_MXU", "0")
+    want = np.asarray(ms_deform_attn_core(
+        value, shapes, locs, weights, raster_queries=False))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+    # escape -> cond fallback, still exact
+    monkeypatch.setenv("DSKD_FORCE_MXU", "1")
+    locs_far = locs.at[0, 5, 0, 0, 0].set(jnp.array([0.99, 0.99]))
+    with pltpu.force_tpu_interpret_mode():
+        got_far = np.asarray(ms_deform_attn_core(
+            value, shapes, locs_far, weights, raster_queries=True, **kw))
+    monkeypatch.setenv("DSKD_FORCE_MXU", "0")
+    want_far = np.asarray(ms_deform_attn_core(
+        value, shapes, locs_far, weights, raster_queries=False))
+    np.testing.assert_allclose(got_far, want_far, rtol=2e-5, atol=2e-6)
+    assert np.abs(got_far - got).max() > 0
+
+
+def test_msda_fwin_gradients_match_plain(monkeypatch):
+    """Backward through the fwin branch (custom_vjp matmul scatter) agrees
+    with the plain path's autodiff for value, locations, and weights."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from dskd_tpu.ops.msda import ms_deform_attn_core
+
+    value, shapes, locs, weights = _fwin_setup(seed=7)
+
+    def loss(v, l, w, **kw):
+        out = ms_deform_attn_core(v, shapes, l, w, **kw)
+        return (out * out).sum()
+
+    monkeypatch.setenv("DSKD_FORCE_MXU", "1")
+    monkeypatch.setenv("DSKD_FWIN", "1")
+    monkeypatch.setenv("DSKD_FWIN_MARGIN", "1")
+    with pltpu.force_tpu_interpret_mode():
+        gv, gl, gw = jax.grad(loss, argnums=(0, 1, 2))(
+            value, locs, weights, raster_queries=True,
+            mxu_gather_max_rows=100, fwin_tile_q=32)
+    monkeypatch.setenv("DSKD_FORCE_MXU", "0")
+    wv, wl, ww = jax.grad(loss, argnums=(0, 1, 2))(
+        value, locs, weights, raster_queries=False)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(wv),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(wl),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(ww),
+                               rtol=1e-4, atol=1e-5)
