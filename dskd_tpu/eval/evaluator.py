@@ -107,6 +107,18 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 
+    if arch == "rpn":
+        from ..models.faster_rcnn import rpn_proposals
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            props, scores, pvalid = rpn_proposals(
+                out.rpn, img_hw, nms_pre=1000, max_total=max_per_img)
+            return Det(props / scale_factors[:, None, :], scores,
+                       jnp.zeros(scores.shape, jnp.int32), pvalid)
+        return eval_step
+
     if arch in ("faster_rcnn", "libra_faster_rcnn",
                 "double_head_rcnn"):
         from ..models.faster_rcnn import (FasterRCNN, rcnn_get_bboxes,

@@ -226,6 +226,25 @@ def rpn_proposals(rpn: RPNOutputs, img_hw, nms_pre: int = 1000,
     return jax.vmap(per_image)(boxes, scores, ids, img_hw)
 
 
+class RPN(nn.Module):
+    """Standalone Region Proposal Network (parity: detectors/rpn.py +
+    configs/rpn/rpn_r50_fpn_1x_coco.py, AR@1000 58.2): backbone + FPN +
+    RPNHead with no second stage; proposals ARE the detections
+    (class-agnostic, evaluated with the proposal/AR protocol)."""
+    num_classes: int = 1                 # class-agnostic by construction
+    depth: int = 50
+    frozen_stages: int = 1
+
+    @nn.compact
+    def __call__(self, images, img_hw, deterministic: bool = True):
+        feats = ResNet(depth=self.depth, out_indices=(0, 1, 2, 3),
+                       frozen_stages=self.frozen_stages,
+                       name="backbone")(images)
+        neck = FPN(out_channels=256, num_outs=5, start_level=0,
+                   add_extra_convs="", name="neck")(feats)
+        return FasterRCNNOutputs(RPNHead(name="rpn_head")(neck), neck)
+
+
 class RPNLossConfig(NamedTuple):
     num_samples: int = 256
     pos_fraction: float = 0.5

@@ -188,6 +188,15 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 out.head, points, meta, batch.gt_bboxes, batch.gt_labels,
                 batch.gt_valid, det_cfg), None
 
+    elif arch == "rpn":
+        from ..models.faster_rcnn import RPNLossConfig, rpn_loss
+        rpn_cfg = RPNLossConfig()
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw)
+            return rpn_loss(out.rpn, batch.gt_bboxes, batch.gt_valid,
+                            batch.img_hw, rng, rpn_cfg), None
+
     elif arch in ("faster_rcnn", "libra_faster_rcnn",
                   "double_head_rcnn"):
         from ..models.faster_rcnn import (FasterRCNN, RCNNLossConfig,

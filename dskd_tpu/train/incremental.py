@@ -94,6 +94,9 @@ def build_model(cfg: ExperimentConfig):
         from ..models.faster_rcnn import FasterRCNN
         return FasterRCNN(num_classes=m.num_classes, depth=m.depth,
                           frozen_stages=m.frozen_stages, with_rpn=False)
+    if m.arch == "rpn":
+        from ..models.faster_rcnn import RPN
+        return RPN(depth=m.depth, frozen_stages=m.frozen_stages)
     if m.arch in ("faster_rcnn", "libra_faster_rcnn",
                   "double_head_rcnn"):
         from ..models.faster_rcnn import FasterRCNN
