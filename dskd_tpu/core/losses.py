@@ -99,6 +99,14 @@ def iou_loss(pred, target, eps: float = 1e-6, linear: bool = True):
 
 
 @_weighted
+def square_iou_loss(pred, target, eps: float = 1e-16):
+    """IoULoss(mode='square'): 1 - IoU**2 (YOLOX's bbox loss,
+    mmdet losses/iou_loss.py mode branch)."""
+    ious = bbox_overlaps(pred, target, mode="iou", is_aligned=True, eps=eps)
+    return 1.0 - jnp.square(ious)
+
+
+@_weighted
 def diou_loss(pred, target, eps: float = 1e-7):
     """Distance-IoU loss: 1 - IoU + center_dist^2 / diag^2 (iou_loss.py)."""
     ious = bbox_overlaps(pred, target, mode="iou", is_aligned=True, eps=eps)

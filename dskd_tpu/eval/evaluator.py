@@ -51,7 +51,7 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 
-    if arch == "yoloy":
+    if arch in ("yoloy", "yolox"):
         from ..models.yoloy_head import yoloy_get_bboxes
 
         @jax.jit

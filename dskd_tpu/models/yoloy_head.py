@@ -130,8 +130,9 @@ def yoloy_detection_loss(out: YOLOYHeadOutputs, gt_bboxes, gt_labels,
     tgt_boxes = jnp.take_along_axis(gt_bboxes, safe[..., None], axis=1)
     posf = assign.pos_mask.astype(jnp.float32)
 
-    bbox_fn = L.diou_loss if cfg.bbox_loss == "diou" else (
-        L.ciou_loss if cfg.bbox_loss == "ciou" else L.iou_loss)
+    bbox_fn = {"diou": L.diou_loss, "ciou": L.ciou_loss,
+               "square_iou": L.square_iou_loss}.get(cfg.bbox_loss,
+                                                    L.iou_loss)
     loss_bbox = cfg.loss_bbox_weight * bbox_fn(
         decoded.reshape(-1, 4), tgt_boxes.reshape(-1, 4),
         weight=posf.reshape(-1), reduction="none").sum() / num_total

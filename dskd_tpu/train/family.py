@@ -15,8 +15,13 @@ from .step import Batch, parse_losses
 def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                            num_prev: int, has_teacher: bool,
                            use_dropout: bool = True,
-                           compute_dtype=jnp.float32):
-    """Returns a jitted (state, batch, teacher_vars) -> (state, losses)."""
+                           compute_dtype=jnp.float32,
+                           use_l1: bool = False):
+    """Returns a jitted (state, batch, teacher_vars) -> (state, losses).
+
+    ``use_l1`` is YOLOX's ModeSwitch extra: the driver rebuilds the step
+    with it on when the no-aug phase starts (detectors/yolox.py +
+    YOLOXModeSwitchHook)."""
     if arch in ("gfl_deformable_detr", "deformable_detr_il"):
         from ..distill.losses import DistillConfig
         from ..models.gfl_detr_loss import DetLossConfig
@@ -90,6 +95,19 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 teacher_score_thr=cfg.distill.teacher_score_thr,
                 teacher_max_per_img=cfg.distill.teacher_max_per_img)
             return losses, mutated["batch_stats"]
+
+    elif arch == "yolox":
+        from ..models.yoloy_head import YOLOYLossConfig, yoloy_detection_loss
+        det_cfg = YOLOYLossConfig(num_classes=cfg.model.num_classes,
+                                  bbox_loss="square_iou", use_l1=use_l1)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out, mutated = model.apply(
+                variables, batch.images, batch.img_hw, deterministic=False,
+                mutable=["batch_stats"])
+            return yoloy_detection_loss(
+                out.head, batch.gt_bboxes, batch.gt_labels, batch.gt_valid,
+                det_cfg), mutated["batch_stats"]
 
     elif arch == "gfl":
         from ..models.gfl_head import GFLLossConfig, gfl_detection_loss

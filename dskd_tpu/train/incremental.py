@@ -75,6 +75,9 @@ def build_model(cfg: ExperimentConfig):
         from ..models.yoloy import YOLOY
         return YOLOY(num_classes=m.num_classes, depth=m.depth,
                      frozen_stages=m.frozen_stages)
+    if m.arch == "yolox":
+        from ..models.yolox import YOLOX
+        return YOLOX(num_classes=m.num_classes)
     if m.arch == "ld":
         from ..models.gfl import GFL
         return GFL(num_classes=m.num_classes, depth=m.depth,
@@ -283,9 +286,20 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
                         aspect_buckets=cfg.data.aspect_buckets)
     iters_per_epoch = max(len(loader), 1)
 
-    sched = step_lr_schedule(cfg.train.base_lr, cfg.train.warmup_iters,
-                             cfg.train.warmup_ratio, cfg.train.step_epochs,
-                             iters_per_epoch)
+    if cfg.train.lr_policy == "yolox_cosine":
+        from .schedule import yolox_cosine_schedule
+        ep = (cfg.train.epochs_per_task
+              if cfg.train.max_iters_per_task <= 0 else
+              -(-cfg.train.max_iters_per_task // iters_per_epoch))
+        sched = yolox_cosine_schedule(
+            cfg.train.base_lr, cfg.train.warmup_iters,
+            total_iters=ep * iters_per_epoch,
+            last_iters=cfg.train.no_aug_epochs * iters_per_epoch,
+            min_lr_ratio=cfg.train.min_lr_ratio)
+    else:
+        sched = step_lr_schedule(cfg.train.base_lr, cfg.train.warmup_iters,
+                                 cfg.train.warmup_ratio,
+                                 cfg.train.step_epochs, iters_per_epoch)
     tx = make_optimizer(variables["params"], sched,
                         weight_decay=cfg.train.weight_decay,
                         max_norm=cfg.train.grad_clip,
@@ -345,15 +359,24 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
         def epoch_batches(e):
             return iter(loader)
 
+    no_aug_switched = False
     for epoch in range(1, n_epochs + 1):
         # YOLOXModeSwitchHook: last no_aug_epochs train without Mosaic/MixUp
-        if (cfg.train.no_aug_epochs and (pipe.mosaic or pipe.mixup)
+        if (cfg.train.no_aug_epochs and not no_aug_switched
+                and (pipe.mosaic or pipe.mixup)
                 and epoch > n_epochs - cfg.train.no_aug_epochs):
+            no_aug_switched = True
             import dataclasses
             loader.pipeline = dataclasses.replace(
                 loader.pipeline, mosaic=False, mixup=False)
             log.info("task %d epoch %d: mosaic/mixup OFF (no-aug phase)",
                      tid, epoch)
+            if cfg.model.arch == "yolox":
+                # YOLOXModeSwitchHook also turns the L1 branch on
+                step_fn = make_family_train_step(
+                    cfg.model.arch, model, cfg, num_prev,
+                    has_teacher=teacher_variables is not None,
+                    use_dropout=cfg.train.use_dropout, use_l1=True)
         t0, n_img = time.time(), 0
         for it, (batch, _meta) in enumerate(epoch_batches(epoch)):
             batch = shard_batch(Batch(*(None if x is None else

@@ -28,3 +28,23 @@ def step_lr_schedule(base_lr: float, warmup_iters: int = 1500,
         return jnp.where(step < warmup_iters, lr * factor, lr)
 
     return schedule
+
+
+def yolox_cosine_schedule(base_lr: float, warmup_iters: int,
+                          total_iters: int, last_iters: int = 0,
+                          min_lr_ratio: float = 0.05):
+    """YOLOXLrUpdaterHook (mmcv lr_updater.py quarter-cosine policy):
+    quadratic warmup ``lr * (step / warmup)**2``, cosine anneal from the
+    warmup end to ``total - last_iters``, then a fixed floor of
+    ``min_lr_ratio * base_lr`` for the final no-aug epochs."""
+    min_lr = base_lr * min_lr_ratio
+    anneal = max(total_iters - last_iters - warmup_iters, 1)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        w = jnp.clip(step / max(warmup_iters, 1), 0.0, 1.0)
+        k = jnp.clip((step - warmup_iters) / anneal, 0.0, 1.0)
+        cos = min_lr + 0.5 * (base_lr - min_lr) * (1 + jnp.cos(jnp.pi * k))
+        return jnp.where(step < warmup_iters, base_lr * w * w, cos)
+
+    return schedule

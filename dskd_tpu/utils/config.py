@@ -91,6 +91,11 @@ class TrainConfig:
     warmup_iters: int = 1500
     warmup_ratio: float = 0.01
     step_epochs: Tuple[int, ...] = (8, 11)
+    # 'step' (mmcv StepLrUpdaterHook) or 'yolox_cosine'
+    # (YOLOXLrUpdaterHook: quadratic warmup + quarter cosine + fixed
+    # floor over the last no_aug_epochs)
+    lr_policy: str = "step"
+    min_lr_ratio: float = 0.05
     epochs_per_task: int = 12
     # iter-based schedule (IterBasedRunner + InfiniteSampler equivalent):
     # when > 0, each task trains this many iterations from an endless
