@@ -31,7 +31,7 @@ class DataLoader:
                  seed: int = 0, num_workers: int = 8,
                  num_hosts: int = 1, host_id: int = 0,
                  drop_last: bool = True, aspect_buckets=None,
-                 prefetch: int = 2):
+                 gt_buckets=(), prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.pipeline = pipeline or PipelineConfig()
@@ -42,6 +42,7 @@ class DataLoader:
         self.host_id = host_id
         self.drop_last = drop_last
         self.aspect_buckets = aspect_buckets
+        self.gt_buckets = tuple(sorted(gt_buckets))
         self.prefetch = max(1, prefetch)
         self.epoch = 0
         self._flags = None
@@ -149,6 +150,21 @@ class DataLoader:
             stack = {k: np.stack([s[k] for s in samples])
                      for k in ("image", "img_hw", "gt_bboxes",
                                "gt_labels", "gt_valid")}
+            if self.gt_buckets:
+                # GT-count bucket: trim the max_gt pad down to the
+                # smallest bucket covering every valid GT index in the
+                # batch (valid entries are not necessarily contiguous
+                # after aug filtering, so bucket on the last valid slot)
+                cols = stack["gt_valid"].any(axis=0)
+                need = int(cols.nonzero()[0].max()) + 1 if cols.any() else 1
+                nb_gt = next((g for g in self.gt_buckets if g >= need),
+                             stack["gt_valid"].shape[1])
+                nb_gt = min(nb_gt, stack["gt_valid"].shape[1])
+                for k in ("gt_bboxes", "gt_labels", "gt_valid"):
+                    stack[k] = stack[k][:, :nb_gt]
+                for s in samples:
+                    if "gt_masks" in s:
+                        s["gt_masks"] = s["gt_masks"][:nb_gt]
             batch = Batch(stack["image"], stack["img_hw"],
                           stack["gt_bboxes"], stack["gt_labels"],
                           stack["gt_valid"],

@@ -201,6 +201,11 @@ def ms_deform_attn_core(value: jnp.ndarray,
     # table has at most this many rows skip corner packing + post-weighting
     # entirely. 0 = off (measure on chip before making it the default).
     fused_max_rows = int(os.environ.get("DSKD_FUSED_ROWS", "0"))
+    # Pallas corner-table pack (ops/pack_kernel.py): big levels build the
+    # packed table in ONE kernel write instead of the XLA pad/concat/
+    # transpose chain, and gather it middle-axis (no head-major transpose).
+    # Targets the ~25% reshape/copy/pad trace bucket (PERF.md round 3).
+    pack_kernel = os.environ.get("DSKD_PACK_KERNEL", "0") == "1"
     use_mxu = (mxu_gather_max_rows > 0
                and (jax.default_backend() == "tpu"
                     # test hook: exercise the Pallas paths in interpret mode
@@ -245,6 +250,7 @@ def ms_deform_attn_core(value: jnp.ndarray,
         return out_q.reshape(B, Q, H * D)
 
     out = jnp.zeros((B, H, Q, D), dt)
+    out_q = None                       # (B, Q, H, D) pack-kernel accumulator
     start = 0
     for lvl, (h, w) in enumerate(spatial_shapes):
         v = jax.lax.dynamic_slice_in_dim(value, start, h * w, axis=1)
@@ -289,6 +295,29 @@ def ms_deform_attn_core(value: jnp.ndarray,
             start += h * w
             continue
 
+        sp = (h + 2) * (w + 2)
+        if (pack_kernel and use_mxu and sp > mxu_gather_max_rows
+                and window_rows == 0 and not fwin_on):
+            # one-write Pallas corner table + middle-axis gather; keep the
+            # corner axis fused in the 128-lane dim (finding 5) and the
+            # (B, Q, H, D) layout to skip the head-major transposes.
+            from .pack_kernel import pack_corners_fused
+            packedk = pack_corners_fused(v, h, w)      # (B, S'', H, 4D)
+            x0c = jnp.clip(x0 + 1, 0, w + 1).astype(jnp.int32)
+            y0c = jnp.clip(y0 + 1, 0, h + 1).astype(jnp.int32)
+            flat = y0c * (w + 2) + x0c                 # (B, Q, H, P)
+            acc = jnp.zeros((B, Q, H, 4 * D), dt)
+            for p in range(P):
+                g = jnp.take_along_axis(
+                    packedk, flat[:, :, :, p][..., None], axis=1)
+                acc = acc + g * jnp.repeat(cw[:, :, :, p], D, axis=-1)
+            if out_q is None:
+                out_q = jnp.zeros((B, Q, H, D), dt)
+            out_q = out_q + sum(acc[..., c * D:(c + 1) * D]
+                                for c in range(4))
+            start += h * w
+            continue
+
         packed = _pack_corners(v, h, w)                # (B, H, S', 4D)
 
         # flat base index into the padded (h+2)(w+2) grid
@@ -296,7 +325,6 @@ def ms_deform_attn_core(value: jnp.ndarray,
         y0c = jnp.clip(y0 + 1, 0, h + 1).astype(jnp.int32)
         flat = y0c * (w + 2) + x0c                     # (B, Q, H, P)
 
-        sp = (h + 2) * (w + 2)
         n0 = h * w
         use_window = (use_mxu and window_rows > 0
                       and sp > mxu_gather_max_rows
@@ -438,4 +466,7 @@ def ms_deform_attn_core(value: jnp.ndarray,
                 acc = acc + g * jnp.repeat(wp, D, axis=-1)
             out = out + sum(acc[..., c * D:(c + 1) * D] for c in range(4))
         start += h * w
-    return out.transpose(0, 2, 1, 3).reshape(B, Q, H * D)
+    res = out.transpose(0, 2, 1, 3)
+    if out_q is not None:
+        res = res + out_q
+    return res.reshape(B, Q, H * D)

@@ -147,3 +147,31 @@ def test_loader_prefetch_overlaps_consumer(tmp_path, monkeypatch):
     assert max(load_events) < t_ask - 0.4, (
         "producer did not run ahead during the consumer's step")
     list(it)  # drain cleanly
+
+
+def test_loader_gt_buckets(tmp_path, monkeypatch):
+    """GT-count bucketing: batches pad GT to the smallest bucket covering
+    the batch's last valid slot instead of always max_gt, preserving every
+    valid box (DataConfig.gt_buckets; the dynamic-shape equivalent of the
+    reference's exact per-image GT tensors)."""
+    import dskd_tpu.data.loader as loader_mod
+    from dskd_tpu.data.loader import DataLoader
+
+    ann = make_coco_json(str(tmp_path), num_images=8)
+    ds = TaskCocoDataset(ann, catsplit=(4,), catload=(1,))
+    monkeypatch.setattr(loader_mod, "load_image",
+                        lambda path: np.zeros((40, 50, 3), np.uint8))
+    pipe = PipelineConfig(max_gt=64, bucket=(32, 32), img_scale=(32, 32))
+    dl_full = DataLoader(ds, batch_size=2, pipeline=pipe, train=False,
+                         num_workers=1)
+    dl_bkt = DataLoader(ds, batch_size=2, pipeline=pipe, train=False,
+                        num_workers=1, gt_buckets=(4, 8, 16))
+    for (bf, _), (bb, _) in zip(iter(dl_full), iter(dl_bkt)):
+        assert bf.gt_bboxes.shape[1] == 64
+        nb = bb.gt_bboxes.shape[1]
+        assert nb in (4, 8, 16)
+        # every valid GT survives the trim, bit-identically
+        assert bf.gt_valid[:, nb:].sum() == 0
+        np.testing.assert_array_equal(bb.gt_valid, bf.gt_valid[:, :nb])
+        np.testing.assert_array_equal(bb.gt_bboxes, bf.gt_bboxes[:, :nb])
+        np.testing.assert_array_equal(bb.gt_labels, bf.gt_labels[:, :nb])

@@ -251,3 +251,50 @@ def test_msda_fwin_gradients_match_plain(monkeypatch):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(ww),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_msda_pack_kernel_path_matches_reference(monkeypatch):
+    """DSKD_PACK_KERNEL=1 (one-write Pallas corner table + middle-axis
+    gather) must be bit-exact with the plain path, forward and VJP."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from dskd_tpu.ops.msda import ms_deform_attn_core
+
+    rng = np.random.RandomState(3)
+    B, H, D, P = 2, 8, 32, 4
+    shapes = [(12, 16), (6, 8)]
+    S = sum(h * w for h, w in shapes)
+    Q = 40
+    value = jnp.asarray(rng.randn(B, S, H, D).astype(np.float32))
+    weights = jax.nn.softmax(jnp.asarray(
+        rng.randn(B, Q, H, len(shapes), P).astype(np.float32))
+        .reshape(B, Q, H, -1), -1).reshape(B, Q, H, len(shapes), P)
+    # include out-of-bounds samples to exercise the zero-corner gates
+    locs = jnp.asarray(
+        (rng.rand(B, Q, H, len(shapes), P, 2) * 1.3 - 0.15)
+        .astype(np.float32))
+
+    def run(pack):
+        monkeypatch.setenv("DSKD_FORCE_MXU", "1" if pack else "0")
+        monkeypatch.setenv("DSKD_PACK_KERNEL", "1" if pack else "0")
+
+        def f(v):
+            # max_rows=10: every level routes to the pack-kernel branch
+            o = ms_deform_attn_core(v, shapes, locs, weights,
+                                    mxu_gather_max_rows=10)
+            return (o * jnp.cos(jnp.arange(o.size, dtype=jnp.float32)
+                                .reshape(o.shape))).sum(), o
+
+        if pack:
+            with pltpu.force_tpu_interpret_mode():
+                (_, o), g = jax.value_and_grad(f, has_aux=True)(value)
+        else:
+            (_, o), g = jax.value_and_grad(f, has_aux=True)(value)
+        return np.asarray(o), np.asarray(g)
+
+    got, ggot = run(True)
+    want, gwant = run(False)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(ggot, gwant, rtol=2e-4, atol=2e-5)
