@@ -93,7 +93,8 @@ class TaskCocoDataset:
                  catpred: str = "prev-cur", catwise: bool = True,
                  imgpercent: float = 1.0, test_mode: bool = False,
                  class_order: str = "alpha", filter_empty: bool = True,
-                 seed: int = 0, classes: Optional[Sequence[str]] = None):
+                 seed: int = 0, classes: Optional[Sequence[str]] = None,
+                 seg_prefix: str = ""):
         """``classes`` overrides the COCO table for COCO-format custom
         datasets (the reference's HLKT/WRXT pattern): names are resolved
         against the annotation file's categories, ordered as given (or
@@ -101,6 +102,7 @@ class TaskCocoDataset:
         assert len(catsplit) == len(catload)
         self.ann_file = ann_file
         self.img_prefix = img_prefix
+        self.seg_prefix = seg_prefix
         self.test_mode = test_mode
         self.coco = CocoAnnotations(ann_file)
 
@@ -182,3 +184,22 @@ class TaskCocoDataset:
         (LoadAnnotations(with_mask=True) equivalent)."""
         _, anns = self.samples[idx]
         return [a.get("segmentation") for a in anns]
+
+    def get_semantic(self, idx: int) -> np.ndarray:
+        """Per-pixel semantic label map (LoadAnnotations(with_seg=True):
+        ``seg_prefix/<image>.png`` stuffthingmaps, as HTC trains with).
+        All-255 (void, ignored by the semantic loss) when the map is
+        absent or no seg_prefix is configured."""
+        img_id, _ = self.samples[idx]
+        info = self.coco.images[img_id]
+        h, w = info["height"], info["width"]
+        if self.seg_prefix:
+            path = os.path.join(
+                self.seg_prefix,
+                os.path.splitext(info["file_name"])[0] + ".png")
+            if os.path.exists(path):
+                import cv2
+                sem = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+                if sem is not None:
+                    return sem.astype(np.int32)
+        return np.full((h, w), 255, np.int32)

@@ -178,6 +178,8 @@ class CocoDetectionEval:
     @staticmethod
     def _pack(masks):
         m = np.asarray(masks)
+        if m.size == 0:        # zero instances: reshape(-1) can't infer
+            return np.zeros((len(m), 0), np.uint8), 0
         m = m.reshape(len(m), -1).astype(bool)
         return np.packbits(m, axis=1), m.shape[1]
 

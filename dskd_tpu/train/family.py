@@ -428,6 +428,34 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                     lab_p.reshape(-1), pos_v.reshape(-1))
             return losses, None
 
+    elif arch == "htc":
+        from ..models.faster_rcnn import (RPNLossConfig, rpn_loss,
+                                          rpn_proposals)
+        from ..models.htc import HTC, htc_forward_train, semantic_seg_loss
+        rpn_cfg = RPNLossConfig()
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            rng1, rng2 = jax.random.split(rng)
+            out = model.apply(variables, batch.images, batch.img_hw)
+            losses = rpn_loss(out.rpn, batch.gt_bboxes, batch.gt_valid,
+                              batch.img_hw, rng1, rpn_cfg)
+            losses["loss_semantic_seg"] = semantic_seg_loss(
+                out.sem_pred, batch.gt_semantic)
+            props, _, valid = rpn_proposals(out.rpn, batch.img_hw,
+                                            nms_pre=1000,
+                                            max_total=cfg.rcnn_num_proposals)
+            props = jax.lax.stop_gradient(props)
+            losses.update(htc_forward_train(
+                lambda f, st: model.apply(variables, f, st,
+                                          method=HTC.roi_forward),
+                lambda f, st: model.apply(variables, f, st,
+                                          method=HTC.mask_forward_flow),
+                out, props, valid, batch.gt_bboxes, batch.gt_labels,
+                batch.gt_valid, batch.gt_masks, rng2,
+                num_classes=cfg.model.num_classes,
+                num_samples=cfg.rcnn_num_samples))
+            return losses, None
+
     elif arch == "solo":
         from ..models.solo import solo_loss
 

@@ -133,6 +133,10 @@ def build_model(cfg: ExperimentConfig):
         from ..models.cascade_mask_rcnn import CascadeMaskRCNN
         return CascadeMaskRCNN(num_classes=m.num_classes, depth=m.depth,
                                frozen_stages=m.frozen_stages)
+    if m.arch == "htc":
+        from ..models.htc import HTC
+        return HTC(num_classes=m.num_classes, depth=m.depth,
+                   frozen_stages=m.frozen_stages)
     if m.arch == "centernet":
         from ..models.centernet import CenterNet
         return CenterNet(num_classes=m.num_classes, depth=m.depth,
@@ -231,7 +235,7 @@ def init_variables(model, cfg: ExperimentConfig, rng):
     if cfg.model.arch in ("faster_rcnn", "libra_faster_rcnn",
                           "double_head_rcnn", "fast_rcnn",
                           "grid_rcnn", "cascade_rcnn", "tridentnet",
-                          "cascade_mask_rcnn",
+                          "cascade_mask_rcnn", "htc",
                           "mask_rcnn", "panoptic_fpn", "ms_rcnn"):
         # two-stage: trace the ROI head(s) too so init creates their params
         variables = model.init(rng, images, img_hw,
@@ -252,7 +256,8 @@ def make_datasets(cfg: ExperimentConfig, tid: int, task_nums: int):
     train_ds = TaskCocoDataset(
         cfg.data.train_ann, cfg.data.train_img_prefix,
         catsplit=cfg.data.catsplit, catload=train_load,
-        catpred=cfg.data.catpred, imgpercent=cfg.data.imgpercent)
+        catpred=cfg.data.catpred, imgpercent=cfg.data.imgpercent,
+        seg_prefix=cfg.data.seg_prefix)
     val_ds = TaskCocoDataset(
         cfg.data.val_ann, cfg.data.val_img_prefix,
         catsplit=cfg.data.catsplit, catload=val_load,
@@ -275,15 +280,16 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
         auto_augment=cfg.data.auto_augment,
         with_mask=cfg.model.arch in ("mask_rcnn", "panoptic_fpn",
                                      "ms_rcnn", "cascade_mask_rcnn",
-                                     "solo", "yolact"),
-        with_semantic=cfg.model.arch == "panoptic_fpn")
+                                     "htc", "solo", "yolact"),
+        with_semantic=cfg.model.arch in ("panoptic_fpn", "htc"))
     global_batch = cfg.data.samples_per_device * len(mesh.devices.flatten())
     loader = DataLoader(train_ds, global_batch, pipe, train=True,
                         seed=cfg.train.seed + tid,
                         num_workers=cfg.data.num_workers,
                         num_hosts=jax.process_count(),
                         host_id=jax.process_index(),
-                        aspect_buckets=cfg.data.aspect_buckets)
+                        aspect_buckets=cfg.data.aspect_buckets,
+                        gt_buckets=cfg.data.gt_buckets)
     iters_per_epoch = max(len(loader), 1)
 
     if cfg.train.lr_policy == "yolox_cosine":

@@ -58,6 +58,8 @@ class DataConfig:
     val_ann: str = "data/coco/annotations/instances_val2017.json"
     train_img_prefix: str = "data/coco/train2017"
     val_img_prefix: str = "data/coco/val2017"
+    # stuffthingmaps PNG dir for semantic-branch models (HTC); "" = void
+    seg_prefix: str = ""
     catsplit: Tuple[int, ...] = (40, 40)
     catpred: str = "prev-cur"
     cat_split_load: str = "auto"
@@ -75,6 +77,13 @@ class DataConfig:
     # multi-scale training (Resize multiscale_mode='value'); the bucket
     # must cover the largest scale
     multi_scales: Optional[Tuple[Tuple[int, int], ...]] = None
+    # GT-count bucketing: pad each batch's GT arrays to the smallest
+    # bucket >= the batch's max valid-GT index instead of always max_gt.
+    # The reference processes exactly the GT that exist (dynamic torch
+    # shapes); a fixed max_gt=100 pad makes the Hungarian matcher + loss
+    # tensors do ~3x the reference's work on typical COCO batches. One
+    # compiled program per bucket (same trade as aspect_buckets).
+    gt_buckets: Tuple[int, ...] = ()
     photo_metric_distortion: bool = False
     # YOLOX-style multi-image mixes (pipelines/transforms.py Mosaic/MixUp)
     mosaic: bool = False

@@ -89,7 +89,7 @@ def test_arch_config_steps(name, path):
     gtb = np.concatenate([xy, xy + wh], -1)
     gt_masks = gt_semantic = None
     if cfg.model.arch in ("mask_rcnn", "panoptic_fpn", "ms_rcnn",
-                          "cascade_mask_rcnn", "solo", "yolact"):
+                          "cascade_mask_rcnn", "htc", "solo", "yolact"):
         # box-filled bitmaps at mask stride 4
         yy, xx = np.mgrid[0:H // 4, 0:W // 4]
         gt_masks = jnp.asarray(
@@ -98,7 +98,7 @@ def test_arch_config_steps(name, path):
              & (xx[None, None] * 4 >= gtb[:, :, 0, None, None])
              & (xx[None, None] * 4 <= gtb[:, :, 2, None, None]))
             .astype(np.float32))
-    if cfg.model.arch == "panoptic_fpn":
+    if cfg.model.arch in ("panoptic_fpn", "htc"):
         total = cfg.model.num_classes + cfg.model.num_stuff_classes
         gt_semantic = jnp.asarray(
             rng.randint(0, total, (B, H // 4, W // 4)).astype(np.int32))
