@@ -170,6 +170,51 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
                         sel)
         return eval_step
 
+    if arch == "point_rend":
+        from ..models.faster_rcnn import rcnn_get_bboxes, rpn_proposals
+        from ..models.point_rend import PointRendRCNN, refine_masks_test
+        from ..ops.roi_align import multi_level_roi_align
+        DetM = namedtuple("DetM",
+                          ["bboxes", "scores", "labels", "valid", "masks"])
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            props, _, pvalid = rpn_proposals(out.rpn, img_hw, nms_pre=1000,
+                                             max_total=1000)
+            d = rcnn_get_bboxes(
+                lambda f: model.apply(variables, f,
+                                      method=PointRendRCNN.roi_forward),
+                out.neck_feats, props, pvalid, img_hw,
+                num_classes=model.num_classes, scale_factor=scale_factors,
+                score_thr=max(score_thr, 0.05), max_per_img=max_per_img,
+                rescale=True)
+            rois_in = d["bboxes"] * scale_factors[:, None, :]
+            B, R = rois_in.shape[:2]
+            feats_pi = [tuple(f[b] for f in out.neck_feats[:4])
+                        for b in range(B)]
+            f14 = jnp.stack([
+                multi_level_roi_align(feats_pi[b], rois_in[b],
+                                      d["valid"][b], out_size=14)
+                for b in range(B)])
+            coarse = model.apply(variables, f14.reshape(B * R, 14, 14, -1),
+                                 method=PointRendRCNN.coarse_forward)
+            refined = refine_masks_test(
+                lambda fi, cp: model.apply(
+                    variables, fi, cp,
+                    method=PointRendRCNN.point_forward),
+                [f[0] for f in [out.neck_feats[0][b:b + 1]
+                                for b in range(B)]],
+                rois_in, d["valid"], d["labels"], coarse)
+            probs = jax.nn.sigmoid(refined).reshape(
+                B, R, refined.shape[1], refined.shape[2], -1)
+            sel = jnp.take_along_axis(
+                probs, jnp.clip(d["labels"], 0, probs.shape[-1] - 1)
+                [:, :, None, None, None].astype(jnp.int32), axis=-1)[..., 0]
+            return DetM(d["bboxes"], d["scores"], d["labels"], d["valid"],
+                        sel)
+        return eval_step
+
     if arch == "ms_rcnn":
         from ..models.faster_rcnn import rcnn_get_bboxes, rpn_proposals
         from ..models.ms_rcnn import MSRCNN

@@ -91,15 +91,17 @@ class MaskRCNN(nn.Module):
         return out
 
 
-def mask_targets(rois, gt_mask_sel, mask_stride: int = 4):
-    """Crop each positive ROI's matched GT bitmap to the 28x28 target
-    (mask_target.py: roi-align the instance bitmap, threshold 0.5).
+def mask_targets(rois, gt_mask_sel, mask_stride: int = 4,
+                 size: int = MASK_SIZE):
+    """Crop each positive ROI's matched GT bitmap to the ``size``^2 target
+    (mask_target.py: roi-align the instance bitmap, threshold 0.5;
+    size=7 for PointRend's coarse head).
 
     rois: (P, 4) xyxy image coords; gt_mask_sel: (P, Hm, Wm) bitmaps at
-    ``mask_stride``. Returns (P, 28, 28) float 0/1."""
+    ``mask_stride``. Returns (P, size, size) float 0/1."""
     def one(m, r):
         c = roi_align(m[..., None].astype(jnp.float32), r[None],
-                      out_size=MASK_SIZE,
+                      out_size=size,
                       spatial_scale=1.0 / mask_stride)
         return c[0, :, :, 0]
 
@@ -112,10 +114,10 @@ def mask_loss(mask_logits, targets, labels, pos_valid):
     P = mask_logits.shape[0]
     sel = jnp.take_along_axis(
         mask_logits, jnp.clip(labels, 0, mask_logits.shape[-1] - 1)
-        [:, None, None, None], axis=-1)[..., 0]        # (P, 28, 28)
+        [:, None, None, None], axis=-1)[..., 0]        # (P, S, S)
     w = pos_valid.astype(jnp.float32)[:, None, None]
     navg = jnp.maximum(pos_valid.sum().astype(jnp.float32), 1.0) \
-        * MASK_SIZE * MASK_SIZE
+        * sel.shape[1] * sel.shape[2]
     return L.bce_loss(sel.reshape(-1), targets.reshape(-1),
                       weight=jnp.broadcast_to(w, sel.shape).reshape(-1),
                       avg_factor=navg)

@@ -328,6 +328,78 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                     num_stuff=model.num_stuff_classes)
             return losses, None
 
+    elif arch == "point_rend":
+        from ..models.faster_rcnn import (RCNNLossConfig, RPNLossConfig,
+                                          rcnn_forward_train, rpn_loss,
+                                          rpn_proposals)
+        from ..models.mask_rcnn import mask_loss, mask_targets
+        from ..models.point_rend import (COARSE_SIZE, PointRendRCNN,
+                                         fine_grained_point_feats,
+                                         point_loss, point_targets,
+                                         sample_train_points)
+        from ..ops.point_sample import point_sample
+        from ..ops.roi_align import multi_level_roi_align
+        rpn_cfg = RPNLossConfig()
+        rcnn_cfg = RCNNLossConfig(num_classes=cfg.model.num_classes,
+                                  num_samples=cfg.rcnn_num_samples)
+        mask_stride = getattr(cfg, "mask_stride", 4)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            rng1, rng2, rng3 = jax.random.split(rng, 3)
+            out = model.apply(variables, batch.images, batch.img_hw)
+            losses = rpn_loss(out.rpn, batch.gt_bboxes, batch.gt_valid,
+                              batch.img_hw, rng1, rpn_cfg)
+            props, _, valid = rpn_proposals(out.rpn, batch.img_hw,
+                                            nms_pre=1000,
+                                            max_total=cfg.rcnn_num_proposals)
+            props = jax.lax.stop_gradient(props)
+            rcnn_losses, samples = rcnn_forward_train(
+                lambda f: model.apply(variables, f,
+                                      method=PointRendRCNN.roi_forward),
+                out.neck_feats, props, valid, batch.gt_bboxes,
+                batch.gt_labels, batch.gt_valid, rng2, rcnn_cfg)
+            losses.update({f"rcnn_{k}": v for k, v in rcnn_losses.items()})
+
+            B = props.shape[0]
+            P = max(1, int(rcnn_cfg.num_samples * rcnn_cfg.pos_fraction))
+            rois_p = samples.rois[:, :P]
+            pos_v = samples.is_pos[:, :P]
+            lab_p = samples.labels[:, :P]
+            gi_p = samples.gt_idx[:, :P]
+            feats_pi = [tuple(f[b] for f in out.neck_feats[:4])
+                        for b in range(B)]
+            f14 = jnp.stack([
+                multi_level_roi_align(feats_pi[b], rois_p[b], pos_v[b],
+                                      out_size=14) for b in range(B)])
+            coarse = model.apply(variables,
+                                 f14.reshape(B * P, 14, 14, -1),
+                                 method=PointRendRCNN.coarse_forward)
+            gm = jax.vmap(lambda m, i: m[i])(batch.gt_masks, gi_p)
+            rois_f = rois_p.reshape(-1, 4)
+            gm_f = gm.reshape((B * P,) + gm.shape[2:])
+            lab_f = lab_p.reshape(-1)
+            tgt7 = mask_targets(rois_f, gm_f, mask_stride,
+                                size=COARSE_SIZE)
+            losses["loss_mask"] = mask_loss(
+                coarse, jax.lax.stop_gradient(tgt7), lab_f,
+                pos_v.reshape(-1))
+            # point branch: uncertainty-sampled points, BCE at GT class
+            rel = sample_train_points(
+                rng3, jax.lax.stop_gradient(coarse), lab_f)
+            fine = jnp.concatenate([
+                fine_grained_point_feats(
+                    out.neck_feats[0][b], rois_p[b],
+                    rel.reshape(B, P, -1, 2)[b]) for b in range(B)],
+                axis=0)
+            coarse_pts = point_sample(coarse, rel)
+            plogits = model.apply(variables, fine, coarse_pts,
+                                  method=PointRendRCNN.point_forward)
+            ptgt = point_targets(rois_f, rel, gm_f, mask_stride)
+            losses["loss_point"] = point_loss(
+                plogits, jax.lax.stop_gradient(ptgt), lab_f,
+                pos_v.reshape(-1))
+            return losses, None
+
     elif arch == "tridentnet":
         from ..models.faster_rcnn import (RCNNLossConfig, RPNLossConfig,
                                           rcnn_forward_train, rpn_loss,

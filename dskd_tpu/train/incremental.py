@@ -137,6 +137,10 @@ def build_model(cfg: ExperimentConfig):
         from ..models.htc import HTC
         return HTC(num_classes=m.num_classes, depth=m.depth,
                    frozen_stages=m.frozen_stages)
+    if m.arch == "point_rend":
+        from ..models.point_rend import PointRendRCNN
+        return PointRendRCNN(num_classes=m.num_classes, depth=m.depth,
+                             frozen_stages=m.frozen_stages)
     if m.arch == "centernet":
         from ..models.centernet import CenterNet
         return CenterNet(num_classes=m.num_classes, depth=m.depth,
@@ -235,7 +239,7 @@ def init_variables(model, cfg: ExperimentConfig, rng):
     if cfg.model.arch in ("faster_rcnn", "libra_faster_rcnn",
                           "double_head_rcnn", "fast_rcnn",
                           "grid_rcnn", "cascade_rcnn", "tridentnet",
-                          "cascade_mask_rcnn", "htc",
+                          "cascade_mask_rcnn", "htc", "point_rend",
                           "mask_rcnn", "panoptic_fpn", "ms_rcnn"):
         # two-stage: trace the ROI head(s) too so init creates their params
         variables = model.init(rng, images, img_hw,
@@ -280,7 +284,8 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
         auto_augment=cfg.data.auto_augment,
         with_mask=cfg.model.arch in ("mask_rcnn", "panoptic_fpn",
                                      "ms_rcnn", "cascade_mask_rcnn",
-                                     "htc", "solo", "yolact"),
+                                     "htc", "point_rend",
+                                     "solo", "yolact"),
         with_semantic=cfg.model.arch in ("panoptic_fpn", "htc"))
     global_batch = cfg.data.samples_per_device * len(mesh.devices.flatten())
     loader = DataLoader(train_ds, global_batch, pipe, train=True,
