@@ -632,6 +632,30 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 
+    if arch == "queryinst":
+        from ..models.queryinst import queryinst_masks
+        from ..models.sparse_rcnn import sparse_rcnn_get_bboxes
+        DetM = namedtuple("DetM",
+                          ["bboxes", "scores", "labels", "valid", "masks"])
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            d = sparse_rcnn_get_bboxes(out, img_hw,
+                                       scale_factor=scale_factors,
+                                       score_thr=score_thr,
+                                       max_per_img=max_per_img,
+                                       rescale=True)
+            rois_in = d["bboxes"] * scale_factors[:, None, :]
+            probs = queryinst_masks(model, variables, out, rois_in,
+                                    d["qidx"], d["valid"])
+            sel = jnp.take_along_axis(
+                probs, jnp.clip(d["labels"], 0, probs.shape[-1] - 1)
+                [:, :, None, None, None].astype(jnp.int32), axis=-1)[..., 0]
+            return DetM(d["bboxes"], d["scores"], d["labels"], d["valid"],
+                        sel)
+        return eval_step
+
     if arch == "centripetalnet":
         from ..models.centripetal import centripetalnet_get_bboxes
 

@@ -39,16 +39,23 @@ DELTA_STDS = (0.5, 0.5, 1.0, 1.0)
 class SparseRCNNOutputs(NamedTuple):
     cls_scores: jnp.ndarray   # (stages, B, N, C) logits
     bboxes: jnp.ndarray       # (stages, B, N, 4) absolute xyxy
+    # post-self-attention proposal features per stage (QueryInst's
+    # attn_feats, dii_head.py:171); None unless with_attn
+    attn_feats: jnp.ndarray = None
+    neck_feats: Tuple[jnp.ndarray, ...] = None
 
 
 class DynamicConv(nn.Module):
+    """with_proj=False (QueryInst's mask iic) returns the per-position
+    features (M, pool*pool, C) without the flatten+projection."""
     in_channels: int = 256
     feat_channels: int = 64
     pool: int = 7
+    with_proj: bool = True
 
     @nn.compact
     def __call__(self, param_feat, roi_feat):
-        """param_feat: (M, C); roi_feat: (M, 7, 7, C) -> (M, C)."""
+        """param_feat: (M, C); roi_feat: (M, pool, pool, C) -> (M, C)."""
         M = param_feat.shape[0]
         cin, cf = self.in_channels, self.feat_channels
         params = nn.Dense(cin * cf + cf * cin,
@@ -60,6 +67,8 @@ class DynamicConv(nn.Module):
         x = nn.relu(nn.LayerNorm(epsilon=1e-5, name="norm_in")(x))
         x = jnp.einsum("mpf,mfc->mpc", x, p_out)
         x = nn.relu(nn.LayerNorm(epsilon=1e-5, name="norm_out")(x))
+        if not self.with_proj:
+            return x
         x = nn.Dense(cin, name="fc_layer")(x.reshape(M, -1))
         return nn.relu(nn.LayerNorm(epsilon=1e-5, name="fc_norm")(x))
 
@@ -79,6 +88,7 @@ class DIIHead(nn.Module):
             num_heads=self.num_heads, qkv_features=C,
             deterministic=True, name="attention")(x, x, x)
         x = nn.LayerNorm(epsilon=1e-5, name="attention_norm")(x + attn)
+        attn_feats = x                    # dii_head.py:171 attn_feats
         iic = DynamicConv(C, name="instance_interactive_conv")(
             x.reshape(B * N, C), roi_feat.reshape(B * N, 7, 7, C))
         x = nn.LayerNorm(epsilon=1e-5, name="iic_norm")(
@@ -99,7 +109,7 @@ class DIIHead(nn.Module):
             bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
             name="fc_cls")(cls_feat)
         deltas = nn.Dense(4, name="fc_reg")(reg_feat)
-        return cls, deltas, obj
+        return cls, deltas, obj, attn_feats
 
 
 class SparseRCNN(nn.Module):
@@ -108,6 +118,7 @@ class SparseRCNN(nn.Module):
     frozen_stages: int = 1
     num_proposals: int = NUM_PROPOSALS
     num_stages: int = NUM_STAGES
+    with_attn: bool = False    # also return per-stage attn_feats (QueryInst)
 
     @nn.compact
     def __call__(self, images, img_hw, deterministic: bool = True):
@@ -138,22 +149,25 @@ class SparseRCNN(nn.Module):
         proposal_feat = jnp.broadcast_to(pf[None],
                                          (B, self.num_proposals, 256))
 
-        all_cls, all_boxes = [], []
+        all_cls, all_boxes, all_attn = [], [], []
         for s in range(self.num_stages):
             roi = jnp.stack([
                 multi_level_roi_align(
                     tuple(f[b] for f in neck), boxes[b],
                     jnp.ones((self.num_proposals,), bool))
                 for b in range(B)])                          # (B,N,7,7,C)
-            cls, deltas, proposal_feat = DIIHead(
+            cls, deltas, proposal_feat, attn = DIIHead(
                 num_classes=self.num_classes,
                 name=f"dii_head{s}")(roi, proposal_feat)
             new_boxes = delta2bbox(boxes, deltas, stds=DELTA_STDS)
             all_cls.append(cls)
             all_boxes.append(new_boxes)
+            all_attn.append(attn)
             boxes = jax.lax.stop_gradient(new_boxes)
-        return SparseRCNNOutputs(jnp.stack(all_cls, 0),
-                                 jnp.stack(all_boxes, 0))
+        return SparseRCNNOutputs(
+            jnp.stack(all_cls, 0), jnp.stack(all_boxes, 0),
+            jnp.stack(all_attn, 0) if self.with_attn else None,
+            neck if self.with_attn else None)
 
 
 class SparseRCNNLossConfig(NamedTuple):
@@ -166,8 +180,8 @@ class SparseRCNNLossConfig(NamedTuple):
 
 
 def sparse_rcnn_loss(out: SparseRCNNOutputs, gt_bboxes, gt_labels,
-                     gt_valid, img_hw, cfg: SparseRCNNLossConfig
-                     ) -> Dict[str, jnp.ndarray]:
+                     gt_valid, img_hw, cfg: SparseRCNNLossConfig,
+                     return_assigns: bool = False):
     S, B, N, C = out.cls_scores.shape
     G = gt_bboxes.shape[1]
     h = img_hw[:, 0].astype(jnp.float32)
@@ -175,6 +189,7 @@ def sparse_rcnn_loss(out: SparseRCNNOutputs, gt_bboxes, gt_labels,
     whwh = jnp.stack([w, h, w, h], -1)[:, None]
 
     losses = {}
+    assigns = []
     for s in range(S):
         cls_s = out.cls_scores[s]
         boxes = out.bboxes[s]
@@ -188,6 +203,7 @@ def sparse_rcnn_loss(out: SparseRCNNOutputs, gt_bboxes, gt_labels,
 
         res = jax.vmap(assign_one)(cls_s, boxes, gt_bboxes, gt_labels,
                                    gt_valid, whwh[:, 0])
+        assigns.append(res)
         pos = res.pos_mask
         num_pos = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
         safe = jnp.clip(res.assigned_gt, 0, G - 1)
@@ -212,6 +228,8 @@ def sparse_rcnn_loss(out: SparseRCNNOutputs, gt_bboxes, gt_labels,
         losses[pre + "loss_cls"] = lc
         losses[pre + "loss_bbox"] = lb
         losses[pre + "loss_iou"] = li
+    if return_assigns:
+        return losses, assigns
     return losses
 
 
@@ -233,10 +251,10 @@ def sparse_rcnn_get_bboxes(out: SparseRCNNOutputs, img_hw,
             jnp.clip(bsel[:, 2], 0, w), jnp.clip(bsel[:, 3], 0, h)], -1)
         if rescale and sf is not None:
             bsel = bsel / sf[None]
-        return bsel, top.scores, top.labels, top.valid
+        return bsel, top.scores, top.labels, top.valid, top.keep_idxs
 
     if scale_factor is None:
         scale_factor = jnp.ones((B, 4), jnp.float32)
-    nb, ns, nl, valid = jax.vmap(per_image)(cls, boxes, img_hw,
-                                            scale_factor)
-    return dict(bboxes=nb, scores=ns, labels=nl, valid=valid)
+    nb, ns, nl, valid, qidx = jax.vmap(per_image)(cls, boxes, img_hw,
+                                                  scale_factor)
+    return dict(bboxes=nb, scores=ns, labels=nl, valid=valid, qidx=qidx)

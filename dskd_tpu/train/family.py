@@ -824,6 +824,20 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                                     batch.gt_labels, batch.gt_valid,
                                     batch.img_hw, det_cfg), None
 
+    elif arch == "queryinst":
+        from ..models.queryinst import queryinst_loss
+        from ..models.sparse_rcnn import SparseRCNNLossConfig
+        det_cfg = SparseRCNNLossConfig(num_classes=cfg.model.num_classes)
+        mask_stride = getattr(cfg, "mask_stride", 4)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            return queryinst_loss(
+                model, variables, out, batch.gt_bboxes, batch.gt_labels,
+                batch.gt_valid, batch.gt_masks, batch.img_hw, det_cfg,
+                mask_stride=mask_stride), None
+
     elif arch == "centripetalnet":
         from ..models.centripetal import (CentripetalLossConfig,
                                           centripetalnet_loss)

@@ -141,6 +141,11 @@ def build_model(cfg: ExperimentConfig):
         from ..models.point_rend import PointRendRCNN
         return PointRendRCNN(num_classes=m.num_classes, depth=m.depth,
                              frozen_stages=m.frozen_stages)
+    if m.arch == "queryinst":
+        from ..models.queryinst import QueryInst
+        return QueryInst(num_classes=m.num_classes, depth=m.depth,
+                         frozen_stages=m.frozen_stages,
+                         num_proposals=m.num_query)
     if m.arch == "centernet":
         from ..models.centernet import CenterNet
         return CenterNet(num_classes=m.num_classes, depth=m.depth,
@@ -240,6 +245,7 @@ def init_variables(model, cfg: ExperimentConfig, rng):
                           "double_head_rcnn", "fast_rcnn",
                           "grid_rcnn", "cascade_rcnn", "tridentnet",
                           "cascade_mask_rcnn", "htc", "point_rend",
+                          "queryinst",
                           "mask_rcnn", "panoptic_fpn", "ms_rcnn"):
         # two-stage: trace the ROI head(s) too so init creates their params
         variables = model.init(rng, images, img_hw,
@@ -284,7 +290,7 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
         auto_augment=cfg.data.auto_augment,
         with_mask=cfg.model.arch in ("mask_rcnn", "panoptic_fpn",
                                      "ms_rcnn", "cascade_mask_rcnn",
-                                     "htc", "point_rend",
+                                     "htc", "point_rend", "queryinst",
                                      "solo", "yolact"),
         with_semantic=cfg.model.arch in ("panoptic_fpn", "htc"))
     global_batch = cfg.data.samples_per_device * len(mesh.devices.flatten())
