@@ -427,6 +427,35 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
                         sel)
         return eval_step
 
+    if arch == "scnet":
+        from ..models.faster_rcnn import rpn_proposals
+        from ..models.scnet import (SCNet, scnet_get_bboxes,
+                                    scnet_mask_probs)
+        DetM = namedtuple("DetM",
+                          ["bboxes", "scores", "labels", "valid", "masks"])
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            props, _, pvalid = rpn_proposals(out.rpn, img_hw, nms_pre=1000,
+                                             max_total=1000)
+            d = scnet_get_bboxes(
+                lambda f, st: model.apply(variables, f, st,
+                                          method=SCNet.roi_forward),
+                out, props, pvalid, img_hw,
+                num_classes=model.num_classes, scale_factor=scale_factors,
+                score_thr=max(score_thr, 0.05), max_per_img=max_per_img,
+                rescale=True)
+            rois_in = d["bboxes"] * scale_factors[:, None, :]
+            probs = scnet_mask_probs(model, variables, out, rois_in,
+                                     d["valid"], d["shared"])
+            sel = jnp.take_along_axis(
+                probs, jnp.clip(d["labels"], 0, probs.shape[-1] - 1)
+                [:, :, None, None, None].astype(jnp.int32), axis=-1)[..., 0]
+            return DetM(d["bboxes"], d["scores"], d["labels"], d["valid"],
+                        sel)
+        return eval_step
+
     if arch == "centernet":
         from ..models.centernet import centernet_get_bboxes
 

@@ -528,6 +528,37 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 num_samples=cfg.rcnn_num_samples))
             return losses, None
 
+    elif arch == "scnet":
+        from ..models.faster_rcnn import (RPNLossConfig, rpn_loss,
+                                          rpn_proposals)
+        from ..models.htc import semantic_seg_loss
+        from ..models.scnet import SCNet, glbctx_loss, scnet_forward_train
+        rpn_cfg = RPNLossConfig()
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            rng1, rng2 = jax.random.split(rng)
+            out = model.apply(variables, batch.images, batch.img_hw)
+            losses = rpn_loss(out.rpn, batch.gt_bboxes, batch.gt_valid,
+                              batch.img_hw, rng1, rpn_cfg)
+            losses["loss_semantic_seg"] = semantic_seg_loss(
+                out.sem_pred, batch.gt_semantic)
+            losses["loss_glbctx"] = glbctx_loss(
+                out.mc_pred, batch.gt_labels, batch.gt_valid)
+            props, _, valid = rpn_proposals(out.rpn, batch.img_hw,
+                                            nms_pre=1000,
+                                            max_total=cfg.rcnn_num_proposals)
+            props = jax.lax.stop_gradient(props)
+            losses.update(scnet_forward_train(
+                lambda f, st: model.apply(variables, f, st,
+                                          method=SCNet.roi_forward),
+                lambda f, sh: model.apply(variables, f, sh,
+                                          method=SCNet.mask_forward),
+                out, props, valid, batch.gt_bboxes, batch.gt_labels,
+                batch.gt_valid, batch.gt_masks, rng2,
+                num_classes=cfg.model.num_classes,
+                num_samples=cfg.rcnn_num_samples))
+            return losses, None
+
     elif arch == "solo":
         from ..models.solo import solo_loss
 

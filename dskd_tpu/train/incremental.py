@@ -141,6 +141,10 @@ def build_model(cfg: ExperimentConfig):
         from ..models.point_rend import PointRendRCNN
         return PointRendRCNN(num_classes=m.num_classes, depth=m.depth,
                              frozen_stages=m.frozen_stages)
+    if m.arch == "scnet":
+        from ..models.scnet import SCNet
+        return SCNet(num_classes=m.num_classes, depth=m.depth,
+                     frozen_stages=m.frozen_stages)
     if m.arch == "queryinst":
         from ..models.queryinst import QueryInst
         return QueryInst(num_classes=m.num_classes, depth=m.depth,
@@ -245,7 +249,7 @@ def init_variables(model, cfg: ExperimentConfig, rng):
                           "double_head_rcnn", "fast_rcnn",
                           "grid_rcnn", "cascade_rcnn", "tridentnet",
                           "cascade_mask_rcnn", "htc", "point_rend",
-                          "queryinst",
+                          "queryinst", "scnet",
                           "mask_rcnn", "panoptic_fpn", "ms_rcnn"):
         # two-stage: trace the ROI head(s) too so init creates their params
         variables = model.init(rng, images, img_hw,
@@ -291,8 +295,8 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
         with_mask=cfg.model.arch in ("mask_rcnn", "panoptic_fpn",
                                      "ms_rcnn", "cascade_mask_rcnn",
                                      "htc", "point_rend", "queryinst",
-                                     "solo", "yolact"),
-        with_semantic=cfg.model.arch in ("panoptic_fpn", "htc"))
+                                     "scnet", "solo", "yolact"),
+        with_semantic=cfg.model.arch in ("panoptic_fpn", "htc", "scnet"))
     global_batch = cfg.data.samples_per_device * len(mesh.devices.flatten())
     loader = DataLoader(train_ds, global_batch, pipe, train=True,
                         seed=cfg.train.seed + tid,

@@ -90,7 +90,7 @@ def test_arch_config_steps(name, path):
     gt_masks = gt_semantic = None
     if cfg.model.arch in ("mask_rcnn", "panoptic_fpn", "ms_rcnn",
                           "cascade_mask_rcnn", "htc", "point_rend",
-                          "queryinst", "solo", "yolact"):
+                          "queryinst", "scnet", "solo", "yolact"):
         # box-filled bitmaps at mask stride 4
         yy, xx = np.mgrid[0:H // 4, 0:W // 4]
         gt_masks = jnp.asarray(
@@ -99,7 +99,7 @@ def test_arch_config_steps(name, path):
              & (xx[None, None] * 4 >= gtb[:, :, 0, None, None])
              & (xx[None, None] * 4 <= gtb[:, :, 2, None, None]))
             .astype(np.float32))
-    if cfg.model.arch in ("panoptic_fpn", "htc"):
+    if cfg.model.arch in ("panoptic_fpn", "htc", "scnet"):
         total = cfg.model.num_classes + cfg.model.num_stuff_classes
         gt_semantic = jnp.asarray(
             rng.randint(0, total, (B, H // 4, W // 4)).astype(np.int32))
