@@ -351,6 +351,20 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
                         d["scores"], d["labels"], d["valid"], d["masks28"])
         return eval_step
 
+    if arch == "maskformer":
+        from ..models.maskformer import maskformer_decode
+        DetM = namedtuple("DetM",
+                          ["bboxes", "scores", "labels", "valid", "masks"])
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            d = maskformer_decode(out, num_classes=model.num_classes,
+                                  max_per_img=max_per_img)
+            return DetM(d["bboxes"] / scale_factors[:, None, :],
+                        d["scores"], d["labels"], d["valid"], d["masks28"])
+        return eval_step
+
     if arch == "yolact":
         from ..models.yolact import yolact_anchors, yolact_decode
         DetM = namedtuple("DetM",

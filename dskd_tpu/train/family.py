@@ -559,6 +559,17 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 num_samples=cfg.rcnn_num_samples))
             return losses, None
 
+    elif arch == "maskformer":
+        from ..models.maskformer import (MaskFormerLossConfig,
+                                         maskformer_loss)
+        det_cfg = MaskFormerLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            return maskformer_loss(out, batch.gt_labels, batch.gt_masks,
+                                   batch.gt_valid, det_cfg), None
+
     elif arch == "solo":
         from ..models.solo import solo_loss
 

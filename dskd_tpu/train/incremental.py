@@ -141,6 +141,11 @@ def build_model(cfg: ExperimentConfig):
         from ..models.point_rend import PointRendRCNN
         return PointRendRCNN(num_classes=m.num_classes, depth=m.depth,
                              frozen_stages=m.frozen_stages)
+    if m.arch == "maskformer":
+        from ..models.maskformer import MaskFormer
+        return MaskFormer(num_classes=m.num_classes, depth=m.depth,
+                          frozen_stages=m.frozen_stages,
+                          num_queries=m.num_query)
     if m.arch == "scnet":
         from ..models.scnet import SCNet
         return SCNet(num_classes=m.num_classes, depth=m.depth,
@@ -295,7 +300,8 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
         with_mask=cfg.model.arch in ("mask_rcnn", "panoptic_fpn",
                                      "ms_rcnn", "cascade_mask_rcnn",
                                      "htc", "point_rend", "queryinst",
-                                     "scnet", "solo", "yolact"),
+                                     "scnet", "maskformer",
+                                     "solo", "yolact"),
         with_semantic=cfg.model.arch in ("panoptic_fpn", "htc", "scnet"))
     global_batch = cfg.data.samples_per_device * len(mesh.devices.flatten())
     loader = DataLoader(train_ds, global_batch, pipe, train=True,
