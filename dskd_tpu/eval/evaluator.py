@@ -351,7 +351,7 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
                         d["scores"], d["labels"], d["valid"], d["masks28"])
         return eval_step
 
-    if arch == "maskformer":
+    if arch in ("maskformer", "mask2former"):
         from ..models.maskformer import maskformer_decode
         DetM = namedtuple("DetM",
                           ["bboxes", "scores", "labels", "valid", "masks"])

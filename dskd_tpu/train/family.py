@@ -570,6 +570,20 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             return maskformer_loss(out, batch.gt_labels, batch.gt_masks,
                                    batch.gt_valid, det_cfg), None
 
+    elif arch == "mask2former":
+        from ..models.mask2former import (Mask2FormerLossConfig,
+                                          mask2former_loss)
+        det_cfg = Mask2FormerLossConfig(
+            num_classes=cfg.model.num_classes,
+            num_points=min(12544, 4 * cfg.data.bucket[0] * cfg.data.bucket[1]
+                           // 256))
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            return mask2former_loss(out, batch.gt_labels, batch.gt_masks,
+                                    batch.gt_valid, rng, det_cfg), None
+
     elif arch == "solo":
         from ..models.solo import solo_loss
 

@@ -146,6 +146,11 @@ def build_model(cfg: ExperimentConfig):
         return MaskFormer(num_classes=m.num_classes, depth=m.depth,
                           frozen_stages=m.frozen_stages,
                           num_queries=m.num_query)
+    if m.arch == "mask2former":
+        from ..models.mask2former import Mask2Former
+        return Mask2Former(num_classes=m.num_classes, depth=m.depth,
+                           frozen_stages=m.frozen_stages,
+                           num_queries=m.num_query)
     if m.arch == "scnet":
         from ..models.scnet import SCNet
         return SCNet(num_classes=m.num_classes, depth=m.depth,
@@ -301,7 +306,7 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
                                      "ms_rcnn", "cascade_mask_rcnn",
                                      "htc", "point_rend", "queryinst",
                                      "scnet", "maskformer",
-                                     "solo", "yolact"),
+                                     "mask2former", "solo", "yolact"),
         with_semantic=cfg.model.arch in ("panoptic_fpn", "htc", "scnet"))
     global_batch = cfg.data.samples_per_device * len(mesh.devices.flatten())
     loader = DataLoader(train_ds, global_batch, pipe, train=True,

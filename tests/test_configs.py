@@ -90,7 +90,8 @@ def test_arch_config_steps(name, path):
     gt_masks = gt_semantic = None
     if cfg.model.arch in ("mask_rcnn", "panoptic_fpn", "ms_rcnn",
                           "cascade_mask_rcnn", "htc", "point_rend",
-                          "queryinst", "scnet", "maskformer", "solo", "yolact"):
+                          "queryinst", "scnet", "maskformer", "mask2former",
+                          "solo", "yolact"):
         # box-filled bitmaps at mask stride 4
         yy, xx = np.mgrid[0:H // 4, 0:W // 4]
         gt_masks = jnp.asarray(
