@@ -1,0 +1,115 @@
+"""PISA — Prime Sample Attention (parity: mmdet losses/pisa_loss.py
+isr_p/carl_loss + dense_heads/pisa_retinanet_head.py +
+configs/pisa/pisa_retinanet_r50_fpn_1x_coco.py, box AP 36.9 / +1.3 over
+plain RetinaNet; pisa_ssd512 +2.1).
+
+Two training-method pieces layered on an anchor head's loss:
+  * ISR-P (importance-based sample reweighting, positives): positives
+    are ranked by IoU-HLR — per-(class, gt) descending IoU rank lifts
+    each sample's score by (max_class_count - rank), then a second
+    descending rank WITHIN the class maps linearly to a weight
+    (max-rank)/max, sharpened by (bias + w*(1-bias))^k (k=2, bias=0)
+    and renormalized so the weighted positive cls loss keeps its
+    original magnitude; the weights scale the classification loss.
+  * CARL (classification-aware regression loss): each positive's
+    regression loss is re-added weighted by its own predicted class
+    score (bias + (1-bias)*sigmoid(score))^k (k=1, bias=0.2),
+    normalized to sum to num_pos — gradients flow into the CLASSIFIER
+    through the weight, coupling the two branches.
+
+TPU-native redesign: the reference's per-(class, gt) python loops over
+dynamic positive sets become one static top-P positive extraction
+(positives-first argsort over the flattened batch) + masked pairwise
+rank matrices ((P, P) comparisons; P=256 covers every batch the
+reference recipes produce — overflow positives keep weight 1,
+documented)."""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import losses as L
+from ..core.anchors import delta2bbox
+from ..core.boxes import bbox_overlaps
+
+ISR_K = 2.0
+ISR_BIAS = 0.0
+CARL_K = 1.0
+CARL_BIAS = 0.2
+MAX_POS = 256
+
+
+def _rank_desc(vals, same_group, valid):
+    """rank_i = #j in i's group with strictly higher value (ties broken
+    by index), computed as a masked (P, P) comparison — the two
+    argsort() passes of the reference collapsed into one count."""
+    P = vals.shape[0]
+    i_idx = jnp.arange(P)
+    higher = (vals[None, :] > vals[:, None]) | (
+        (vals[None, :] == vals[:, None]) & (i_idx[None, :] < i_idx[:, None]))
+    return (higher & same_group & valid[None, :]).sum(axis=1)
+
+
+def isr_p_weights(cls_flat, deltas, anchors_flat, labels_flat, pos_flat,
+                  gt_flat, tgt_deltas, num_classes: int,
+                  k: float = ISR_K, bias: float = ISR_BIAS):
+    """(BN,) classification weights: 1 everywhere, IoU-HLR importance on
+    the (first MAX_POS) positives (pisa_loss.py isr_p). All score inputs
+    are detached by the caller."""
+    BN = cls_flat.shape[0]
+    P = min(MAX_POS, BN)
+    order = jnp.argsort(~pos_flat)                 # positives first
+    idx = order[:P]
+    valid = pos_flat[idx]
+    lab = jnp.where(valid, labels_flat[idx], -1)
+    gt = jnp.where(valid, gt_flat[idx], -1)
+
+    pred_box = delta2bbox(anchors_flat[idx], deltas[idx])
+    tgt_box = delta2bbox(anchors_flat[idx], tgt_deltas[idx])
+    ious = bbox_overlaps(pred_box, tgt_box, mode="iou", is_aligned=True)
+
+    cnt_c = (lab[None, :] == jnp.arange(num_classes)[:, None]).sum(1)
+    max_l_num = jnp.maximum(cnt_c.max(), 1).astype(jnp.float32)
+
+    same_gt = (gt[None, :] == gt[:, None]) & (lab[None, :] == lab[:, None])
+    rank_gt = _rank_desc(ious, same_gt, valid)
+    iou_hlr = ious + (max_l_num - rank_gt.astype(jnp.float32))
+    same_cls = lab[None, :] == lab[:, None]
+    rank_cls = _rank_desc(iou_hlr, same_cls, valid).astype(jnp.float32)
+
+    w = (max_l_num - rank_cls) / max_l_num
+    imp = (bias + w * (1.0 - bias)) ** k
+
+    # renormalize: the reweighted positive focal loss keeps its magnitude
+    pos_cls = cls_flat[idx]
+    onehot = jax.nn.one_hot(jnp.clip(lab, 0, num_classes - 1), num_classes)
+    per = L.sigmoid_focal_loss(pos_cls, onehot, reduction="none").sum(-1)
+    per = per * valid
+    ratio = per.sum() / jnp.maximum((per * imp).sum(), 1e-12)
+    imp = jnp.where(valid, imp * ratio, 1.0)
+
+    weights = jnp.ones((BN,), jnp.float32)
+    return weights.at[idx].set(jnp.where(valid, imp, 1.0))
+
+
+def carl_loss(cls_flat, labels_flat, pos_flat, deltas, tgt_deltas,
+              num_total_pos, num_classes: int, k: float = CARL_K,
+              bias: float = CARL_BIAS, sigmoid: bool = True,
+              loss_bbox=L.l1_loss):
+    """Classification-aware regression loss (pisa_loss.py carl_loss):
+    per-positive L1 reweighted by that positive's own class score (with
+    gradient), weights normalized to sum to num_pos."""
+    safe = jnp.clip(labels_flat, 0, num_classes - 1)
+    if sigmoid:
+        s = jax.nn.sigmoid(cls_flat)
+    else:
+        s = jax.nn.softmax(cls_flat, -1)
+    score = jnp.take_along_axis(s, safe[:, None], axis=1)[:, 0]
+    posf = pos_flat.astype(jnp.float32)
+    w = ((bias + (1.0 - bias) * score) ** k) * posf
+    num_pos = jnp.maximum(posf.sum(), 1.0)
+    w = w * (num_pos / jnp.maximum(w.sum(), 1e-12))
+    reg = loss_bbox(deltas, tgt_deltas, reduction="none") / num_total_pos
+    return (reg * w[:, None]).sum()

@@ -126,9 +126,14 @@ class RetinaLossConfig(NamedTuple):
 
 
 def retina_detection_loss(out: RetinaHeadOutputs, anchors, gt_bboxes,
-                          gt_labels, gt_valid, cfg: RetinaLossConfig):
+                          gt_labels, gt_valid, cfg: RetinaLossConfig,
+                          pisa: bool = False):
     """Batched RetinaNet loss (retina config: FocalLoss + L1 on deltas,
-    MaxIoU pos 0.5 / neg 0.4 / min_pos_iou 0, all anchors sampled)."""
+    MaxIoU pos 0.5 / neg 0.4 / min_pos_iou 0, all anchors sampled).
+
+    ``pisa``: apply ISR-P importance reweighting to the cls loss and add
+    the CARL classification-aware regression term
+    (dense_heads/pisa_retinanet_head.py; models/pisa.py)."""
     B = out.cls_scores[0].shape[0]
     C = cfg.num_classes
     cls_flat = jnp.concatenate(
@@ -146,23 +151,44 @@ def retina_detection_loss(out: RetinaHeadOutputs, anchors, gt_bboxes,
     ignored = assign.assigned_gt == -2
     num_total_pos = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
 
-    onehot = jax.nn.one_hot(assign.labels, C + 1)[..., :C]
-    w = (~ignored).astype(jnp.float32)
-    loss_cls = cfg.loss_cls_weight * L.sigmoid_focal_loss(
-        cls_flat.reshape(-1, C), onehot.reshape(-1, C),
-        weight=w.reshape(-1, 1), avg_factor=num_total_pos,
-        gamma=cfg.focal_gamma, alpha=cfg.focal_alpha)
-
     G = gt_bboxes.shape[1]
     tgt = jnp.take_along_axis(
         gt_bboxes, jnp.clip(assign.assigned_gt, 0, G - 1)[..., None],
         axis=1)
     delta_tgt = bbox2delta(anchors[None], tgt)
+
+    onehot = jax.nn.one_hot(assign.labels, C + 1)[..., :C]
+    w = (~ignored).astype(jnp.float32).reshape(-1)
+    if pisa:
+        from .pisa import isr_p_weights
+        N = cls_flat.shape[1]
+        anchors_flat = jnp.broadcast_to(anchors[None], (B, N, 4))
+        gt_off = assign.assigned_gt + jnp.arange(B)[:, None] * G
+        imp = isr_p_weights(
+            jax.lax.stop_gradient(cls_flat.reshape(-1, C)),
+            jax.lax.stop_gradient(deltas.reshape(-1, 4)),
+            anchors_flat.reshape(-1, 4), assign.labels.reshape(-1),
+            pos.reshape(-1), gt_off.reshape(-1),
+            jax.lax.stop_gradient(delta_tgt.reshape(-1, 4)), C)
+        w = w * jax.lax.stop_gradient(imp)
+    loss_cls = cfg.loss_cls_weight * L.sigmoid_focal_loss(
+        cls_flat.reshape(-1, C), onehot.reshape(-1, C),
+        weight=w.reshape(-1, 1), avg_factor=num_total_pos,
+        gamma=cfg.focal_gamma, alpha=cfg.focal_alpha)
+
     loss_bbox = cfg.loss_bbox_weight * L.l1_loss(
         deltas.reshape(-1, 4), delta_tgt.reshape(-1, 4),
         weight=pos.astype(jnp.float32).reshape(-1, 1),
         avg_factor=num_total_pos)
-    return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
+    losses = dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
+    if pisa:
+        from .pisa import carl_loss
+        losses["loss_carl"] = carl_loss(
+            cls_flat.reshape(-1, C), assign.labels.reshape(-1),
+            pos.reshape(-1), deltas.reshape(-1, 4),
+            jax.lax.stop_gradient(delta_tgt.reshape(-1, 4)),
+            num_total_pos, C)
+    return losses
 
 
 def retina_get_bboxes(out: RetinaHeadOutputs, anchors, img_hw,

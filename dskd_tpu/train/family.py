@@ -178,10 +178,11 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 out.head, batch.gt_bboxes, batch.gt_labels, batch.gt_valid,
                 batch.img_hw, det_cfg), None
 
-    elif arch == "retinanet":
+    elif arch in ("retinanet", "pisa_retinanet"):
         from ..models.retinanet import (RetinaLossConfig, retina_anchors,
                                         retina_detection_loss)
         det_cfg = RetinaLossConfig(num_classes=cfg.model.num_classes)
+        pisa = arch == "pisa_retinanet"
 
         def losses_fn(variables, batch, teacher_vars, rng):
             out = model.apply(variables, batch.images, batch.img_hw,
@@ -190,7 +191,7 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 [c.shape[1:3] for c in out.head.cls_scores])
             return retina_detection_loss(
                 out.head, anchors, batch.gt_bboxes, batch.gt_labels,
-                batch.gt_valid, det_cfg), None
+                batch.gt_valid, det_cfg, pisa=pisa), None
 
     elif arch in ("fcos", "nasfcos"):
         from ..models.fcos import (FCOSLossConfig, fcos_detection_loss,

@@ -107,7 +107,7 @@ def build_model(cfg: ExperimentConfig):
                           frozen_stages=m.frozen_stages,
                           use_bfp=(m.arch == "libra_faster_rcnn"),
                           double_head=(m.arch == "double_head_rcnn"))
-    if m.arch == "retinanet":
+    if m.arch in ("retinanet", "pisa_retinanet"):
         from ..models.retinanet import RetinaNet
         return RetinaNet(num_classes=m.num_classes, depth=m.depth,
                          frozen_stages=m.frozen_stages,
