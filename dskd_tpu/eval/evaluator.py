@@ -483,7 +483,7 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 
-    if arch == "ssd":
+    if arch in ("ssd", "pisa_ssd"):
         from ..models.ssd import ssd_anchors, ssd_get_bboxes
 
         @jax.jit

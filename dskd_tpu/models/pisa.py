@@ -54,7 +54,8 @@ def _rank_desc(vals, same_group, valid):
 
 def isr_p_weights(cls_flat, deltas, anchors_flat, labels_flat, pos_flat,
                   gt_flat, tgt_deltas, num_classes: int,
-                  k: float = ISR_K, bias: float = ISR_BIAS):
+                  k: float = ISR_K, bias: float = ISR_BIAS,
+                  loss_kind: str = "focal", target_stds=(1., 1., 1., 1.)):
     """(BN,) classification weights: 1 everywhere, IoU-HLR importance on
     the (first MAX_POS) positives (pisa_loss.py isr_p). All score inputs
     are detached by the caller."""
@@ -66,8 +67,10 @@ def isr_p_weights(cls_flat, deltas, anchors_flat, labels_flat, pos_flat,
     lab = jnp.where(valid, labels_flat[idx], -1)
     gt = jnp.where(valid, gt_flat[idx], -1)
 
-    pred_box = delta2bbox(anchors_flat[idx], deltas[idx])
-    tgt_box = delta2bbox(anchors_flat[idx], tgt_deltas[idx])
+    pred_box = delta2bbox(anchors_flat[idx], deltas[idx],
+                          stds=target_stds)
+    tgt_box = delta2bbox(anchors_flat[idx], tgt_deltas[idx],
+                         stds=target_stds)
     ious = bbox_overlaps(pred_box, tgt_box, mode="iou", is_aligned=True)
 
     cnt_c = (lab[None, :] == jnp.arange(num_classes)[:, None]).sum(1)
@@ -82,10 +85,19 @@ def isr_p_weights(cls_flat, deltas, anchors_flat, labels_flat, pos_flat,
     w = (max_l_num - rank_cls) / max_l_num
     imp = (bias + w * (1.0 - bias)) ** k
 
-    # renormalize: the reweighted positive focal loss keeps its magnitude
+    # renormalize: the reweighted positive cls loss keeps its magnitude
+    # (isr_p runs the head's OWN loss_cls per sample: focal for retina,
+    # softmax CE for SSD)
     pos_cls = cls_flat[idx]
-    onehot = jax.nn.one_hot(jnp.clip(lab, 0, num_classes - 1), num_classes)
-    per = L.sigmoid_focal_loss(pos_cls, onehot, reduction="none").sum(-1)
+    if loss_kind == "ce":
+        per = L.cross_entropy_loss(
+            pos_cls, jnp.clip(lab, 0, pos_cls.shape[-1] - 1),
+            reduction="none")
+    else:
+        onehot = jax.nn.one_hot(jnp.clip(lab, 0, num_classes - 1),
+                                num_classes)
+        per = L.sigmoid_focal_loss(pos_cls, onehot,
+                                   reduction="none").sum(-1)
     per = per * valid
     ratio = per.sum() / jnp.maximum((per * imp).sum(), 1e-12)
     imp = jnp.where(valid, imp * ratio, 1.0)

@@ -146,9 +146,13 @@ class SSDLossConfig(NamedTuple):
 
 
 def ssd_detection_loss(out: SSDOutputs, anchors, gt_bboxes, gt_labels,
-                       gt_valid, cfg: SSDLossConfig):
+                       gt_valid, cfg: SSDLossConfig, pisa: bool = False):
     """Softmax CE with 3:1 hard negative mining + smooth L1
-    (ssd_head.loss_single: negatives ranked by their CE loss)."""
+    (ssd_head.loss_single: negatives ranked by their CE loss).
+
+    ``pisa``: ISR-P importance reweighting of the positive cls weights +
+    the CARL softmax-weighted regression term
+    (dense_heads/pisa_ssd_head.py; models/pisa.py)."""
     B = out.cls_scores[0].shape[0]
     C = cfg.num_classes
     cls_flat = jnp.concatenate(
@@ -176,18 +180,42 @@ def ssd_detection_loss(out: SSDOutputs, anchors, gt_bboxes, gt_labels,
                           neg.sum(axis=1))               # (B,)
     keep_neg = neg & (neg_rank < num_neg[:, None])
     w = (pos | keep_neg).astype(jnp.float32)
-    loss_cls = (ce * w).sum() / num_pos
 
     G = gt_bboxes.shape[1]
     tgt = jnp.take_along_axis(
         gt_bboxes, jnp.clip(assign.assigned_gt, 0, G - 1)[..., None],
         axis=1)
     delta_tgt = bbox2delta(anchors[None], tgt, stds=cfg.target_stds)
+
+    if pisa:
+        from .pisa import isr_p_weights
+        anchors_flat = jnp.broadcast_to(anchors[None], (B, N, 4))
+        gt_off = assign.assigned_gt + jnp.arange(B)[:, None] * G
+        imp = isr_p_weights(
+            jax.lax.stop_gradient(cls_flat.reshape(-1, C + 1)),
+            jax.lax.stop_gradient(deltas.reshape(-1, 4)),
+            anchors_flat.reshape(-1, 4), assign.labels.reshape(-1),
+            pos.reshape(-1), gt_off.reshape(-1),
+            jax.lax.stop_gradient(delta_tgt.reshape(-1, 4)), C,
+            loss_kind="ce", target_stds=cfg.target_stds)
+        w = w * jax.lax.stop_gradient(imp).reshape(B, N)
+    loss_cls = (ce * w).sum() / num_pos
+
     loss_bbox = L.smooth_l1_loss(
         deltas.reshape(-1, 4), delta_tgt.reshape(-1, 4),
         beta=cfg.smoothl1_beta,
         weight=pos.astype(jnp.float32).reshape(-1, 1), avg_factor=num_pos)
-    return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
+    losses = dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
+    if pisa:
+        from .pisa import carl_loss
+        losses["loss_carl"] = carl_loss(
+            cls_flat.reshape(-1, C + 1), assign.labels.reshape(-1),
+            pos.reshape(-1), deltas.reshape(-1, 4),
+            jax.lax.stop_gradient(delta_tgt.reshape(-1, 4)),
+            num_pos, C, sigmoid=False,
+            loss_bbox=lambda p, t, reduction: L.smooth_l1_loss(
+                p, t, beta=1.0, reduction=reduction))
+    return losses
 
 
 def ssd_get_bboxes(out: SSDOutputs, anchors, img_hw, scale_factor=None,

@@ -621,9 +621,10 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             return centernet_loss(out, batch.gt_bboxes, batch.gt_labels,
                                   batch.gt_valid, det_cfg), None
 
-    elif arch == "ssd":
+    elif arch in ("ssd", "pisa_ssd"):
         from ..models.ssd import (SSDLossConfig, ssd_anchors,
                                   ssd_detection_loss)
+        pisa_on = arch == "pisa_ssd"
         det_cfg = SSDLossConfig(num_classes=cfg.model.num_classes)
 
         def losses_fn(variables, batch, teacher_vars, rng):
@@ -632,7 +633,7 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             anchors = ssd_anchors([c.shape[1:3] for c in out.cls_scores])
             return ssd_detection_loss(out, anchors, batch.gt_bboxes,
                                       batch.gt_labels, batch.gt_valid,
-                                      det_cfg), None
+                                      det_cfg, pisa=pisa_on), None
 
     elif arch == "yolov3":
         from ..models.yolov3 import YOLOV3LossConfig, yolov3_loss

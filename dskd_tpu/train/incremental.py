@@ -164,7 +164,7 @@ def build_model(cfg: ExperimentConfig):
         from ..models.centernet import CenterNet
         return CenterNet(num_classes=m.num_classes, depth=m.depth,
                          frozen_stages=m.frozen_stages)
-    if m.arch == "ssd":
+    if m.arch in ("ssd", "pisa_ssd"):
         from ..models.ssd import SSD
         return SSD(num_classes=m.num_classes)
     if m.arch == "yolov3":

@@ -106,3 +106,37 @@ def test_pisa_retina_family_step():
     _, losses = step(state, batch)
     assert "loss_carl" in losses
     assert np.isfinite(float(losses["loss"]))
+
+
+def test_pisa_ssd_family_step():
+    from dskd_tpu.models.ssd import SSD
+    from dskd_tpu.train.family import make_family_train_step
+    from dskd_tpu.train.optim import make_optimizer
+    from dskd_tpu.train.state import TrainState
+    from dskd_tpu.train.step import Batch
+    from dskd_tpu.utils.config import (DistillFlags, ExperimentConfig,
+                                       ModelConfig)
+
+    rng = np.random.RandomState(3)
+    B, HW, G = 1, 300, 3
+    images = jnp.asarray(rng.randn(B, HW, HW, 3).astype(np.float32) * 0.2)
+    img_hw = jnp.asarray(np.tile([[HW, HW]], (B, 1)).astype(np.int32))
+    xy = rng.rand(B, G, 2).astype(np.float32) * 100
+    wh = rng.rand(B, G, 2).astype(np.float32) * 120 + 40
+    batch = Batch(images, img_hw,
+                  jnp.asarray(np.concatenate([xy, xy + wh], -1)),
+                  jnp.asarray(rng.randint(0, NC, (B, G)).astype(np.int32)),
+                  jnp.asarray(np.tile(np.arange(G) < 2, (B, 1))))
+    model = SSD(num_classes=NC)
+    cfg = ExperimentConfig(
+        model=ModelConfig(arch="pisa_ssd", num_classes=NC),
+        distill=DistillFlags(cates_distill="", feats_distill=""))
+    v = model.init(jax.random.PRNGKey(0), batch.images, batch.img_hw)
+    tx = make_optimizer(v["params"], lambda i: 1e-4)
+    state = TrainState.create(v["params"], v.get("batch_stats", {}), tx,
+                              jax.random.PRNGKey(1))
+    step = make_family_train_step("pisa_ssd", model, cfg, num_prev=0,
+                                  has_teacher=False, use_dropout=False)
+    _, losses = step(state, batch)
+    assert "loss_carl" in losses
+    assert np.isfinite(float(losses["loss"]))
