@@ -84,12 +84,15 @@ class FasterRCNN(nn.Module):
     # Fast R-CNN (detectors/fast_rcnn.py): no RPN — proposals arrive from
     # outside (the reference reads precomputed proposal files)
     with_rpn: bool = True
+    # necks/fpn_carafe.py: content-aware reassembly top-down upsampling
+    # (configs/carafe/faster_rcnn_r50_fpn_carafe_1x_coco.py, AP 38.6)
+    neck_upsample: str = "nearest"
 
     def setup(self):
         self.backbone = ResNet(depth=self.depth, out_indices=(0, 1, 2, 3),
                                frozen_stages=self.frozen_stages)
         self.neck = FPN(out_channels=256, num_outs=5, start_level=0,
-                        add_extra_convs="")
+                        add_extra_convs="", upsample=self.neck_upsample)
         if self.use_bfp:
             from .bfp import BFP
             self.bfp = BFP(refine_level=2)

@@ -25,7 +25,10 @@ class FPN(nn.Module):
     start_level: int = 1
     add_extra_convs: str = "on_output"   # '', 'on_input', 'on_output'
     relu_before_extra_convs: bool = True
-    upsample: str = "nearest"            # YOLACT's fpn uses 'bilinear'
+    # 'nearest' (fpn.py), 'bilinear' (YOLACT), or 'carafe'
+    # (necks/fpn_carafe.py: content-aware reassembly top-down upsampling,
+    # configs/carafe/faster_rcnn_r50_fpn_carafe_1x box AP 38.6)
+    upsample: str = "nearest"
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
@@ -40,6 +43,10 @@ class FPN(nn.Module):
                 up = jax.image.resize(
                     laterals[i], (laterals[i].shape[0],) + tuple(tgt_hw)
                     + (laterals[i].shape[-1],), method="bilinear")
+            elif self.upsample == "carafe":
+                from ..ops.carafe import CARAFE
+                up = CARAFE(self.out_channels,
+                            name=f"carafe{i}")(laterals[i])
             else:
                 up = _upsample_nearest_2x(laterals[i])
             # crop in case of odd sizes

@@ -217,7 +217,7 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                             batch.img_hw, rng, rpn_cfg), None
 
     elif arch in ("faster_rcnn", "libra_faster_rcnn",
-                  "double_head_rcnn"):
+                  "double_head_rcnn", "carafe_faster_rcnn"):
         from ..models.faster_rcnn import (FasterRCNN, RCNNLossConfig,
                                           RPNLossConfig, rcnn_forward_train,
                                           rpn_loss, rpn_proposals)

@@ -101,12 +101,15 @@ def build_model(cfg: ExperimentConfig):
         from ..models.faster_rcnn import RPN
         return RPN(depth=m.depth, frozen_stages=m.frozen_stages)
     if m.arch in ("faster_rcnn", "libra_faster_rcnn",
-                  "double_head_rcnn"):
+                  "double_head_rcnn", "carafe_faster_rcnn"):
         from ..models.faster_rcnn import FasterRCNN
         return FasterRCNN(num_classes=m.num_classes, depth=m.depth,
                           frozen_stages=m.frozen_stages,
                           use_bfp=(m.arch == "libra_faster_rcnn"),
-                          double_head=(m.arch == "double_head_rcnn"))
+                          double_head=(m.arch == "double_head_rcnn"),
+                          neck_upsample=("carafe"
+                                         if m.arch == "carafe_faster_rcnn"
+                                         else "nearest"))
     if m.arch in ("retinanet", "pisa_retinanet"):
         from ..models.retinanet import RetinaNet
         return RetinaNet(num_classes=m.num_classes, depth=m.depth,
@@ -257,6 +260,7 @@ def init_variables(model, cfg: ExperimentConfig, rng):
     img_hw = jnp.array([[H, W]], jnp.int32)
     if cfg.model.arch in ("faster_rcnn", "libra_faster_rcnn",
                           "double_head_rcnn", "fast_rcnn",
+                          "carafe_faster_rcnn",
                           "grid_rcnn", "cascade_rcnn", "tridentnet",
                           "cascade_mask_rcnn", "htc", "point_rend",
                           "queryinst", "scnet",
