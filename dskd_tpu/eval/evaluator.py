@@ -77,7 +77,8 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 
-    if arch in ("retinanet", "free_anchor", "pisa_retinanet"):
+    if arch in ("retinanet", "free_anchor", "pisa_retinanet",
+                "retinanet_fpg"):
         from ..models.retinanet import retina_anchors, retina_get_bboxes
 
         @jax.jit

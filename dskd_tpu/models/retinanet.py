@@ -82,6 +82,8 @@ class RetinaNet(nn.Module):
     depth: int = 50
     frozen_stages: int = 1
     backbone: str = ""
+    # 'fpn' (default) or 'fpg' (necks/fpg.py feature pyramid grids)
+    neck: str = "fpn"
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, img_hw: jnp.ndarray,
@@ -90,7 +92,10 @@ class RetinaNet(nn.Module):
         bb, kind = build_backbone(self.backbone, self.depth,
                                   self.frozen_stages)
         feats = bb(images)
-        if kind == "hr":
+        if self.neck == "fpg":
+            from .fpg import FPG
+            neck = FPG(out_channels=256, num_outs=5, name="neck")(feats)
+        elif kind == "hr":
             from .hrnet import HRFPN
             neck = HRFPN(out_channels=256, num_outs=5, name="neck")(feats)
         else:

@@ -178,7 +178,8 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 out.head, batch.gt_bboxes, batch.gt_labels, batch.gt_valid,
                 batch.img_hw, det_cfg), None
 
-    elif arch in ("retinanet", "pisa_retinanet"):
+    elif arch in ("retinanet", "pisa_retinanet",
+                  "retinanet_fpg"):
         from ..models.retinanet import (RetinaLossConfig, retina_anchors,
                                         retina_detection_loss)
         det_cfg = RetinaLossConfig(num_classes=cfg.model.num_classes)

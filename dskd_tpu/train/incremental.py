@@ -110,11 +110,13 @@ def build_model(cfg: ExperimentConfig):
                           neck_upsample=("carafe"
                                          if m.arch == "carafe_faster_rcnn"
                                          else "nearest"))
-    if m.arch in ("retinanet", "pisa_retinanet"):
+    if m.arch in ("retinanet", "pisa_retinanet", "retinanet_fpg"):
         from ..models.retinanet import RetinaNet
         return RetinaNet(num_classes=m.num_classes, depth=m.depth,
                          frozen_stages=m.frozen_stages,
-                         backbone=m.backbone)
+                         backbone=m.backbone,
+                         neck="fpg" if m.arch == "retinanet_fpg"
+                         else "fpn")
     if m.arch in ("fcos", "nasfcos"):
         from ..models.fcos import FCOS
         return FCOS(num_classes=m.num_classes, depth=m.depth,
