@@ -1,0 +1,21 @@
+"""Cascade RPN R50-FPN 1x COCO (parity: configs/cascade_rpn/
+crpn_r50_caffe_fpn_1x_coco.py — two-stage anchor refinement with
+adaptive convolution, AR1000 81.4; evaluated with the proposal AR
+protocol like the standalone RPN family)."""
+from dskd_tpu.utils.config import (DataConfig, DistillFlags,
+                                   ExperimentConfig, ModelConfig,
+                                   TrainConfig)
+
+
+def get_config() -> ExperimentConfig:
+    return ExperimentConfig(
+        model=ModelConfig(arch="cascade_rpn", num_classes=1, depth=50),
+        data=DataConfig(catsplit=(80,), samples_per_device=2,
+                        img_scale=(1333, 800), bucket=(800, 1344),
+                        aspect_buckets=((1344, 800), (800, 1344))),
+        train=TrainConfig(base_lr=2e-2, weight_decay=1e-4, grad_clip=35.0,
+                          epochs_per_task=12, step_epochs=(8, 11),
+                          warmup_iters=500,
+                          work_dir="work_dirs/cascade_rpn_r50"),
+        distill=DistillFlags(cates_distill="", feats_distill=""),
+    )

@@ -120,6 +120,18 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
                        jnp.zeros(scores.shape, jnp.int32), pvalid)
         return eval_step
 
+    if arch == "cascade_rpn":
+        from ..models.cascade_rpn_head import crpn_proposals
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            props, scores, pvalid = crpn_proposals(out, img_hw,
+                                                   max_total=max_per_img)
+            return Det(props / scale_factors[:, None, :], scores,
+                       jnp.zeros(scores.shape, jnp.int32), pvalid)
+        return eval_step
+
     if arch in ("faster_rcnn", "libra_faster_rcnn",
                 "double_head_rcnn", "carafe_faster_rcnn"):
         from ..models.faster_rcnn import (FasterRCNN, rcnn_get_bboxes,

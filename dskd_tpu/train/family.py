@@ -217,6 +217,14 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             return rpn_loss(out.rpn, batch.gt_bboxes, batch.gt_valid,
                             batch.img_hw, rng, rpn_cfg), None
 
+    elif arch == "cascade_rpn":
+        from ..models.cascade_rpn_head import crpn_loss
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw)
+            return crpn_loss(out, batch.gt_bboxes, batch.gt_valid,
+                             rng), None
+
     elif arch in ("faster_rcnn", "libra_faster_rcnn",
                   "double_head_rcnn", "carafe_faster_rcnn"):
         from ..models.faster_rcnn import (FasterRCNN, RCNNLossConfig,
