@@ -139,6 +139,67 @@ class GARetinaHead(nn.Module):
                              tuple(loc_out), tuple(shape_out))
 
 
+class GARPNHead(nn.Module):
+    """ga_rpn_head.py: a 3x3 rpn_conv, then the GuidedAnchorHead parts —
+    loc/shape branches, ONE shape-steered feature adaption, 1x1
+    objectness + regression (proposal head, cls_out_channels = 1)."""
+    feat_channels: int = 256
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]) -> GAHeadOutputs:
+        C = self.feat_channels
+        rpn_conv = nn.Conv(C, (3, 3), padding=[(1, 1), (1, 1)],
+                           name="rpn_conv")
+        conv_loc = nn.Conv(
+            1, (1, 1),
+            bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
+            name="conv_loc")
+        conv_shape = nn.Conv(2, (1, 1), kernel_init=nn.initializers.zeros,
+                             bias_init=nn.initializers.zeros,
+                             name="conv_shape")
+        offset = nn.Conv(18, (1, 1), kernel_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.zeros,
+                         name="adaption_offset")
+        w_ad = self.param("adaption_kernel",
+                          nn.initializers.normal(0.01), (3, 3, C, C))
+        conv_cls = nn.Conv(
+            1, (1, 1),
+            bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
+            name="conv_cls")
+        conv_reg = nn.Conv(4, (1, 1), name="conv_reg")
+
+        cls_out, reg_out, loc_out, shape_out = [], [], [], []
+        for f in feats:
+            x = nn.relu(rpn_conv(f))
+            loc = conv_loc(x)
+            shape = conv_shape(x)
+            sg = jax.lax.stop_gradient(shape)
+            fa = nn.relu(deform_conv2d(x, offset(sg), w_ad))
+            cls_out.append(conv_cls(fa))
+            reg_out.append(conv_reg(fa))
+            loc_out.append(loc)
+            shape_out.append(shape)
+        return GAHeadOutputs(tuple(cls_out), tuple(reg_out),
+                             tuple(loc_out), tuple(shape_out))
+
+
+class GARPN(nn.Module):
+    """Guided-anchoring region proposal network (configs/guided_anchoring/
+    ga_rpn_r50_caffe_fpn_1x_coco.py, AR1000 68.4; proposal AR protocol)."""
+    depth: int = 50
+    frozen_stages: int = 1
+
+    @nn.compact
+    def __call__(self, images, img_hw, deterministic: bool = True):
+        feats = ResNet(depth=self.depth, out_indices=(0, 1, 2, 3),
+                       frozen_stages=self.frozen_stages,
+                       name="backbone")(images)
+        neck = FPN(out_channels=256, num_outs=5, start_level=0,
+                   add_extra_convs="", name="neck")(feats)
+        head = GARPNHead(name="rpn_head")(neck)
+        return GAOutputs(head, neck)
+
+
 class GARetinaNet(nn.Module):
     num_classes: int = 80
     depth: int = 50
@@ -183,6 +244,10 @@ def guided_anchors(centers, strides, shape_flat):
 
 class GALossConfig(NamedTuple):
     num_classes: int = 80
+    # GA-RPN trains its objectness with plain sigmoid CE
+    # (ga_rpn config loss_cls CrossEntropyLoss use_sigmoid), GA-Retina
+    # with focal
+    focal_cls: bool = True
     focal_gamma: float = 2.0
     focal_alpha: float = 0.25
     loss_loc_weight: float = 1.0
@@ -257,10 +322,19 @@ def ga_loss(out: GAHeadOutputs, centers, strides, approxs, level_counts,
     tgt = jnp.take_along_axis(gt_bboxes, safe[..., None], axis=1)
 
     onehot = jax.nn.one_hot(assign.labels, C + 1)[..., :C]
-    loss_cls = cfg.loss_cls_weight * L.sigmoid_focal_loss(
-        cls_flat.reshape(-1, C), onehot.reshape(-1, C),
-        weight=jnp.where(ignore, 0.0, 1.0).reshape(-1, 1),
-        avg_factor=num_pos, gamma=cfg.focal_gamma, alpha=cfg.focal_alpha)
+    if cfg.focal_cls:
+        loss_cls = cfg.loss_cls_weight * L.sigmoid_focal_loss(
+            cls_flat.reshape(-1, C), onehot.reshape(-1, C),
+            weight=jnp.where(ignore, 0.0, 1.0).reshape(-1, 1),
+            avg_factor=num_pos, gamma=cfg.focal_gamma,
+            alpha=cfg.focal_alpha)
+    else:
+        loss_cls = cfg.loss_cls_weight * L.bce_loss(
+            cls_flat.reshape(-1), onehot.reshape(-1),
+            weight=jnp.where(ignore, 0.0, 1.0)
+            .repeat(C, -1).reshape(-1),
+            avg_factor=jnp.maximum((~ignore).sum().astype(
+                jnp.float32) * C, 1.0))
     deltas_t = jax.vmap(bbox2delta)(anchors_d, tgt)
     wreg = jnp.repeat(pos.astype(jnp.float32)[..., None], 4,
                       -1).reshape(-1, 4)

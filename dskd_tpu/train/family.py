@@ -217,6 +217,21 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             return rpn_loss(out.rpn, batch.gt_bboxes, batch.gt_valid,
                             batch.img_hw, rng, rpn_cfg), None
 
+    elif arch == "ga_rpn":
+        from ..models.guided_anchor import (GALossConfig, ga_geometry,
+                                            ga_loss)
+        det_cfg = GALossConfig(num_classes=1, focal_cls=False)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            centers, strides, approxs, counts = ga_geometry(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            return ga_loss(out.head, centers, strides, approxs, counts,
+                           batch.gt_bboxes,
+                           jnp.zeros_like(batch.gt_labels),
+                           batch.gt_valid, det_cfg), None
+
     elif arch == "cascade_rpn":
         from ..models.cascade_rpn_head import crpn_loss
 

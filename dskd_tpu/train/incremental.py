@@ -103,6 +103,9 @@ def build_model(cfg: ExperimentConfig):
     if m.arch == "cascade_rpn":
         from ..models.cascade_rpn_head import CascadeRPN
         return CascadeRPN(depth=m.depth, frozen_stages=m.frozen_stages)
+    if m.arch == "ga_rpn":
+        from ..models.guided_anchor import GARPN
+        return GARPN(depth=m.depth, frozen_stages=m.frozen_stages)
     if m.arch in ("faster_rcnn", "libra_faster_rcnn",
                   "double_head_rcnn", "carafe_faster_rcnn"):
         from ..models.faster_rcnn import FasterRCNN

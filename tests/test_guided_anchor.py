@@ -74,3 +74,48 @@ def test_ga_forward_loss_decode_step():
                                   has_teacher=False, use_dropout=False)
     _, losses = step(state, Batch(images, img_hw, gt, labels, valid))
     assert np.isfinite(float(losses["loss"]))
+
+
+def test_ga_rpn_family_and_eval():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dskd_tpu.eval.evaluator import make_eval_step
+    from dskd_tpu.models.guided_anchor import GARPN
+    from dskd_tpu.train.family import make_family_train_step
+    from dskd_tpu.train.optim import make_optimizer
+    from dskd_tpu.train.state import TrainState
+    from dskd_tpu.train.step import Batch
+    from dskd_tpu.utils.config import (DistillFlags, ExperimentConfig,
+                                       ModelConfig)
+
+    rng = np.random.RandomState(0)
+    B, HW, G = 1, 64, 3
+    images = jnp.asarray(rng.randn(B, HW, HW, 3).astype(np.float32) * 0.2)
+    img_hw = jnp.asarray(np.tile([[HW, HW]], (B, 1)).astype(np.int32))
+    xy = rng.rand(B, G, 2).astype(np.float32) * 20
+    wh = rng.rand(B, G, 2).astype(np.float32) * 25 + 10
+    batch = Batch(images, img_hw,
+                  jnp.asarray(np.concatenate([xy, xy + wh], -1)),
+                  jnp.asarray(np.zeros((B, G), np.int32)),
+                  jnp.asarray(np.tile(np.arange(G) < 2, (B, 1))))
+    model = GARPN(depth=18)
+    cfg = ExperimentConfig(
+        model=ModelConfig(arch="ga_rpn", num_classes=1),
+        distill=DistillFlags(cates_distill="", feats_distill=""))
+    v = model.init(jax.random.PRNGKey(0), batch.images, batch.img_hw)
+    assert "conv_loc" in v["params"]["rpn_head"]
+
+    estep = make_eval_step(model, max_per_img=16, arch="ga_rpn")
+    det = estep(v, batch.images, batch.img_hw, jnp.ones((1, 4)))
+    assert det.bboxes.shape == (1, 16, 4)
+
+    tx = make_optimizer(v["params"], lambda i: 1e-4)
+    state = TrainState.create(v["params"], v.get("batch_stats", {}), tx,
+                              jax.random.PRNGKey(1))
+    step = make_family_train_step("ga_rpn", model, cfg, num_prev=0,
+                                  has_teacher=False, use_dropout=False)
+    _, losses = step(state, batch)
+    for k in ("loss_loc", "loss_shape", "loss_cls", "loss_bbox"):
+        assert k in losses
+    assert np.isfinite(float(losses["loss"]))
