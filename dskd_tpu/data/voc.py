@@ -107,3 +107,44 @@ class VOCDataset:
         mean_ap, per_class = eval_map(results, anns, iou_thr=iou_thr,
                                       mode=mode)
         return dict(mAP=float(mean_ap), per_class=per_class)
+
+
+class WIDERFaceDataset(VOCDataset):
+    """WIDER Face in PASCAL-VOC XML layout (parity:
+    mmdet/datasets/wider_face.py — the sovrasov VOC-annotation
+    conversion): single 'face' class; images live under
+    ``WIDER_{split}/<folder>/<id>.jpg`` with the folder read from each
+    XML's <folder> tag, annotation lists are flat id files."""
+    CLASSES = ("face",)
+
+    def __init__(self, data_root: str, split: str = "train",
+                 test_mode: bool = False, filter_empty: bool = True):
+        self.data_root = data_root
+        self.test_mode = test_mode
+        self.CLASSES = ("face",)
+        self.name2label = {"face": 0}
+        list_file = os.path.join(data_root, f"{split}.txt")
+        with open(list_file) as f:
+            ids = [ln.strip() for ln in f if ln.strip()]
+        self.items = []
+        self._folders = {}
+        for i, img_id in enumerate(ids):
+            ann = self._parse_xml(img_id)
+            if filter_empty and not test_mode and not len(ann["bboxes"]):
+                continue
+            self.items.append((i, img_id, ann))
+
+    def _parse_xml(self, img_id: str):
+        path = os.path.join(self.data_root, "Annotations",
+                            f"{img_id}.xml")
+        root = ET.parse(path).getroot()
+        folder = root.find("folder")
+        self._folders[img_id] = folder.text if folder is not None else ""
+        return VOCDataset._parse_xml(self, img_id)
+
+    def get_raw(self, idx: int):
+        _, img_id, ann = self.items[idx]
+        path = os.path.join(self.data_root, self._folders.get(img_id, ""),
+                            f"{img_id}.jpg")
+        return (path, ann["hw"], ann["bboxes"], ann["labels"],
+                self.items[idx][0])

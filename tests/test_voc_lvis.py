@@ -186,3 +186,29 @@ def test_openimages_loader_and_hierarchy(tmp_path):
 def _json_dump(obj):
     import json as _j
     return _j.dumps(obj)
+
+
+def test_wider_face_layout(tmp_path):
+    """WIDER-Face VOC-XML binding: folder-tag image paths, face class
+    (datasets/wider_face.py layout)."""
+    import os
+    from dskd_tpu.data.voc import WIDERFaceDataset
+
+    (tmp_path / "Annotations").mkdir()
+    (tmp_path / "train.txt").write_text("img0\nimg1\n")
+    xml = """<annotation><folder>{f}</folder>
+<size><width>80</width><height>60</height></size>
+{objs}</annotation>"""
+    obj = ("<object><name>face</name><bndbox><xmin>10</xmin>"
+           "<ymin>10</ymin><xmax>30</xmax><ymax>30</ymax></bndbox>"
+           "</object>")
+    (tmp_path / "Annotations" / "img0.xml").write_text(
+        xml.format(f="0--Parade", objs=obj + obj))
+    (tmp_path / "Annotations" / "img1.xml").write_text(
+        xml.format(f="1--Handshaking", objs=""))
+    ds = WIDERFaceDataset(str(tmp_path), split="train")
+    assert len(ds) == 1                      # empty image filtered
+    p, hw, b, l, _ = ds.get_raw(0)
+    assert p.endswith(os.path.join("0--Parade", "img0.jpg"))
+    assert hw == (60, 80) and b.shape == (2, 4)
+    assert (l == 0).all()
