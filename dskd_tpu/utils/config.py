@@ -166,7 +166,11 @@ def dskd_flagship_config(catsplit=(40, 40),
         # tokens than a square 640 pad (measured +34% step throughput on
         # chip — PERF.md round 3)
         data=DataConfig(catsplit=tuple(catsplit), samples_per_device=8,
-                        aspect_buckets=((640, 480), (480, 640))),
+                        aspect_buckets=((640, 480), (480, 640)),
+                        # GT-count buckets: the matcher/loss shapes track
+                        # the batch's real GT count instead of max_gt=100
+                        # (typical COCO batch -> the 32 bucket)
+                        gt_buckets=(8, 16, 32, 64, 100)),
         train=TrainConfig(base_lr=2e-4, epochs_per_task=12,
                           step_epochs=(8, 11), work_dir=work_dir),
         distill=DistillFlags(
