@@ -14,7 +14,8 @@ def get_config() -> ExperimentConfig:
     return ExperimentConfig(
         model=ModelConfig(num_classes=80, depth=50),
         data=DataConfig(catsplit=(40, 40), samples_per_device=8,
-                        aspect_buckets=((640, 480), (480, 640))),
+                        aspect_buckets=((640, 480), (480, 640)),
+                        gt_buckets=(8, 16, 32, 64, 100)),
         train=TrainConfig(base_lr=2e-4, epochs_per_task=12,
                           step_epochs=(8, 11),
                           work_dir="work_dirs/gfl_ddetr_40_40_il"),
