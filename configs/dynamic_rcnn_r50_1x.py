@@ -1,0 +1,20 @@
+"""Dynamic R-CNN R50-FPN 1x COCO (parity: configs/dynamic_rcnn/
+dynamic_rcnn_r50_fpn_1x_coco.py — batch-statistic IoU threshold +
+SmoothL1 beta, box AP 38.9)."""
+from dskd_tpu.utils.config import (DataConfig, DistillFlags,
+                                   ExperimentConfig, ModelConfig,
+                                   TrainConfig)
+
+
+def get_config() -> ExperimentConfig:
+    return ExperimentConfig(
+        model=ModelConfig(arch="dynamic_rcnn", num_classes=80, depth=50),
+        data=DataConfig(catsplit=(80,), samples_per_device=2,
+                        img_scale=(1333, 800), bucket=(800, 1344),
+                        aspect_buckets=((1344, 800), (800, 1344))),
+        train=TrainConfig(base_lr=2e-2, weight_decay=1e-4, grad_clip=35.0,
+                          epochs_per_task=12, step_epochs=(8, 11),
+                          warmup_iters=500,
+                          work_dir="work_dirs/dynamic_rcnn"),
+        distill=DistillFlags(cates_distill="", feats_distill=""),
+    )

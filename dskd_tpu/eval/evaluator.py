@@ -149,7 +149,8 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
         return eval_step
 
     if arch in ("faster_rcnn", "libra_faster_rcnn",
-                "double_head_rcnn", "carafe_faster_rcnn"):
+                "double_head_rcnn", "carafe_faster_rcnn",
+                "pisa_faster_rcnn", "dynamic_rcnn"):
         from ..models.faster_rcnn import (FasterRCNN, rcnn_get_bboxes,
                                           rpn_proposals)
 

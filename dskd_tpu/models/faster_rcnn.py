@@ -337,6 +337,17 @@ class RCNNLossConfig(NamedTuple):
     iou_balanced_neg: bool = False
     # TridentNet's C4 config samples without GT-as-proposals
     add_gt_as_proposals: bool = True
+    # PISA (roi_heads/pisa_roi_head.py): ISR-P cls reweighting + CARL
+    pisa: bool = False
+    # Dynamic R-CNN (roi_heads/dynamic_roi_head.py): assignment IoU and
+    # SmoothL1 beta follow the batch statistics (the reference keeps a
+    # 100-iter history; here the CURRENT batch's statistics apply
+    # directly — the windowless in-graph equivalent, documented)
+    dynamic: bool = False
+    dynamic_iou_topk: int = 75
+    dynamic_beta_topk: int = 10
+    dynamic_initial_iou: float = 0.4
+    dynamic_initial_beta: float = 1.0
 
 
 def rcnn_forward_train(bbox_head_apply, neck_feats, proposals,
@@ -354,10 +365,29 @@ def rcnn_forward_train(bbox_head_apply, neck_feats, proposals,
     else:
         rois_all, rois_valid = proposals, proposal_valid
 
+    if cfg.dynamic:
+        # Dynamic R-CNN: the assignment threshold is the batch mean of
+        # each image's iou_topk-th largest proposal IoU, floored at the
+        # initial 0.4 (dynamic_roi_head.py:77-85 + update rule)
+        from ..core.boxes import bbox_overlaps as _ov
+
+        def img_kth(rois, rv, gtb, gtv):
+            mi = jnp.where(gtv[None], _ov(rois, gtb), 0.0).max(-1)
+            mi = jnp.where(rv, mi, 0.0)
+            k = min(cfg.dynamic_iou_topk, mi.shape[0])
+            return jax.lax.top_k(mi, k)[0][-1]
+
+        kth = jax.vmap(img_kth)(rois_all, rois_valid, gt_bboxes, gt_valid)
+        dyn_iou = jnp.maximum(cfg.dynamic_initial_iou, kth.mean())
+        pos_thr = neg_thr = min_thr = dyn_iou
+    else:
+        pos_thr, neg_thr = cfg.pos_iou_thr, cfg.neg_iou_thr
+        min_thr = cfg.min_pos_iou
+
     def per_image(r, rois, rv, gtb, gtl, gtv):
         assign = max_iou_assign(rois, gtb, gtl, gtv, C,
-                                cfg.pos_iou_thr, cfg.neg_iou_thr,
-                                cfg.min_pos_iou, match_low_quality=False)
+                                pos_thr, neg_thr,
+                                min_thr, match_low_quality=False)
         # invalid rois can never be sampled
         a = jnp.where(rv, assign.assigned_gt, -2)
         if cfg.iou_balanced_neg:
@@ -411,12 +441,45 @@ def rcnn_forward_train(bbox_head_apply, neck_feats, proposals,
     if cfg.balanced_l1:
         per = L.balanced_l1_loss(reg_at, deltas_tgt,
                                  reduction="none").sum(-1)
+    elif cfg.dynamic:
+        # SmoothL1 whose beta is the batch's beta_topk*B-th smallest
+        # positive |target| (capped at the initial 1.0); ~zero medians
+        # keep the initial beta (dynamic_roi_head.py update rule)
+        err = jnp.abs(deltas_tgt[:, :2]).mean(-1)
+        errp = jnp.where(is_pos_flat > 0, err, jnp.inf)
+        k = min(cfg.dynamic_beta_topk * B, errp.shape[0])
+        kth_err = -jax.lax.top_k(-errp, k)[0][-1]
+        beta = jnp.where(jnp.isfinite(kth_err) & (kth_err > 1e-7),
+                         jnp.minimum(cfg.dynamic_initial_beta, kth_err),
+                         cfg.dynamic_initial_beta)
+        d = jnp.abs(reg_at - deltas_tgt)
+        per = jnp.where(d < beta, 0.5 * d * d / beta,
+                        d - 0.5 * beta).sum(-1)
     else:
         per = jnp.abs(reg_at - deltas_tgt).sum(-1)
     loss_bbox = (per * is_pos_flat).sum() / num_total
 
+    losses = dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
+    if cfg.pisa:
+        from .pisa import carl_loss, isr_p_weights
+        gt_off = (gt_idx + jnp.arange(B)[:, None] * G).reshape(-1)
+        imp = isr_p_weights(
+            jax.lax.stop_gradient(cls_logits),
+            jax.lax.stop_gradient(reg_at), rois.reshape(-1, 4),
+            labels_flat, is_pos_flat > 0, gt_off,
+            jax.lax.stop_gradient(deltas_tgt), C, loss_kind="ce",
+            target_stds=RCNN_TARGET_STDS)
+        imp = jax.lax.stop_gradient(imp)
+        losses["loss_cls"] = L.cross_entropy_loss(
+            cls_logits, labels_flat, weight=valid_flat * imp,
+            avg_factor=num_total)
+        losses["loss_carl"] = carl_loss(
+            cls_logits, labels_flat, is_pos_flat > 0, reg_at,
+            jax.lax.stop_gradient(deltas_tgt), num_total, C,
+            sigmoid=False)
+
     acc_pos = is_pos_flat.sum()
-    return dict(loss_cls=loss_cls, loss_bbox=loss_bbox), RCNNSamples(
+    return losses, RCNNSamples(
         rois, valid, is_pos, labels, gt_idx, acc_pos)
 
 

@@ -241,7 +241,8 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                              rng), None
 
     elif arch in ("faster_rcnn", "libra_faster_rcnn",
-                  "double_head_rcnn", "carafe_faster_rcnn"):
+                  "double_head_rcnn", "carafe_faster_rcnn",
+                  "pisa_faster_rcnn", "dynamic_rcnn"):
         from ..models.faster_rcnn import (FasterRCNN, RCNNLossConfig,
                                           RPNLossConfig, rcnn_forward_train,
                                           rpn_loss, rpn_proposals)
@@ -250,7 +251,9 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
         rcnn_cfg = RCNNLossConfig(num_classes=cfg.model.num_classes,
                                   num_samples=cfg.rcnn_num_samples,
                                   balanced_l1=libra,
-                                  iou_balanced_neg=libra)
+                                  iou_balanced_neg=libra,
+                                  pisa=(arch == "pisa_faster_rcnn"),
+                                  dynamic=(arch == "dynamic_rcnn"))
 
         def losses_fn(variables, batch, teacher_vars, rng):
             rng1, rng2 = jax.random.split(rng)

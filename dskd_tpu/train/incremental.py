@@ -107,7 +107,8 @@ def build_model(cfg: ExperimentConfig):
         from ..models.guided_anchor import GARPN
         return GARPN(depth=m.depth, frozen_stages=m.frozen_stages)
     if m.arch in ("faster_rcnn", "libra_faster_rcnn",
-                  "double_head_rcnn", "carafe_faster_rcnn"):
+                  "double_head_rcnn", "carafe_faster_rcnn",
+                  "pisa_faster_rcnn", "dynamic_rcnn"):
         from ..models.faster_rcnn import FasterRCNN
         return FasterRCNN(num_classes=m.num_classes, depth=m.depth,
                           frozen_stages=m.frozen_stages,
@@ -268,7 +269,8 @@ def init_variables(model, cfg: ExperimentConfig, rng):
     img_hw = jnp.array([[H, W]], jnp.int32)
     if cfg.model.arch in ("faster_rcnn", "libra_faster_rcnn",
                           "double_head_rcnn", "fast_rcnn",
-                          "carafe_faster_rcnn",
+                          "carafe_faster_rcnn", "pisa_faster_rcnn",
+                          "dynamic_rcnn",
                           "grid_rcnn", "cascade_rcnn", "tridentnet",
                           "cascade_mask_rcnn", "htc", "point_rend",
                           "queryinst", "scnet",

@@ -140,3 +140,56 @@ def test_pisa_ssd_family_step():
     _, losses = step(state, batch)
     assert "loss_carl" in losses
     assert np.isfinite(float(losses["loss"]))
+
+
+def _frcnn_batch(rng_seed=5):
+    from dskd_tpu.train.step import Batch
+    rng = np.random.RandomState(rng_seed)
+    B, HW, G = 1, 64, 3
+    images = jnp.asarray(rng.randn(B, HW, HW, 3).astype(np.float32) * 0.2)
+    img_hw = jnp.asarray(np.tile([[HW, HW]], (B, 1)).astype(np.int32))
+    xy = rng.rand(B, G, 2).astype(np.float32) * 20
+    wh = rng.rand(B, G, 2).astype(np.float32) * 25 + 10
+    return Batch(images, img_hw,
+                 jnp.asarray(np.concatenate([xy, xy + wh], -1)),
+                 jnp.asarray(rng.randint(0, NC, (B, G)).astype(np.int32)),
+                 jnp.asarray(np.tile(np.arange(G) < 2, (B, 1))))
+
+
+def _frcnn_step(arch):
+    from dskd_tpu.models.faster_rcnn import FasterRCNN
+    from dskd_tpu.train.family import make_family_train_step
+    from dskd_tpu.train.optim import make_optimizer
+    from dskd_tpu.train.state import TrainState
+    from dskd_tpu.utils.config import (DistillFlags, ExperimentConfig,
+                                       ModelConfig)
+
+    batch = _frcnn_batch()
+    model = FasterRCNN(num_classes=NC, depth=18)
+    cfg = ExperimentConfig(
+        model=ModelConfig(arch=arch, num_classes=NC),
+        distill=DistillFlags(cates_distill="", feats_distill=""))
+    cfg.rcnn_num_proposals = 16
+    cfg.rcnn_num_samples = 16
+    v = model.init(jax.random.PRNGKey(0), batch.images, batch.img_hw,
+                   method=FasterRCNN.init_all)
+    tx = make_optimizer(v["params"], lambda i: 1e-4)
+    state = TrainState.create(v["params"], v.get("batch_stats", {}), tx,
+                              jax.random.PRNGKey(1))
+    step = make_family_train_step(arch, model, cfg, num_prev=0,
+                                  has_teacher=False, use_dropout=False)
+    return step(state, batch)[1]
+
+
+def test_pisa_faster_rcnn_step():
+    losses = _frcnn_step("pisa_faster_rcnn")
+    assert "rcnn_loss_carl" in losses
+    assert np.isfinite(float(losses["loss"]))
+
+
+def test_dynamic_rcnn_step():
+    losses = _frcnn_step("dynamic_rcnn")
+    assert np.isfinite(float(losses["loss"]))
+    # differs from the static-threshold loss (the dynamic IoU/beta bite)
+    base = _frcnn_step("faster_rcnn")
+    assert float(losses["rcnn_loss_bbox"]) != float(base["rcnn_loss_bbox"])
