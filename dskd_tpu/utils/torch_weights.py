@@ -269,3 +269,56 @@ def _assert_subtree(dst, src, path=""):
         else:
             assert tuple(dst[k].shape) == tuple(v.shape), \
                 (f"{path}/{k}", tuple(dst[k].shape), tuple(v.shape))
+
+
+def convert_mmdet_retinanet(state, depth: int = 50, stacked_convs: int = 4,
+                            num_fpn_levels: int = 3,
+                            num_extra_convs: int = 2):
+    """mmdet RetinaNet state_dict -> (params, batch_stats) for
+    models/retinanet.RetinaNet (backbone.* torchvision-compatible keys,
+    neck.lateral_convs/fpn_convs with the on_input extra convs, shared
+    bbox_head towers retina_cls/retina_reg)."""
+    bb = {k[len("backbone."):]: v for k, v in state.items()
+          if k.startswith("backbone.")}
+    p_bb, s_bb = convert_resnet_state_dict(bb, depth=depth)
+    params = {"backbone": p_bb}
+    stats = {"backbone": s_bb}
+
+    def conv(dst_tree, dst, src):
+        dst_tree[dst] = {
+            "kernel": _to_np(state[src + ".weight"]).transpose(2, 3, 1, 0),
+            "bias": _to_np(state[src + ".bias"])}
+
+    neck = {}
+    for i in range(num_fpn_levels):
+        conv(neck, f"lateral{i}", f"neck.lateral_convs.{i}.conv")
+        conv(neck, f"fpn_conv{i}", f"neck.fpn_convs.{i}.conv")
+    for j in range(num_extra_convs):
+        conv(neck, f"extra_conv{j}",
+             f"neck.fpn_convs.{num_fpn_levels + j}.conv")
+    params["neck"] = neck
+
+    head = {}
+    for i in range(stacked_convs):
+        conv(head, f"cls_conv{i}", f"bbox_head.cls_convs.{i}.conv")
+        conv(head, f"reg_conv{i}", f"bbox_head.reg_convs.{i}.conv")
+    conv(head, "retina_cls", "bbox_head.retina_cls")
+    conv(head, "retina_reg", "bbox_head.retina_reg")
+    params["bbox_head"] = head
+    return params, stats
+
+
+def load_mmdet_retinanet_state_dict(variables, state, depth: int = 50,
+                                    strict: bool = True):
+    """Strict-load an mmdet RetinaNet checkpoint into an initialized
+    models/retinanet.RetinaNet variables tree."""
+    params, stats = convert_mmdet_retinanet(state, depth=depth)
+    variables = dict(variables)
+    if strict:
+        _assert_subtree(variables["params"], params, path="params")
+        _assert_subtree(variables.get("batch_stats", {}), stats,
+                        path="batch_stats")
+    variables["params"] = _merge(variables["params"], params)
+    variables["batch_stats"] = _merge(variables.get("batch_stats", {}),
+                                      stats)
+    return variables

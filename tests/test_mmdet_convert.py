@@ -192,3 +192,97 @@ def test_pth_file_load(tmp_path):
     old = variables["params"]["bbox_head"]["cls_branch"]["kernel"]
     new = loaded["params"]["bbox_head"]["cls_branch"]["kernel"]
     assert float(jnp.abs(jnp.asarray(new) - old).max()) > 0
+
+
+def test_retinanet_convert_strict_and_head_oracle():
+    """mmdet RetinaNet state_dict strict-loads, and the converted HEAD
+    reproduces a torch re-statement of retina_head.py numerically."""
+    import torch
+    import torch.nn.functional as F
+
+    import jax
+    import jax.numpy as jnp
+    from dskd_tpu.models.retinanet import RetinaNet
+    from dskd_tpu.utils.torch_weights import (
+        load_mmdet_retinanet_state_dict)
+
+    rng = np.random.RandomState(0)
+    NC, A = 4, 9
+    model = RetinaNet(num_classes=NC, depth=18)
+    images = jnp.zeros((1, 64, 64, 3))
+    img_hw = jnp.asarray([[64, 64]], np.int32)
+    v = model.init(jax.random.PRNGKey(0), images, img_hw)
+
+    # synthetic mmdet-style state dict covering every expected key
+    state = {}
+
+    def add_conv(name, cin, cout):
+        state[name + ".weight"] = torch.from_numpy(
+            rng.randn(cout, cin, 3, 3).astype(np.float32) * 0.05)
+        state[name + ".bias"] = torch.from_numpy(
+            rng.randn(cout).astype(np.float32) * 0.05)
+
+    # backbone: hand-built torchvision-format resnet18 state dict
+    bb = {}
+    def tconv(name, cin, cout, k):
+        bb[name + ".weight"] = torch.from_numpy(
+            rng.randn(cout, cin, k, k).astype(np.float32) * 0.05)
+    def tbn(name, c):
+        for suf, val in (("weight", np.ones(c)), ("bias", np.zeros(c)),
+                         ("running_mean", np.zeros(c)),
+                         ("running_var", np.ones(c))):
+            bb[name + "." + suf] = torch.from_numpy(
+                val.astype(np.float32))
+    tconv("conv1", 3, 64, 7)
+    tbn("bn1", 64)
+    chans = [64, 64, 128, 256, 512]
+    for st in range(1, 5):
+        cin, cout = chans[st - 1], chans[st]
+        for blk in range(2):
+            pre = f"layer{st}.{blk}"
+            tconv(pre + ".conv1", cin if blk == 0 else cout, cout, 3)
+            tbn(pre + ".bn1", cout)
+            tconv(pre + ".conv2", cout, cout, 3)
+            tbn(pre + ".bn2", cout)
+            if blk == 0 and st > 1:
+                tconv(pre + ".downsample.0", cin, cout, 1)
+                tbn(pre + ".downsample.1", cout)
+    for k, val in bb.items():
+        state["backbone." + k] = val
+
+    for i, cin in enumerate((128, 256, 512)):
+        state[f"neck.lateral_convs.{i}.conv.weight"] = torch.from_numpy(
+            rng.randn(256, cin, 1, 1).astype(np.float32) * 0.05)
+        state[f"neck.lateral_convs.{i}.conv.bias"] = torch.zeros(256)
+        add_conv(f"neck.fpn_convs.{i}.conv", 256, 256)
+    state["neck.fpn_convs.3.conv.weight"] = torch.from_numpy(
+        rng.randn(256, 512, 3, 3).astype(np.float32) * 0.05)
+    state["neck.fpn_convs.3.conv.bias"] = torch.zeros(256)
+    add_conv("neck.fpn_convs.4.conv", 256, 256)
+    for i in range(4):
+        add_conv(f"bbox_head.cls_convs.{i}.conv", 256, 256)
+        add_conv(f"bbox_head.reg_convs.{i}.conv", 256, 256)
+    add_conv("bbox_head.retina_cls", 256, A * NC)
+    add_conv("bbox_head.retina_reg", 256, A * 4)
+
+    v2 = load_mmdet_retinanet_state_dict(v, state, depth=18, strict=True)
+
+    # numeric head oracle: torch re-statement of retina_head.forward
+    feat = rng.randn(1, 256, 8, 8).astype(np.float32)
+    c = r = torch.from_numpy(feat)
+    for i in range(4):
+        c = F.relu(F.conv2d(c, state[f"bbox_head.cls_convs.{i}.conv.weight"],
+                            state[f"bbox_head.cls_convs.{i}.conv.bias"],
+                            padding=1))
+        r = F.relu(F.conv2d(r, state[f"bbox_head.reg_convs.{i}.conv.weight"],
+                            state[f"bbox_head.reg_convs.{i}.conv.bias"],
+                            padding=1))
+    want_cls = F.conv2d(c, state["bbox_head.retina_cls.weight"],
+                        state["bbox_head.retina_cls.bias"], padding=1)
+    from dskd_tpu.models.retinanet import RetinaHead
+    head = RetinaHead(num_classes=NC)
+    got = head.apply({"params": v2["params"]["bbox_head"]},
+                     [jnp.asarray(feat.transpose(0, 2, 3, 1))])
+    np.testing.assert_allclose(
+        np.asarray(got.cls_scores[0]),
+        want_cls.permute(0, 2, 3, 1).numpy(), atol=2e-4, rtol=1e-4)
