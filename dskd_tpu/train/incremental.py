@@ -508,6 +508,12 @@ def run_incremental(cfg: ExperimentConfig, student_ckpt: Optional[str] = None,
     """
     task_nums = len(cfg.data.catsplit)
     mesh = make_mesh()
+    # env fingerprint + resolved-config dump (collect_env + cfg.dump,
+    # train_increment.py:158,168-173)
+    from ..utils.logging import collect_env, dump_config
+    log.info("environment: %s", collect_env())
+    if jax.process_index() == 0:
+        dump_config(cfg, cfg.train.work_dir)
     model = build_model(cfg)
     from ..utils.seed import init_random_seed, set_random_seed
     cfg.train.seed = init_random_seed(cfg.train.seed)

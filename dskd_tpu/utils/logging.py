@@ -40,3 +40,40 @@ class MetricsLogger:
     def close(self):
         if self.jsonl:
             self.jsonl.close()
+
+
+def collect_env() -> dict:
+    """Environment fingerprint logged at run start (parity:
+    mmdet.utils.collect_env via train_increment.py:168-173)."""
+    import platform
+
+    import jax
+
+    try:
+        import flax
+        flax_v = flax.__version__
+    except Exception:                                    # pragma: no cover
+        flax_v = "?"
+    devs = jax.devices()
+    return dict(
+        python=platform.python_version(),
+        jax=jax.__version__, flax=flax_v,
+        backend=jax.default_backend(),
+        device_kind=devs[0].device_kind if devs else "none",
+        device_count=len(devs),
+        process_count=jax.process_count(),
+        platform=platform.platform())
+
+
+def dump_config(cfg, work_dir: str) -> None:
+    """Dump the resolved experiment config to work_dir (parity:
+    cfg.dump, train_increment.py:158)."""
+    import dataclasses
+    import json
+    import os
+
+    if not work_dir:
+        return
+    os.makedirs(work_dir, exist_ok=True)
+    with open(os.path.join(work_dir, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
