@@ -275,7 +275,7 @@ def mask2former_loss(out: Mask2FormerOutputs, gt_labels, gt_masks,
             cost_cls = -cfg.cls_cost_weight * prob[:, jnp.clip(gl, 0, C - 1)]
             cost_mask = cfg.mask_cost_weight * _bce_cost_matrix(pred_pts,
                                                                 tgt_pts)
-            inter = pred_sig = jax.nn.sigmoid(pred_pts)
+            pred_sig = jax.nn.sigmoid(pred_pts)
             inter = pred_sig @ tgt_pts.T
             dice = 1.0 - (2 * inter + cfg.dice_eps) / (
                 pred_sig.sum(-1)[:, None] + tgt_pts.sum(-1)[None]
