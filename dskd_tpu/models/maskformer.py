@@ -280,3 +280,49 @@ def maskformer_decode(out: MaskFormerOutputs, num_classes: int,
     boxes, sc, lb, valid, m28 = jax.vmap(per_image)(cls, masks)
     return dict(bboxes=boxes, scores=sc, labels=lb, valid=valid,
                 masks28=m28)
+
+
+def maskformer_panoptic_fuse(cls_logits: "np.ndarray",
+                             mask_logits: "np.ndarray",
+                             num_things: int, num_stuff: int,
+                             object_mask_thr: float = 0.8,
+                             iou_thr: float = 0.8):
+    """Host-side panoptic fusion (maskformer_fusion_head.py
+    panoptic_postprocess): per-pixel argmax over score-weighted query
+    masks, keeping queries whose surviving area covers > iou_thr of
+    their full mask; things get fresh instance ids, stuff segments of
+    one class merge. Output encoding matches heuristic_fuse
+    (cls + instance_id * INSTANCE_OFFSET, void = num_things+num_stuff),
+    so the shared PQStat applies.
+
+    cls_logits: (Q, C+1) numpy; mask_logits: (Q, H, W) numpy."""
+    import numpy as np
+
+    from .panoptic_fpn import INSTANCE_OFFSET
+    C = num_things + num_stuff
+    e = np.exp(cls_logits - cls_logits.max(-1, keepdims=True))
+    prob = e / e.sum(-1, keepdims=True)
+    scores = prob.max(-1)
+    labels = prob.argmax(-1)
+    masks = 1.0 / (1.0 + np.exp(-mask_logits))
+    pan = np.full(mask_logits.shape[-2:], C, np.int64)
+    keep = (labels != C) & (scores > object_mask_thr)
+    ks = np.where(keep)[0]
+    if len(ks) == 0:
+        return pan
+    prob_masks = scores[ks, None, None] * masks[ks]
+    mask_ids = prob_masks.argmax(0)
+    instance_id = 1
+    for j, q in enumerate(ks):
+        lab = int(labels[q])
+        full = masks[q] >= 0.5
+        binm = (mask_ids == j) & full
+        area, orig = binm.sum(), full.sum()
+        if area == 0 or orig == 0 or area / orig <= iou_thr:
+            continue
+        if lab < num_things:
+            pan[binm] = lab + instance_id * INSTANCE_OFFSET
+            instance_id += 1
+        else:
+            pan[binm] = lab
+    return pan

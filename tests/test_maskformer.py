@@ -117,3 +117,34 @@ def test_maskformer_decode_perfect_query():
     assert int(d["labels"][0, 0]) == 2
     np.testing.assert_allclose(b, [8, 16, 24, 32], atol=1e-3)
     assert bool(d["valid"][0, 0])
+
+
+def test_maskformer_panoptic_fuse_and_pq():
+    """Fusion reproduces the reference's keep/overwrite rules and a
+    self-consistent prediction scores PQ == 1."""
+    from dskd_tpu.eval.panoptic_eval import PQStat
+    from dskd_tpu.models.maskformer import maskformer_panoptic_fuse
+    from dskd_tpu.models.panoptic_fpn import INSTANCE_OFFSET
+
+    NT, NS = 2, 2
+    C = NT + NS
+    H = W = 16
+    cls = np.full((4, C + 1), -8.0, np.float32)
+    cls[0, 1] = 8.0          # thing class 1
+    cls[1, 3] = 8.0          # stuff class 3
+    cls[2, 0] = 0.0          # low-confidence -> dropped by 0.8 thr
+    cls[3, C] = 8.0          # background query -> dropped
+    masks = np.full((4, H, W), -8.0, np.float32)
+    masks[0, 2:8, 2:8] = 8.0
+    masks[1, 8:, :] = 8.0
+    masks[2] = 8.0
+    masks[3] = 8.0
+    pan = maskformer_panoptic_fuse(cls, masks, NT, NS)
+    assert pan[4, 4] == 1 + 1 * INSTANCE_OFFSET       # thing instance
+    assert pan[12, 4] == 3                            # stuff segment
+    assert pan[0, 12] == C                            # void elsewhere
+
+    stat = PQStat()
+    stat.add_image(pan, pan, void_label=C)
+    res = stat.summarize(list(range(NT)), list(range(NT, C)))
+    assert abs(res["PQ"] - 100.0) < 1e-4
