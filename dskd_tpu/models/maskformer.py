@@ -326,3 +326,24 @@ def maskformer_panoptic_fuse(cls_logits: "np.ndarray",
         else:
             pan[binm] = lab
     return pan
+
+
+def append_stuff_gt(gt_labels, gt_masks, gt_valid, gt_semantic,
+                    num_things: int, num_stuff: int):
+    """Panoptic GT assembly (maskformer_head.preprocess_gt): one extra
+    GT row per stuff class present in the image, its mask derived from
+    the semantic map (labels [num_things, num_things+num_stuff) on the
+    coco_panoptic protocol; 255 = void). Static shapes: always
+    ``num_stuff`` extra rows, absent classes carry valid=False."""
+    B = gt_labels.shape[0]
+    Hm, Wm = gt_masks.shape[-2:]
+    sem = gt_semantic[:, :Hm, :Wm]
+    sids = num_things + jnp.arange(num_stuff, dtype=jnp.int32)
+    smasks = (sem[:, None] == sids[None, :, None, None]).astype(
+        gt_masks.dtype)                              # (B, S, Hm, Wm)
+    svalid = smasks.sum(axis=(-1, -2)) > 0
+    labels = jnp.concatenate(
+        [gt_labels, jnp.broadcast_to(sids[None], (B, num_stuff))], 1)
+    masks = jnp.concatenate([gt_masks, smasks], 1)
+    valid = jnp.concatenate([gt_valid, svalid], 1)
+    return labels, masks, valid

@@ -589,28 +589,43 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
 
     elif arch == "maskformer":
         from ..models.maskformer import (MaskFormerLossConfig,
-                                         maskformer_loss)
-        det_cfg = MaskFormerLossConfig(num_classes=cfg.model.num_classes)
+                                         append_stuff_gt, maskformer_loss)
+        pan = cfg.model.panoptic
+        total = cfg.model.num_classes + (
+            cfg.model.num_stuff_classes if pan else 0)
+        det_cfg = MaskFormerLossConfig(num_classes=total)
 
         def losses_fn(variables, batch, teacher_vars, rng):
             out = model.apply(variables, batch.images, batch.img_hw,
                               deterministic=True)
-            return maskformer_loss(out, batch.gt_labels, batch.gt_masks,
-                                   batch.gt_valid, det_cfg), None
+            gl, gm, gv = batch.gt_labels, batch.gt_masks, batch.gt_valid
+            if pan:
+                gl, gm, gv = append_stuff_gt(
+                    gl, gm, gv, batch.gt_semantic,
+                    cfg.model.num_classes, cfg.model.num_stuff_classes)
+            return maskformer_loss(out, gl, gm, gv, det_cfg), None
 
     elif arch == "mask2former":
         from ..models.mask2former import (Mask2FormerLossConfig,
                                           mask2former_loss)
+        from ..models.maskformer import append_stuff_gt
+        pan = cfg.model.panoptic
+        total = cfg.model.num_classes + (
+            cfg.model.num_stuff_classes if pan else 0)
         det_cfg = Mask2FormerLossConfig(
-            num_classes=cfg.model.num_classes,
+            num_classes=total,
             num_points=min(12544, 4 * cfg.data.bucket[0] * cfg.data.bucket[1]
                            // 256))
 
         def losses_fn(variables, batch, teacher_vars, rng):
             out = model.apply(variables, batch.images, batch.img_hw,
                               deterministic=True)
-            return mask2former_loss(out, batch.gt_labels, batch.gt_masks,
-                                    batch.gt_valid, rng, det_cfg), None
+            gl, gm, gv = batch.gt_labels, batch.gt_masks, batch.gt_valid
+            if pan:
+                gl, gm, gv = append_stuff_gt(
+                    gl, gm, gv, batch.gt_semantic,
+                    cfg.model.num_classes, cfg.model.num_stuff_classes)
+            return mask2former_loss(out, gl, gm, gv, rng, det_cfg), None
 
     elif arch == "solo":
         from ..models.solo import solo_loss

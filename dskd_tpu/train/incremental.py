@@ -155,13 +155,15 @@ def build_model(cfg: ExperimentConfig):
                              frozen_stages=m.frozen_stages)
     if m.arch == "maskformer":
         from ..models.maskformer import MaskFormer
-        return MaskFormer(num_classes=m.num_classes, depth=m.depth,
-                          frozen_stages=m.frozen_stages,
+        return MaskFormer(num_classes=m.num_classes
+                          + (m.num_stuff_classes if m.panoptic else 0),
+                          depth=m.depth, frozen_stages=m.frozen_stages,
                           num_queries=m.num_query)
     if m.arch == "mask2former":
         from ..models.mask2former import Mask2Former
-        return Mask2Former(num_classes=m.num_classes, depth=m.depth,
-                           frozen_stages=m.frozen_stages,
+        return Mask2Former(num_classes=m.num_classes
+                           + (m.num_stuff_classes if m.panoptic else 0),
+                           depth=m.depth, frozen_stages=m.frozen_stages,
                            num_queries=m.num_query)
     if m.arch == "scnet":
         from ..models.scnet import SCNet
@@ -321,7 +323,9 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
                                      "htc", "point_rend", "queryinst",
                                      "scnet", "maskformer",
                                      "mask2former", "solo", "yolact"),
-        with_semantic=cfg.model.arch in ("panoptic_fpn", "htc", "scnet"))
+        with_semantic=(cfg.model.arch in ("panoptic_fpn", "htc", "scnet")
+                       or (cfg.model.panoptic and cfg.model.arch
+                           in ("maskformer", "mask2former"))))
     global_batch = cfg.data.samples_per_device * len(mesh.devices.flatten())
     loader = DataLoader(train_ds, global_batch, pipe, train=True,
                         seed=cfg.train.seed + tid,

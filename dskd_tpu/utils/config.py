@@ -40,6 +40,10 @@ class ModelConfig:
     dyhead_blocks: int = 0
     # stuff classes for the panoptic semantic branch (arch='panoptic_fpn')
     num_stuff_classes: int = 53
+    # maskformer/mask2former: train the panoptic (things + stuff)
+    # protocol — the head grows to num_classes + num_stuff_classes and
+    # stuff GT rows are derived from the semantic map
+    panoptic: bool = False
     # backbone spec for families that accept one (models/backbones.py):
     # '' = family-default ResNet(depth); 'regnetx_3.2gf', 'effb3',
     # 'hrnet_w18', 'swin_tiny', 'resnext'

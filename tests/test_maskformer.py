@@ -148,3 +148,43 @@ def test_maskformer_panoptic_fuse_and_pq():
     stat.add_image(pan, pan, void_label=C)
     res = stat.summarize(list(range(NT)), list(range(NT, C)))
     assert abs(res["PQ"] - 100.0) < 1e-4
+
+
+def test_append_stuff_gt_and_panoptic_family():
+    from dskd_tpu.models.maskformer import append_stuff_gt
+    from dskd_tpu.train.family import make_family_train_step
+    from dskd_tpu.train.incremental import build_model
+    from dskd_tpu.train.optim import make_optimizer
+    from dskd_tpu.train.state import TrainState
+    from dskd_tpu.utils.config import (DistillFlags, ExperimentConfig,
+                                       ModelConfig)
+
+    batch = _tiny_batch()
+    NT, NS = NC, 2
+    sem = np.full((1, 16, 16), 255, np.int32)
+    sem[0, :4] = NT                 # stuff class 0 present
+    batch = batch._replace(gt_semantic=jnp.asarray(sem))
+    gl, gm, gv = append_stuff_gt(batch.gt_labels, batch.gt_masks,
+                                 batch.gt_valid, batch.gt_semantic, NT, NS)
+    assert gl.shape[1] == batch.gt_labels.shape[1] + NS
+    assert int(gl[0, -NS]) == NT and bool(gv[0, -NS])
+    assert not bool(gv[0, -NS + 1])          # absent stuff class invalid
+    np.testing.assert_array_equal(np.asarray(gm[0, -NS, :4]), 1.0)
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(arch="maskformer", num_classes=NT,
+                          num_stuff_classes=NS, panoptic=True,
+                          num_query=8, depth=18),
+        distill=DistillFlags(cates_distill="", feats_distill=""))
+    model = build_model(cfg)
+    assert model.num_classes == NT + NS
+    model = type(model)(num_classes=NT + NS, depth=18, num_queries=8,
+                        num_decoder_layers=2)
+    v = model.init(jax.random.PRNGKey(0), batch.images, batch.img_hw)
+    tx = make_optimizer(v["params"], lambda i: 1e-4)
+    state = TrainState.create(v["params"], v.get("batch_stats", {}), tx,
+                              jax.random.PRNGKey(1))
+    step = make_family_train_step("maskformer", model, cfg, num_prev=0,
+                                  has_teacher=False, use_dropout=False)
+    _, losses = step(state, batch)
+    assert np.isfinite(float(losses["loss"]))
