@@ -40,22 +40,35 @@ class RetinaNetOutputs(NamedTuple):
 
 
 class RetinaHead(nn.Module):
+    """``sepbn``: RetinaSepBNHead (retina_sepbn_head.py, the NAS-FPN
+    companion) — conv WEIGHTS stay shared across levels but each level
+    keeps its own BatchNorm statistics."""
     num_classes: int = 80
     stacked_convs: int = 4
     feat_channels: int = 256
+    sepbn: bool = False
 
     @nn.compact
-    def __call__(self, feats: Sequence[jnp.ndarray]) -> RetinaHeadOutputs:
+    def __call__(self, feats: Sequence[jnp.ndarray],
+                 train: bool = False) -> RetinaHeadOutputs:
         A = SCALES_PER_OCTAVE * len(RATIOS)
         convs = {}
         # weights shared across levels (retina_head: one head, all levels)
         for i in range(self.stacked_convs):
             convs[f"cls_conv{i}"] = nn.Conv(
                 self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                name=f"cls_conv{i}")
+                use_bias=not self.sepbn, name=f"cls_conv{i}")
             convs[f"reg_conv{i}"] = nn.Conv(
                 self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                name=f"reg_conv{i}")
+                use_bias=not self.sepbn, name=f"reg_conv{i}")
+        bns = {}
+        if self.sepbn:
+            for lvl in range(len(feats)):
+                for i in range(self.stacked_convs):
+                    for p in ("cls", "reg"):
+                        bns[f"{p}{i}_l{lvl}"] = nn.BatchNorm(
+                            use_running_average=not train, momentum=0.99,
+                            epsilon=1e-5, name=f"{p}_bn{i}_lvl{lvl}")
         retina_cls = nn.Conv(
             A * self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
             bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
@@ -64,11 +77,16 @@ class RetinaHead(nn.Module):
                              name="retina_reg")
 
         cls_out, reg_out = [], []
-        for f in feats:
+        for lvl, f in enumerate(feats):
             c = r = f
             for i in range(self.stacked_convs):
-                c = nn.relu(convs[f"cls_conv{i}"](c))
-                r = nn.relu(convs[f"reg_conv{i}"](r))
+                c = convs[f"cls_conv{i}"](c)
+                r = convs[f"reg_conv{i}"](r)
+                if self.sepbn:
+                    c = bns[f"cls{i}_l{lvl}"](c)
+                    r = bns[f"reg{i}_l{lvl}"](r)
+                c = nn.relu(c)
+                r = nn.relu(r)
             cls_out.append(retina_cls(c))
             reg_out.append(retina_reg(r))
         return RetinaHeadOutputs(tuple(cls_out), tuple(reg_out))
@@ -82,7 +100,9 @@ class RetinaNet(nn.Module):
     depth: int = 50
     frozen_stages: int = 1
     backbone: str = ""
-    # 'fpn' (default) or 'fpg' (necks/fpg.py feature pyramid grids)
+    # 'fpn' (default), 'fpg' (necks/fpg.py feature pyramid grids) or
+    # 'nasfpn' (searched merge DAG + RetinaSepBNHead, configs/nas_fpn/
+    # retinanet_r50_nasfpn_crop640_50e_coco.py)
     neck: str = "fpn"
 
     @nn.compact
@@ -95,6 +115,10 @@ class RetinaNet(nn.Module):
         if self.neck == "fpg":
             from .fpg import FPG
             neck = FPG(out_channels=256, num_outs=5, name="neck")(feats)
+        elif self.neck == "nasfpn":
+            from .nas_fpn import NASFPN
+            neck = NASFPN(out_channels=256, num_outs=5, stack_times=7,
+                          name="neck")(feats)
         elif kind == "hr":
             from .hrnet import HRFPN
             neck = HRFPN(out_channels=256, num_outs=5, name="neck")(feats)
@@ -104,7 +128,9 @@ class RetinaNet(nn.Module):
                        add_extra_convs="on_input",
                        relu_before_extra_convs=False, name="neck")(feats)
         head = RetinaHead(num_classes=self.num_classes,
-                          name="bbox_head")(neck)
+                          sepbn=(self.neck == "nasfpn"),
+                          name="bbox_head")(neck,
+                                            train=not deterministic)
         return RetinaNetOutputs(head, neck)
 
 

@@ -179,20 +179,29 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 batch.img_hw, det_cfg), None
 
     elif arch in ("retinanet", "pisa_retinanet",
-                  "retinanet_fpg"):
+                  "retinanet_fpg", "retinanet_nasfpn"):
         from ..models.retinanet import (RetinaLossConfig, retina_anchors,
                                         retina_detection_loss)
         det_cfg = RetinaLossConfig(num_classes=cfg.model.num_classes)
         pisa = arch == "pisa_retinanet"
+        sepbn = arch == "retinanet_nasfpn"
 
         def losses_fn(variables, batch, teacher_vars, rng):
-            out = model.apply(variables, batch.images, batch.img_hw,
-                              deterministic=True)
+            if sepbn:
+                # RetinaSepBNHead trains its per-level BN statistics
+                out, mutated = model.apply(
+                    variables, batch.images, batch.img_hw,
+                    deterministic=False, mutable=["batch_stats"])
+                stats = mutated["batch_stats"]
+            else:
+                out = model.apply(variables, batch.images, batch.img_hw,
+                                  deterministic=True)
+                stats = None
             anchors = retina_anchors(
                 [c.shape[1:3] for c in out.head.cls_scores])
             return retina_detection_loss(
                 out.head, anchors, batch.gt_bboxes, batch.gt_labels,
-                batch.gt_valid, det_cfg, pisa=pisa), None
+                batch.gt_valid, det_cfg, pisa=pisa), stats
 
     elif arch in ("fcos", "nasfcos"):
         from ..models.fcos import (FCOSLossConfig, fcos_detection_loss,

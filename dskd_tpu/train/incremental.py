@@ -117,13 +117,14 @@ def build_model(cfg: ExperimentConfig):
                           neck_upsample=("carafe"
                                          if m.arch == "carafe_faster_rcnn"
                                          else "nearest"))
-    if m.arch in ("retinanet", "pisa_retinanet", "retinanet_fpg"):
+    if m.arch in ("retinanet", "pisa_retinanet", "retinanet_fpg",
+                  "retinanet_nasfpn"):
         from ..models.retinanet import RetinaNet
+        neck = {"retinanet_fpg": "fpg",
+                "retinanet_nasfpn": "nasfpn"}.get(m.arch, "fpn")
         return RetinaNet(num_classes=m.num_classes, depth=m.depth,
                          frozen_stages=m.frozen_stages,
-                         backbone=m.backbone,
-                         neck="fpg" if m.arch == "retinanet_fpg"
-                         else "fpn")
+                         backbone=m.backbone, neck=neck)
     if m.arch in ("fcos", "nasfcos"):
         from ..models.fcos import FCOS
         return FCOS(num_classes=m.num_classes, depth=m.depth,

@@ -70,3 +70,54 @@ def test_nasfcos_fpn_and_family():
     mv = model.init(jax.random.PRNGKey(0), x, hw)
     out = model.apply(mv, x, hw)
     assert len(out.head.cls_scores) == 5
+
+
+def test_retinanet_nasfpn_sepbn_family_step():
+    """NAS-FPN retina family: shared conv weights, per-level BN stats
+    (RetinaSepBNHead), BN trained through the family step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dskd_tpu.models.retinanet import RetinaNet
+    from dskd_tpu.train.family import make_family_train_step
+    from dskd_tpu.train.optim import make_optimizer
+    from dskd_tpu.train.state import TrainState
+    from dskd_tpu.train.step import Batch
+    from dskd_tpu.utils.config import (DistillFlags, ExperimentConfig,
+                                       ModelConfig)
+
+    rng = np.random.RandomState(0)
+    B, HW, G, NC = 1, 64, 3, 5
+    images = jnp.asarray(rng.randn(B, HW, HW, 3).astype(np.float32) * 0.2)
+    img_hw = jnp.asarray(np.tile([[HW, HW]], (B, 1)).astype(np.int32))
+    xy = rng.rand(B, G, 2).astype(np.float32) * 20
+    wh = rng.rand(B, G, 2).astype(np.float32) * 25 + 10
+    batch = Batch(images, img_hw,
+                  jnp.asarray(np.concatenate([xy, xy + wh], -1)),
+                  jnp.asarray(rng.randint(0, NC, (B, G)).astype(np.int32)),
+                  jnp.asarray(np.tile(np.arange(G) < 2, (B, 1))))
+    model = RetinaNet(num_classes=NC, depth=18, neck="nasfpn")
+    cfg = ExperimentConfig(
+        model=ModelConfig(arch="retinanet_nasfpn", num_classes=NC),
+        distill=DistillFlags(cates_distill="", feats_distill=""))
+    v = model.init(jax.random.PRNGKey(0), batch.images, batch.img_hw,
+                   deterministic=False)
+    bh = v["params"]["bbox_head"]
+    # per-level BN params exist; conv weights are shared (no per-level)
+    assert "cls_bn0_lvl0" in bh and "cls_bn0_lvl4" in bh
+    assert "cls_conv0" in bh and "cls_conv0_lvl1" not in bh
+    assert "bbox_head" in v["batch_stats"]
+    # snapshot BEFORE the step: it donates the state buffers
+    before = np.asarray(
+        v["batch_stats"]["bbox_head"]["cls_bn0_lvl0"]["mean"]).copy()
+    tx = make_optimizer(v["params"], lambda i: 1e-4)
+    state = TrainState.create(v["params"], v["batch_stats"], tx,
+                              jax.random.PRNGKey(1))
+    step = make_family_train_step("retinanet_nasfpn", model, cfg,
+                                  num_prev=0, has_teacher=False,
+                                  use_dropout=False)
+    new_state, losses = step(state, batch)
+    assert np.isfinite(float(losses["loss"]))
+    after = np.asarray(
+        new_state.batch_stats["bbox_head"]["cls_bn0_lvl0"]["mean"])
+    assert not np.allclose(before, after)
