@@ -48,7 +48,8 @@ _SLOW_FILES = {
     "test_sparse_rcnn", "test_grid_rcnn", "test_tridentnet", "test_mask_rcnn",
     "test_panoptic", "test_solo", "test_yolact", "test_yolox",
     "test_htc", "test_point_rend", "test_queryinst", "test_scnet",
-    "test_maskformer", "test_mask2former",
+    "test_maskformer", "test_mask2former", "test_pisa",
+    "test_cascade_rpn", "test_fpg", "test_guided_anchor",
     "test_nas_fpn",
     "test_cascade_rcnn", "test_faster_rcnn", "test_yolof", "test_yoloy",
     "test_yolov3", "test_ssd", "test_centernet", "test_retinanet",
