@@ -9,8 +9,9 @@ scale-8 anchor per cell, cls + delta-reg + IoU-prediction branches):
     with a FIXED-ITERATION EM (TPU-native: no data-dependent loops) and
     anchors belonging to the better component become positives;
   * losses: focal cls, GIoU on positives, BCE IoU prediction; decode
-    scores are sqrt(cls * iou_pred) (score voting omitted — documented,
-    it only reranks near-duplicate boxes post-NMS).
+    scores are sqrt(cls * iou_pred), and post-NMS boxes are refined by
+    score voting (paa_head.py:692: IoU-and-score weighted averaging of
+    same-class candidates).
 """
 from __future__ import annotations
 
@@ -256,10 +257,27 @@ def paa_loss(out: PAAHeadOutputs, anchors, level_counts, gt_bboxes,
                 loss_iou=loss_iou)
 
 
+def score_voting(det_boxes, det_labels, cand_boxes, cand_probs,
+                 score_thr: float = 0.05):
+    """paa_head.py score_voting, vectorized: each post-NMS box becomes
+    the exp(-(1-IoU)^2/0.025) * score weighted average of all same-class
+    candidate boxes with IoU > 0.01 and score > thr. det_boxes (R, 4),
+    cand_boxes (N, 4), cand_probs (N, C)."""
+    from ..core.boxes import bbox_overlaps
+    ious = bbox_overlaps(det_boxes, cand_boxes)          # (R, N)
+    lab = jnp.clip(det_labels, 0, cand_probs.shape[-1] - 1)
+    sc = cand_probs[:, lab].T                            # (R, N)
+    w = jnp.exp(-((1.0 - ious) ** 2) / 0.025) * sc
+    w = jnp.where((ious > 0.01) & (sc > score_thr), w, 0.0)
+    denom = jnp.maximum(w.sum(-1, keepdims=True), 1e-12)
+    voted = (w[..., None] * cand_boxes[None]).sum(1) / denom
+    return jnp.where(w.sum(-1, keepdims=True) > 0, voted, det_boxes)
+
+
 def paa_get_bboxes(out: PAAHeadOutputs, anchors, img_hw, scale_factor=None,
                    score_thr: float = 0.05, nms_iou: float = 0.6,
                    nms_pre: int = 1000, max_per_img: int = 100,
-                   rescale: bool = False):
+                   rescale: bool = False, with_score_voting: bool = True):
     B = out.cls_scores[0].shape[0]
     C = out.cls_scores[0].shape[-1]
     cls_flat = jnp.concatenate(
@@ -283,6 +301,11 @@ def paa_get_bboxes(out: PAAHeadOutputs, anchors, img_hw, scale_factor=None,
         nb, ns, nl, keep, _ = batched_nms(boxes, top.scores, top.labels,
                                           nms_iou, max_per_img,
                                           valid=top.valid)
+        if with_score_voting:
+            # candidates: the pre-NMS top-k survivors with their probs
+            cand_probs = probs[top.keep_idxs]
+            cand_probs = jnp.where(top.valid[:, None], cand_probs, 0.0)
+            nb = score_voting(nb, nl, boxes, cand_probs, score_thr)
         if rescale and sf is not None:
             nb = nb / sf[None]
         return nb, ns, nl, keep

@@ -101,3 +101,48 @@ def test_lad_teacher_assignment():
                    assign_out=t_out.head)
     for k in lad:
         assert np.isfinite(float(lad[k])), k
+
+
+def test_score_voting_weighted_average():
+    import jax.numpy as jnp
+    import numpy as np
+    from dskd_tpu.models.paa import score_voting
+
+    det = jnp.asarray([[10.0, 10.0, 20.0, 20.0]])
+    labels = jnp.asarray([1])
+    # two same-class candidates: the det itself + a shifted overlap;
+    # one other-class-score-only candidate must not contribute
+    cand = jnp.asarray([[10.0, 10.0, 20.0, 20.0],
+                        [12.0, 12.0, 22.0, 22.0],
+                        [10.0, 10.0, 20.0, 20.0]])
+    probs = np.zeros((3, 3), np.float32)
+    probs[0, 1] = 0.9
+    probs[1, 1] = 0.9
+    probs[2, 2] = 0.9          # wrong class
+    voted = np.asarray(score_voting(det, labels, cand,
+                                    jnp.asarray(probs)))
+    # pulled toward the shifted candidate, but not past it
+    assert 10.0 < voted[0, 0] < 12.0
+    # same-score symmetric weights would land between the two
+    import math
+    w2 = math.exp(-((1 - 25.0 / 175.0) ** 2) / 0.025)
+    exp_x = (0.9 * 10 + 0.9 * w2 * 12) / (0.9 + 0.9 * w2)
+    np.testing.assert_allclose(voted[0, 0], exp_x, rtol=1e-4)
+
+
+def test_paa_decode_with_voting_runs():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dskd_tpu.models.paa import PAA, paa_get_bboxes, paa_anchors
+
+    model = PAA(num_classes=5, depth=18)
+    images = jnp.zeros((1, 64, 64, 3))
+    img_hw = jnp.asarray([[64, 64]], np.int32)
+    v = model.init(jax.random.PRNGKey(0), images, img_hw)
+    out = model.apply(v, images, img_hw)
+    anchors, _ = paa_anchors([c.shape[1:3] for c in out.head.cls_scores])
+    d = jax.jit(lambda o, a, hw: paa_get_bboxes(
+        o, a, hw, max_per_img=10))(out.head, jnp.asarray(anchors), img_hw)
+    assert d["bboxes"].shape == (1, 10, 4)
+    assert np.all(np.isfinite(np.asarray(d["bboxes"])))
