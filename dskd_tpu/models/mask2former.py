@@ -26,7 +26,10 @@ Masked-attention mask classification:
 
 TPU-native notes: padded static query/GT sets with validity; point
 counts are static; the attention mask enters flax attention as an
-additive-allowed boolean (flax True = attend, torch True = suppress).
+additive-allowed boolean (flax True = attend, torch True = suppress);
+the pixel decoder's level input projections are plain 1x1 convs where
+the reference wraps them in GN (documented deviation — the encoder
+layers immediately LayerNorm the tokens).
 """
 from __future__ import annotations
 

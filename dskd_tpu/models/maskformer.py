@@ -22,9 +22,9 @@ validity); GT masks arrive at stride 4 and the matching/losses run at
 the prediction's stride-4 grid directly (the reference upsamples
 predictions to full-res GT - same information, one resolution,
 documented). Stuff classes enter as extra GT rows derived from the
-semantic map when with_semantic data is present (coco_panoptic's
-things+stuff protocol); the shipped config trains the instance (things
-only) protocol. Instance decode mirrors
+semantic map when ``ModelConfig.panoptic`` is set (append_stuff_gt below;
+the head grows to things + stuff); the shipped config trains the
+instance (things only) protocol. Instance decode mirrors
 maskformer_fusion_head.instance_postprocess with SOLO's mask-extent
 boxes + 28x28 box-local resampling so the shared segm pipeline applies.
 """
