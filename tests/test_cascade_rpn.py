@@ -91,3 +91,67 @@ def test_cascade_rpn_family_and_eval():
     _, losses = step(state, batch)
     assert "s0.loss_rpn_reg" in losses and "s1.loss_rpn_cls" in losses
     assert np.isfinite(float(losses["loss"]))
+
+
+def test_region_assign_matches_reference_loop():
+    """Vectorized scan vs a direct python re-statement of the
+    RegionAssigner loop (region_assigner.py:135-205) on random cases."""
+    from dskd_tpu.models.cascade_rpn_head import (ANCHOR_SCALE, STRIDES,
+                                                  crpn_anchors,
+                                                  region_assign)
+
+    rng = np.random.RandomState(0)
+    sizes = [(16, 16), (8, 8), (4, 4), (2, 2), (1, 1)]
+    anchors = crpn_anchors(sizes)
+    r1, r2 = (1 - 0.2) / 2, (1 - 0.5) / 2
+    ctrs, lvl_ids = [], []
+    for lvl, (a, s) in enumerate(zip(anchors, STRIDES)):
+        a = np.asarray(a)
+        ctrs.append(np.stack([(a[:, 0] + a[:, 2]) * 0.5 / s,
+                              (a[:, 1] + a[:, 3]) * 0.5 / s], -1))
+        lvl_ids.append(np.full(len(a), lvl))
+    ctr = np.concatenate(ctrs)
+    lvl_id = np.concatenate(lvl_ids)
+
+    def flags(g, ratio, lvl):
+        s = STRIDES[lvl]
+        h, w = sizes[lvl]
+        x1 = np.clip(round((1 - ratio) * g[0] / s + ratio * g[2] / s),
+                     0, w - 1)
+        y1 = np.clip(round((1 - ratio) * g[1] / s + ratio * g[3] / s),
+                     0, h - 1)
+        x2 = np.clip(round(ratio * g[0] / s + (1 - ratio) * g[2] / s),
+                     0, w - 1)
+        y2 = np.clip(round(ratio * g[1] / s + (1 - ratio) * g[3] / s),
+                     0, h - 1)
+        return ((ctr[:, 0] >= x1) & (ctr[:, 0] <= x2)
+                & (ctr[:, 1] >= y1) & (ctr[:, 1] <= y2)
+                & (lvl_id == lvl))
+
+    for trial in range(5):
+        G = 4
+        xy = rng.rand(G, 2) * 40
+        wh = rng.rand(G, 2) * 60 + 8
+        gt = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+        valid = rng.rand(G) > 0.3
+        got = np.asarray(region_assign(anchors, sizes, jnp.asarray(gt),
+                                       jnp.asarray(valid)))
+        scale = np.sqrt(np.clip(
+            (gt[:, 2] - gt[:, 0]) * (gt[:, 3] - gt[:, 1]), 1e-6, None))
+        tgt_lvl = np.clip(np.floor(
+            np.log2(scale / (ANCHOR_SCALE * STRIDES[0])) + 0.5),
+            0, 4).astype(int)
+        want = np.full(len(ctr), -2)
+        adj = np.zeros(len(ctr), bool)
+        for g in range(G):
+            if not valid[g]:
+                continue
+            lvl = tgt_lvl[g]
+            want[flags(gt[g], r2, lvl)] = -1
+            want[flags(gt[g], r1, lvl)] = g
+            if lvl > 0:
+                adj |= flags(gt[g], r2, lvl - 1)
+            if lvl < 4:
+                adj |= flags(gt[g], r2, lvl + 1)
+        want[adj] = -1
+        np.testing.assert_array_equal(got, want)
