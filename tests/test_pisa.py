@@ -193,3 +193,60 @@ def test_dynamic_rcnn_step():
     # differs from the static-threshold loss (the dynamic IoU/beta bite)
     base = _frcnn_step("faster_rcnn")
     assert float(losses["rcnn_loss_bbox"]) != float(base["rcnn_loss_bbox"])
+
+
+def test_isr_weights_match_reference_loop():
+    """Vectorized ranks vs a python re-statement of isr_p's two-level
+    sort (pisa_loss.py:84-103) on random positives."""
+    from dskd_tpu.core import losses as L
+    from dskd_tpu.core.anchors import delta2bbox
+    from dskd_tpu.core.boxes import bbox_overlaps
+
+    rng = np.random.RandomState(7)
+    BN, k, bias = 40, 2.0, 0.0
+    anchors = np.stack([rng.rand(BN) * 50, rng.rand(BN) * 50,
+                        50 + rng.rand(BN) * 50, 50 + rng.rand(BN) * 50],
+                       -1).astype(np.float32)
+    deltas = (rng.randn(BN, 4) * 0.2).astype(np.float32)
+    tgt_deltas = (rng.randn(BN, 4) * 0.2).astype(np.float32)
+    pos = rng.rand(BN) > 0.5
+    labels = np.where(pos, rng.randint(0, 3, BN), NC).astype(np.int32)
+    gt = np.where(pos, rng.randint(0, 4, BN), -1).astype(np.int32)
+    cls = rng.randn(BN, NC).astype(np.float32)
+
+    from dskd_tpu.models.pisa import isr_p_weights
+    got = np.asarray(isr_p_weights(
+        jnp.asarray(cls), jnp.asarray(deltas), jnp.asarray(anchors),
+        jnp.asarray(labels), jnp.asarray(pos), jnp.asarray(gt),
+        jnp.asarray(tgt_deltas), NC))
+
+    # reference loop
+    pb = np.asarray(delta2bbox(jnp.asarray(anchors), jnp.asarray(deltas)))
+    tb = np.asarray(delta2bbox(jnp.asarray(anchors),
+                               jnp.asarray(tgt_deltas)))
+    ious = np.asarray(bbox_overlaps(jnp.asarray(pb), jnp.asarray(tb),
+                                    mode="iou", is_aligned=True)).copy()
+    pidx = np.where(pos)[0]
+    plab, pgt, pious = labels[pidx], gt[pidx], ious[pidx]
+    max_l = max(np.bincount(plab).max(), 1)
+    imp = np.ones(len(pidx))
+    iou2 = pious.copy()
+    for lab in np.unique(plab):
+        li = np.where(plab == lab)[0]
+        for t in np.unique(pgt[li]):
+            ti = li[pgt[li] == t]
+            order = np.argsort(-iou2[ti], kind="stable")
+            rank = np.empty(len(ti), int)
+            rank[order] = np.arange(len(ti))
+            iou2[ti] += max_l - rank
+        order = np.argsort(-iou2[li], kind="stable")
+        rank = np.empty(len(li), int)
+        rank[order] = np.arange(len(li))
+        imp[li] = (bias + ((max_l - rank) / max_l) * (1 - bias)) ** k
+    onehot = jax.nn.one_hot(jnp.clip(jnp.asarray(plab), 0, NC - 1), NC)
+    per = np.asarray(L.sigmoid_focal_loss(
+        jnp.asarray(cls[pidx]), onehot, reduction="none").sum(-1))
+    imp *= per.sum() / max((per * imp).sum(), 1e-12)
+    want = np.ones(BN)
+    want[pidx] = imp
+    np.testing.assert_allclose(got, want, rtol=1e-4)
