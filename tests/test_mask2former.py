@@ -99,3 +99,29 @@ def test_mask2former_family_and_eval():
                                   has_teacher=False, use_dropout=False)
     _, losses = step(state, batch)
     assert np.isfinite(float(losses["loss"]))
+
+
+def test_masked_cross_attention_restricts_keys():
+    """The boolean mask must change attention (restricted vs full), and
+    identical single-key restriction must reproduce attending that key
+    alone."""
+    from dskd_tpu.models.mask2former import MaskedCrossAttention
+
+    rng = np.random.RandomState(0)
+    B, Q, S, C = 1, 2, 6, 32
+    q = jnp.asarray(rng.randn(B, Q, C).astype(np.float32))
+    kv = jnp.asarray(rng.randn(B, S, C).astype(np.float32))
+    qp = jnp.zeros((B, Q, C))
+    kp = jnp.zeros((B, S, C))
+    m = MaskedCrossAttention(C, num_heads=4)
+    allow_all = jnp.ones((B, Q, S), bool)
+    v = m.init(jax.random.PRNGKey(0), q, kv, qp, kp, allow_all)
+    full = m.apply(v, q, kv, qp, kp, allow_all)
+    one = jnp.zeros((B, Q, S), bool).at[:, :, 2].set(True)
+    restricted = m.apply(v, q, kv, qp, kp, one)
+    assert not np.allclose(np.asarray(full), np.asarray(restricted))
+    # single-allowed-key attention == attending a 1-key sequence
+    single = m.apply(v, q, kv[:, 2:3], qp, kp[:, 2:3],
+                     jnp.ones((B, Q, 1), bool))
+    np.testing.assert_allclose(np.asarray(restricted),
+                               np.asarray(single), atol=1e-5)
