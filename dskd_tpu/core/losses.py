@@ -290,6 +290,80 @@ def cross_entropy_loss(pred, label, class_weight=None):
     return loss
 
 
+def _ghm_weights(g, valid, tot, edges, bins, momentum, acc_sum):
+    """Shared GHM binning (losses/ghm_loss.py:95-113,195-212): uniform
+    gradient-norm bins, per-element weight tot/num_in_bin (or the EMA
+    acc_sum when momentum > 0), normalized by the number of occupied bins.
+
+    Static-shape redesign: the reference's python loop over bins with
+    ``.item()`` branches becomes a searchsorted bin index + bincount —
+    identical arithmetic, one pass, jit-compatible. acc_sum[i] is updated
+    ONLY for bins occupied this call (ghm_loss.py:104-106). Returns
+    (element_weights, new_acc_sum)."""
+    gf = g.reshape(-1)
+    vf = valid.reshape(-1)
+    # edges[i] <= g < edges[i+1]  <=>  searchsorted(edges, g, 'right') - 1
+    idx = jnp.clip(
+        jnp.searchsorted(edges, gf, side="right") - 1, 0, bins - 1)
+    num_in_bin = jnp.bincount(
+        jnp.where(vf, idx, bins - 1),
+        weights=vf.astype(jnp.float32), length=bins)
+    occupied = num_in_bin > 0
+    n = jnp.maximum(occupied.sum().astype(jnp.float32), 1.0)
+    if momentum > 0:
+        new_acc = jnp.where(occupied,
+                            momentum * acc_sum
+                            + (1 - momentum) * num_in_bin, acc_sum)
+        denom = new_acc
+    else:
+        new_acc = acc_sum
+        denom = num_in_bin
+    per_bin = jnp.where(occupied, tot / jnp.maximum(denom, 1e-12), 0.0) / n
+    weights = jnp.where(vf, per_bin[idx], 0.0).reshape(g.shape)
+    return weights, new_acc
+
+
+def ghm_c_loss(pred, target, label_weight, bins: int = 10,
+               momentum: float = 0.0, acc_sum=None):
+    """GHM-C classification loss (GHMC, losses/ghm_loss.py:23-118;
+    configs/ghm: bins=30, momentum=0.75): BCE-with-logits reweighted by
+    inverse gradient density |sigmoid(pred) - target|, averaged over the
+    valid-element count (NOT num_pos — GHMC ignores the head's
+    avg_factor). Functional EMA state: pass/receive ``acc_sum`` (bins,)
+    when momentum > 0. Returns (loss, new_acc_sum)."""
+    edges = (jnp.arange(bins + 1, dtype=jnp.float32) / bins).at[-1].add(1e-6)
+    if acc_sum is None:
+        acc_sum = jnp.zeros((bins,), jnp.float32)
+    valid = label_weight > 0
+    tot = jnp.maximum(valid.sum().astype(jnp.float32), 1.0)
+    g = jnp.abs(jax.lax.stop_gradient(jax.nn.sigmoid(pred)) - target)
+    weights, new_acc = _ghm_weights(
+        g, valid, tot, edges, bins, momentum, acc_sum)
+    loss = binary_cross_entropy_with_logits(pred, target)
+    return weight_reduce_loss(loss, weights, "mean", tot), new_acc
+
+
+def ghm_r_loss(pred, target, label_weight, mu: float = 0.02,
+               bins: int = 10, momentum: float = 0.0, acc_sum=None):
+    """GHM-R regression loss (GHMR, losses/ghm_loss.py:121-215; configs/
+    ghm: mu=0.02, bins=10, momentum=0.7, loss_weight=10): authentic
+    smooth-L1 sqrt(d^2 + mu^2) - mu with inverse-gradient-density
+    weights over g = |d / sqrt(d^2 + mu^2)|; tot is the label_weight SUM
+    (4 x num_pos for (N, 4) box weights), not the valid count
+    (ghm_loss.py:196). Returns (loss, new_acc_sum)."""
+    edges = (jnp.arange(bins + 1, dtype=jnp.float32) / bins).at[-1].set(1e3)
+    if acc_sum is None:
+        acc_sum = jnp.zeros((bins,), jnp.float32)
+    diff = pred - target
+    loss = jnp.sqrt(diff * diff + mu * mu) - mu
+    g = jax.lax.stop_gradient(
+        jnp.abs(diff / jnp.sqrt(mu * mu + diff * diff)))
+    tot = jnp.maximum(label_weight.astype(jnp.float32).sum(), 1.0)
+    weights, new_acc = _ghm_weights(
+        g, label_weight > 0, tot, edges, bins, momentum, acc_sum)
+    return weight_reduce_loss(loss, weights, "mean", tot), new_acc
+
+
 # ---------------------------------------------------------------------------
 # configured wrappers (carry loss_weight like the reference's Loss modules)
 # ---------------------------------------------------------------------------

@@ -78,7 +78,7 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
         return eval_step
 
     if arch in ("retinanet", "free_anchor", "pisa_retinanet",
-                "retinanet_fpg", "retinanet_nasfpn"):
+                "retinanet_ghm", "retinanet_fpg", "retinanet_nasfpn"):
         from ..models.retinanet import retina_anchors, retina_get_bboxes
 
         @jax.jit

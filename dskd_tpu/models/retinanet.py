@@ -104,11 +104,23 @@ class RetinaNet(nn.Module):
     # 'nasfpn' (searched merge DAG + RetinaSepBNHead, configs/nas_fpn/
     # retinanet_r50_nasfpn_crop640_50e_coco.py)
     neck: str = "fpn"
+    # GHM (configs/ghm/retinanet_ghm_r50_fpn_1x_coco.py): the GHMC/GHMR
+    # momentum EMAs over bin counts are cross-step state — declared here
+    # as batch_stats variables so they ride the existing mutable-state
+    # plumbing (train/family.py reads + writes them around the loss).
+    ghm: bool = False
+    ghm_c_bins: int = 30
+    ghm_r_bins: int = 10
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, img_hw: jnp.ndarray,
                  deterministic: bool = True) -> RetinaNetOutputs:
         from .backbones import build_backbone
+        if self.ghm:
+            self.variable("batch_stats", "ghm_acc_c",
+                          lambda: jnp.zeros((self.ghm_c_bins,), jnp.float32))
+            self.variable("batch_stats", "ghm_acc_r",
+                          lambda: jnp.zeros((self.ghm_r_bins,), jnp.float32))
         bb, kind = build_backbone(self.backbone, self.depth,
                                   self.frozen_stages)
         feats = bb(images)
@@ -154,17 +166,32 @@ class RetinaLossConfig(NamedTuple):
     loss_bbox_weight: float = 1.0
     pos_iou_thr: float = 0.5
     neg_iou_thr: float = 0.4
+    # GHM variant (configs/ghm/retinanet_ghm_r50_fpn_1x_coco.py):
+    # GHMC(bins=30, momentum=0.75) + GHMR(mu=0.02, bins=10, momentum=0.7,
+    # loss_weight=10) replacing Focal + L1
+    ghm: bool = False
+    ghm_c_bins: int = 30
+    ghm_c_momentum: float = 0.75
+    ghm_r_mu: float = 0.02
+    ghm_r_bins: int = 10
+    ghm_r_momentum: float = 0.7
 
 
 def retina_detection_loss(out: RetinaHeadOutputs, anchors, gt_bboxes,
                           gt_labels, gt_valid, cfg: RetinaLossConfig,
-                          pisa: bool = False):
+                          pisa: bool = False, ghm_state=None):
     """Batched RetinaNet loss (retina config: FocalLoss + L1 on deltas,
     MaxIoU pos 0.5 / neg 0.4 / min_pos_iou 0, all anchors sampled).
 
     ``pisa``: apply ISR-P importance reweighting to the cls loss and add
     the CARL classification-aware regression term
-    (dense_heads/pisa_retinanet_head.py; models/pisa.py)."""
+    (dense_heads/pisa_retinanet_head.py; models/pisa.py).
+
+    ``cfg.ghm``: GHM-C/GHM-R replace Focal/L1, applied PER FPN LEVEL with
+    a shared EMA (mmdet's AnchorHead.loss maps loss_single over levels,
+    so one GHMC/GHMR module's acc_sum is updated once per level per step,
+    and the per-level means are summed by parse_losses). ``ghm_state`` is
+    the {'acc_c', 'acc_r'} EMA dict; returns (losses, new_ghm_state)."""
     B = out.cls_scores[0].shape[0]
     C = cfg.num_classes
     cls_flat = jnp.concatenate(
@@ -189,6 +216,37 @@ def retina_detection_loss(out: RetinaHeadOutputs, anchors, gt_bboxes,
     delta_tgt = bbox2delta(anchors[None], tgt)
 
     onehot = jax.nn.one_hot(assign.labels, C + 1)[..., :C]
+    if cfg.ghm:
+        # per-level slices of the flattened anchor axis
+        sizes = [int(np.prod(c.shape[1:3])) * (len(RATIOS)
+                 * SCALES_PER_OCTAVE) for c in out.cls_scores]
+        acc_c, acc_r = ghm_state["acc_c"], ghm_state["acc_r"]
+        lw_anchor = (~ignored).astype(jnp.float32)        # (B, N)
+        pos_f = pos.astype(jnp.float32)
+        loss_cls = 0.0
+        loss_bbox = 0.0
+        start = 0
+        for S in sizes:
+            sl = slice(start, start + S)
+            start += S
+            lc, acc_c = L.ghm_c_loss(
+                cls_flat[:, sl].reshape(-1, C),
+                onehot[:, sl].reshape(-1, C),
+                jnp.broadcast_to(lw_anchor[:, sl].reshape(-1, 1),
+                                 (B * S, C)),
+                bins=cfg.ghm_c_bins, momentum=cfg.ghm_c_momentum,
+                acc_sum=acc_c)
+            lr, acc_r = L.ghm_r_loss(
+                deltas[:, sl].reshape(-1, 4),
+                delta_tgt[:, sl].reshape(-1, 4),
+                jnp.broadcast_to(pos_f[:, sl].reshape(-1, 1), (B * S, 4)),
+                mu=cfg.ghm_r_mu, bins=cfg.ghm_r_bins,
+                momentum=cfg.ghm_r_momentum, acc_sum=acc_r)
+            loss_cls = loss_cls + lc
+            loss_bbox = loss_bbox + lr
+        losses = dict(loss_cls=cfg.loss_cls_weight * loss_cls,
+                      loss_bbox=cfg.loss_bbox_weight * loss_bbox)
+        return losses, {"acc_c": acc_c, "acc_r": acc_r}
     w = (~ignored).astype(jnp.float32).reshape(-1)
     if pisa:
         from .pisa import isr_p_weights

@@ -178,13 +178,18 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 out.head, batch.gt_bboxes, batch.gt_labels, batch.gt_valid,
                 batch.img_hw, det_cfg), None
 
-    elif arch in ("retinanet", "pisa_retinanet",
+    elif arch in ("retinanet", "pisa_retinanet", "retinanet_ghm",
                   "retinanet_fpg", "retinanet_nasfpn"):
         from ..models.retinanet import (RetinaLossConfig, retina_anchors,
                                         retina_detection_loss)
-        det_cfg = RetinaLossConfig(num_classes=cfg.model.num_classes)
         pisa = arch == "pisa_retinanet"
         sepbn = arch == "retinanet_nasfpn"
+        ghm = arch == "retinanet_ghm"
+        # GHM recipe swaps Focal+L1 for GHMC + GHMR(loss_weight=10)
+        # (configs/ghm/retinanet_ghm_r50_fpn_1x_coco.py)
+        det_cfg = RetinaLossConfig(num_classes=cfg.model.num_classes,
+                                   ghm=ghm,
+                                   loss_bbox_weight=10.0 if ghm else 1.0)
 
         def losses_fn(variables, batch, teacher_vars, rng):
             if sepbn:
@@ -199,6 +204,18 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 stats = None
             anchors = retina_anchors(
                 [c.shape[1:3] for c in out.head.cls_scores])
+            if ghm:
+                # thread the GHM EMA bin counts through batch_stats
+                bs = variables["batch_stats"]
+                losses, new_ghm = retina_detection_loss(
+                    out.head, anchors, batch.gt_bboxes, batch.gt_labels,
+                    batch.gt_valid, det_cfg,
+                    ghm_state={"acc_c": bs["ghm_acc_c"],
+                               "acc_r": bs["ghm_acc_r"]})
+                new_bs = dict(bs)
+                new_bs["ghm_acc_c"] = new_ghm["acc_c"]
+                new_bs["ghm_acc_r"] = new_ghm["acc_r"]
+                return losses, new_bs
             return retina_detection_loss(
                 out.head, anchors, batch.gt_bboxes, batch.gt_labels,
                 batch.gt_valid, det_cfg, pisa=pisa), stats

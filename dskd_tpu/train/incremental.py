@@ -117,14 +117,15 @@ def build_model(cfg: ExperimentConfig):
                           neck_upsample=("carafe"
                                          if m.arch == "carafe_faster_rcnn"
                                          else "nearest"))
-    if m.arch in ("retinanet", "pisa_retinanet", "retinanet_fpg",
-                  "retinanet_nasfpn"):
+    if m.arch in ("retinanet", "pisa_retinanet", "retinanet_ghm",
+                  "retinanet_fpg", "retinanet_nasfpn"):
         from ..models.retinanet import RetinaNet
         neck = {"retinanet_fpg": "fpg",
                 "retinanet_nasfpn": "nasfpn"}.get(m.arch, "fpn")
         return RetinaNet(num_classes=m.num_classes, depth=m.depth,
                          frozen_stages=m.frozen_stages,
-                         backbone=m.backbone, neck=neck)
+                         backbone=m.backbone, neck=neck,
+                         ghm=(m.arch == "retinanet_ghm"))
     if m.arch in ("fcos", "nasfcos"):
         from ..models.fcos import FCOS
         return FCOS(num_classes=m.num_classes, depth=m.depth,
