@@ -364,6 +364,43 @@ def ghm_r_loss(pred, target, label_weight, mu: float = 0.02,
     return weight_reduce_loss(loss, weights, "mean", tot), new_acc
 
 
+def seesaw_ce_loss(cls_score, labels, cum_samples, num_classes: int,
+                   p: float = 0.8, q: float = 2.0, eps: float = 1e-2,
+                   weight=None, avg_factor=None):
+    """Seesaw CE over the CLASS logits (losses/seesaw_loss.py:12-78;
+    defaults p=0.8, q=2.0, eps=1e-2 per SeesawLoss/configs/seesaw_loss).
+
+    Per-element dampening of negative-class gradients: the mitigation
+    factor (N_j/N_i)^p for rarer j, and the compensation factor
+    (s_j/s_i)^q for misclassified j, enter as additive log-space offsets
+    on the non-target logits before softmax CE.
+
+    Static-shape contract: the reference slices to positive rows before
+    calling; here ALL rows are passed and background/padded rows carry
+    ``weight`` 0 (labels are clipped for the gathers). ``cum_samples``
+    is the per-class running count buffer (first num_classes entries of
+    the (C+1,) state tensor)."""
+    C = num_classes
+    lab = jnp.clip(labels, 0, C - 1)
+    onehot = jax.nn.one_hot(lab, C)
+    seesaw = jnp.ones_like(cls_score)
+    if p > 0:
+        cs = jnp.maximum(cum_samples[:C].astype(jnp.float32), 1.0)
+        ratio = cs[None, :] / cs[:, None]               # [i, j] = N_j / N_i
+        mit = jnp.where(ratio < 1.0, ratio ** p, 1.0)
+        seesaw = seesaw * mit[lab]
+    if q > 0:
+        scores = jax.lax.stop_gradient(jax.nn.softmax(cls_score, axis=-1))
+        self_s = jnp.take_along_axis(scores, lab[:, None], axis=-1)
+        sm = scores / jnp.maximum(self_s, eps)
+        comp = jnp.where(sm > 1.0, sm ** q, 1.0)
+        seesaw = seesaw * comp
+    adjusted = cls_score + jnp.log(seesaw) * (1.0 - onehot)
+    logp = jax.nn.log_softmax(adjusted, axis=-1)
+    loss = -jnp.take_along_axis(logp, lab[:, None], axis=-1)[:, 0]
+    return weight_reduce_loss(loss, weight, "mean", avg_factor)
+
+
 # ---------------------------------------------------------------------------
 # configured wrappers (carry loss_weight like the reference's Loss modules)
 # ---------------------------------------------------------------------------

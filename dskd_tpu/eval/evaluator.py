@@ -169,11 +169,12 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 
-    if arch == "mask_rcnn":
+    if arch in ("mask_rcnn", "mask_rcnn_seesaw"):
         from ..models.faster_rcnn import rcnn_get_bboxes, rpn_proposals
         from ..models.mask_rcnn import MaskRCNN, mask_rcnn_get_masks
         DetM = namedtuple("DetM",
                           ["bboxes", "scores", "labels", "valid", "masks"])
+        seesaw = arch == "mask_rcnn_seesaw"
 
         @jax.jit
         def eval_step(variables, images, img_hw, scale_factors):
@@ -189,7 +190,7 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
                 out.neck_feats, props, pvalid, img_hw,
                 num_classes=model.num_classes, scale_factor=scale_factors,
                 score_thr=max(score_thr, 0.05), max_per_img=max_per_img,
-                rescale=True)
+                rescale=True, seesaw=seesaw)
             rois_in = d["bboxes"] * scale_factors[:, None, :]  # input coords
             probs = mask_rcnn_get_masks(model, variables, out.neck_feats,
                                         rois_in, d["valid"])

@@ -162,16 +162,21 @@ class DoubleBBoxHead(nn.Module):
 
 
 class BBoxHead(nn.Module):
-    """Shared2FCBBoxHead: flatten -> 2x FC 1024 -> cls (C+1) + reg (C*4)."""
+    """Shared2FCBBoxHead: flatten -> 2x FC 1024 -> cls (C+1) + reg (C*4).
+
+    ``seesaw``: SeesawLoss's custom_cls_channels contract
+    (losses/seesaw_loss.py:138-155) — the classifier emits C class
+    logits plus a 2-channel pos/neg objectness instead of C+1."""
     num_classes: int = 80
     fc_channels: int = 1024
+    seesaw: bool = False
 
     @nn.compact
     def __call__(self, roi_feats: jnp.ndarray):
         x = roi_feats.reshape(roi_feats.shape[0], -1)
         x = nn.relu(nn.Dense(self.fc_channels, name="shared_fc0")(x))
         x = nn.relu(nn.Dense(self.fc_channels, name="shared_fc1")(x))
-        cls = nn.Dense(self.num_classes + 1,
+        cls = nn.Dense(self.num_classes + (2 if self.seesaw else 1),
                        kernel_init=nn.initializers.normal(0.01),
                        name="fc_cls")(x)
         reg = nn.Dense(self.num_classes * 4,
@@ -348,14 +353,27 @@ class RCNNLossConfig(NamedTuple):
     dynamic_beta_topk: int = 10
     dynamic_initial_iou: float = 0.4
     dynamic_initial_beta: float = 1.0
+    # SeesawLoss ROI classification (losses/seesaw_loss.py; configs/
+    # seesaw_loss: p=0.8, q=2.0, eps=1e-2): class logits + a 2-channel
+    # objectness head; pass ``seesaw_cum`` to rcnn_forward_train
+    seesaw: bool = False
+    seesaw_p: float = 0.8
+    seesaw_q: float = 2.0
+    seesaw_eps: float = 1e-2
 
 
 def rcnn_forward_train(bbox_head_apply, neck_feats, proposals,
                        proposal_valid, gt_bboxes, gt_labels, gt_valid, rng,
                        cfg: RCNNLossConfig, strides=(4, 8, 16, 32),
-                       out_size: int = 7):
+                       out_size: int = 7, seesaw_cum=None):
     """Sample ROIs (GT boxes appended as in the reference's add_gt_as_
-    proposals), extract RoIAlign features, compute CE + L1 losses."""
+    proposals), extract RoIAlign features, compute CE + L1 losses.
+
+    ``cfg.seesaw`` (requires ``seesaw_cum``, the (C+1,) per-class sample
+    count state): seesaw CE over class logits on POSITIVE rows + softmax
+    CE over the 2-channel objectness on all valid rows
+    (seesaw_loss.py:279-302), and the return becomes
+    (losses, samples, new_seesaw_cum)."""
     B = proposals.shape[0]
     G = gt_bboxes.shape[1]
     C = cfg.num_classes
@@ -427,9 +445,31 @@ def rcnn_forward_train(bbox_head_apply, neck_feats, proposals,
     is_pos_flat = is_pos.reshape(-1)
 
     num_total = jnp.maximum(valid_flat.sum(), 1.0)
-    loss_cls = L.cross_entropy_loss(cls_logits, labels_flat,
-                                    weight=valid_flat,
-                                    avg_factor=num_total)
+    new_seesaw_cum = None
+    if cfg.seesaw:
+        # accumulate per-class sample counts (incl. background slot C —
+        # seesaw_loss.py:229-233 counts every sampled row)
+        new_seesaw_cum = seesaw_cum + jnp.bincount(
+            jnp.where(valid_flat > 0, labels_flat, C),
+            weights=valid_flat, length=C + 1)
+        cls_classes = cls_logits[:, :C]
+        cls_obj = cls_logits[:, C:]
+        pos_w = is_pos_flat.astype(jnp.float32) * valid_flat
+        num_pos = jnp.maximum(pos_w.sum(), 1.0)
+        loss_cls_classes = L.seesaw_ce_loss(
+            cls_classes, labels_flat, jax.lax.stop_gradient(
+                new_seesaw_cum), C, p=cfg.seesaw_p, q=cfg.seesaw_q,
+            eps=cfg.seesaw_eps, weight=pos_w, avg_factor=num_pos)
+        obj_labels = (labels_flat == C).astype(jnp.int32)
+        loss_cls_obj = L.cross_entropy_loss(
+            cls_obj, obj_labels, weight=valid_flat, avg_factor=num_total)
+        loss_cls = loss_cls_classes + loss_cls_obj
+        # the regression gather below indexes class logits only
+        cls_logits = cls_classes
+    else:
+        loss_cls = L.cross_entropy_loss(cls_logits, labels_flat,
+                                        weight=valid_flat,
+                                        avg_factor=num_total)
 
     # class-specific deltas at the target class
     reg = reg.reshape(B * S, C, 4)
@@ -479,16 +519,22 @@ def rcnn_forward_train(bbox_head_apply, neck_feats, proposals,
             sigmoid=False)
 
     acc_pos = is_pos_flat.sum()
-    return losses, RCNNSamples(
-        rois, valid, is_pos, labels, gt_idx, acc_pos)
+    samples = RCNNSamples(rois, valid, is_pos, labels, gt_idx, acc_pos)
+    if cfg.seesaw:
+        return losses, samples, new_seesaw_cum
+    return losses, samples
 
 
 def rcnn_get_bboxes(bbox_head_apply, neck_feats, proposals, proposal_valid,
                     img_hw, num_classes: int, scale_factor=None,
                     score_thr: float = 0.05, nms_iou: float = 0.5,
                     max_per_img: int = 100, rescale: bool = False,
-                    strides=(4, 8, 16, 32), out_size: int = 7):
-    """Second-stage decode + per-class NMS, static shapes."""
+                    strides=(4, 8, 16, 32), out_size: int = 7,
+                    seesaw: bool = False):
+    """Second-stage decode + per-class NMS, static shapes.
+
+    ``seesaw``: SeesawLoss.get_activation (seesaw_loss.py:156-176) —
+    class softmax scaled by the objectness positive probability."""
     B, S = proposals.shape[:2]
     feats_per_img = [tuple(f[b] for f in neck_feats[:4]) for b in range(B)]
     roi_feats = jnp.stack([
@@ -497,7 +543,12 @@ def rcnn_get_bboxes(bbox_head_apply, neck_feats, proposals, proposal_valid,
                               out_size=out_size) for b in range(B)])
     cls_logits, reg = bbox_head_apply(
         roi_feats.reshape(B * S, out_size, out_size, -1))
-    probs = jax.nn.softmax(cls_logits, -1)[:, :num_classes]
+    if seesaw:
+        score_classes = jax.nn.softmax(cls_logits[:, :num_classes], -1)
+        score_obj = jax.nn.softmax(cls_logits[:, num_classes:], -1)
+        probs = score_classes * score_obj[:, :1]
+    else:
+        probs = jax.nn.softmax(cls_logits, -1)[:, :num_classes]
     probs = probs.reshape(B, S, num_classes)
     reg = reg.reshape(B, S, num_classes, 4)
 

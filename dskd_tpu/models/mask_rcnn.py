@@ -59,10 +59,16 @@ class MaskRCNNOutputs(NamedTuple):
 
 class MaskRCNN(nn.Module):
     """Two-stage box detector + FCN mask branch (detectors/mask_rcnn.py:
-    StandardRoIHead with both bbox_head and mask_head)."""
+    StandardRoIHead with both bbox_head and mask_head).
+
+    ``seesaw``: the LVIS long-tail recipe (configs/seesaw_loss/
+    mask_rcnn_*_seesaw_loss_*_lvis_v1.py) — SeesawLoss ROI classifier
+    (C+2 channels) whose per-class cumulative sample counts are
+    batch_stats state threaded through the train step."""
     num_classes: int = 80
     depth: int = 50
     frozen_stages: int = 1
+    seesaw: bool = False
 
     def setup(self):
         self.backbone = ResNet(depth=self.depth, out_indices=(0, 1, 2, 3),
@@ -70,8 +76,13 @@ class MaskRCNN(nn.Module):
         self.neck = FPN(out_channels=256, num_outs=5, start_level=0,
                         add_extra_convs="")
         self.rpn_head = RPNHead()
-        self.roi_bbox_head = BBoxHead(num_classes=self.num_classes)
+        self.roi_bbox_head = BBoxHead(num_classes=self.num_classes,
+                                      seesaw=self.seesaw)
         self.mask_head = FCNMaskHead(num_classes=self.num_classes)
+        if self.seesaw:
+            self.variable("batch_stats", "seesaw_cum",
+                          lambda: jnp.zeros((self.num_classes + 1,),
+                                            jnp.float32))
 
     def __call__(self, images, img_hw, deterministic: bool = True):
         feats = self.backbone(images)

@@ -300,15 +300,18 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             losses.update({f"rcnn_{k}": v for k, v in rcnn_losses.items()})
             return losses, None
 
-    elif arch in ("mask_rcnn", "panoptic_fpn", "ms_rcnn"):
+    elif arch in ("mask_rcnn", "mask_rcnn_seesaw", "panoptic_fpn",
+                  "ms_rcnn"):
         from ..models.faster_rcnn import (RCNNLossConfig, RPNLossConfig,
                                           rcnn_forward_train, rpn_loss,
                                           rpn_proposals)
         from ..models.mask_rcnn import mask_loss, mask_targets
         from ..ops.roi_align import multi_level_roi_align
         rpn_cfg = RPNLossConfig()
+        seesaw = arch == "mask_rcnn_seesaw"
         rcnn_cfg = RCNNLossConfig(num_classes=cfg.model.num_classes,
-                                  num_samples=cfg.rcnn_num_samples)
+                                  num_samples=cfg.rcnn_num_samples,
+                                  seesaw=seesaw)
         mask_stride = getattr(cfg, "mask_stride", 4)
         panoptic = arch == "panoptic_fpn"
         mask_scoring = arch == "ms_rcnn"
@@ -322,11 +325,23 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                                             nms_pre=1000,
                                             max_total=cfg.rcnn_num_proposals)
             props = jax.lax.stop_gradient(props)
-            rcnn_losses, samples = rcnn_forward_train(
-                lambda f: model.apply(variables, f,
-                                      method=type(model).roi_forward),
-                out.neck_feats, props, valid, batch.gt_bboxes,
-                batch.gt_labels, batch.gt_valid, rng2, rcnn_cfg)
+            new_bs = None
+            if seesaw:
+                bs = variables["batch_stats"]
+                rcnn_losses, samples, new_cum = rcnn_forward_train(
+                    lambda f: model.apply(variables, f,
+                                          method=type(model).roi_forward),
+                    out.neck_feats, props, valid, batch.gt_bboxes,
+                    batch.gt_labels, batch.gt_valid, rng2, rcnn_cfg,
+                    seesaw_cum=bs["seesaw_cum"])
+                new_bs = dict(bs)
+                new_bs["seesaw_cum"] = new_cum
+            else:
+                rcnn_losses, samples = rcnn_forward_train(
+                    lambda f: model.apply(variables, f,
+                                          method=type(model).roi_forward),
+                    out.neck_feats, props, valid, batch.gt_bboxes,
+                    batch.gt_labels, batch.gt_valid, rng2, rcnn_cfg)
             losses.update({f"rcnn_{k}": v for k, v in rcnn_losses.items()})
 
             # mask branch on the leading positive slots (pos-first layout)
@@ -380,7 +395,7 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                     out.seg_logits, batch.gt_semantic,
                     num_things=cfg.model.num_classes,
                     num_stuff=model.num_stuff_classes)
-            return losses, None
+            return losses, new_bs
 
     elif arch == "point_rend":
         from ..models.faster_rcnn import (RCNNLossConfig, RPNLossConfig,

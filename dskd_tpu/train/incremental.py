@@ -237,10 +237,11 @@ def build_model(cfg: ExperimentConfig):
         from ..models.grid_rcnn import GridRCNN
         return GridRCNN(num_classes=m.num_classes, depth=m.depth,
                         frozen_stages=m.frozen_stages)
-    if m.arch == "mask_rcnn":
+    if m.arch in ("mask_rcnn", "mask_rcnn_seesaw"):
         from ..models.mask_rcnn import MaskRCNN
         return MaskRCNN(num_classes=m.num_classes, depth=m.depth,
-                        frozen_stages=m.frozen_stages)
+                        frozen_stages=m.frozen_stages,
+                        seesaw=(m.arch == "mask_rcnn_seesaw"))
     if m.arch == "ms_rcnn":
         from ..models.ms_rcnn import MSRCNN
         return MSRCNN(num_classes=m.num_classes, depth=m.depth,
@@ -278,7 +279,8 @@ def init_variables(model, cfg: ExperimentConfig, rng):
                           "grid_rcnn", "cascade_rcnn", "tridentnet",
                           "cascade_mask_rcnn", "htc", "point_rend",
                           "queryinst", "scnet",
-                          "mask_rcnn", "panoptic_fpn", "ms_rcnn"):
+                          "mask_rcnn", "mask_rcnn_seesaw",
+                          "panoptic_fpn", "ms_rcnn"):
         # two-stage: trace the ROI head(s) too so init creates their params
         variables = model.init(rng, images, img_hw,
                                method=type(model).init_all)
@@ -320,7 +322,8 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
         photo_metric_distortion=cfg.data.photo_metric_distortion,
         mosaic=cfg.data.mosaic, mixup=cfg.data.mixup,
         auto_augment=cfg.data.auto_augment,
-        with_mask=cfg.model.arch in ("mask_rcnn", "panoptic_fpn",
+        with_mask=cfg.model.arch in ("mask_rcnn", "mask_rcnn_seesaw",
+                                     "panoptic_fpn",
                                      "ms_rcnn", "cascade_mask_rcnn",
                                      "htc", "point_rend", "queryinst",
                                      "scnet", "maskformer",

@@ -88,7 +88,8 @@ def test_arch_config_steps(name, path):
     nc = cfg.model.num_classes
     gtb = np.concatenate([xy, xy + wh], -1)
     gt_masks = gt_semantic = None
-    if cfg.model.arch in ("mask_rcnn", "panoptic_fpn", "ms_rcnn",
+    if cfg.model.arch in ("mask_rcnn", "mask_rcnn_seesaw",
+                          "panoptic_fpn", "ms_rcnn",
                           "cascade_mask_rcnn", "htc", "point_rend",
                           "queryinst", "scnet", "maskformer", "mask2former",
                           "solo", "yolact"):
