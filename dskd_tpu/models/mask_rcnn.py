@@ -69,10 +69,15 @@ class MaskRCNN(nn.Module):
     depth: int = 50
     frozen_stages: int = 1
     seesaw: bool = False
+    # GCNet backbone plugin stages (configs/gcnet mask_rcnn variants)
+    gcb_stages: tuple = (False, False, False, False)
+    gcb_ratio: float = 0.25
 
     def setup(self):
         self.backbone = ResNet(depth=self.depth, out_indices=(0, 1, 2, 3),
-                               frozen_stages=self.frozen_stages)
+                               frozen_stages=self.frozen_stages,
+                               gcb_stages=self.gcb_stages,
+                               gcb_ratio=self.gcb_ratio)
         self.neck = FPN(out_channels=256, num_outs=5, start_level=0,
                         add_extra_convs="")
         self.rpn_head = RPNHead()

@@ -91,6 +91,9 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     expansion: int = 4
     dcn: bool = False
+    # GCNet ContextBlock after conv3 (configs/gcnet position='after_conv3')
+    gcb: bool = False
+    gcb_ratio: float = 0.25
     # ResNeXt (backbones/resnext.py): grouped 3x3 with widened mid channels
     # width = floor(planes * base_width / 64) * groups
     groups: int = 1
@@ -116,6 +119,9 @@ class Bottleneck(nn.Module):
         out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
                       name="conv3")(out)
         out = FrozenBatchNorm(name="bn3")(out)
+        if self.gcb:
+            from .plugins import ContextBlock
+            out = ContextBlock(ratio=self.gcb_ratio, name="gcb")(out)
         if self.downsample:
             identity = nn.Conv(self.planes * self.expansion, (1, 1),
                                strides=(self.stride, self.stride),
@@ -137,6 +143,10 @@ class ResNet(nn.Module):
     # per-stage DCN switch (reference: dcn=dict(...), stage_with_dcn=
     # (False, True, True, True) in dcn config variants); bottleneck only
     dcn_stages: Sequence[bool] = (False, False, False, False)
+    # per-stage GCNet ContextBlock (configs/gcnet stages=(F, T, T, T),
+    # ratio 1/4 or 1/16); bottleneck only
+    gcb_stages: Sequence[bool] = (False, False, False, False)
+    gcb_ratio: float = 0.25
     # ResNeXt (backbones/resnext.py:1-154): groups=32, base_width=4 for
     # resnext50_32x4d / resnext101_32x4d; groups=1 == plain ResNet
     groups: int = 1
@@ -162,8 +172,12 @@ class ResNet(nn.Module):
             stride = 1 if i == 0 else 2
             dcn = (block is Bottleneck and i < len(self.dcn_stages)
                    and self.dcn_stages[i])
+            gcb = (block is Bottleneck and i < len(self.gcb_stages)
+                   and self.gcb_stages[i])
             for b in range(num_blocks):
                 kw = {"dcn": True} if dcn else {}
+                if gcb:
+                    kw.update(gcb=True, gcb_ratio=self.gcb_ratio)
                 if block is Bottleneck:
                     kw.update(groups=self.groups,
                               base_width=self.base_width)

@@ -241,7 +241,9 @@ def build_model(cfg: ExperimentConfig):
         from ..models.mask_rcnn import MaskRCNN
         return MaskRCNN(num_classes=m.num_classes, depth=m.depth,
                         frozen_stages=m.frozen_stages,
-                        seesaw=(m.arch == "mask_rcnn_seesaw"))
+                        seesaw=(m.arch == "mask_rcnn_seesaw"),
+                        gcb_stages=tuple(m.gcb_stages),
+                        gcb_ratio=m.gcb_ratio)
     if m.arch == "ms_rcnn":
         from ..models.ms_rcnn import MSRCNN
         return MSRCNN(num_classes=m.num_classes, depth=m.depth,

@@ -33,6 +33,9 @@ class ModelConfig:
     dropout: float = 0.1
     # DCN stage switches (dcn config variants; bottleneck backbones only)
     dcn_stages: Tuple[bool, bool, bool, bool] = (False, False, False, False)
+    # per-stage GCNet ContextBlock in the ResNet backbone (configs/gcnet)
+    gcb_stages: Tuple[bool, bool, bool, bool] = (False, False, False, False)
+    gcb_ratio: float = 0.25
     # vanilla deformable-DETR variants (transformer.py:906-1021 ladder)
     with_box_refine: bool = False
     as_two_stage: bool = False
