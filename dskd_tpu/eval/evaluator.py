@@ -150,7 +150,9 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
 
     if arch in ("faster_rcnn", "libra_faster_rcnn",
                 "double_head_rcnn", "carafe_faster_rcnn",
-                "pisa_faster_rcnn", "dynamic_rcnn"):
+                "pisa_faster_rcnn", "dynamic_rcnn",
+                "faster_rcnn_gn_ws", "faster_rcnn_gn",
+                "faster_rcnn_pafpn"):
         from ..models.faster_rcnn import (FasterRCNN, rcnn_get_bboxes,
                                           rpn_proposals)
 
@@ -998,3 +1000,61 @@ def evaluate_tta(model, variables, dataset: TaskCocoDataset,
         for cid, ap in ev.per_class_ap().items():
             stats[f"AP_{dataset.ALL_IDS_CLASSES[cid]}"] = ap
     return stats
+
+
+def evaluate_dataset_native(model, variables, dataset, loader: DataLoader,
+                            num_classes: int, dataset_type: str,
+                            reg_max: int = 16, score_thr: float = 0.0,
+                            max_per_img: int = 100,
+                            arch: str = "gfl_deformable_detr"
+                            ) -> Dict[str, float]:
+    """Inference + the dataset's OWN evaluate() protocol.
+
+    The mmdet runtime dispatches `dataset.evaluate(results)` per dataset
+    class (voc.py / wider_face.py / openimages.py / lvis.py each override
+    it); this is the same dispatch for the non-COCO bindings of
+    DataConfig.dataset_type. List-protocol datasets (voc, wider_face,
+    openimages) receive results[i][c] = (m, 5) xyxy+score arrays in
+    dataset index order; LVIS receives {img_id: dict(bboxes, scores,
+    labels)}.
+    """
+    eval_step = make_eval_step(model, reg_max, score_thr, max_per_img,
+                               arch=arch)
+    local, seen = [], set()
+    for batch, meta in loader:
+        det = eval_step(variables, batch.images, batch.img_hw,
+                        jnp.asarray(meta["scale_factors"]))
+        boxes = np.asarray(det.bboxes)
+        scores = np.asarray(det.scores)
+        labels = np.asarray(det.labels)
+        valid = np.asarray(det.valid)
+        for i, img_id in enumerate(meta["img_ids"]):
+            if img_id in seen:
+                continue
+            seen.add(img_id)
+            keep = valid[i]
+            local.append((img_id, boxes[i][keep], scores[i][keep],
+                          [int(l) for l in labels[i][keep]]))
+    if jax.process_count() > 1:
+        from ..parallel.collect import collect_image_results
+        local = collect_image_results(local, max_dets=max_per_img)
+    per_img = {}
+    for img_id, b, s, ls in local:
+        if img_id not in per_img:
+            per_img[img_id] = (b, s, np.asarray(ls, np.int64))
+
+    if dataset_type == "lvis":
+        results = {img_id: dict(bboxes=b, scores=s, labels=ls)
+                   for img_id, (b, s, ls) in per_img.items()}
+        return dataset.evaluate(results)
+
+    results = []
+    for i in range(len(dataset)):
+        img_id = dataset.get_raw(i)[4]
+        b, s, ls = per_img.get(
+            img_id, (np.zeros((0, 4), np.float32),
+                     np.zeros((0,), np.float32),
+                     np.zeros((0,), np.int64)))
+        dets = np.concatenate([b, s[:, None]], axis=1).astype(np.float32)
+        results.append([dets[ls == c] for c in range(num_classes)])
+    return dataset.evaluate(results)

@@ -87,21 +87,59 @@ class FasterRCNN(nn.Module):
     # necks/fpn_carafe.py: content-aware reassembly top-down upsampling
     # (configs/carafe/faster_rcnn_r50_fpn_carafe_1x_coco.py, AP 38.6)
     neck_upsample: str = "nearest"
+    # gn / gn+ws recipe (configs/gn, configs/gn+ws): GroupNorm(32)
+    # backbone+neck (norm='gn'), weight-standardized convs (ws=True),
+    # and the Shared4Conv1FC ROI head
+    norm: str = "frozen"
+    ws: bool = False
+    # backbone spec (models/backbones.py): the reference zoo pairings
+    # configs/res2net, configs/resnest, configs/pvt, configs/swin,
+    # configs/hrnet faster_rcnn variants. '' = ResNet(depth).
+    backbone_spec: str = ""
+    # 'fpn' (default) or 'pafpn' (configs/pafpn: bottom-up path
+    # augmentation after the top-down pass, box AP 37.5)
+    neck_kind: str = "fpn"
+    # per-stage DCN (configs/dcn faster_rcnn_r50_fpn_dconv_c3-c5, AP 41.3;
+    # modulated=dcnv2 configs/dcnv2 mdconv variants)
+    dcn_stages: Tuple[bool, bool, bool, bool] = (False, False, False, False)
 
     def setup(self):
-        self.backbone = ResNet(depth=self.depth, out_indices=(0, 1, 2, 3),
-                               frozen_stages=self.frozen_stages)
-        self.neck = FPN(out_channels=256, num_outs=5, start_level=0,
-                        add_extra_convs="", upsample=self.neck_upsample)
+        gn = self.norm == "gn"
+        self._hr = False
+        if self.backbone_spec:
+            from .backbones import build_backbone
+            self.backbone, kind = build_backbone(
+                self.backbone_spec, self.depth, self.frozen_stages)
+            self._hr = kind == "hr"
+        else:
+            self.backbone = ResNet(depth=self.depth, out_indices=(0, 1, 2, 3),
+                                   frozen_stages=self.frozen_stages,
+                                   dcn_stages=tuple(self.dcn_stages),
+                                   norm=self.norm, ws=self.ws)
+        if self._hr:
+            from .hrnet import HRFPN
+            self.neck = HRFPN(out_channels=256, num_outs=5)
+        elif self.neck_kind == "pafpn":
+            from .pafpn import PAFPN
+            self.neck = PAFPN(out_channels=256, num_outs=5, start_level=0,
+                              add_extra_convs="")
+        else:
+            self.neck = FPN(out_channels=256, num_outs=5, start_level=0,
+                            add_extra_convs="", upsample=self.neck_upsample,
+                            norm="gn" if gn else "", ws=self.ws)
         if self.use_bfp:
             from .bfp import BFP
             self.bfp = BFP(refine_level=2)
         if self.with_rpn:
             self.rpn_head = RPNHead()
-        self.roi_bbox_head = (
-            DoubleBBoxHead(num_classes=self.num_classes)
-            if self.double_head else
-            BBoxHead(num_classes=self.num_classes))
+        if gn:
+            self.roi_bbox_head = Conv4FC1BBoxHead(
+                num_classes=self.num_classes, ws=self.ws)
+        else:
+            self.roi_bbox_head = (
+                DoubleBBoxHead(num_classes=self.num_classes)
+                if self.double_head else
+                BBoxHead(num_classes=self.num_classes))
 
     def __call__(self, images, img_hw, deterministic: bool = True):
         feats = self.backbone(images)
@@ -177,6 +215,38 @@ class BBoxHead(nn.Module):
         x = nn.relu(nn.Dense(self.fc_channels, name="shared_fc0")(x))
         x = nn.relu(nn.Dense(self.fc_channels, name="shared_fc1")(x))
         cls = nn.Dense(self.num_classes + (2 if self.seesaw else 1),
+                       kernel_init=nn.initializers.normal(0.01),
+                       name="fc_cls")(x)
+        reg = nn.Dense(self.num_classes * 4,
+                       kernel_init=nn.initializers.normal(0.001),
+                       name="fc_reg")(x)
+        return cls, reg
+
+
+class Conv4FC1BBoxHead(nn.Module):
+    """Shared4Conv1FCBBoxHead with GN(+WS) convs — the configs/gn and
+    configs/gn+ws ROI head (4x [conv3x3 -> GN(32) -> relu] -> FC 1024 ->
+    cls (C+1) + reg (C*4))."""
+    num_classes: int = 80
+    conv_channels: int = 256
+    fc_channels: int = 1024
+    ws: bool = True
+
+    @nn.compact
+    def __call__(self, roi_feats: jnp.ndarray):
+        if self.ws:
+            from .conv_ws import ConvWS as _C
+        else:
+            _C = nn.Conv
+        x = roi_feats
+        for i in range(4):
+            x = _C(self.conv_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                   use_bias=False, name=f"shared_conv{i}")(x)
+            x = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                     name=f"shared_gn{i}")(x))
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(self.fc_channels, name="shared_fc0")(x))
+        cls = nn.Dense(self.num_classes + 1,
                        kernel_init=nn.initializers.normal(0.01),
                        name="fc_cls")(x)
         reg = nn.Dense(self.num_classes * 4,

@@ -29,12 +29,33 @@ class FPN(nn.Module):
     # (necks/fpn_carafe.py: content-aware reassembly top-down upsampling,
     # configs/carafe/faster_rcnn_r50_fpn_carafe_1x box AP 38.6)
     upsample: str = "nearest"
+    # gn / gn+ws recipe (configs/gn, configs/gn+ws): GroupNorm(32) after
+    # every FPN conv (no activation, mmdet ConvModule act_cfg=None),
+    # optionally weight-standardized convs
+    norm: str = ""
+    ws: bool = False
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
+        if self.ws:
+            from .conv_ws import ConvWS as _C
+        else:
+            _C = nn.Conv
+
+        def _Conv(*a, **kw):
+            # mmdet ConvModule drops the conv bias when a norm follows
+            return _C(*a, use_bias=(self.norm != "gn"), **kw)
+
+        def _n(x, name):
+            if self.norm == "gn":
+                return nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                    name=name)(x)
+            return x
+
         used = list(inputs[self.start_level:])
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), name=f"lateral{i}")(x)
+            _n(_Conv(self.out_channels, (1, 1), name=f"lateral{i}")(x),
+               f"lateral_gn{i}")
             for i, x in enumerate(used)]
 
         for i in range(len(laterals) - 1, 0, -1):
@@ -53,8 +74,9 @@ class FPN(nn.Module):
             up = up[:, :laterals[i - 1].shape[1], :laterals[i - 1].shape[2]]
             laterals[i - 1] = laterals[i - 1] + up
 
-        outs = [nn.Conv(self.out_channels, (3, 3),
-                        padding=[(1, 1), (1, 1)], name=f"fpn_conv{i}")(x)
+        outs = [_n(_Conv(self.out_channels, (3, 3),
+                         padding=[(1, 1), (1, 1)], name=f"fpn_conv{i}")(x),
+                   f"fpn_gn{i}")
                 for i, x in enumerate(laterals)]
 
         if self.num_outs > len(outs):
@@ -65,8 +87,10 @@ class FPN(nn.Module):
             for j in range(self.num_outs - len(laterals)):
                 if j > 0 and self.relu_before_extra_convs:
                     extra_src = nn.relu(extra_src)
-                extra_src = nn.Conv(self.out_channels, (3, 3),
-                                    strides=(2, 2), padding=[(1, 1), (1, 1)],
-                                    name=f"extra_conv{j}")(extra_src)
+                extra_src = _n(_Conv(self.out_channels, (3, 3),
+                                     strides=(2, 2),
+                                     padding=[(1, 1), (1, 1)],
+                                     name=f"extra_conv{j}")(extra_src),
+                               f"extra_gn{j}")
                 outs.append(extra_src)
         return tuple(outs)

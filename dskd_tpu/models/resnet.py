@@ -59,6 +59,37 @@ def _conv(features, kernel, stride=1, name=None):
                    name=name)
 
 
+
+def _make_layers(norm: str, ws: bool):
+    """(conv_ctor, norm_ctor) for the gn / gn+ws recipe switch
+    (configs/gn, configs/gn+ws: GroupNorm(32) everywhere, optionally
+    weight-standardized convs; default stays the frozen-BN torchvision
+    recipe)."""
+    if ws:
+        from .conv_ws import ConvWS
+
+        def conv(features, kernel, strides=(1, 1), padding="SAME",
+                 use_bias=False, feature_group_count=1, name=None):
+            return ConvWS(features, kernel, strides=strides,
+                          padding=padding, use_bias=use_bias,
+                          feature_group_count=feature_group_count,
+                          name=name)
+    else:
+        def conv(features, kernel, strides=(1, 1), padding="SAME",
+                 use_bias=False, feature_group_count=1, name=None):
+            return nn.Conv(features, kernel, strides=strides,
+                           padding=padding, use_bias=use_bias,
+                           feature_group_count=feature_group_count,
+                           name=name)
+    if norm == "gn":
+        def make_norm(name):
+            return nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name)
+    else:
+        def make_norm(name):
+            return FrozenBatchNorm(name=name)
+    return conv, make_norm
+
+
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
@@ -94,6 +125,9 @@ class Bottleneck(nn.Module):
     # GCNet ContextBlock after conv3 (configs/gcnet position='after_conv3')
     gcb: bool = False
     gcb_ratio: float = 0.25
+    # gn / gn+ws recipe (configs/gn, configs/gn+ws)
+    norm: str = "frozen"
+    ws: bool = False
     # ResNeXt (backbones/resnext.py): grouped 3x3 with widened mid channels
     # width = floor(planes * base_width / 64) * groups
     groups: int = 1
@@ -101,32 +135,33 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        conv, make_norm = _make_layers(self.norm, self.ws)
         identity = x
         width = (self.planes * self.base_width // 64) * self.groups
-        out = nn.Conv(width, (1, 1), use_bias=False, name="conv1")(x)
-        out = nn.relu(FrozenBatchNorm(name="bn1")(out))
+        out = conv(width, (1, 1), name="conv1")(x)
+        out = nn.relu(make_norm("bn1")(out))
         if self.dcn:
             from ..ops.deform_conv import DeformConv2d
             out = DeformConv2d(width, kernel_size=3,
                                stride=self.stride, padding=1,
                                modulated=True, name="conv2")(out)
         else:
-            out = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
-                          padding=[(1, 1), (1, 1)], use_bias=False,
-                          feature_group_count=self.groups,
-                          name="conv2")(out)
-        out = nn.relu(FrozenBatchNorm(name="bn2")(out))
-        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
-                      name="conv3")(out)
-        out = FrozenBatchNorm(name="bn3")(out)
+            out = conv(width, (3, 3), strides=(self.stride, self.stride),
+                       padding=[(1, 1), (1, 1)],
+                       feature_group_count=self.groups,
+                       name="conv2")(out)
+        out = nn.relu(make_norm("bn2")(out))
+        out = conv(self.planes * self.expansion, (1, 1),
+                   name="conv3")(out)
+        out = make_norm("bn3")(out)
         if self.gcb:
             from .plugins import ContextBlock
             out = ContextBlock(ratio=self.gcb_ratio, name="gcb")(out)
         if self.downsample:
-            identity = nn.Conv(self.planes * self.expansion, (1, 1),
-                               strides=(self.stride, self.stride),
-                               use_bias=False, name="downsample_conv")(x)
-            identity = FrozenBatchNorm(name="downsample_bn")(identity)
+            identity = conv(self.planes * self.expansion, (1, 1),
+                            strides=(self.stride, self.stride),
+                            name="downsample_conv")(x)
+            identity = make_norm("downsample_bn")(identity)
         return nn.relu(out + identity)
 
 
@@ -147,6 +182,11 @@ class ResNet(nn.Module):
     # ratio 1/4 or 1/16); bottleneck only
     gcb_stages: Sequence[bool] = (False, False, False, False)
     gcb_ratio: float = 0.25
+    # gn / gn+ws recipe (configs/gn, configs/gn+ws): norm='gn' swaps the
+    # frozen BNs for trainable GroupNorm(32); ws additionally
+    # weight-standardizes every conv (bottleneck path only)
+    norm: str = "frozen"
+    ws: bool = False
     # ResNeXt (backbones/resnext.py:1-154): groups=32, base_width=4 for
     # resnext50_32x4d / resnext101_32x4d; groups=1 == plain ResNet
     groups: int = 1
@@ -157,11 +197,11 @@ class ResNet(nn.Module):
         block_kind, stage_blocks = ARCH_SETTINGS[self.depth]
         block = Bottleneck if block_kind == "bottleneck" else BasicBlock
 
+        conv, make_norm = _make_layers(self.norm, self.ws)
         # stem: 7x7/2 conv + BN + relu + 3x3/2 maxpool
-        out = nn.Conv(self.base_channels, (7, 7), strides=(2, 2),
-                      padding=[(3, 3), (3, 3)], use_bias=False,
-                      name="stem_conv")(x)
-        out = nn.relu(FrozenBatchNorm(name="stem_bn")(out))
+        out = conv(self.base_channels, (7, 7), strides=(2, 2),
+                   padding=[(3, 3), (3, 3)], name="stem_conv")(x)
+        out = nn.relu(make_norm("stem_bn")(out))
         if self.frozen_stages >= 0:
             out = lax.stop_gradient(out)
         out = nn.max_pool(out, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -180,7 +220,8 @@ class ResNet(nn.Module):
                     kw.update(gcb=True, gcb_ratio=self.gcb_ratio)
                 if block is Bottleneck:
                     kw.update(groups=self.groups,
-                              base_width=self.base_width)
+                              base_width=self.base_width,
+                              norm=self.norm, ws=self.ws)
                 out = block(planes=planes,
                             stride=stride if b == 0 else 1,
                             downsample=(b == 0),

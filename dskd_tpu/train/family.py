@@ -268,7 +268,9 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
 
     elif arch in ("faster_rcnn", "libra_faster_rcnn",
                   "double_head_rcnn", "carafe_faster_rcnn",
-                  "pisa_faster_rcnn", "dynamic_rcnn"):
+                  "pisa_faster_rcnn", "dynamic_rcnn",
+                  "faster_rcnn_gn_ws", "faster_rcnn_gn",
+                  "faster_rcnn_pafpn"):
         from ..models.faster_rcnn import (FasterRCNN, RCNNLossConfig,
                                           RPNLossConfig, rcnn_forward_train,
                                           rpn_loss, rpn_proposals)

@@ -108,15 +108,25 @@ def build_model(cfg: ExperimentConfig):
         return GARPN(depth=m.depth, frozen_stages=m.frozen_stages)
     if m.arch in ("faster_rcnn", "libra_faster_rcnn",
                   "double_head_rcnn", "carafe_faster_rcnn",
-                  "pisa_faster_rcnn", "dynamic_rcnn"):
+                  "pisa_faster_rcnn", "dynamic_rcnn",
+                  "faster_rcnn_gn_ws", "faster_rcnn_gn",
+                  "faster_rcnn_pafpn"):
         from ..models.faster_rcnn import FasterRCNN
+        gn = m.arch in ("faster_rcnn_gn_ws", "faster_rcnn_gn")
         return FasterRCNN(num_classes=m.num_classes, depth=m.depth,
                           frozen_stages=m.frozen_stages,
                           use_bfp=(m.arch == "libra_faster_rcnn"),
                           double_head=(m.arch == "double_head_rcnn"),
                           neck_upsample=("carafe"
                                          if m.arch == "carafe_faster_rcnn"
-                                         else "nearest"))
+                                         else "nearest"),
+                          norm="gn" if gn else "frozen",
+                          ws=(m.arch == "faster_rcnn_gn_ws"),
+                          backbone_spec=m.backbone,
+                          neck_kind=("pafpn"
+                                     if m.arch == "faster_rcnn_pafpn"
+                                     else "fpn"),
+                          dcn_stages=tuple(m.dcn_stages))
     if m.arch in ("retinanet", "pisa_retinanet", "retinanet_ghm",
                   "retinanet_fpg", "retinanet_nasfpn"):
         from ..models.retinanet import RetinaNet
@@ -243,7 +253,8 @@ def build_model(cfg: ExperimentConfig):
                         frozen_stages=m.frozen_stages,
                         seesaw=(m.arch == "mask_rcnn_seesaw"),
                         gcb_stages=tuple(m.gcb_stages),
-                        gcb_ratio=m.gcb_ratio)
+                        gcb_ratio=m.gcb_ratio,
+                        backbone_spec=m.backbone)
     if m.arch == "ms_rcnn":
         from ..models.ms_rcnn import MSRCNN
         return MSRCNN(num_classes=m.num_classes, depth=m.depth,
@@ -277,7 +288,8 @@ def init_variables(model, cfg: ExperimentConfig, rng):
     if cfg.model.arch in ("faster_rcnn", "libra_faster_rcnn",
                           "double_head_rcnn", "fast_rcnn",
                           "carafe_faster_rcnn", "pisa_faster_rcnn",
-                          "dynamic_rcnn",
+                          "dynamic_rcnn", "faster_rcnn_gn_ws",
+                          "faster_rcnn_gn", "faster_rcnn_pafpn",
                           "grid_rcnn", "cascade_rcnn", "tridentnet",
                           "cascade_mask_rcnn", "htc", "point_rend",
                           "queryinst", "scnet",
@@ -296,7 +308,54 @@ def init_variables(model, cfg: ExperimentConfig, rng):
 
 def make_datasets(cfg: ExperimentConfig, tid: int, task_nums: int):
     """Task tid (1-based): train loads only task tid's classes; val loads
-    all classes up to tid (the identity / tril rows)."""
+    all classes up to tid (the identity / tril rows).
+
+    Non-coco ``dataset_type`` bindings (voc / wider_face / lvis /
+    openimages) are single-task: the reference never trains them
+    incrementally, so the task machinery reduces to load-everything."""
+    dt = cfg.data.dataset_type
+    if dt != "coco":
+        if task_nums != 1:
+            raise ValueError(f"dataset_type={dt!r} is single-task; "
+                             f"got catsplit={cfg.data.catsplit}")
+        if dt == "voc":
+            from ..data.voc import VOCDataset
+            return (VOCDataset(cfg.data.data_root, cfg.data.train_split,
+                               year=cfg.data.voc_year),
+                    VOCDataset(cfg.data.data_root, cfg.data.val_split,
+                               year=cfg.data.voc_year, test_mode=True,
+                               filter_empty=False))
+        if dt == "wider_face":
+            from ..data.voc import WIDERFaceDataset
+            return (WIDERFaceDataset(cfg.data.data_root,
+                                     cfg.data.train_split),
+                    WIDERFaceDataset(cfg.data.data_root, cfg.data.val_split,
+                                     test_mode=True, filter_empty=False))
+        if dt == "lvis":
+            from ..data.lvis import LvisDataset
+            return (LvisDataset(cfg.data.train_ann,
+                                cfg.data.train_img_prefix),
+                    LvisDataset(cfg.data.val_ann, cfg.data.val_img_prefix,
+                                test_mode=True, filter_empty=False))
+        if dt == "cityscapes":
+            from ..data.cityscapes import CityscapesDataset
+            return (CityscapesDataset(cfg.data.train_ann,
+                                      cfg.data.train_img_prefix),
+                    CityscapesDataset(cfg.data.val_ann,
+                                      cfg.data.val_img_prefix,
+                                      test_mode=True))
+        if dt == "openimages":
+            from ..data.openimages import OpenImagesDataset
+            return (OpenImagesDataset(cfg.data.train_ann,
+                                      cfg.data.cls_desc_file,
+                                      cfg.data.train_img_prefix,
+                                      cfg.data.hierarchy_file or None),
+                    OpenImagesDataset(cfg.data.val_ann,
+                                      cfg.data.cls_desc_file,
+                                      cfg.data.val_img_prefix,
+                                      cfg.data.hierarchy_file or None,
+                                      test_mode=True))
+        raise ValueError(f"unknown dataset_type: {dt!r}")
     train_load = [1 if i == tid - 1 else 0 for i in range(task_nums)]
     val_load = [1 if i <= tid - 1 else 0 for i in range(task_nums)]
     train_ds = TaskCocoDataset(
@@ -480,12 +539,25 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
 
             def run_eval(epoch=epoch, params=eval_params, bs=eval_stats,
                          loader_=val_loader):
-                stats = evaluate(model, {"params": params,
-                                         "batch_stats": bs},
-                                 val_ds, loader_, reg_max=cfg.model.reg_max,
-                                 score_thr=cfg.test_score_thr,
-                                 max_per_img=cfg.test_max_per_img,
-                                 arch=cfg.model.arch)
+                if cfg.data.dataset_type in ("coco", "cityscapes"):
+                    stats = evaluate(model, {"params": params,
+                                             "batch_stats": bs},
+                                     val_ds, loader_,
+                                     reg_max=cfg.model.reg_max,
+                                     score_thr=cfg.test_score_thr,
+                                     max_per_img=cfg.test_max_per_img,
+                                     arch=cfg.model.arch)
+                else:
+                    # voc / wider_face / openimages / lvis score with
+                    # their own dataset.evaluate protocol
+                    from ..eval.evaluator import evaluate_dataset_native
+                    stats = evaluate_dataset_native(
+                        model, {"params": params, "batch_stats": bs},
+                        val_ds, loader_, cfg.model.num_classes,
+                        cfg.data.dataset_type, reg_max=cfg.model.reg_max,
+                        score_thr=cfg.test_score_thr,
+                        max_per_img=cfg.test_max_per_img,
+                        arch=cfg.model.arch)
                 log.info("task %d epoch %d eval: %s", tid, epoch,
                          {k: round(v, 4) for k, v in stats.items()
                           if not k.startswith("AP_")})

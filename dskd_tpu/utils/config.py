@@ -61,10 +61,27 @@ class ModelConfig:
 
 @dataclass
 class DataConfig:
+    # dataset binding (replaces the mmdet dataset_type registry key):
+    # 'coco' (TaskCocoDataset, the IL-capable default), 'voc'
+    # (data/voc.py XML devkit), 'wider_face', 'cityscapes' (COCO-format
+    # json from the offline converter), 'lvis', 'openimages'. Non-coco
+    # types are single-task (catsplit=(N,)) — the reference trains them
+    # plain, never incrementally.
+    dataset_type: str = "coco"
     train_ann: str = "data/coco/annotations/instances_train2017.json"
     val_ann: str = "data/coco/annotations/instances_val2017.json"
     train_img_prefix: str = "data/coco/train2017"
     val_img_prefix: str = "data/coco/val2017"
+    # VOC/WIDER devkit root + split names (pascal_voc / wider_face
+    # configs); the year picks the 07 11-point vs 12 area AP protocol
+    data_root: str = ""
+    train_split: str = "trainval"
+    val_split: str = "test"
+    voc_year: str = "2007"
+    # OpenImages sidecar files (configs/openimages: class descriptions
+    # CSV + label hierarchy json)
+    cls_desc_file: str = ""
+    hierarchy_file: str = ""
     # stuffthingmaps PNG dir for semantic-branch models (HTC); "" = void
     seg_prefix: str = ""
     catsplit: Tuple[int, ...] = (40, 40)
