@@ -43,6 +43,11 @@ def build_backbone(spec: str, depth: int = 50, frozen_stages: int = 1,
         from .swin import SwinTransformer
         arch = spec.split("_", 1)[1] if "_" in spec else "tiny"
         return (SwinTransformer(arch=arch, name=name), "c2345")
+    if spec.startswith("res2net"):
+        from .res2net import Res2Net
+        d = int(spec[len("res2net"):]) if len(spec) > 7 else 50
+        return (Res2Net(depth=d, out_indices=(0, 1, 2, 3),
+                        frozen_stages=frozen_stages, name=name), "c2345")
     if spec.startswith("resnest"):
         from .resnest import ResNeSt
         d = int(spec[len("resnest"):]) if len(spec) > 7 else 50

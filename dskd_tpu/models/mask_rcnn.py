@@ -72,12 +72,21 @@ class MaskRCNN(nn.Module):
     # GCNet backbone plugin stages (configs/gcnet mask_rcnn variants)
     gcb_stages: tuple = (False, False, False, False)
     gcb_ratio: float = 0.25
+    # backbone spec (models/backbones.py) — the reference configs/swin
+    # mask_rcnn_swin-t_p4_w7_fpn pairing ('' = ResNet(depth))
+    backbone_spec: str = ""
 
     def setup(self):
-        self.backbone = ResNet(depth=self.depth, out_indices=(0, 1, 2, 3),
-                               frozen_stages=self.frozen_stages,
-                               gcb_stages=self.gcb_stages,
-                               gcb_ratio=self.gcb_ratio)
+        if self.backbone_spec:
+            from .backbones import build_backbone
+            self.backbone, _ = build_backbone(
+                self.backbone_spec, self.depth, self.frozen_stages)
+        else:
+            self.backbone = ResNet(depth=self.depth,
+                                   out_indices=(0, 1, 2, 3),
+                                   frozen_stages=self.frozen_stages,
+                                   gcb_stages=self.gcb_stages,
+                                   gcb_ratio=self.gcb_ratio)
         self.neck = FPN(out_channels=256, num_outs=5, start_level=0,
                         add_extra_convs="")
         self.rpn_head = RPNHead()

@@ -90,29 +90,35 @@ class SwinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        """x: (B, H, W, C), H/W multiples of WINDOW."""
+        """x: (B, H, W, C); H/W need not be WINDOW multiples — the map is
+        zero-padded bottom/right to the window grid and cropped back, the
+        reference swin.py's F.pad in its window partition."""
         B, H, W, C = x.shape
         # reference swin.py: shift is a no-op when the map is not larger
         # than the window (e.g. the 7x7 stage-4 map at 224 input) —
         # shift_size is forced to 0 there, so match it
         shift = self.shift if min(H, W) > WINDOW else 0
+        Hp = -(-H // WINDOW) * WINDOW
+        Wp = -(-W // WINDOW) * WINDOW
         shortcut = x
         y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        if (Hp, Wp) != (H, W):
+            y = jnp.pad(y, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
         if shift:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(_shift_mask(H, W, shift))
+            mask = jnp.asarray(_shift_mask(Hp, Wp, shift))
         else:
             mask = None
         # window partition
-        y = y.reshape(B, H // WINDOW, WINDOW, W // WINDOW, WINDOW, C)
+        y = y.reshape(B, Hp // WINDOW, WINDOW, Wp // WINDOW, WINDOW, C)
         y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
             -1, WINDOW * WINDOW, C)
         y = WindowAttention(self.dim, self.num_heads, name="attn")(y, mask)
-        y = y.reshape(B, H // WINDOW, W // WINDOW, WINDOW, WINDOW, C)
-        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
+        y = y.reshape(B, Hp // WINDOW, Wp // WINDOW, WINDOW, WINDOW, C)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
         if shift:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
-        x = shortcut + y
+        x = shortcut + y[:, :H, :W]
 
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = nn.Dense(4 * C, name="mlp_fc1")(y)
@@ -127,6 +133,9 @@ class PatchMerging(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
+        if H % 2 or W % 2:     # pad to even (reference PatchMerging F.pad)
+            x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+            B, H, W, C = x.shape
         # channel layout matches mmdet swin.py's nn.Unfold(kernel=2,
         # stride=2): merged channel c*4 + (i*2 + j) for input channel c and
         # kernel position (i, j) — reduction/norm weights of converted
