@@ -75,6 +75,13 @@ class LvisDataset:
         path = os.path.join(self.img_prefix, self._file_name(info))
         return path, (info["height"], info["width"]), boxes, labels, img_id
 
+    def get_segmentations(self, idx: int):
+        """Raw 'segmentation' payloads aligned with get_raw's box order
+        (LVIS anns are COCO-format polygons) — lets Mask R-CNN train on
+        the lvis binding (configs/lvis mask_rcnn recipes)."""
+        return [a.get("segmentation")
+                for a in self.img_anns[self.img_ids[idx]]]
+
     def _allowed_cats(self, img_id: int) -> set:
         """Categories evaluated on this image: positives + declared
         negatives (the federated-annotation rule)."""
