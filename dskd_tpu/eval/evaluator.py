@@ -161,13 +161,21 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             out = model.apply(variables, images, img_hw, deterministic=True)
             props, _, pvalid = rpn_proposals(out.rpn, img_hw, nms_pre=1000,
                                              max_total=1000)
+            extract_fn = None
+            if getattr(model, "groie", False):
+                from ..ops.roi_align import all_level_roi_align
+
+                def extract_fn(fpi, r, v):
+                    return model.apply(
+                        variables, all_level_roi_align(fpi, r, v),
+                        method=FasterRCNN.groie_forward)
             d = rcnn_get_bboxes(
                 lambda f: model.apply(variables, f,
                                       method=FasterRCNN.roi_forward),
                 out.neck_feats, props, pvalid, img_hw,
                 num_classes=model.num_classes, scale_factor=scale_factors,
                 score_thr=max(score_thr, 0.05), max_per_img=max_per_img,
-                rescale=True)
+                rescale=True, extract_fn=extract_fn)
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 

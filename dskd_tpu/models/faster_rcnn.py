@@ -102,6 +102,14 @@ class FasterRCNN(nn.Module):
     # per-stage DCN (configs/dcn faster_rcnn_r50_fpn_dconv_c3-c5, AP 41.3;
     # modulated=dcnv2 configs/dcnv2 mdconv variants)
     dcn_stages: Tuple[bool, bool, bool, bool] = (False, False, False, False)
+    # per-stage GeneralizedAttention (configs/empirical_attention)
+    gen_attn_stages: Tuple[bool, bool, bool, bool] = (False, False,
+                                                      False, False)
+    gen_attn_type: str = "1111"
+    # GRoIE bbox-roi extractor (configs/groie, generic_roi_extractor.py):
+    # RoIAlign EVERY level -> shared pre conv5x5 -> sum -> post
+    # GeneralizedAttention('0100', 6 heads, kv_stride 2)
+    groie: bool = False
 
     def setup(self):
         gn = self.norm == "gn"
@@ -115,6 +123,9 @@ class FasterRCNN(nn.Module):
             self.backbone = ResNet(depth=self.depth, out_indices=(0, 1, 2, 3),
                                    frozen_stages=self.frozen_stages,
                                    dcn_stages=tuple(self.dcn_stages),
+                                   gen_attn_stages=tuple(
+                                       self.gen_attn_stages),
+                                   gen_attn_type=self.gen_attn_type,
                                    norm=self.norm, ws=self.ws)
         if self._hr:
             from .hrnet import HRFPN
@@ -140,6 +151,8 @@ class FasterRCNN(nn.Module):
                 DoubleBBoxHead(num_classes=self.num_classes)
                 if self.double_head else
                 BBoxHead(num_classes=self.num_classes))
+        if self.groie:
+            self.roi_extractor = GRoIE()
 
     def __call__(self, images, img_hw, deterministic: bool = True):
         feats = self.backbone(images)
@@ -152,9 +165,15 @@ class FasterRCNN(nn.Module):
     def roi_forward(self, roi_feats):
         return self.roi_bbox_head(roi_feats)
 
+    def groie_forward(self, lvl_feats):
+        """Aggregate (R, L, o, o, C) all-level ROI features (GRoIE)."""
+        return self.roi_extractor(lvl_feats)
+
     def init_all(self, images, img_hw, deterministic: bool = True):
         out = self(images, img_hw, deterministic)
         self.roi_bbox_head(jnp.zeros((1, 7, 7, 256), images.dtype))
+        if self.groie:
+            self.roi_extractor(jnp.zeros((1, 4, 7, 7, 256), images.dtype))
         return out
 
 
@@ -253,6 +272,31 @@ class Conv4FC1BBoxHead(nn.Module):
                        kernel_init=nn.initializers.normal(0.001),
                        name="fc_reg")(x)
         return cls, reg
+
+
+class GRoIE(nn.Module):
+    """GenericRoIExtractor aggregation (parity: mmdet roi_heads/
+    roi_extractors/generic_roi_extractor.py:46-86 + configs/groie/
+    faster_rcnn_r50_fpn_groie_1x_coco.py, box AP 38.3): every FPN level
+    is RoIAligned for every ROI, a SHARED pre ConvModule(5x5)+ReLU runs
+    per level, the levels are summed, and a GeneralizedAttention
+    post-module ('0100' = query-content x relative-position, 6 heads,
+    kv_stride 2) refines the aggregate. Input (R, L, o, o, C) from
+    ops/roi_align.all_level_roi_align."""
+    channels: int = 256
+    post_heads: int = 6
+    post_type: str = "0100"
+
+    @nn.compact
+    def __call__(self, lvl_feats: jnp.ndarray) -> jnp.ndarray:
+        from .plugins import GeneralizedAttention
+        R, Lv, o, _, C = lvl_feats.shape
+        x = nn.Conv(self.channels, (5, 5), padding=[(2, 2), (2, 2)],
+                    name="pre_conv")(lvl_feats.reshape(R * Lv, o, o, C))
+        x = nn.relu(x).reshape(R, Lv, o, o, self.channels).sum(axis=1)
+        return GeneralizedAttention(
+            num_heads=self.post_heads, attention_type=self.post_type,
+            kv_stride=2, name="post_attn")(x)
 
 
 def rpn_anchors(featmap_sizes, strides=(4, 8, 16, 32, 64),
@@ -435,7 +479,8 @@ class RCNNLossConfig(NamedTuple):
 def rcnn_forward_train(bbox_head_apply, neck_feats, proposals,
                        proposal_valid, gt_bboxes, gt_labels, gt_valid, rng,
                        cfg: RCNNLossConfig, strides=(4, 8, 16, 32),
-                       out_size: int = 7, seesaw_cum=None):
+                       out_size: int = 7, seesaw_cum=None,
+                       extract_fn=None):
     """Sample ROIs (GT boxes appended as in the reference's add_gt_as_
     proposals), extract RoIAlign features, compute CE + L1 losses.
 
@@ -500,11 +545,14 @@ def rcnn_forward_train(bbox_head_apply, neck_feats, proposals,
     rois, valid, is_pos, labels, tgt_boxes, gt_idx = jax.vmap(per_image)(
         rngs, rois_all, rois_valid, gt_bboxes, gt_labels, gt_valid)
 
-    # RoIAlign over levels (P2-P5), per image
+    # RoIAlign over levels (P2-P5), per image; extract_fn overrides the
+    # default FPN-level-mapped extraction (GRoIE aggregates all levels)
     feats_per_img = [tuple(f[b] for f in neck_feats[:4]) for b in range(B)]
+    _extract = extract_fn or (
+        lambda fpi, r, v: multi_level_roi_align(
+            fpi, r, v, strides=strides, out_size=out_size))
     roi_feats = jnp.stack([
-        multi_level_roi_align(feats_per_img[b], rois[b], valid[b],
-                              strides=strides, out_size=out_size)
+        _extract(feats_per_img[b], rois[b], valid[b])
         for b in range(B)])                         # (B, S, out, out, 256)
 
     S = rois.shape[1]
@@ -600,17 +648,19 @@ def rcnn_get_bboxes(bbox_head_apply, neck_feats, proposals, proposal_valid,
                     score_thr: float = 0.05, nms_iou: float = 0.5,
                     max_per_img: int = 100, rescale: bool = False,
                     strides=(4, 8, 16, 32), out_size: int = 7,
-                    seesaw: bool = False):
+                    seesaw: bool = False, extract_fn=None):
     """Second-stage decode + per-class NMS, static shapes.
 
     ``seesaw``: SeesawLoss.get_activation (seesaw_loss.py:156-176) —
     class softmax scaled by the objectness positive probability."""
     B, S = proposals.shape[:2]
     feats_per_img = [tuple(f[b] for f in neck_feats[:4]) for b in range(B)]
+    _extract = extract_fn or (
+        lambda fpi, r, v: multi_level_roi_align(
+            fpi, r, v, strides=strides, out_size=out_size))
     roi_feats = jnp.stack([
-        multi_level_roi_align(feats_per_img[b], proposals[b],
-                              proposal_valid[b], strides=strides,
-                              out_size=out_size) for b in range(B)])
+        _extract(feats_per_img[b], proposals[b], proposal_valid[b])
+        for b in range(B)])
     cls_logits, reg = bbox_head_apply(
         roi_feats.reshape(B * S, out_size, out_size, -1))
     if seesaw:

@@ -10,10 +10,9 @@ prob from the caller if desired).
 The reference's MaskFormer-family plugins live with their heads:
 pixel_decoder.py -> models/maskformer.py TransformerEncoderPixelDecoder,
 msdeformattn_pixel_decoder.py -> models/mask2former.py
-MSDeformAttnPixelDecoder. The mmcv backbone plugin ContextBlock
-(configs/gcnet) is below; GeneralizedAttention (configs/
-empirical_attention) is superseded by the deformable-attention families
-and not rebuilt.
+MSDeformAttnPixelDecoder. The mmcv backbone plugins ContextBlock
+(configs/gcnet) and GeneralizedAttention (configs/empirical_attention,
+configs/groie post-module) are below.
 
 TPU note: the block expansion is a max-pool over the Bernoulli seed
 noise — one reduce_window, no gathers; everything static-shape."""
@@ -94,3 +93,116 @@ class ContextBlock(nn.Module):
             else:
                 out = out + t
         return out
+
+
+class GeneralizedAttention(nn.Module):
+    """The empirical-attention spatial block (configs/empirical_attention
+    faster_rcnn_r50_fpn_attention_{0010,1111}[_dcn]_1x, box AP 40.0-42.1;
+    configs/groie post_cfg). Re-derived from the paper it implements —
+    "An Empirical Study of Spatial Attention Mechanisms in Deep
+    Networks", Zhu et al. 2019 — since the mmcv source is not vendored
+    in the reference; structure (attention_type bit-switches, factorized
+    per-axis sinusoidal relative-position features, kv_stride key/value
+    subsampling, residual projection) matches the mmcv plugin contract.
+
+    The four energy terms, switched by ``attention_type`` bits:
+      [0] query content & key content        (Wq xq)' (Wk xk)
+      [1] query content & relative position  (Wq xq)' (Wg r)
+      [2] key content only (saliency)        u' (Wk xk)
+      [3] relative position only             v' (Wg r)
+    '0010' (the cheap config) keeps only saliency; '1111' keeps all.
+    The output projection is zero-initialized so a freshly inserted
+    block is an identity (the ContextBlock last_zero_init convention).
+    """
+    num_heads: int = 8
+    attention_type: str = "1111"
+    kv_stride: int = 2
+    position_magnitude: int = 1
+    spatial_range: int = -1          # -1 = global (the only mode used)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        bits = [c == "1" for c in self.attention_type]
+        nh = self.num_heads
+        dk = max(C // nh, 1)
+        kv = x[:, ::self.kv_stride, ::self.kv_stride]
+        Hk, Wk = kv.shape[1], kv.shape[2]
+        scale = 1.0 / jnp.sqrt(jnp.asarray(dk, x.dtype))
+
+        def heads(t, hw):
+            return t.reshape(B, hw, nh, dk).transpose(0, 2, 1, 3)
+
+        energy = jnp.zeros((B, nh, H * W, Hk * Wk), x.dtype)
+
+        q_content = None
+        if bits[0] or bits[1]:
+            q_content = heads(
+                nn.Conv(nh * dk, (1, 1), use_bias=False,
+                        name="query_conv")(x).reshape(B, H * W, nh * dk),
+                H * W)
+        if bits[0] or bits[2]:
+            k_content = heads(
+                nn.Conv(nh * dk, (1, 1), use_bias=False,
+                        name="key_conv")(kv).reshape(B, Hk * Wk, nh * dk),
+                Hk * Wk)
+            # accumulate the query side into a full (B, nh, q, d) array so
+            # bias-only bit patterns ('0010') broadcast correctly
+            q_total = jnp.zeros((B, nh, H * W, dk), x.dtype)
+            if bits[0]:
+                q_total = q_total + q_content
+            if bits[2]:
+                u = self.param("appr_bias",
+                               nn.initializers.normal(1.0 / dk ** 0.5),
+                               (nh, dk))
+                q_total = q_total + u[None, :, None, :]
+            energy = energy + jnp.einsum(
+                "bhqd,bhkd->bhqk", q_total * scale, k_content)
+
+        if bits[1] or bits[3]:
+            # factorized per-axis sinusoidal relative-position features
+            # (position_embedding_dim -> per-head linear), x and y terms
+            # added separately then broadcast over the other axis
+            feat_dim = max(C // 2, 8)
+
+            def pos_feat(nq, nk, name):
+                qi = jnp.arange(nq, dtype=jnp.float32)[:, None]
+                ki = jnp.arange(nk, dtype=jnp.float32)[None, :] \
+                    * self.kv_stride
+                rel = (qi - ki) / self.position_magnitude     # (nq, nk)
+                freq = jnp.exp(jnp.arange(feat_dim // 2, dtype=jnp.float32)
+                               * (-jnp.log(10000.0) / (feat_dim // 2)))
+                ang = rel[..., None] * freq                   # (nq, nk, f/2)
+                emb = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], -1)
+                out = nn.Dense(nh * dk, use_bias=False, name=name)(
+                    emb.astype(x.dtype))
+                return out.reshape(nq, nk, nh, dk)
+
+            gx = pos_feat(W, Wk, "geom_fc_x")    # (W, Wk, nh, dk)
+            gy = pos_feat(H, Hk, "geom_fc_y")
+            q_geom = jnp.zeros((B, nh, H * W, dk), x.dtype)
+            if bits[1]:
+                q_geom = q_geom + q_content
+            if bits[3]:
+                v = self.param("geom_bias",
+                               nn.initializers.normal(1.0 / dk ** 0.5),
+                               (nh, dk))
+                q_geom = q_geom + v[None, :, None, :]
+            qg = (q_geom * scale).reshape(B, nh, H, W, dk)
+            # x-axis term: query (b, h, y, x, d) x pos (x, kx, h, d)
+            ex = jnp.einsum("bhyxd,xkhd->bhyxk", qg, gx)   # (B,nh,H,W,Wk)
+            ey = jnp.einsum("bhyxd,ykhd->bhyxk",
+                            qg, gy)                        # (B,nh,H,W,Hk)
+            e_pos = (ey[:, :, :, :, :, None] + ex[:, :, :, :, None, :])
+            energy = energy + e_pos.reshape(B, nh, H * W, Hk * Wk)
+
+        attn = jax.nn.softmax(energy, axis=-1)
+        v_feat = heads(
+            nn.Conv(nh * dk, (1, 1), use_bias=False,
+                    name="value_conv")(kv).reshape(B, Hk * Wk, nh * dk),
+            Hk * Wk)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v_feat)
+        out = out.transpose(0, 2, 1, 3).reshape(B, H, W, nh * dk)
+        out = nn.Conv(C, (1, 1), kernel_init=nn.initializers.zeros,
+                      name="proj_conv")(out)
+        return x + out

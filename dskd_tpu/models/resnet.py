@@ -125,6 +125,10 @@ class Bottleneck(nn.Module):
     # GCNet ContextBlock after conv3 (configs/gcnet position='after_conv3')
     gcb: bool = False
     gcb_ratio: float = 0.25
+    # GeneralizedAttention after conv2 (configs/empirical_attention
+    # position='after_conv2', kv_stride=2)
+    gen_attn: bool = False
+    gen_attn_type: str = "1111"
     # gn / gn+ws recipe (configs/gn, configs/gn+ws)
     norm: str = "frozen"
     ws: bool = False
@@ -151,6 +155,11 @@ class Bottleneck(nn.Module):
                        feature_group_count=self.groups,
                        name="conv2")(out)
         out = nn.relu(make_norm("bn2")(out))
+        if self.gen_attn:
+            from .plugins import GeneralizedAttention
+            out = GeneralizedAttention(
+                num_heads=8, attention_type=self.gen_attn_type,
+                kv_stride=2, name="gen_attn")(out)
         out = conv(self.planes * self.expansion, (1, 1),
                    name="conv3")(out)
         out = make_norm("bn3")(out)
@@ -182,6 +191,10 @@ class ResNet(nn.Module):
     # ratio 1/4 or 1/16); bottleneck only
     gcb_stages: Sequence[bool] = (False, False, False, False)
     gcb_ratio: float = 0.25
+    # per-stage GeneralizedAttention (configs/empirical_attention:
+    # stages (F, F, T, T), attention_type '0010' or '1111')
+    gen_attn_stages: Sequence[bool] = (False, False, False, False)
+    gen_attn_type: str = "1111"
     # gn / gn+ws recipe (configs/gn, configs/gn+ws): norm='gn' swaps the
     # frozen BNs for trainable GroupNorm(32); ws additionally
     # weight-standardizes every conv (bottleneck path only)
@@ -222,6 +235,10 @@ class ResNet(nn.Module):
                     kw.update(groups=self.groups,
                               base_width=self.base_width,
                               norm=self.norm, ws=self.ws)
+                    if (i < len(self.gen_attn_stages)
+                            and self.gen_attn_stages[i]):
+                        kw.update(gen_attn=True,
+                                  gen_attn_type=self.gen_attn_type)
                 out = block(planes=planes,
                             stride=stride if b == 0 else 1,
                             downsample=(b == 0),

@@ -85,3 +85,15 @@ def multi_level_roi_align(feats, rois, roi_valid, strides=(4, 8, 16, 32),
         o = roi_align(f, rois, out_size, spatial_scale=1.0 / strides[i])
         out = out + jnp.where((lvl == i)[:, None, None, None], o, 0.0)
     return out * roi_valid[:, None, None, None]
+
+
+def all_level_roi_align(feats, rois, roi_valid, strides=(4, 8, 16, 32),
+                        out_size: int = 7):
+    """GenericRoIExtractor support (generic_roi_extractor.py:46-86,
+    configs/groie): extract EVERY level for every ROI — the caller's
+    pre/post modules aggregate. Returns (R, L, out, out, C) for one
+    image."""
+    per = [roi_align(f, rois, out_size, spatial_scale=1.0 / s_)
+           for f, s_ in zip(feats, strides)]
+    out = jnp.stack(per, axis=1)                  # (R, L, o, o, C)
+    return out * roi_valid[:, None, None, None, None]

@@ -294,11 +294,20 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                                             nms_pre=1000,
                                             max_total=cfg.rcnn_num_proposals)
             props = jax.lax.stop_gradient(props)
+            extract_fn = None
+            if getattr(model, "groie", False):
+                from ..ops.roi_align import all_level_roi_align
+
+                def extract_fn(fpi, r, v):
+                    return model.apply(
+                        variables, all_level_roi_align(fpi, r, v),
+                        method=FasterRCNN.groie_forward)
             rcnn_losses, _ = rcnn_forward_train(
                 lambda f: model.apply(variables, f,
                                       method=FasterRCNN.roi_forward),
                 out.neck_feats, props, valid, batch.gt_bboxes,
-                batch.gt_labels, batch.gt_valid, rng2, rcnn_cfg)
+                batch.gt_labels, batch.gt_valid, rng2, rcnn_cfg,
+                extract_fn=extract_fn)
             losses.update({f"rcnn_{k}": v for k, v in rcnn_losses.items()})
             return losses, None
 

@@ -126,7 +126,10 @@ def build_model(cfg: ExperimentConfig):
                           neck_kind=("pafpn"
                                      if m.arch == "faster_rcnn_pafpn"
                                      else "fpn"),
-                          dcn_stages=tuple(m.dcn_stages))
+                          dcn_stages=tuple(m.dcn_stages),
+                          gen_attn_stages=tuple(m.gen_attn_stages),
+                          gen_attn_type=m.gen_attn_type,
+                          groie=m.groie)
     if m.arch in ("retinanet", "pisa_retinanet", "retinanet_ghm",
                   "retinanet_fpg", "retinanet_nasfpn"):
         from ..models.retinanet import RetinaNet

@@ -36,6 +36,12 @@ class ModelConfig:
     # per-stage GCNet ContextBlock in the ResNet backbone (configs/gcnet)
     gcb_stages: Tuple[bool, bool, bool, bool] = (False, False, False, False)
     gcb_ratio: float = 0.25
+    # per-stage GeneralizedAttention (configs/empirical_attention)
+    gen_attn_stages: Tuple[bool, bool, bool, bool] = (False, False,
+                                                      False, False)
+    gen_attn_type: str = "1111"
+    # GRoIE all-level bbox-roi extractor (configs/groie)
+    groie: bool = False
     # vanilla deformable-DETR variants (transformer.py:906-1021 ladder)
     with_box_refine: bool = False
     as_two_stage: bool = False
