@@ -356,7 +356,7 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 
-    if arch == "cascade_rcnn":
+    if arch in ("cascade_rcnn", "detectors_cascade_rcnn"):
         from ..models.cascade_rcnn import CascadeRCNN, cascade_get_bboxes
         from ..models.faster_rcnn import rpn_proposals
 

@@ -55,24 +55,50 @@ class CascadeBBoxHead(nn.Module):
 
 
 class CascadeRCNN(nn.Module):
+    """``rfp``/``sac`` select the DetectoRS variants
+    (configs/detectors: cascade_rcnn_r50_{rfp,sac}_1x and the full
+    detectors_cascade_rcnn_r50_1x = both, box AP 44.8/45.0/47.4):
+    sac swaps the backbone for DetectoRSResNet (switchable atrous
+    convs, stages 2-4); rfp replaces backbone+neck with the recursive
+    feature pyramid (two backbone passes, shared FPN, ASPP feedback,
+    sigmoid fusion) — models/detectors_rs.py."""
     num_classes: int = 80
     depth: int = 50
     frozen_stages: int = 1
     num_stages: int = 3
+    rfp: bool = False
+    sac: bool = False
 
     def setup(self):
-        self.backbone = ResNet(depth=self.depth, out_indices=(0, 1, 2, 3),
-                               frozen_stages=self.frozen_stages)
-        self.neck = FPN(out_channels=256, num_outs=5, start_level=0,
-                        add_extra_convs="")
+        if self.rfp:
+            from .detectors_rs import RFP
+            self.rfp_pyramid = RFP(
+                out_channels=256, num_outs=5, depth=self.depth,
+                frozen_stages=self.frozen_stages,
+                sac_stages=((False, True, True, True) if self.sac
+                            else (False, False, False, False)))
+        elif self.sac:
+            from .detectors_rs import DetectoRSResNet
+            self.backbone = DetectoRSResNet(
+                depth=self.depth, frozen_stages=self.frozen_stages)
+            self.neck = FPN(out_channels=256, num_outs=5, start_level=0,
+                            add_extra_convs="")
+        else:
+            self.backbone = ResNet(depth=self.depth,
+                                   out_indices=(0, 1, 2, 3),
+                                   frozen_stages=self.frozen_stages)
+            self.neck = FPN(out_channels=256, num_outs=5, start_level=0,
+                            add_extra_convs="")
         self.rpn_head = RPNHead()
         self.bbox_heads = [CascadeBBoxHead(num_classes=self.num_classes,
                                            name=f"bbox_head{i}")
                            for i in range(self.num_stages)]
 
     def __call__(self, images, img_hw, deterministic: bool = True):
-        feats = self.backbone(images)
-        neck = self.neck(feats)
+        if self.rfp:
+            neck = self.rfp_pyramid(images)
+        else:
+            neck = self.neck(self.backbone(images))
         return CascadeOutputs(self.rpn_head(neck), neck)
 
     def roi_forward(self, roi_feats, stage: int):

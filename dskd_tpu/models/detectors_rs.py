@@ -109,7 +109,10 @@ class DetectoRSResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, rfp_feats=None):
-        blocks = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[self.depth]
+        # reference DetectoRS is bottleneck-only (depths 50/101); 18 is a
+        # one-block-per-stage ladder for CI-size config shrinks
+        blocks = {18: (1, 1, 1, 1), 50: (3, 4, 6, 3),
+                  101: (3, 4, 23, 3)}[self.depth]
         y = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, name="stem_conv")(x)
         y = nn.relu(FrozenBatchNorm(name="stem_bn")(y))
@@ -154,15 +157,25 @@ class ASPP(nn.Module):
 
 
 class RFP(nn.Module):
-    """Recursive feature pyramid over two DetectoRS backbone steps."""
+    """Recursive feature pyramid over two DetectoRS backbone steps.
+
+    ``sac_stages`` selects the rfp-only reference variant
+    (configs/detectors/cascade_rcnn_r50_rfp_1x_coco.py: plain convs,
+    all-False) vs the full DetectoRS recipe (detectors_cascade_rcnn:
+    SAC on stages 2-4)."""
     out_channels: int = 256
     num_outs: int = 5
     rfp_steps: int = 2
     depth: int = 50
+    frozen_stages: int = 1
+    sac_stages: Sequence[bool] = (False, True, True, True)
 
     @nn.compact
     def __call__(self, images):
-        bb0 = DetectoRSResNet(depth=self.depth, name="backbone")
+        bb0 = DetectoRSResNet(depth=self.depth,
+                              frozen_stages=self.frozen_stages,
+                              sac_stages=tuple(self.sac_stages),
+                              name="backbone")
         # start_level=0 so pyramid level i matches res-stage i's stride —
         # the RFP residual for stage s is aspp(x[s]) at the same resolution
         fpn = FPN(out_channels=self.out_channels, num_outs=self.num_outs,
@@ -178,6 +191,8 @@ class RFP(nn.Module):
             rfp_feats = (x[0],) + tuple(aspp(x[i])
                                         for i in range(1, len(x)))
             bb_i = DetectoRSResNet(depth=self.depth,
+                                   frozen_stages=self.frozen_stages,
+                                   sac_stages=tuple(self.sac_stages),
                                    name=f"rfp_backbone{step}")
             feats_i = bb_i(images, rfp_feats=rfp_feats)
             x_i = fpn(feats_i)

@@ -519,7 +519,8 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             losses.update({f"rcnn_{k}": v for k, v in rcnn_losses.items()})
             return losses, None
 
-    elif arch in ("cascade_rcnn", "cascade_mask_rcnn"):
+    elif arch in ("cascade_rcnn", "detectors_cascade_rcnn",
+                  "cascade_mask_rcnn"):
         from ..models.cascade_rcnn import (STAGE_WEIGHTS, CascadeRCNN,
                                            cascade_forward_train)
         from ..models.faster_rcnn import (RPNLossConfig, rpn_loss,

@@ -144,10 +144,11 @@ def build_model(cfg: ExperimentConfig):
         return FCOS(num_classes=m.num_classes, depth=m.depth,
                     frozen_stages=m.frozen_stages, backbone=m.backbone,
                     nas_fpn=(m.arch == "nasfcos"))
-    if m.arch == "cascade_rcnn":
+    if m.arch in ("cascade_rcnn", "detectors_cascade_rcnn"):
         from ..models.cascade_rcnn import CascadeRCNN
         return CascadeRCNN(num_classes=m.num_classes, depth=m.depth,
-                           frozen_stages=m.frozen_stages)
+                           frozen_stages=m.frozen_stages,
+                           rfp=m.rfp, sac=m.sac)
     if m.arch == "solo":
         from ..models.solo import SOLO
         return SOLO(num_classes=m.num_classes, depth=m.depth,
@@ -293,7 +294,8 @@ def init_variables(model, cfg: ExperimentConfig, rng):
                           "carafe_faster_rcnn", "pisa_faster_rcnn",
                           "dynamic_rcnn", "faster_rcnn_gn_ws",
                           "faster_rcnn_gn", "faster_rcnn_pafpn",
-                          "grid_rcnn", "cascade_rcnn", "tridentnet",
+                          "grid_rcnn", "cascade_rcnn",
+                          "detectors_cascade_rcnn", "tridentnet",
                           "cascade_mask_rcnn", "htc", "point_rend",
                           "queryinst", "scnet",
                           "mask_rcnn", "mask_rcnn_seesaw",

@@ -42,6 +42,10 @@ class ModelConfig:
     gen_attn_type: str = "1111"
     # GRoIE all-level bbox-roi extractor (configs/groie)
     groie: bool = False
+    # DetectoRS variants on Cascade R-CNN (configs/detectors): recursive
+    # feature pyramid and/or switchable atrous convolution
+    rfp: bool = False
+    sac: bool = False
     # vanilla deformable-DETR variants (transformer.py:906-1021 ladder)
     with_box_refine: bool = False
     as_two_stage: bool = False

@@ -68,3 +68,42 @@ def test_aspp_width():
     x = jnp.zeros((1, 8, 8, 64))
     v = a.init(jax.random.PRNGKey(0), x)
     assert a.apply(v, x).shape == (1, 8, 8, 64)
+
+
+def test_detectors_cascade_eval_step_runs():
+    """The full DetectoRS recipe (rfp+sac) is driveable end-to-end: the
+    cascade eval path decodes through the recursive pyramid."""
+    import dataclasses
+    import os
+
+    from dskd_tpu.eval.evaluator import make_eval_step
+    from dskd_tpu.train.incremental import build_model, init_variables
+    from dskd_tpu.utils.config import load_config
+
+    path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                        "detectors_cascade_rcnn_r50_1x.py")
+    cfg = load_config(path)
+    cfg.model = dataclasses.replace(cfg.model, depth=18)
+    cfg.data = dataclasses.replace(cfg.data, bucket=(64, 64),
+                                   img_scale=(64, 64), max_gt=4,
+                                   aspect_buckets=None, multi_scales=None)
+    cfg.rcnn_num_proposals = 16
+    cfg.rcnn_num_samples = 16
+    model = build_model(cfg)
+    assert model.rfp and model.sac
+    variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+    # SAC params present in BOTH backbone passes of the pyramid
+    bb = variables["params"]["rfp_pyramid"]["backbone"]
+    assert "weight_diff" in bb["layer2_block0"]["conv2"]
+    assert "rfp_conv" in variables["params"]["rfp_pyramid"][
+        "rfp_backbone0"]["layer2_block0"]
+
+    eval_step = make_eval_step(model, max_per_img=10,
+                               arch=cfg.model.arch)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32) * 0.1)
+    img_hw = jnp.asarray(np.tile([[64, 64]], (2, 1)).astype(np.int32))
+    det = eval_step(variables, images, img_hw,
+                    jnp.ones((2, 4), jnp.float32))
+    assert det.bboxes.shape == (2, 10, 4)
+    assert np.isfinite(np.asarray(det.scores)).all()
