@@ -45,6 +45,19 @@ class PipelineConfig:
     mosaic_center_ratio: Tuple[float, float] = (0.5, 1.5)
     mixup: bool = False
     mixup_ratio_range: Tuple[float, float] = (0.5, 1.5)
+    # SSD geometric recipe (pipelines/transforms.py Expand +
+    # MinIoURandomCrop, configs/ssd/ssd300_coco.py train pipeline);
+    # box-only transforms (incompatible with with_mask/with_semantic)
+    expand: bool = False
+    expand_ratio_range: Tuple[float, float] = (1.0, 4.0)
+    min_iou_crop: bool = False
+    min_ious: Tuple[float, ...] = (0.1, 0.3, 0.5, 0.7, 0.9)
+    min_crop_size: float = 0.3
+    # large-scale jitter (configs/strong_baselines: Resize
+    # ratio_range=(0.1, 2.0) 'range' mode + RandomCrop to a fixed
+    # canvas); box-only
+    resize_ratio_range: Optional[Tuple[float, float]] = None
+    random_crop: Optional[Tuple[int, int]] = None   # (h, w) crop_size
     # robustness benchmarking (the reference's Corrupt transform):
     # (corruption_name, severity 1-5) applied to the raw image
     corruption: Optional[Tuple[str, int]] = None
@@ -103,6 +116,108 @@ def photo_metric_distortion(img: np.ndarray, rng,
     return np.clip(img, 0, 255)
 
 
+def expand_image(img, boxes, rng, mean, ratio_range=(1.0, 4.0)):
+    """Expand (pipelines/transforms.py Expand, prob=0.5): paste the image
+    at a random offset inside a mean-filled canvas up to ratio_range[1]
+    times larger; boxes shift by the offset. Zooms OUT so the following
+    MinIoURandomCrop can zoom back in at varied object scales."""
+    if rng.randint(2):
+        return img, boxes
+    h, w = img.shape[:2]
+    ratio = rng.uniform(*ratio_range)
+    eh, ew = int(h * ratio), int(w * ratio)
+    canvas = np.empty((eh, ew, 3), img.dtype)
+    canvas[...] = np.asarray(mean, img.dtype)
+    top = rng.randint(0, eh - h + 1)
+    left = rng.randint(0, ew - w + 1)
+    canvas[top:top + h, left:left + w] = img
+    if len(boxes):
+        boxes = boxes + np.array([left, top, left, top], boxes.dtype)
+    return canvas, boxes
+
+
+def min_iou_random_crop(img, boxes, labels, rng,
+                        min_ious=(0.1, 0.3, 0.5, 0.7, 0.9),
+                        min_crop_size=0.3, max_rounds: int = 20):
+    """MinIoURandomCrop (pipelines/transforms.py): sample a mode from
+    (keep-original, *min_ious, any-overlap); for a crop mode, try 50
+    random patches (aspect in [0.5, 2], side >= min_crop_size) until
+    every GT's IoU with the patch clears the mode's threshold; keep only
+    boxes whose centers fall inside, clipped and shifted.
+
+    The reference loops modes forever; this bounds the outer loop at
+    ``max_rounds`` and returns the original sample if nothing qualifies
+    (a conscious liveness deviation — reachable only on pathological
+    geometry)."""
+    h, w = img.shape[:2]
+    sample_modes = (1,) + tuple(min_ious) + (0,)
+    for _ in range(max_rounds):
+        mode = sample_modes[rng.randint(len(sample_modes))]
+        if mode == 1:
+            return img, boxes, labels
+        min_iou = float(mode)
+        for _ in range(50):
+            new_w = rng.uniform(min_crop_size * w, w)
+            new_h = rng.uniform(min_crop_size * h, h)
+            if new_h / new_w < 0.5 or new_h / new_w > 2:
+                continue
+            left = rng.uniform(0, w - new_w)
+            top = rng.uniform(0, h - new_h)
+            # integer patch from the start (the reference rounds before
+            # the IoU test, so box IoUs see the actual crop window)
+            patch = np.array([int(left), int(top), int(left + new_w),
+                              int(top + new_h)], np.float32)
+            if patch[2] <= patch[0] or patch[3] <= patch[1]:
+                continue
+            if len(boxes):
+                ix1 = np.maximum(boxes[:, 0], patch[0])
+                iy1 = np.maximum(boxes[:, 1], patch[1])
+                ix2 = np.minimum(boxes[:, 2], patch[2])
+                iy2 = np.minimum(boxes[:, 3], patch[3])
+                inter = (np.clip(ix2 - ix1, 0, None)
+                         * np.clip(iy2 - iy1, 0, None))
+                area = ((boxes[:, 2] - boxes[:, 0])
+                        * (boxes[:, 3] - boxes[:, 1]))
+                iou = inter / np.maximum(area, 1e-10)
+                if len(iou) and iou.min() < min_iou:
+                    continue
+                cx = (boxes[:, 0] + boxes[:, 2]) / 2
+                cy = (boxes[:, 1] + boxes[:, 3]) / 2
+                keep = ((cx > patch[0]) & (cy > patch[1])
+                        & (cx < patch[2]) & (cy < patch[3]))
+                if not keep.any():
+                    continue
+                nb = boxes[keep].copy()
+                nb[:, 0::2] = nb[:, 0::2].clip(patch[0], patch[2])
+                nb[:, 1::2] = nb[:, 1::2].clip(patch[1], patch[3])
+                nb -= np.array([patch[0], patch[1], patch[0], patch[1]],
+                               nb.dtype)
+                boxes, labels = nb, labels[keep]
+            img = img[int(patch[1]):int(patch[3]),
+                      int(patch[0]):int(patch[2])]
+            return img, boxes, labels
+    return img, boxes, labels
+
+
+def random_crop(img, boxes, labels, rng, crop_size):
+    """RandomCrop with allow_negative_crop=True (pipelines/transforms.py;
+    the LSJ companion crop): uniform offset, boxes shifted + clipped,
+    boxes that collapse to zero extent dropped."""
+    h, w = img.shape[:2]
+    ch = min(crop_size[0], h)
+    cw = min(crop_size[1], w)
+    top = rng.randint(0, h - ch + 1)
+    left = rng.randint(0, w - cw + 1)
+    img = img[top:top + ch, left:left + cw]
+    if len(boxes):
+        nb = boxes - np.array([left, top, left, top], boxes.dtype)
+        nb[:, 0::2] = nb[:, 0::2].clip(0, cw)
+        nb[:, 1::2] = nb[:, 1::2].clip(0, ch)
+        keep = (nb[:, 2] > nb[:, 0]) & (nb[:, 3] > nb[:, 1])
+        boxes, labels = nb[keep], labels[keep]
+    return img, boxes, labels
+
+
 def preprocess(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
                cfg: PipelineConfig, rng: Optional[np.random.RandomState],
                train: bool = True, segmentations=None, semantic=None):
@@ -128,6 +243,19 @@ def preprocess(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
             np.asarray(labels), rng, policies)
     if train and rng is not None and cfg.photo_metric_distortion:
         img = photo_metric_distortion(img, rng)
+    if train and rng is not None and cfg.expand:
+        assert not (cfg.with_mask or cfg.with_semantic), \
+            "expand is box-only"
+        img, boxes = expand_image(img, np.asarray(boxes, np.float32),
+                                  rng, cfg.mean, cfg.expand_ratio_range)
+        h0, w0 = img.shape[:2]
+    if train and rng is not None and cfg.min_iou_crop:
+        assert not (cfg.with_mask or cfg.with_semantic), \
+            "min_iou_crop is box-only"
+        img, boxes, labels = min_iou_random_crop(
+            img, np.asarray(boxes, np.float32), np.asarray(labels),
+            rng, cfg.min_ious, cfg.min_crop_size)
+        h0, w0 = img.shape[:2]
     flip = bool(train and rng is not None
                 and rng.rand() < cfg.flip_ratio)
     if flip:
@@ -140,6 +268,11 @@ def preprocess(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
     scale = cfg.img_scale
     if train and rng is not None and cfg.multi_scales:
         scale = cfg.multi_scales[rng.randint(len(cfg.multi_scales))]
+    if train and rng is not None and cfg.resize_ratio_range:
+        # Resize ratio_range 'range' mode (the LSJ half of
+        # configs/strong_baselines): one uniform ratio scales img_scale
+        r = rng.uniform(*cfg.resize_ratio_range)
+        scale = (max(int(scale[0] * r), 1), max(int(scale[1] * r), 1))
     new_h, new_w, _ = rescale_size(h0, w0, scale)
     img = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
     w_scale, h_scale = new_w / w0, new_h / h0
@@ -148,6 +281,13 @@ def preprocess(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
         boxes = boxes * scale_factor
         boxes[:, 0::2] = boxes[:, 0::2].clip(0, new_w)
         boxes[:, 1::2] = boxes[:, 1::2].clip(0, new_h)
+    if train and rng is not None and cfg.random_crop:
+        assert not (cfg.with_mask or cfg.with_semantic), \
+            "random_crop is box-only"
+        img, boxes, labels = random_crop(
+            img, np.asarray(boxes, np.float32), np.asarray(labels),
+            rng, cfg.random_crop)
+        new_h, new_w = img.shape[:2]
 
     img = (img.astype(np.float32) - cfg.mean) / cfg.std
 

@@ -388,6 +388,9 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
         photo_metric_distortion=cfg.data.photo_metric_distortion,
         mosaic=cfg.data.mosaic, mixup=cfg.data.mixup,
         auto_augment=cfg.data.auto_augment,
+        expand=cfg.data.expand, min_iou_crop=cfg.data.min_iou_crop,
+        resize_ratio_range=cfg.data.resize_ratio_range,
+        random_crop=cfg.data.random_crop,
         with_mask=cfg.model.arch in ("mask_rcnn", "mask_rcnn_seesaw",
                                      "panoptic_fpn",
                                      "ms_rcnn", "cascade_mask_rcnn",

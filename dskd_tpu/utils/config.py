@@ -124,6 +124,13 @@ class DataConfig:
     mixup: bool = False
     # AutoAugment detection policies (pipelines/auto_augment.py)
     auto_augment: bool = False
+    # SSD geometric recipe (transforms.py Expand + MinIoURandomCrop)
+    expand: bool = False
+    min_iou_crop: bool = False
+    # large-scale jitter (configs/strong_baselines): Resize ratio_range
+    # 'range' mode + RandomCrop to a fixed canvas; box-only
+    resize_ratio_range: Optional[Tuple[float, float]] = None
+    random_crop: Optional[Tuple[int, int]] = None
 
 
 @dataclass
