@@ -175,3 +175,19 @@ def test_loader_gt_buckets(tmp_path, monkeypatch):
         np.testing.assert_array_equal(bb.gt_valid, bf.gt_valid[:, :nb])
         np.testing.assert_array_equal(bb.gt_bboxes, bf.gt_bboxes[:, :nb])
         np.testing.assert_array_equal(bb.gt_labels, bf.gt_labels[:, :nb])
+
+
+def test_instaboost_bridge_gates_on_missing_package():
+    """InstaBoost delegates to the external instaboostfast package (the
+    reference has the identical optional dependency); without it the
+    bridge must fail loud at BUILD time, not at apply time."""
+    import pytest
+
+    from dskd_tpu.data.instaboost_bridge import build_instaboost
+    try:
+        import instaboostfast  # noqa: F401
+        pytest.skip("instaboostfast unexpectedly installed")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="instaboostfast"):
+        build_instaboost()
