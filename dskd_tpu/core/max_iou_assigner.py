@@ -161,3 +161,123 @@ def iou_balanced_sample(rng, assigned_gt: jnp.ndarray,
     neg_val = all_val[order][:num_neg_max]
     return SampleResult(pos_idx.astype(jnp.int32), pos_vals > 0,
                         neg_idx.astype(jnp.int32), neg_val > 0)
+
+
+def instance_balanced_sample(rng, assigned_gt: jnp.ndarray, num: int,
+                             pos_fraction: float) -> SampleResult:
+    """InstanceBalancedPosSampler (samplers/
+    instance_balanced_pos_sampler.py:14-56): positives are drawn evenly
+    ACROSS GT instances instead of uniformly over anchors.
+
+    Static-shape formulation: each positive gets a random within-instance
+    rank; selection proceeds round-robin by rank (every instance's rank-0
+    anchor first, then rank-1, ...), which yields the reference's
+    per-instance balance without its dynamic num_per_gt quota + refill
+    loop (a deterministic-fairer restatement, documented deviation).
+    Negatives are uniform, as in the reference (it subclasses
+    RandomSampler for the negative half)."""
+    N = assigned_gt.shape[0]
+    num_pos_max = int(num * pos_fraction)
+    num_neg_max = num - num_pos_max
+
+    pos_mask = assigned_gt >= 0
+    r1, r2 = jax.random.split(rng)
+    u = jax.random.uniform(r1, (N,))
+    # within-instance rank: # of same-instance positives with a larger key
+    same = (assigned_gt[:, None] == assigned_gt[None, :]) \
+        & pos_mask[:, None] & pos_mask[None, :]
+    rank = (same & (u[None, :] > u[:, None])).sum(-1)        # (N,)
+    # round-robin key: lower rank strictly wins; ties broken by u
+    key = jnp.where(pos_mask, -rank.astype(jnp.float32) + u * 0.5,
+                    -jnp.inf)
+    pos_vals, pos_idx = jax.lax.top_k(key, num_pos_max)
+
+    neg_keys = jnp.where(assigned_gt == -1,
+                         jax.random.uniform(r2, (N,)), -1.0)
+    neg_vals, neg_idx = jax.lax.top_k(neg_keys, num_neg_max)
+    return SampleResult(pos_idx.astype(jnp.int32),
+                        jnp.isfinite(pos_vals),
+                        neg_idx.astype(jnp.int32), neg_vals > 0)
+
+
+class ScoreHLRResult(NamedTuple):
+    sample: SampleResult
+    neg_label_weights: jnp.ndarray   # (num_neg_max,) ISR-N weights
+
+
+def score_hlr_sample(rng, assigned_gt: jnp.ndarray,
+                     neg_max_score: jnp.ndarray,
+                     neg_boxes: jnp.ndarray,
+                     neg_ori_loss: jnp.ndarray,
+                     num: int, pos_fraction: float, k: float = 0.5,
+                     bias: float = 0.0, score_thr: float = 0.05,
+                     iou_thr: float = 0.5) -> ScoreHLRResult:
+    """ScoreHLRSampler (samplers/score_hlr_sampler.py:102-215, the ISR-N
+    half of Prime Sample Attention) under static shapes.
+
+    Inputs are per-ROW (aligned with ``assigned_gt``): the max foreground
+    softmax score of each row under the current head
+    (``neg_max_score``), its argmax-class decoded box (``neg_boxes``) and
+    its background-CE loss (``neg_ori_loss``) — the caller computes them
+    with a stop-gradient head pass, replacing the reference's extra
+    no-grad ``_bbox_forward``. Rows that are not negatives are ignored.
+
+    Positives are uniform-random (reference ``_sample_pos``). Negatives:
+    valid = score > score_thr; NMS-match groups the valid ones; the
+    importance ``num_valid - within_group_rank + score`` ranks them
+    hierarchically; the top ``num_expected`` by importance are taken,
+    shortfall filled randomly from the invalid pool; per-slot label
+    weights follow the reference's linear map + (bias, k) power +
+    loss-sum renormalization."""
+    N = assigned_gt.shape[0]
+    num_pos_max = int(num * pos_fraction)
+    num_neg_max = num - num_pos_max
+
+    r1, r2 = jax.random.split(rng)
+    pos_keys = jnp.where(assigned_gt >= 0,
+                         jax.random.uniform(r1, (N,)), -1.0)
+    pos_vals, pos_idx = jax.lax.top_k(pos_keys, num_pos_max)
+
+    neg_mask = assigned_gt == -1
+    valid = neg_mask & (neg_max_score > score_thr)
+    num_valid = valid.sum()
+
+    from .postprocess import nms_match_groups
+    group = nms_match_groups(neg_boxes, jnp.where(valid, neg_max_score,
+                                                  -1.0), valid, iou_thr)
+    # within-group rank by score (keeper = rank 0)
+    same_g = (group[:, None] == group[None, :]) \
+        & valid[:, None] & valid[None, :]
+    g_rank = (same_g
+              & (neg_max_score[None, :] > neg_max_score[:, None])).sum(-1)
+    imp = jnp.where(valid,
+                    num_valid.astype(jnp.float32)
+                    - g_rank.astype(jnp.float32) + neg_max_score, -jnp.inf)
+    # global rank of each valid row by importance (descending)
+    imp_rank = ((valid[None, :] & (imp[None, :] > imp[:, None]))
+                .sum(-1)).astype(jnp.float32)
+
+    # selection: valid rows by importance first, then random invalid fill
+    imp_f = jnp.where(valid, imp, 0.0)         # strip the -inf fillers
+    norm = jnp.maximum(jnp.abs(imp_f).max(), 1.0)
+    sel_key = jnp.where(valid, 2.0 + imp_f / norm,
+                        jnp.where(neg_mask,
+                                  jax.random.uniform(r2, (N,)), -jnp.inf))
+    sel_vals, neg_idx = jax.lax.top_k(sel_key, num_neg_max)
+    neg_valid = jnp.isfinite(sel_vals)
+    is_hlr = sel_vals > 1.5
+
+    num_expected = jnp.minimum(neg_mask.sum(), num_neg_max)
+    up_bound = jnp.maximum(num_expected, num_valid).astype(jnp.float32)
+    w_sel = (up_bound - imp_rank[neg_idx]) / jnp.maximum(up_bound, 1.0)
+    w_min = jnp.where(is_hlr.any(),
+                      jnp.where(is_hlr, w_sel, jnp.inf).min(), 1.0)
+    w = jnp.where(is_hlr, w_sel, w_min)
+    w = (bias + (1.0 - bias) * w) ** k
+    # renormalize so the reweighted loss sum matches the original
+    sel_loss = neg_ori_loss[neg_idx] * neg_valid
+    ratio = sel_loss.sum() / jnp.maximum((sel_loss * w).sum(), 1e-12)
+    w = jnp.where(neg_valid, w * ratio, 0.0)
+    sample = SampleResult(pos_idx.astype(jnp.int32), pos_vals > 0,
+                          neg_idx.astype(jnp.int32), neg_valid)
+    return ScoreHLRResult(sample, w)

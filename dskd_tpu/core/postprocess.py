@@ -166,3 +166,37 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, labels: jnp.ndarray,
     src_idx = order[rank]  # original row of each output slot
     return (sboxes[rank], jnp.where(out_keep, sscores[rank], 0.0),
             slabels[rank], out_keep, src_idx)
+
+
+def nms_match_groups(boxes: jnp.ndarray, scores: jnp.ndarray,
+                     valid: jnp.ndarray, iou_thr: float = 0.5):
+    """mmcv ``nms_match`` as group labels (parity: the grouping NMS used
+    by ScoreHLRSampler, score_hlr_sampler.py:178 — every box joins the
+    group of the highest-scoring box that would have suppressed it).
+
+    Returns (N,) int32: for each valid box the ROW INDEX of its group
+    keeper (keepers point at themselves); invalid rows get -1. Static
+    shapes via a bounded ``lax.while_loop`` (one iteration per group,
+    at most N).
+    """
+    from .boxes import bbox_overlaps
+
+    N = boxes.shape[0]
+    ious = bbox_overlaps(boxes, boxes)
+
+    def cond(state):
+        group, _ = state
+        return ((group < 0) & valid).any()
+
+    def body(state):
+        group, _ = state
+        unassigned = (group < 0) & valid
+        keeper = jnp.argmax(jnp.where(unassigned, scores, -jnp.inf))
+        join = unassigned & (ious[keeper] >= iou_thr)
+        join = join | (jnp.arange(N) == keeper)
+        group = jnp.where(join & unassigned, keeper, group)
+        return group, 0
+
+    group0 = jnp.full((N,), -1, jnp.int32)
+    group, _ = jax.lax.while_loop(cond, body, (group0, 0))
+    return group

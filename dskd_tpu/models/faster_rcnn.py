@@ -458,6 +458,12 @@ class RCNNLossConfig(NamedTuple):
     add_gt_as_proposals: bool = True
     # PISA (roi_heads/pisa_roi_head.py): ISR-P cls reweighting + CARL
     pisa: bool = False
+    # PISA's ISR-N half (ScoreHLRSampler, samplers/score_hlr_sampler.py):
+    # importance-ranked negative sampling + per-negative CE weights,
+    # fed by a stop-gradient head pass over all candidate ROIs
+    isr_n: bool = False
+    hlr_k: float = 0.5
+    hlr_bias: float = 0.0
     # Dynamic R-CNN (roi_heads/dynamic_roi_head.py): assignment IoU and
     # SmoothL1 beta follow the batch statistics (the reference keeps a
     # 100-iter history; here the CURRENT batch's statistics apply
@@ -517,13 +523,57 @@ def rcnn_forward_train(bbox_head_apply, neck_feats, proposals,
         pos_thr, neg_thr = cfg.pos_iou_thr, cfg.neg_iou_thr
         min_thr = cfg.min_pos_iou
 
-    def per_image(r, rois, rv, gtb, gtl, gtv):
+    # RoIAlign over levels (P2-P5), per image; extract_fn overrides the
+    # default FPN-level-mapped extraction (GRoIE aggregates all levels)
+    feats_per_img = [tuple(f[b] for f in neck_feats[:4]) for b in range(B)]
+    _extract = extract_fn or (
+        lambda fpi, r, v: multi_level_roi_align(
+            fpi, r, v, strides=strides, out_size=out_size))
+
+    hlr_inputs = ()
+    if cfg.isr_n:
+        # ScoreHLR (ISR-N) scoring pass: the reference's no-grad
+        # `_bbox_forward` over candidate negatives
+        # (pisa_roi_head.py:48-64 + score_hlr_sampler.py:133-152) — here
+        # one stop-gradient head pass over EVERY candidate ROI
+        Sa = rois_all.shape[1]
+        feats_all = jnp.stack([
+            _extract(feats_per_img[b], rois_all[b], rois_valid[b])
+            for b in range(B)])
+        lg_all, rg_all = bbox_head_apply(
+            feats_all.reshape(B * Sa, out_size, out_size, -1))
+        lg_all = jax.lax.stop_gradient(lg_all)
+        rg_all = jax.lax.stop_gradient(rg_all)
+        probs_all = jax.nn.softmax(lg_all, -1)
+        h_score = probs_all[:, :C].max(-1)
+        h_cls = probs_all[:, :C].argmax(-1)
+        rg_sel = jnp.take_along_axis(
+            rg_all.reshape(B * Sa, C, 4),
+            h_cls[:, None, None].repeat(4, -1), axis=1)[:, 0]
+        h_box = delta2bbox(rois_all.reshape(-1, 4), rg_sel,
+                           means=RCNN_TARGET_MEANS,
+                           stds=RCNN_TARGET_STDS)
+        # background CE of each candidate (ori_loss in the reference)
+        h_loss = -jnp.log(jnp.maximum(probs_all[:, C], 1e-12))
+        hlr_inputs = (h_score.reshape(B, Sa), h_box.reshape(B, Sa, 4),
+                      h_loss.reshape(B, Sa))
+
+    num_pos_max = int(cfg.num_samples * cfg.pos_fraction)
+
+    def per_image(r, rois, rv, gtb, gtl, gtv, *hlr):
         assign = max_iou_assign(rois, gtb, gtl, gtv, C,
                                 pos_thr, neg_thr,
                                 min_thr, match_low_quality=False)
         # invalid rois can never be sampled
         a = jnp.where(rv, assign.assigned_gt, -2)
-        if cfg.iou_balanced_neg:
+        neg_w = jnp.ones((cfg.num_samples - num_pos_max,), jnp.float32)
+        if cfg.isr_n:
+            from ..core.max_iou_assigner import score_hlr_sample
+            res = score_hlr_sample(r, a, hlr[0], hlr[1], hlr[2],
+                                   cfg.num_samples, cfg.pos_fraction,
+                                   k=cfg.hlr_k, bias=cfg.hlr_bias)
+            sample, neg_w = res.sample, res.neg_label_weights
+        elif cfg.iou_balanced_neg:
             from ..core.max_iou_assigner import iou_balanced_sample
             sample = iou_balanced_sample(r, a, assign.max_ious,
                                          cfg.num_samples,
@@ -539,18 +589,16 @@ def rcnn_forward_train(bbox_head_apply, neck_feats, proposals,
         safe = jnp.clip(assigned, 0, G - 1)
         labels = jnp.where(is_pos, gtl[safe].astype(jnp.int32), C)
         tgt_box = gtb[safe]
-        return sampled_rois, valid, is_pos, labels, tgt_box, safe
+        w_slots = jnp.concatenate([jnp.ones((num_pos_max,), jnp.float32),
+                                   neg_w])
+        return sampled_rois, valid, is_pos, labels, tgt_box, safe, w_slots
 
     rngs = jax.random.split(rng, B)
-    rois, valid, is_pos, labels, tgt_boxes, gt_idx = jax.vmap(per_image)(
-        rngs, rois_all, rois_valid, gt_bboxes, gt_labels, gt_valid)
+    (rois, valid, is_pos, labels, tgt_boxes, gt_idx,
+     w_slots) = jax.vmap(per_image)(
+        rngs, rois_all, rois_valid, gt_bboxes, gt_labels, gt_valid,
+        *hlr_inputs)
 
-    # RoIAlign over levels (P2-P5), per image; extract_fn overrides the
-    # default FPN-level-mapped extraction (GRoIE aggregates all levels)
-    feats_per_img = [tuple(f[b] for f in neck_feats[:4]) for b in range(B)]
-    _extract = extract_fn or (
-        lambda fpi, r, v: multi_level_roi_align(
-            fpi, r, v, strides=strides, out_size=out_size))
     roi_feats = jnp.stack([
         _extract(feats_per_img[b], rois[b], valid[b])
         for b in range(B)])                         # (B, S, out, out, 256)
@@ -585,9 +633,12 @@ def rcnn_forward_train(bbox_head_apply, neck_feats, proposals,
         # the regression gather below indexes class logits only
         cls_logits = cls_classes
     else:
-        loss_cls = L.cross_entropy_loss(cls_logits, labels_flat,
-                                        weight=valid_flat,
-                                        avg_factor=num_total)
+        # w_slots carries the ScoreHLR per-negative weights (ones unless
+        # cfg.isr_n; pisa_roi_head.py:115-124 maps them into label_weights)
+        loss_cls = L.cross_entropy_loss(
+            cls_logits, labels_flat,
+            weight=valid_flat * w_slots.reshape(-1),
+            avg_factor=num_total)
 
     # class-specific deltas at the target class
     reg = reg.reshape(B * S, C, 4)
@@ -629,7 +680,8 @@ def rcnn_forward_train(bbox_head_apply, neck_feats, proposals,
             target_stds=RCNN_TARGET_STDS)
         imp = jax.lax.stop_gradient(imp)
         losses["loss_cls"] = L.cross_entropy_loss(
-            cls_logits, labels_flat, weight=valid_flat * imp,
+            cls_logits, labels_flat,
+            weight=valid_flat * w_slots.reshape(-1) * imp,
             avg_factor=num_total)
         losses["loss_carl"] = carl_loss(
             cls_logits, labels_flat, is_pos_flat > 0, reg_at,

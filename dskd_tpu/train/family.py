@@ -281,6 +281,7 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                                   balanced_l1=libra,
                                   iou_balanced_neg=libra,
                                   pisa=(arch == "pisa_faster_rcnn"),
+                                  isr_n=(arch == "pisa_faster_rcnn"),
                                   dynamic=(arch == "dynamic_rcnn"))
 
         def losses_fn(variables, batch, teacher_vars, rng):
