@@ -363,15 +363,16 @@ def make_datasets(cfg: ExperimentConfig, tid: int, task_nums: int):
         raise ValueError(f"unknown dataset_type: {dt!r}")
     train_load = [1 if i == tid - 1 else 0 for i in range(task_nums)]
     val_load = [1 if i <= tid - 1 else 0 for i in range(task_nums)]
+    custom = (tuple(cfg.data.classes) if cfg.data.classes else None)
     train_ds = TaskCocoDataset(
         cfg.data.train_ann, cfg.data.train_img_prefix,
         catsplit=cfg.data.catsplit, catload=train_load,
         catpred=cfg.data.catpred, imgpercent=cfg.data.imgpercent,
-        seg_prefix=cfg.data.seg_prefix)
+        seg_prefix=cfg.data.seg_prefix, classes=custom)
     val_ds = TaskCocoDataset(
         cfg.data.val_ann, cfg.data.val_img_prefix,
         catsplit=cfg.data.catsplit, catload=val_load,
-        catpred=cfg.data.catpred, test_mode=True)
+        catpred=cfg.data.catpred, test_mode=True, classes=custom)
     return train_ds, val_ds
 
 

@@ -78,6 +78,10 @@ class DataConfig:
     # types are single-task (catsplit=(N,)) — the reference trains them
     # plain, never incrementally.
     dataset_type: str = "coco"
+    # custom class list for COCO-format jsons with non-COCO categories
+    # (the mmdet CocoDataset-subclass pattern, e.g. deepfashion.py's 15
+    # clothing classes); None = the standard 80-class COCO table
+    classes: Optional[Tuple[str, ...]] = None
     train_ann: str = "data/coco/annotations/instances_train2017.json"
     val_ann: str = "data/coco/annotations/instances_val2017.json"
     train_img_prefix: str = "data/coco/train2017"

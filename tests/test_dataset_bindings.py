@@ -129,3 +129,38 @@ def test_make_datasets_lvis_dispatch(tmp_path):
     # mask path: segmentation payloads aligned with get_raw boxes
     segs = train_ds.get_segmentations(0)
     assert len(segs) == 1 and segs[0] is not None
+
+
+def test_custom_classes_binding_deepfashion(tmp_path):
+    """DataConfig.classes drives the CocoDataset-subclass pattern
+    (datasets/deepfashion.py: a CLASSES swap over the COCO loader)."""
+    from dskd_tpu.train.incremental import make_datasets
+    from dskd_tpu.utils.config import load_config
+
+    names = ["top", "skirt", "bag"]
+    ann = {
+        "images": [{"id": 1, "file_name": "a.jpg", "width": 32,
+                    "height": 32}],
+        "annotations": [
+            {"id": i + 1, "image_id": 1, "category_id": i + 1,
+             "bbox": [2, 2 + 6 * i, 10, 5], "area": 50, "iscrowd": 0}
+            for i in range(3)],
+        "categories": [{"id": i + 1, "name": n}
+                       for i, n in enumerate(names)],
+    }
+    p = tmp_path / "df.json"
+    p.write_text(json.dumps(ann))
+    import os
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                   "configs",
+                                   "mask_rcnn_r50_deepfashion.py"))
+    cfg.data.classes = tuple(names)
+    cfg.data.catsplit = (3,)
+    cfg.data.train_ann = cfg.data.val_ann = str(p)
+    cfg.data.train_img_prefix = cfg.data.val_img_prefix = str(tmp_path)
+    train_ds, val_ds = make_datasets(cfg, 1, 1)
+    # alpha order over the custom names (the IL convention)
+    assert train_ds.CLASSES == ("bag", "skirt", "top")
+    assert val_ds.CLASSES == ("bag", "skirt", "top")
+    _, _, boxes, labels, _ = train_ds.get_raw(0)
+    assert len(boxes) == 3 and sorted(labels.tolist()) == [0, 1, 2]
