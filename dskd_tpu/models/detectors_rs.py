@@ -30,11 +30,12 @@ from .resnet import FrozenBatchNorm
 class SAConv(nn.Module):
     features: int
     stride: int = 1
+    groups: int = 1        # ResNeXt variant (detectors_resnext.py)
 
     @nn.compact
     def __call__(self, x):
         w = self.param("kernel", nn.initializers.he_normal(),
-                       (3, 3, x.shape[-1], self.features))
+                       (3, 3, x.shape[-1] // self.groups, self.features))
         dw = self.param("weight_diff", nn.initializers.zeros, w.shape)
         pre = nn.Conv(x.shape[-1], (1, 1),
                       kernel_init=nn.initializers.zeros,
@@ -53,6 +54,7 @@ class SAConv(nn.Module):
             return jax.lax.conv_general_dilated(
                 inp, kern, window_strides=(self.stride, self.stride),
                 padding=[(d, d), (d, d)], rhs_dilation=(d, d),
+                feature_group_count=self.groups,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
         out = s * conv(x, w, 1) + (1 - s) * conv(x, w + dw, 3)
@@ -70,18 +72,26 @@ class SACBottleneck(nn.Module):
     downsample: bool = False
     use_sac: bool = True
     rfp: bool = False      # first block of an RFP-fed stage
+    # ResNeXt grouping (detectors_resnext.py:28-32: width scales by
+    # base_width/64 * groups); groups=1 == plain DetectoRS ResNet
+    groups: int = 1
+    base_width: int = 4
 
     @nn.compact
     def __call__(self, x, rfp_feat=None):
         idn = x
-        y = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        width = (self.planes if self.groups == 1
+                 else (self.planes * self.base_width // 64) * self.groups)
+        y = nn.Conv(width, (1, 1), use_bias=False, name="conv1")(x)
         y = nn.relu(FrozenBatchNorm(name="bn1")(y))
         if self.use_sac:
-            y = SAConv(self.planes, stride=self.stride, name="conv2")(y)
+            y = SAConv(width, stride=self.stride, groups=self.groups,
+                       name="conv2")(y)
         else:
-            y = nn.Conv(self.planes, (3, 3),
+            y = nn.Conv(width, (3, 3),
                         strides=(self.stride, self.stride),
                         padding=[(1, 1), (1, 1)], use_bias=False,
+                        feature_group_count=self.groups,
                         name="conv2")(y)
         y = nn.relu(FrozenBatchNorm(name="bn2")(y))
         y = nn.Conv(4 * self.planes, (1, 1), use_bias=False,
@@ -102,10 +112,14 @@ class SACBottleneck(nn.Module):
 
 
 class DetectoRSResNet(nn.Module):
-    """ResNet-50 with SAC on stages 2-4 and RFP residual hooks."""
+    """ResNet-50 with SAC on stages 2-4 and RFP residual hooks.
+    ``groups``/``base_width`` give the ResNeXt variant
+    (detectors_resnext.py, e.g. groups=32 base_width=4)."""
     depth: int = 50
     frozen_stages: int = 1
     sac_stages: Sequence[bool] = (False, True, True, True)
+    groups: int = 1
+    base_width: int = 4
 
     @nn.compact
     def __call__(self, x, rfp_feats=None):
@@ -129,7 +143,8 @@ class DetectoRSResNet(nn.Module):
                 y = SACBottleneck(
                     planes, stride=2 if (b == 0 and s > 0) else 1,
                     downsample=(b == 0), use_sac=self.sac_stages[s],
-                    rfp=(b == 0 and s > 0),
+                    rfp=(b == 0 and s > 0), groups=self.groups,
+                    base_width=self.base_width,
                     name=f"layer{s + 1}_block{b}")(y, feat)
             if s + 1 <= self.frozen_stages:
                 y = jax.lax.stop_gradient(y)

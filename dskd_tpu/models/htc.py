@@ -120,8 +120,12 @@ class HTC(CascadeRCNN):
             num_classes=self.semantic_classes, name="semantic_head")
 
     def __call__(self, images, img_hw, deterministic: bool = True):
-        feats = self.backbone(images)
-        neck = self.neck(feats)
+        # rfp/sac ride the inherited CascadeRCNN fields (configs/detectors
+        # detectors_htc_r50_1x = HTC + RFP + SAC, box AP 49.1)
+        if self.rfp:
+            neck = self.rfp_pyramid(images)
+        else:
+            neck = self.neck(self.backbone(images))
         sem_pred, sem_feat = self.semantic_head(neck)
         return HTCOutputs(self.rpn_head(neck), neck, sem_pred, sem_feat)
 

@@ -164,7 +164,8 @@ def build_model(cfg: ExperimentConfig):
     if m.arch == "htc":
         from ..models.htc import HTC
         return HTC(num_classes=m.num_classes, depth=m.depth,
-                   frozen_stages=m.frozen_stages)
+                   frozen_stages=m.frozen_stages,
+                   rfp=m.rfp, sac=m.sac)
     if m.arch == "point_rend":
         from ..models.point_rend import PointRendRCNN
         return PointRendRCNN(num_classes=m.num_classes, depth=m.depth,

@@ -107,3 +107,16 @@ def test_detectors_cascade_eval_step_runs():
                     jnp.ones((2, 4), jnp.float32))
     assert det.bboxes.shape == (2, 10, 4)
     assert np.isfinite(np.asarray(det.scores)).all()
+
+
+def test_detectors_resnext_grouping():
+    """groups=32 base_width=4: conv2 kernels are grouped and widths scale
+    per detectors_resnext.py (width = planes*4/64*32 = 2*planes)."""
+    m = DetectoRSResNet(depth=18, groups=32, base_width=4)
+    x = jnp.zeros((1, 32, 32, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    k = v["params"]["layer2_block0"]["conv2"]["kernel"]
+    # stage 2 planes=128 -> width 256; grouped in_channels 256/32=8
+    assert k.shape == (3, 3, 8, 256), k.shape
+    outs = m.apply(v, x)
+    assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
