@@ -95,3 +95,85 @@ def test_images2coco(tmp_path):
     assert data["images"][0]["height"] == 10
     assert data["images"][1]["width"] == 40
     assert len(data["categories"]) == 2
+
+
+def test_cityscapes_converter(tmp_path):
+    """Synthetic gtFine instanceIds map -> COCO json: id semantics
+    (label*1000+i vs crowd <1000, ignoreInEval dropped), boxes, areas."""
+    import cv2
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "cs_conv", os.path.join(os.path.dirname(__file__), "..", "tools",
+                                "dataset_converters", "cityscapes.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    img_dir = tmp_path / "leftImg8bit" / "val" / "city"
+    gt_dir = tmp_path / "gtFine" / "val" / "city"
+    img_dir.mkdir(parents=True)
+    gt_dir.mkdir(parents=True)
+    inst = np.zeros((40, 60), np.uint16)
+    inst[5:15, 5:25] = 26000          # car instance 0
+    inst[20:30, 30:50] = 24001        # person instance 1
+    inst[32:38, 2:12] = 26            # car crowd region (< 1000)
+    inst[2:4, 50:58] = 29000          # caravan: ignoreInEval, dropped
+    cv2.imwrite(str(img_dir / "a_leftImg8bit.png"),
+                np.zeros((40, 60, 3), np.uint8))
+    cv2.imwrite(str(gt_dir / "a_gtFine_instanceIds.png"), inst)
+
+    out = mod.convert_split(str(tmp_path), "val")
+    assert len(out["images"]) == 1
+    anns = out["annotations"]
+    assert len(anns) == 3
+    by_cat = {}
+    for a in anns:
+        by_cat.setdefault(a["category_id"], []).append(a)
+    car_instances = [a for a in by_cat[26] if not a["iscrowd"]]
+    assert len(car_instances) == 1
+    assert car_instances[0]["bbox"] == [5, 5, 20, 10]
+    assert car_instances[0]["area"] == 200
+    assert car_instances[0]["segmentation"]
+    crowd = [a for a in by_cat[26] if a["iscrowd"]]
+    assert len(crowd) == 1
+    assert by_cat[24][0]["bbox"] == [30, 20, 20, 10]
+    assert 29 not in by_cat and not any(
+        a["category_id"] == 29 for a in anns)
+    # the converted json loads straight into the dataset binding
+    import json as _json
+    p = tmp_path / "cs.json"
+    p.write_text(_json.dumps(out))
+    from dskd_tpu.data.cityscapes import CityscapesDataset
+    ds = CityscapesDataset(str(p), str(img_dir))
+    assert len(ds) == 1
+    _, _, boxes, labels, _ = ds.get_raw(0)
+    assert len(boxes) >= 2
+
+
+def test_publish_model_strips_and_hashes(tmp_path):
+    import importlib.util
+    import os
+
+    import orbax.checkpoint as ocp
+
+    spec = importlib.util.spec_from_file_location(
+        "pub", os.path.join(os.path.dirname(__file__), "..", "tools",
+                            "model_converters", "publish_model.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    payload = {"params": {"w": np.ones((3,), np.float32)},
+               "batch_stats": {},
+               "opt_state": {"m": np.zeros((3,), np.float32)},
+               "step": 5}
+    ckpt = tmp_path / "task_1_epoch_1"
+    ocp.PyTreeCheckpointer().save(str(ckpt), payload)
+    final = mod.publish(str(ckpt), str(tmp_path / "model.msgpack"))
+    assert os.path.exists(final)
+    import re
+    assert re.search(r"model-[0-9a-f]{8}\.msgpack$", final)
+    from flax.serialization import msgpack_restore
+    blob = open(final, "rb").read()
+    restored = msgpack_restore(blob)
+    assert "params" in restored and "opt_state" not in restored

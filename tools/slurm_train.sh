@@ -1,0 +1,18 @@
+#!/usr/bin/env bash
+# Slurm launcher (parity: reference tools/slurm_train.sh): srun one task
+# per pod host; each task runs the same training program and
+# jax.distributed discovers peers from the TPU runtime.
+#
+# Usage: tools/slurm_train.sh PARTITION JOB_NAME CONFIG [NODES] [extra...]
+set -euo pipefail
+
+PARTITION=$1
+JOB_NAME=$2
+CONFIG=$3
+NODES=${4:-1}
+shift $(( $# > 3 ? 4 : 3 ))
+
+srun -p "$PARTITION" --job-name="$JOB_NAME" --nodes="$NODES" \
+     --ntasks="$NODES" --ntasks-per-node=1 --kill-on-bad-exit=1 \
+     python "$(dirname "$0")/train_increment.py" "$CONFIG" \
+     --launcher dist "$@"
