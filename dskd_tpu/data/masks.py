@@ -149,7 +149,8 @@ def paste_masks_np(masks: np.ndarray, boxes: np.ndarray, out_hw,
 
 
 def batch_gt_masks(segmentations, orig_hw, scale, canvas_hw, max_gt: int,
-                   mask_stride: int = 4, flip: bool = False) -> np.ndarray:
+                   mask_stride: int = 4, flip: bool = False,
+                   crop_offset=(0, 0), valid_hw=None) -> np.ndarray:
     """Rasterize one image's GT segmentations into the padded batch
     layout models/mask_rcnn.py trains on: (max_gt, H/stride, W/stride)
     float32, resized by the same ``scale`` the image pipeline applied and
@@ -160,26 +161,35 @@ def batch_gt_masks(segmentations, orig_hw, scale, canvas_hw, max_gt: int,
 
     Uses nearest-neighbor subsampling at mask_stride (mmdet rescales the
     full bitmap; at stride 4 vs a 28x28 target the difference is
-    sub-pixel)."""
+    sub-pixel).
+
+    ``crop_offset`` = (top, left) of a RandomCrop applied AFTER the
+    resize (the LSJ recipe): the canvas grid shifts by it before the
+    inverse scale. ``valid_hw`` bounds the live region on the canvas
+    (defaults to the resized full image; pass the post-crop img_hw when
+    cropping)."""
     Hc, Wc = canvas_hw
     hs, ws = Hc // mask_stride, Wc // mask_stride
     out = np.zeros((max_gt, hs, ws), np.float32)
     oh, ow = orig_hw
     sy, sx = (scale if isinstance(scale, (tuple, list, np.ndarray))
               else (scale, scale))
+    top, left = crop_offset
+    vh, vw = (valid_hw if valid_hw is not None else (oh * sy, ow * sx))
     for i, seg in enumerate(segmentations[:max_gt]):
         if seg is None:
             continue
         bm = ann_to_bitmap(seg, oh, ow)
         if flip:
             bm = bm[:, ::-1]
-        # sample the original bitmap at the canvas grid (inverse scale)
-        ys = np.clip((np.arange(hs) * mask_stride + mask_stride / 2)
-                     / sy, 0, oh - 1).astype(np.int64)
-        xs = np.clip((np.arange(ws) * mask_stride + mask_stride / 2)
-                     / sx, 0, ow - 1).astype(np.int64)
-        valid_y = (np.arange(hs) * mask_stride) < oh * sy
-        valid_x = (np.arange(ws) * mask_stride) < ow * sx
+        # sample the original bitmap at the canvas grid (inverse scale,
+        # shifted by the post-resize crop origin)
+        ys = np.clip((np.arange(hs) * mask_stride + mask_stride / 2
+                      + top) / sy, 0, oh - 1).astype(np.int64)
+        xs = np.clip((np.arange(ws) * mask_stride + mask_stride / 2
+                      + left) / sx, 0, ow - 1).astype(np.int64)
+        valid_y = (np.arange(hs) * mask_stride) < vh
+        valid_x = (np.arange(ws) * mask_stride) < vw
         out[i] = (bm[ys][:, xs] & valid_y[:, None]
                   & valid_x[None, :]).astype(np.float32)
     return out

@@ -55,7 +55,8 @@ class PipelineConfig:
     min_crop_size: float = 0.3
     # large-scale jitter (configs/strong_baselines: Resize
     # ratio_range=(0.1, 2.0) 'range' mode + RandomCrop to a fixed
-    # canvas); box-only
+    # canvas); masks/semantic follow the crop via batch_gt_masks'
+    # crop_offset
     resize_ratio_range: Optional[Tuple[float, float]] = None
     random_crop: Optional[Tuple[int, int]] = None   # (h, w) crop_size
     # robustness benchmarking (the reference's Corrupt transform):
@@ -199,22 +200,29 @@ def min_iou_random_crop(img, boxes, labels, rng,
     return img, boxes, labels
 
 
-def random_crop(img, boxes, labels, rng, crop_size):
+def random_crop(img, boxes, labels, rng, crop_size, return_meta=False):
     """RandomCrop with allow_negative_crop=True (pipelines/transforms.py;
     the LSJ companion crop): uniform offset, boxes shifted + clipped,
-    boxes that collapse to zero extent dropped."""
+    boxes that collapse to zero extent dropped.
+
+    ``return_meta`` additionally returns (keep_idx, (top, left)) so mask
+    and semantic payloads can follow the same crop."""
     h, w = img.shape[:2]
     ch = min(crop_size[0], h)
     cw = min(crop_size[1], w)
     top = rng.randint(0, h - ch + 1)
     left = rng.randint(0, w - cw + 1)
     img = img[top:top + ch, left:left + cw]
+    keep_idx = np.arange(len(boxes))
     if len(boxes):
         nb = boxes - np.array([left, top, left, top], boxes.dtype)
         nb[:, 0::2] = nb[:, 0::2].clip(0, cw)
         nb[:, 1::2] = nb[:, 1::2].clip(0, ch)
         keep = (nb[:, 2] > nb[:, 0]) & (nb[:, 3] > nb[:, 1])
         boxes, labels = nb[keep], labels[keep]
+        keep_idx = np.flatnonzero(keep)
+    if return_meta:
+        return img, boxes, labels, keep_idx, (top, left)
     return img, boxes, labels
 
 
@@ -281,13 +289,15 @@ def preprocess(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
         boxes = boxes * scale_factor
         boxes[:, 0::2] = boxes[:, 0::2].clip(0, new_w)
         boxes[:, 1::2] = boxes[:, 1::2].clip(0, new_h)
+    crop_top = crop_left = 0
     if train and rng is not None and cfg.random_crop:
-        assert not (cfg.with_mask or cfg.with_semantic), \
-            "random_crop is box-only"
-        img, boxes, labels = random_crop(
+        img, boxes, labels, keep_idx, (crop_top, crop_left) = random_crop(
             img, np.asarray(boxes, np.float32), np.asarray(labels),
-            rng, cfg.random_crop)
+            rng, cfg.random_crop, return_meta=True)
         new_h, new_w = img.shape[:2]
+        if segmentations is not None:
+            segmentations = [segmentations[i] for i in keep_idx
+                             if i < len(segmentations)]
 
     img = (img.astype(np.float32) - cfg.mean) / cfg.std
 
@@ -313,19 +323,20 @@ def preprocess(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
         out["gt_masks"] = batch_gt_masks(
             segmentations if segmentations is not None else [],
             (h0, w0), (h_scale, w_scale), (H, W), cfg.max_gt,
-            mask_stride=cfg.mask_stride, flip=flip)
+            mask_stride=cfg.mask_stride, flip=flip,
+            crop_offset=(crop_top, crop_left), valid_hw=(new_h, new_w))
     if cfg.with_semantic:
         st = cfg.mask_stride
         hs, ws = H // st, W // st
         sem = np.full((hs, ws), 255, np.int32)
         if semantic is not None:
             s0 = semantic[:, ::-1] if flip else semantic
-            ys = np.clip((np.arange(hs) * st + st / 2) / h_scale,
-                         0, h0 - 1).astype(np.int64)
-            xs = np.clip((np.arange(ws) * st + st / 2) / w_scale,
-                         0, w0 - 1).astype(np.int64)
-            vy = (np.arange(hs) * st) < h0 * h_scale
-            vx = (np.arange(ws) * st) < w0 * w_scale
+            ys = np.clip((np.arange(hs) * st + st / 2 + crop_top)
+                         / h_scale, 0, h0 - 1).astype(np.int64)
+            xs = np.clip((np.arange(ws) * st + st / 2 + crop_left)
+                         / w_scale, 0, w0 - 1).astype(np.int64)
+            vy = (np.arange(hs) * st) < new_h
+            vx = (np.arange(ws) * st) < new_w
             grid = s0[ys][:, xs].astype(np.int32)
             sem = np.where(vy[:, None] & vx[None, :], grid, 255)
         out["gt_semantic"] = sem

@@ -132,7 +132,7 @@ class DataConfig:
     expand: bool = False
     min_iou_crop: bool = False
     # large-scale jitter (configs/strong_baselines): Resize ratio_range
-    # 'range' mode + RandomCrop to a fixed canvas; box-only
+    # 'range' mode + RandomCrop to a fixed canvas (masks follow the crop)
     resize_ratio_range: Optional[Tuple[float, float]] = None
     random_crop: Optional[Tuple[int, int]] = None
 

@@ -114,3 +114,58 @@ def test_preprocess_lsj_recipe_static_shapes():
         assert h <= 64 and w <= 64
         sizes.add((int(h), int(w)))
     assert len(sizes) > 1, "ratio_range produced no scale variety"
+
+
+def test_lsj_masks_follow_crop():
+    """with_mask + random_crop: the rasterized mask must track its box
+    through the resize+crop (a box-filled square polygon stays aligned
+    with gt_bboxes on the canvas)."""
+    cfg = PipelineConfig(img_scale=(64, 64), bucket=(64, 64), max_gt=4,
+                         resize_ratio_range=(1.0, 2.0),
+                         random_crop=(64, 64), with_mask=True,
+                         mask_stride=4, flip_ratio=0.0)
+    img = np.zeros((64, 64, 3), np.float32)
+    # one big square instance [8, 8, 56, 56]
+    seg = [[8.0, 8.0, 56.0, 8.0, 56.0, 56.0, 8.0, 56.0]]
+    boxes = np.array([[8.0, 8.0, 56.0, 56.0]], np.float32)
+    labels = np.array([1], np.int32)
+    hits = 0
+    for seed in range(8):
+        out = preprocess(img, boxes, labels, cfg,
+                         np.random.RandomState(seed), train=True,
+                         segmentations=[seg])
+        if not out["gt_valid"][0]:
+            continue          # crop legitimately dropped the box
+        hits += 1
+        m = out["gt_masks"][0]                      # (16, 16)
+        b = out["gt_bboxes"][0] / 4.0               # stride-4 coords
+        ys, xs = np.nonzero(m > 0.5)
+        assert len(ys), "mask empty while box survived"
+        # mask extent within ~1 cell of the box extent
+        assert abs(xs.min() - b[0]) <= 1.5 and abs(ys.min() - b[1]) <= 1.5
+        assert abs(xs.max() + 1 - b[2]) <= 1.5
+        assert abs(ys.max() + 1 - b[3]) <= 1.5
+    assert hits >= 3
+
+
+def test_lsj_semantic_follows_crop():
+    cfg = PipelineConfig(img_scale=(64, 64), bucket=(64, 64), max_gt=4,
+                         resize_ratio_range=(1.0, 1.0),
+                         random_crop=(32, 32), with_semantic=True,
+                         mask_stride=4, flip_ratio=0.0)
+    img = np.zeros((64, 64, 3), np.float32)
+    semantic = np.zeros((64, 64), np.int32)
+    semantic[:, 32:] = 7              # right half is class 7
+    boxes = np.array([[0.0, 0.0, 60.0, 60.0]], np.float32)
+    labels = np.array([0], np.int32)
+    seen = set()
+    for seed in range(10):
+        out = preprocess(img, boxes, labels, cfg,
+                         np.random.RandomState(seed), train=True,
+                         semantic=semantic)
+        sem = out["gt_semantic"]
+        live = sem[sem != 255]
+        assert set(np.unique(live)).issubset({0, 7})
+        seen |= set(np.unique(live).tolist())
+    # across crops both halves must appear (offsets vary)
+    assert seen == {0, 7}
