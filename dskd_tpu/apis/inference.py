@@ -111,3 +111,18 @@ def show_result(img: Union[str, np.ndarray], result: List[np.ndarray],
     if out_file:
         cv2.imwrite(out_file, cv2.cvtColor(draw, cv2.COLOR_RGB2BGR))
     return draw
+
+
+async def async_inference_detector(model, variables,
+                                   cfg: ExperimentConfig, imgs,
+                                   score_thr: float = 0.0):
+    """Async variant (parity: apis/inference.py:158
+    async_inference_detector — the reference releases the GIL into a
+    CUDA-stream concurrency scaffold). JAX dispatch is already
+    asynchronous; what blocks is the host fetch of the results, so the
+    whole call runs in a worker thread and the event loop stays free to
+    preprocess / serve other requests meanwhile."""
+    import asyncio
+
+    return await asyncio.to_thread(inference_detector, model, variables,
+                                   cfg, imgs, score_thr)
