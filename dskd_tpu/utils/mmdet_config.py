@@ -1,0 +1,330 @@
+"""mmdet/mmcv config importer: load the reference's python config files
+(with ``_base_`` inheritance) and map them onto ExperimentConfig.
+
+Parity surface: mmcv Config.fromfile semantics (python variant) —
+module-level variables form the dict, ``_base_`` (str or list) pulls in
+parent files relative to the child, children deep-merge over parents,
+and a ``_delete_=True`` key replaces the parent subtree instead of
+merging (mmcv config.py _merge_a_into_b contract). The mapper then
+translates the familiar mmdet keys (model.type, backbone.depth,
+optimizer.lr, lr_config.step, data.train.pipeline, ...) onto the typed
+ExperimentConfig, reporting every key it consciously ignored so a
+migrating user sees exactly what transferred.
+
+Like the reference's own loader, ``load_mmdet_config`` EXECUTES the
+config file as python — only point it at files you trust.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, List, Tuple
+
+from .config import ExperimentConfig
+
+DELETE_KEY = "_delete_"
+BASE_KEY = "_base_"
+
+# model.type -> (arch, extra ModelConfig overrides)
+ARCH_MAP = {
+    "FasterRCNN": "faster_rcnn",
+    "MaskRCNN": "mask_rcnn",
+    "MaskScoringRCNN": "ms_rcnn",
+    "CascadeRCNN": "cascade_rcnn",
+    "HybridTaskCascade": "htc",
+    "SCNet": "scnet",
+    "PointRend": "point_rend",
+    "QueryInst": "queryinst",
+    "SparseRCNN": "sparse_rcnn",
+    "GridRCNN": "grid_rcnn",
+    "TridentFasterRCNN": "tridentnet",
+    "FastRCNN": "fast_rcnn",
+    "RetinaNet": "retinanet",
+    "FCOS": "fcos",
+    "NASFCOS": "nasfcos",
+    "ATSS": "atss",
+    "GFL": "gfl",
+    "PAA": "paa",
+    "VFNet": "vfnet",
+    "TOOD": "tood",
+    "FOVEA": "foveabox",
+    "FSAF": "fsaf",
+    "AutoAssign": "autoassign",
+    "RepPointsDetector": "reppoints",
+    "FreeAnchorRetinaNet": "free_anchor",
+    "CornerNet": "cornernet",
+    "CentripetalNet": "centripetalnet",
+    "CenterNet": "centernet",
+    "YOLOV3": "yolov3",
+    "YOLOF": "yolof",
+    "YOLOX": "yolox",
+    "YOLOY": "yoloy",
+    "DETR": "detr",
+    "DeformableDETR": "deformable_detr",
+    "SOLO": "solo",
+    "YOLACT": "yolact",
+    "PanopticFPN": "panoptic_fpn",
+    "MaskFormer": "maskformer",
+    "Mask2Former": "mask2former",
+    "KnowledgeDistillationSingleStageDetector": "ld",
+    "LAD": "lad",
+    "RPN": "rpn",
+    # the DSKD fork's IL detectors
+    "GFLDeformableDETR": "gfl_deformable_detr",
+    "DeformableDETR_il": "gfl_deformable_detr",
+    "DETR_il": "detr",
+}
+
+DATASET_MAP = {
+    "CocoDataset": "coco",
+    "CocoSplitDataset": "coco",
+    "VOCDataset": "voc",
+    "WIDERFaceDataset": "wider_face",
+    "CityscapesDataset": "cityscapes",
+    "LVISDataset": "lvis",
+    "LVISV1Dataset": "lvis",
+    "OpenImagesDataset": "openimages",
+    "DeepFashionDataset": "coco",
+}
+
+
+def _merge(child: Dict, parent: Dict) -> Dict:
+    """mmcv _merge_a_into_b: child wins; dicts merge recursively unless
+    the child carries _delete_=True."""
+    out = dict(parent)
+    for k, v in child.items():
+        if (isinstance(v, dict) and isinstance(out.get(k), dict)
+                and not v.get(DELETE_KEY, False)):
+            out[k] = _merge(v, out[k])
+        else:
+            if isinstance(v, dict):
+                v = {kk: vv for kk, vv in v.items() if kk != DELETE_KEY}
+            out[k] = v
+    return out
+
+
+def load_mmdet_config(path: str) -> Dict[str, Any]:
+    path = os.path.abspath(path)
+    ns: Dict[str, Any] = {}
+    with open(path) as f:
+        code = f.read()
+    exec(compile(code, path, "exec"), ns)
+    cfg = {k: v for k, v in ns.items()
+           if not k.startswith("__") and not callable(v)
+           and not isinstance(v, type(os))}
+    bases = cfg.pop(BASE_KEY, [])
+    if isinstance(bases, str):
+        bases = [bases]
+    merged: Dict[str, Any] = {}
+    for b in bases:
+        base_cfg = load_mmdet_config(os.path.join(os.path.dirname(path), b))
+        merged = _merge(base_cfg, merged)
+    return _merge(cfg, merged)
+
+
+def _round32(x: int) -> int:
+    return -(-int(x) // 32) * 32
+
+
+def _pipeline_flags(pipeline: List[Dict], data_kw: Dict,
+                    ignored: List[str]):
+    for t in pipeline or []:
+        tt = t.get("type")
+        if tt == "Resize":
+            sc = t.get("img_scale")
+            if isinstance(sc, (list, tuple)) and sc and \
+                    isinstance(sc[0], (list, tuple)):
+                data_kw["multi_scales"] = tuple(tuple(s) for s in sc)
+                sc = max(sc, key=lambda s: s[0] * s[1])
+            if sc:
+                data_kw["img_scale"] = tuple(sc)
+                long_, short = max(sc), min(sc)
+                data_kw["bucket"] = (_round32(short), _round32(long_))
+            if t.get("ratio_range"):
+                data_kw["resize_ratio_range"] = tuple(t["ratio_range"])
+        elif tt == "RandomFlip":
+            data_kw["flip_ratio"] = t.get("flip_ratio", 0.5) or 0.0
+        elif tt == "PhotoMetricDistortion":
+            data_kw["photo_metric_distortion"] = True
+        elif tt == "Expand":
+            data_kw["expand"] = True
+        elif tt == "MinIoURandomCrop":
+            data_kw["min_iou_crop"] = True
+        elif tt == "RandomCrop":
+            cs = t.get("crop_size")
+            if cs:
+                data_kw["random_crop"] = (int(cs[0]), int(cs[1]))
+        elif tt == "Mosaic":
+            data_kw["mosaic"] = True
+        elif tt == "MixUp":
+            data_kw["mixup"] = True
+        elif tt == "AutoAugment":
+            data_kw["auto_augment"] = True
+        elif tt in ("LoadImageFromFile", "LoadAnnotations", "Normalize",
+                    "Pad", "DefaultFormatBundle", "Collect",
+                    "MultiScaleFlipAug", "ImageToTensor",
+                    "FilterAnnotations"):
+            pass                                   # structural / implicit
+        else:
+            ignored.append(f"pipeline.{tt}")
+
+
+def _find_num_classes(model: Dict):
+    for head_key in ("bbox_head", "mask_head", "panoptic_head"):
+        h = model.get(head_key)
+        if isinstance(h, dict) and "num_classes" in h:
+            return h["num_classes"]
+        if isinstance(h, list):
+            for hh in h:
+                if "num_classes" in hh:
+                    return hh["num_classes"]
+    roi = model.get("roi_head", {})
+    if isinstance(roi, dict):
+        bh = roi.get("bbox_head")
+        if isinstance(bh, dict) and "num_classes" in bh:
+            return bh["num_classes"]
+        if isinstance(bh, list):
+            for hh in bh:
+                if "num_classes" in hh:
+                    return hh["num_classes"]
+    return None
+
+
+def mmdet_to_experiment(cfg: Dict[str, Any]) \
+        -> Tuple[ExperimentConfig, List[str]]:
+    """Best-effort translation; returns (ExperimentConfig, ignored_keys).
+
+    ``ignored_keys`` lists mmdet options the rebuild either implies
+    structurally (DataContainer formatting, norm configs already baked
+    into each family) or does not carry — the migrating user's checklist.
+    """
+    ignored: List[str] = []
+    exp = ExperimentConfig()
+
+    model = cfg.get("model", {})
+    mtype = model.get("type")
+    model_kw: Dict[str, Any] = {}
+    if mtype in ARCH_MAP:
+        model_kw["arch"] = ARCH_MAP[mtype]
+    elif mtype == "SingleStageDetector":
+        # ssd-style configs name the generic detector; key off the head
+        head = (model.get("bbox_head") or {}).get("type", "")
+        model_kw["arch"] = {"SSDHead": "ssd", "PISASSDHead": "pisa_ssd",
+                            "YOLOV3Head": "yolov3"}.get(head, "")
+        if not model_kw["arch"]:
+            ignored.append(f"model.type={mtype}/{head}")
+            model_kw.pop("arch")
+    elif mtype is not None:
+        ignored.append(f"model.type={mtype} (no family mapping)")
+
+    bb = model.get("backbone", {})
+    if "depth" in bb:
+        model_kw["depth"] = int(bb["depth"])
+    if "frozen_stages" in bb:
+        model_kw["frozen_stages"] = int(bb["frozen_stages"])
+    bb_type = bb.get("type")
+    bb_spec = {"ResNeXt": "resnext", "Res2Net": "res2net",
+               "ResNeSt": "resnest", "SwinTransformer": "swin_tiny",
+               "PyramidVisionTransformer": "pvt_tiny",
+               "RegNet": "regnetx_3.2gf", "EfficientNet": "effb3",
+               "HRNet": "hrnet_w18"}.get(bb_type)
+    if bb_spec:
+        model_kw["backbone"] = bb_spec
+    if bb.get("dcn") and bb.get("stage_with_dcn"):
+        model_kw["dcn_stages"] = tuple(bool(x)
+                                       for x in bb["stage_with_dcn"])
+    for plugin in bb.get("plugins") or []:
+        ptype = (plugin.get("cfg") or {}).get("type")
+        stages = tuple(bool(x) for x in plugin.get("stages",
+                                                   (False,) * 4))
+        if ptype == "ContextBlock":
+            model_kw["gcb_stages"] = stages
+            if "ratio" in plugin["cfg"]:
+                model_kw["gcb_ratio"] = plugin["cfg"]["ratio"]
+        elif ptype == "GeneralizedAttention":
+            model_kw["gen_attn_stages"] = stages
+            model_kw["gen_attn_type"] = plugin["cfg"].get(
+                "attention_type", "1111")
+        else:
+            ignored.append(f"backbone.plugins.{ptype}")
+    if model.get("roi_head", {}).get("bbox_roi_extractor", {}) \
+            .get("type") == "GenericRoIExtractor":
+        model_kw["groie"] = True
+    nc = _find_num_classes(model)
+    if nc is not None:
+        model_kw["num_classes"] = int(nc)
+    tr = model.get("transformer") or (model.get("bbox_head") or {}) \
+        .get("transformer") or {}
+    if tr.get("as_two_stage"):
+        model_kw["as_two_stage"] = True
+    if (model.get("bbox_head") or {}).get("with_box_refine") \
+            or model.get("with_box_refine"):
+        model_kw["with_box_refine"] = True
+    exp.model = dataclasses.replace(exp.model, **model_kw)
+
+    data = cfg.get("data", {})
+    data_kw: Dict[str, Any] = {}
+    if "samples_per_gpu" in data:
+        data_kw["samples_per_device"] = int(data["samples_per_gpu"])
+    if "workers_per_gpu" in data:
+        data_kw["num_workers"] = int(data["workers_per_gpu"])
+    train_d = data.get("train", {})
+    # unwrap RepeatDataset / ClassBalancedDataset / MultiImageMixDataset
+    while isinstance(train_d, dict) and "dataset" in train_d:
+        train_d = train_d["dataset"]
+    val_d = data.get("val", {})
+    dtype = train_d.get("type") or cfg.get("dataset_type")
+    if dtype in DATASET_MAP:
+        data_kw["dataset_type"] = DATASET_MAP[dtype]
+    elif dtype:
+        ignored.append(f"dataset_type={dtype}")
+    if train_d.get("ann_file"):
+        af = train_d["ann_file"]
+        data_kw["train_ann"] = af if isinstance(af, str) else af[0]
+    if train_d.get("img_prefix"):
+        data_kw["train_img_prefix"] = train_d["img_prefix"]
+    if val_d.get("ann_file"):
+        data_kw["val_ann"] = val_d["ann_file"]
+    if val_d.get("img_prefix"):
+        data_kw["val_img_prefix"] = val_d["img_prefix"]
+    if train_d.get("classes"):
+        data_kw["classes"] = tuple(train_d["classes"])
+    _pipeline_flags(train_d.get("pipeline") or cfg.get("train_pipeline"),
+                    data_kw, ignored)
+    if "num_classes" in model_kw:
+        data_kw["catsplit"] = (model_kw["num_classes"],)
+    exp.data = dataclasses.replace(exp.data, **data_kw)
+
+    train_kw: Dict[str, Any] = {}
+    opt = cfg.get("optimizer", {})
+    if "lr" in opt:
+        train_kw["base_lr"] = float(opt["lr"])
+    if "weight_decay" in opt:
+        train_kw["weight_decay"] = float(opt["weight_decay"])
+    if opt.get("type") not in (None, "SGD", "AdamW", "Adam"):
+        ignored.append(f"optimizer.type={opt.get('type')}")
+    oc = cfg.get("optimizer_config", {}) or {}
+    gc = oc.get("grad_clip")
+    if gc and "max_norm" in gc:
+        train_kw["grad_clip"] = float(gc["max_norm"])
+    lr_cfg = cfg.get("lr_config", {}) or {}
+    if lr_cfg.get("step"):
+        train_kw["step_epochs"] = tuple(lr_cfg["step"])
+    if "warmup_iters" in lr_cfg:
+        train_kw["warmup_iters"] = int(lr_cfg["warmup_iters"])
+    if "warmup_ratio" in lr_cfg:
+        train_kw["warmup_ratio"] = float(lr_cfg["warmup_ratio"])
+    if lr_cfg.get("policy") not in (None, "step"):
+        ignored.append(f"lr_config.policy={lr_cfg.get('policy')}")
+    runner = cfg.get("runner", {}) or {}
+    if "max_epochs" in runner:
+        train_kw["epochs_per_task"] = int(runner["max_epochs"])
+    elif "max_iters" in runner:
+        train_kw["max_iters_per_task"] = int(runner["max_iters"])
+    exp.train = dataclasses.replace(exp.train, **train_kw)
+
+    for k in ("fp16", "custom_hooks", "custom_imports", "evaluation",
+              "checkpoint_config", "log_config", "auto_scale_lr"):
+        if k in cfg:
+            ignored.append(k)
+    return exp, ignored
