@@ -293,10 +293,32 @@ def mmdet_to_experiment(cfg: Dict[str, Any]) \
                     data_kw, ignored)
     if "num_classes" in model_kw:
         data_kw["catsplit"] = (model_kw["num_classes"],)
+    # the DSKD fork's incremental task plan rides the dataset dict
+    if train_d.get("catsplit"):
+        data_kw["catsplit"] = tuple(train_d["catsplit"])
+    if train_d.get("catpred"):
+        data_kw["catpred"] = train_d["catpred"]
+    if "imgpercent" in train_d:
+        data_kw["imgpercent"] = float(train_d["imgpercent"])
+    if data.get("cat_split_load"):
+        data_kw["cat_split_load"] = data["cat_split_load"]
     exp.data = dataclasses.replace(exp.data, **data_kw)
 
     train_kw: Dict[str, Any] = {}
     opt = cfg.get("optimizer", {})
+    if isinstance(opt, list):
+        # fork IL configs carry one optimizer per task; the rebuild
+        # rebuilds its per-task optimizer from one schedule (task 1's)
+        ignored.append(f"optimizer[1:]  ({len(opt)} per-task entries)")
+        opt = opt[0] if opt else {}
+    lr_list = cfg.get("lr_config")
+    if isinstance(lr_list, list):
+        ignored.append(f"lr_config[1:]  ({len(lr_list)} per-task entries)")
+        cfg = dict(cfg, lr_config=lr_list[0] if lr_list else {})
+    runner_list = cfg.get("runner")
+    if isinstance(runner_list, list):
+        ignored.append(f"runner[1:]  ({len(runner_list)} per-task entries)")
+        cfg = dict(cfg, runner=runner_list[0] if runner_list else {})
     if "lr" in opt:
         train_kw["base_lr"] = float(opt["lr"])
     if "weight_decay" in opt:
@@ -304,6 +326,8 @@ def mmdet_to_experiment(cfg: Dict[str, Any]) \
     if opt.get("type") not in (None, "SGD", "AdamW", "Adam"):
         ignored.append(f"optimizer.type={opt.get('type')}")
     oc = cfg.get("optimizer_config", {}) or {}
+    if isinstance(oc, list):
+        oc = oc[0] if oc else {}
     gc = oc.get("grad_clip")
     if gc and "max_norm" in gc:
         train_kw["grad_clip"] = float(gc["max_norm"])

@@ -173,3 +173,39 @@ def test_emitted_module_round_trips(tmp_path):
     cfg = load_config(out)
     assert cfg.model.arch == "retinanet"
     assert cfg.train.base_lr == 0.01
+
+
+def test_mapping_dskd_il_config_shape(tmp_path):
+    """The fork's IL grammar: catsplit/catpred on the dataset dict,
+    per-task optimizer/lr_config/runner lists."""
+    child = _write(tmp_path, "il.py", """
+        model = dict(type='GFLDeformableDETR',
+                     bbox_head=dict(type='GFLDeformableDETRHeadIL',
+                                    num_classes=80))
+        catsplit, catload = (40, 40), (1, 0)
+        data = dict(samples_per_gpu=16, cat_split_load='auto',
+                    train=dict(type='CocoSplitDataset',
+                               ann_file='train.json', img_prefix='imgs/',
+                               catsplit=catsplit, catload=catload,
+                               catpred='prev-cur', imgpercent=1),
+                    val=dict(type='CocoSplitDataset',
+                             ann_file='val.json', img_prefix='imgs/'))
+        optimizer = [dict(type='AdamW', lr=2e-4, weight_decay=1e-4),
+                     dict(type='AdamW', lr=2e-4, weight_decay=1e-4)]
+        optimizer_config = [dict(grad_clip=dict(max_norm=0.1)),
+                            dict(grad_clip=dict(max_norm=0.1))]
+        lr_config = [dict(policy='step', step=[11]),
+                     dict(policy='step', step=[11])]
+        runner = [dict(type='TaskEpochBasedRunner', max_epochs=12),
+                  dict(type='TaskEpochBasedRunner', max_epochs=12)]
+        """)
+    exp, ignored = mmdet_to_experiment(load_mmdet_config(child))
+    assert exp.model.arch == "gfl_deformable_detr"
+    assert exp.data.catsplit == (40, 40)
+    assert exp.data.catpred == "prev-cur"
+    assert exp.data.samples_per_device == 16
+    assert exp.train.base_lr == 2e-4
+    assert exp.train.grad_clip == 0.1
+    assert exp.train.step_epochs == (11,)
+    assert exp.train.epochs_per_task == 12
+    assert any("optimizer[1:]" in k for k in ignored)
