@@ -84,8 +84,15 @@ DATASET_MAP = {
     "LVISDataset": "lvis",
     "LVISV1Dataset": "lvis",
     "OpenImagesDataset": "openimages",
+    "OpenImagesChallengeDataset": "openimages",
     "DeepFashionDataset": "coco",
+    "CocoPanopticDataset": "coco",
 }
+
+DEEPFASHION_CLASSES = (
+    "top", "skirt", "leggings", "dress", "outer", "pants", "bag",
+    "neckwear", "headwear", "eyeglass", "belt", "footwear", "hair",
+    "skin", "face")
 
 
 def _merge(child: Dict, parent: Dict) -> Dict:
@@ -289,6 +296,8 @@ def mmdet_to_experiment(cfg: Dict[str, Any]) \
         data_kw["val_img_prefix"] = val_d["img_prefix"]
     if train_d.get("classes"):
         data_kw["classes"] = tuple(train_d["classes"])
+    elif dtype == "DeepFashionDataset":
+        data_kw["classes"] = DEEPFASHION_CLASSES
     _pipeline_flags(train_d.get("pipeline") or cfg.get("train_pipeline"),
                     data_kw, ignored)
     if "num_classes" in model_kw:
