@@ -225,11 +225,35 @@ def dskd_flagship_config(catsplit=(40, 40),
     )
 
 
+def update_data_root(cfg: ExperimentConfig) -> ExperimentConfig:
+    """DSKD_DATASETS env rewrite (parity: mmdet utils/misc.py
+    update_data_root + the MMDET_DATASETS env var): when set, every
+    dataset path beginning with the conventional ``data/`` prefix is
+    re-rooted there, so one config runs against any data mount."""
+    import os
+    root = os.environ.get("DSKD_DATASETS")
+    if not root:
+        return cfg
+    root = root.rstrip("/") + "/"
+
+    def rw(p: str) -> str:
+        return root + p[len("data/"):] if p.startswith("data/") else p
+
+    cfg.data = dataclasses.replace(
+        cfg.data, train_ann=rw(cfg.data.train_ann),
+        val_ann=rw(cfg.data.val_ann),
+        train_img_prefix=rw(cfg.data.train_img_prefix),
+        val_img_prefix=rw(cfg.data.val_img_prefix),
+        data_root=rw(cfg.data.data_root),
+        seg_prefix=rw(cfg.data.seg_prefix))
+    return cfg
+
+
 def load_config(path: str) -> ExperimentConfig:
     spec = importlib.util.spec_from_file_location("exp_config", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    return mod.get_config()
+    return update_data_root(mod.get_config())
 
 
 def apply_overrides(cfg: ExperimentConfig, overrides: Sequence[str]):

@@ -191,3 +191,20 @@ def test_instaboost_bridge_gates_on_missing_package():
         pass
     with pytest.raises(ImportError, match="instaboostfast"):
         build_instaboost()
+
+
+def test_dskd_datasets_env_rewrites_data_root(tmp_path, monkeypatch):
+    """DSKD_DATASETS re-roots the conventional data/ paths (parity:
+    mmdet utils/misc.py update_data_root + MMDET_DATASETS)."""
+    import os
+
+    from dskd_tpu.utils.config import load_config
+    path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                        "faster_rcnn_r50_1x.py")
+    monkeypatch.setenv("DSKD_DATASETS", "/mnt/disks/coco")
+    cfg = load_config(path)
+    assert cfg.data.train_ann.startswith("/mnt/disks/coco/coco/")
+    assert cfg.data.val_img_prefix.startswith("/mnt/disks/coco/coco/")
+    monkeypatch.delenv("DSKD_DATASETS")
+    cfg2 = load_config(path)
+    assert cfg2.data.train_ann.startswith("data/coco/")
