@@ -9,10 +9,7 @@ from dskd_tpu.utils.config import (DataConfig, DistillFlags,
                                    ExperimentConfig, ModelConfig,
                                    TrainConfig)
 
-DEEPFASHION_CLASSES = (
-    "top", "skirt", "leggings", "dress", "outer", "pants", "bag",
-    "neckwear", "headwear", "eyeglass", "belt", "footwear", "hair",
-    "skin", "face")
+from dskd_tpu.data.deepfashion import DEEPFASHION_CLASSES
 
 
 def get_config() -> ExperimentConfig:

@@ -179,7 +179,12 @@ def min_iou_random_crop(img, boxes, labels, rng,
                          * np.clip(iy2 - iy1, 0, None))
                 area = ((boxes[:, 2] - boxes[:, 0])
                         * (boxes[:, 3] - boxes[:, 1]))
-                iou = inter / np.maximum(area, 1e-10)
+                patch_area = ((patch[2] - patch[0])
+                              * (patch[3] - patch[1]))
+                # TRUE IoU of patch vs box (the reference's
+                # bbox_overlaps mode='iou'), not inter-over-box-area
+                iou = inter / np.maximum(
+                    area + patch_area - inter, 1e-10)
                 if len(iou) and iou.min() < min_iou:
                     continue
                 cx = (boxes[:, 0] + boxes[:, 2]) / 2

@@ -89,10 +89,20 @@ DATASET_MAP = {
     "CocoPanopticDataset": "coco",
 }
 
-DEEPFASHION_CLASSES = (
-    "top", "skirt", "leggings", "dress", "outer", "pants", "bag",
-    "neckwear", "headwear", "eyeglass", "belt", "footwear", "hair",
-    "skin", "face")
+
+
+
+def _deepfashion_classes():
+    """Load the canonical list from data/deepfashion.py WITHOUT importing
+    the data package (whose __init__ pulls the jax-backed loader — the
+    CLI importer must run device-free)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "_deepfashion", os.path.join(os.path.dirname(__file__), "..",
+                                     "data", "deepfashion.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.DEEPFASHION_CLASSES
 
 
 def _merge(child: Dict, parent: Dict) -> Dict:
@@ -135,6 +145,8 @@ def _round32(x: int) -> int:
 
 def _pipeline_flags(pipeline: List[Dict], data_kw: Dict,
                     ignored: List[str]):
+    pad_divisor = None
+    img_scale = None
     for t in pipeline or []:
         tt = t.get("type")
         if tt == "Resize":
@@ -145,10 +157,11 @@ def _pipeline_flags(pipeline: List[Dict], data_kw: Dict,
                 sc = max(sc, key=lambda s: s[0] * s[1])
             if sc:
                 data_kw["img_scale"] = tuple(sc)
-                long_, short = max(sc), min(sc)
-                data_kw["bucket"] = (_round32(short), _round32(long_))
+                img_scale = sc
             if t.get("ratio_range"):
                 data_kw["resize_ratio_range"] = tuple(t["ratio_range"])
+        elif tt == "Pad":
+            pad_divisor = t.get("size_divisor")
         elif tt == "RandomFlip":
             data_kw["flip_ratio"] = t.get("flip_ratio", 0.5) or 0.0
         elif tt == "PhotoMetricDistortion":
@@ -168,12 +181,22 @@ def _pipeline_flags(pipeline: List[Dict], data_kw: Dict,
         elif tt == "AutoAugment":
             data_kw["auto_augment"] = True
         elif tt in ("LoadImageFromFile", "LoadAnnotations", "Normalize",
-                    "Pad", "DefaultFormatBundle", "Collect",
+                    "DefaultFormatBundle", "Collect",
                     "MultiScaleFlipAug", "ImageToTensor",
                     "FilterAnnotations"):
             pass                                   # structural / implicit
         else:
             ignored.append(f"pipeline.{tt}")
+    if img_scale is not None:
+        # canvas = Pad(size_divisor) rounding when the pipeline pads;
+        # the exact scale otherwise (e.g. SSD300's divisor-free 300x300)
+        long_, short = max(img_scale), min(img_scale)
+        if pad_divisor:
+            d = int(pad_divisor)
+            data_kw["bucket"] = (-(-int(short) // d) * d,
+                                 -(-int(long_) // d) * d)
+        else:
+            data_kw["bucket"] = (int(short), int(long_))
 
 
 def _find_num_classes(model: Dict):
@@ -220,8 +243,10 @@ def mmdet_to_experiment(cfg: Dict[str, Any]) \
                             "YOLOV3Head": "yolov3"}.get(head, "")
         if not model_kw["arch"]:
             ignored.append(f"model.type={mtype}/{head}")
-            model_kw.pop("arch")
     elif mtype is not None:
+        # explicit empty arch: ModelConfig defaults to the flagship, and
+        # an unmapped type must NOT silently become it
+        model_kw["arch"] = ""
         ignored.append(f"model.type={mtype} (no family mapping)")
 
     bb = model.get("backbone", {})
@@ -237,6 +262,29 @@ def mmdet_to_experiment(cfg: Dict[str, Any]) \
                "HRNet": "hrnet_w18"}.get(bb_type)
     if bb_spec:
         model_kw["backbone"] = bb_spec
+    elif bb_type in ("DetectoRS_ResNet", "DetectoRS_ResNeXt"):
+        # SAC rides the backbone cfg (configs/detectors)
+        if bb.get("sac"):
+            model_kw["sac"] = True
+    elif bb_type not in (None, "ResNet", "SSDVGG", "Darknet",
+                         "CSPDarknet", "MobileNetV2", "HourglassNet",
+                         "TridentResNet"):
+        ignored.append(f"backbone.type={bb_type}")
+    neck = model.get("neck") or {}
+    neck_type = neck.get("type") if isinstance(neck, dict) else None
+    if neck_type == "RFP":
+        model_kw["rfp"] = True
+        rfp_bb = (neck.get("rfp_backbone") or {})
+        if rfp_bb.get("sac") or bb.get("sac"):
+            model_kw["sac"] = True
+    elif neck_type == "PAFPN" and model_kw.get("arch") == "faster_rcnn":
+        model_kw["arch"] = "faster_rcnn_pafpn"
+    elif neck_type not in (None, "FPN", "ChannelMapper",
+                           "DilatedEncoder", "YOLOXPAFPN", "YOLOYPAFPN",
+                           "YOLOV3Neck", "CTResNetNeck", "SSDNeck",
+                           "HRFPN", "NASFCOS_FPN", "NASFPN", "FPG",
+                           "BFP", "FPN_CARAFE", "DyHead", "PAFPN"):
+        ignored.append(f"neck.type={neck_type}")
     if bb.get("dcn") and bb.get("stage_with_dcn"):
         model_kw["dcn_stages"] = tuple(bool(x)
                                        for x in bb["stage_with_dcn"])
@@ -291,13 +339,14 @@ def mmdet_to_experiment(cfg: Dict[str, Any]) \
     if train_d.get("img_prefix"):
         data_kw["train_img_prefix"] = train_d["img_prefix"]
     if val_d.get("ann_file"):
-        data_kw["val_ann"] = val_d["ann_file"]
+        va = val_d["ann_file"]
+        data_kw["val_ann"] = va if isinstance(va, str) else va[0]
     if val_d.get("img_prefix"):
         data_kw["val_img_prefix"] = val_d["img_prefix"]
     if train_d.get("classes"):
         data_kw["classes"] = tuple(train_d["classes"])
     elif dtype == "DeepFashionDataset":
-        data_kw["classes"] = DEEPFASHION_CLASSES
+        data_kw["classes"] = _deepfashion_classes()
     _pipeline_flags(train_d.get("pipeline") or cfg.get("train_pipeline"),
                     data_kw, ignored)
     if "num_classes" in model_kw:

@@ -73,7 +73,8 @@ def test_mapping_faster_rcnn_dcn(tmp_path):
                                         img_scale=(1333, 800),
                                         keep_ratio=True),
                                    dict(type='RandomFlip',
-                                        flip_ratio=0.5)]),
+                                        flip_ratio=0.5),
+                                   dict(type='Pad', size_divisor=32)]),
                     val=dict(type='VOCDataset',
                              ann_file='data/voc/val.txt',
                              img_prefix='data/voc/'))
@@ -209,3 +210,56 @@ def test_mapping_dskd_il_config_shape(tmp_path):
     assert exp.train.step_epochs == (11,)
     assert exp.train.epochs_per_task == 12
     assert any("optimizer[1:]" in k for k in ignored)
+
+
+def test_bucket_exact_without_pad_divisor(tmp_path):
+    """SSD-style pipelines carry no Pad(size_divisor): the canvas is the
+    exact Resize scale, not a /32 rounding (SSD300 -> 300, not 320)."""
+    child = _write(tmp_path, "ssd300.py", """
+        model = dict(type='SingleStageDetector',
+                     backbone=dict(type='SSDVGG', depth=16),
+                     bbox_head=dict(type='SSDHead', num_classes=80))
+        train_pipeline = [
+            dict(type='Resize', img_scale=(300, 300), keep_ratio=False),
+        ]
+        """)
+    exp, _ = mmdet_to_experiment(load_mmdet_config(child))
+    assert exp.data.bucket == (300, 300)
+
+
+def test_unmapped_model_type_yields_empty_arch(tmp_path):
+    child = _write(tmp_path, "unk.py", """
+        model = dict(type='SOLOV2',
+                     bbox_head=dict(num_classes=80))
+        """)
+    exp, ignored = mmdet_to_experiment(load_mmdet_config(child))
+    assert exp.model.arch == ""
+    assert any("SOLOV2" in k for k in ignored)
+
+
+def test_detectors_rfp_sac_import(tmp_path):
+    """DetectoRS configs carry SAC on the backbone and RFP as the neck;
+    both knobs must transfer (and PAFPN upgrades the faster_rcnn arch)."""
+    child = _write(tmp_path, "drs.py", """
+        model = dict(
+            type='CascadeRCNN',
+            backbone=dict(type='DetectoRS_ResNet', depth=50,
+                          sac=dict(type='SAC', use_deform=False),
+                          stage_with_sac=(False, True, True, True)),
+            neck=dict(type='RFP', rfp_steps=2,
+                      rfp_backbone=dict(type='DetectoRS_ResNet',
+                                        sac=dict(type='SAC'))),
+            roi_head=dict(bbox_head=[dict(num_classes=80)]))
+        """)
+    exp, _ = mmdet_to_experiment(load_mmdet_config(child))
+    assert exp.model.arch == "cascade_rcnn"
+    assert exp.model.rfp and exp.model.sac
+
+    child2 = _write(tmp_path, "pafpn.py", """
+        model = dict(type='FasterRCNN',
+                     backbone=dict(type='ResNet', depth=50),
+                     neck=dict(type='PAFPN'),
+                     roi_head=dict(bbox_head=dict(num_classes=80)))
+        """)
+    exp2, _ = mmdet_to_experiment(load_mmdet_config(child2))
+    assert exp2.model.arch == "faster_rcnn_pafpn"
