@@ -53,3 +53,44 @@ def test_serve_handler(tmp_path):
         assert set(det) == {"class_name", "bbox", "score"}
         assert len(det["bbox"]) == 4
         json.dumps(det)            # payload is JSON-serializable
+
+
+def test_export_stablehlo_zoo_family(tmp_path):
+    """tools/deployment/export_model.py surface: the family-dispatched
+    eval step exports to StableHLO and round-trips for a NON-flagship
+    family (retinanet), proving the whole zoo shares the export path."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import export as jexport
+
+    from dskd_tpu.eval.evaluator import make_eval_step
+    from dskd_tpu.train.incremental import build_model, init_variables
+    from dskd_tpu.utils.config import ExperimentConfig, ModelConfig
+
+    cfg = ExperimentConfig(model=ModelConfig(arch="retinanet",
+                                             num_classes=8, depth=18))
+    cfg.data = dataclasses.replace(cfg.data, bucket=(64, 64),
+                                   img_scale=(64, 64))
+    model = build_model(cfg)
+    variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+    eval_step = make_eval_step(model, max_per_img=10, arch="retinanet")
+    images = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    img_hw = jnp.asarray(np.array([[64, 64]], np.int32))
+    sf = jnp.ones((1, 4), jnp.float32)
+
+    def infer(images, img_hw):
+        det = eval_step(variables, images, img_hw, sf)
+        return det.bboxes, det.scores, det.labels, det.valid
+
+    exported = jexport.export(jax.jit(infer))(images, img_hw)
+    blob = exported.serialize()
+    assert len(blob) > 1000
+    reloaded = jexport.deserialize(blob)
+    outs = reloaded.call(images, img_hw)
+    ref = infer(images, img_hw)
+    for a, b in zip(outs, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

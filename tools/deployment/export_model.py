@@ -22,27 +22,38 @@ def main():
     from jax import export as jexport
 
     if args.config:
-        from dskd_tpu.train.incremental import build_model
+        from dskd_tpu.train.incremental import build_model, init_variables
         from dskd_tpu.utils.config import load_config
         cfg = load_config(args.config)
         model = build_model(cfg)
+        arch = cfg.model.arch
         reg_max = cfg.model.reg_max
     else:
         from dskd_tpu.models.detector import GFLDeformableDETR
+        from dskd_tpu.utils.config import ExperimentConfig
+        cfg = ExperimentConfig()
         model = GFLDeformableDETR()
+        arch = "gfl_deformable_detr"
         reg_max = 16
-
-    from dskd_tpu.models.gfl_detr_head import get_bboxes
 
     B, S = args.batch, args.size
     images = jnp.zeros((B, S, S, 3), jnp.float32)
     img_hw = jnp.asarray(np.tile([[S, S]], (B, 1)).astype(np.int32))
-    variables = model.init(jax.random.PRNGKey(0), images[:1], img_hw[:1])
+    if args.config:
+        variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+    else:
+        variables = model.init(jax.random.PRNGKey(0), images[:1],
+                               img_hw[:1])
+
+    # the family-dispatched eval step IS the inference program — every
+    # driveable arch exports through the same surface
+    from dskd_tpu.eval.evaluator import make_eval_step
+    eval_step = make_eval_step(model, reg_max=reg_max, max_per_img=100,
+                               arch=arch)
+    sf = jnp.ones((B, 4), jnp.float32)
 
     def infer(images, img_hw):
-        out = model.apply(variables, images, img_hw, deterministic=True)
-        det = get_bboxes(out.head.cls_scores[-1], out.head.bbox_preds[-1],
-                         img_hw, reg_max=reg_max, max_per_img=100)
+        det = eval_step(variables, images, img_hw, sf)
         return det.bboxes, det.scores, det.labels, det.valid
 
     exported = jexport.export(jax.jit(infer))(images, img_hw)
