@@ -8,7 +8,8 @@ from dskd_tpu.utils.config import (DataConfig, DistillFlags,
 
 def get_config() -> ExperimentConfig:
     return ExperimentConfig(
-        model=ModelConfig(arch="lad", num_classes=80, depth=50),
+        model=ModelConfig(arch="lad", num_classes=80, depth=50,
+                          teacher_depth=101),
         data=DataConfig(catsplit=(80,), samples_per_device=4,
                         img_scale=(1333, 800), bucket=(800, 1344),
                         aspect_buckets=((1344, 800), (800, 1344))),

@@ -120,6 +120,40 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
                        jnp.zeros(scores.shape, jnp.int32), pvalid)
         return eval_step
 
+    if arch == "fast_rcnn":
+        from ..core.anchors import base_anchors, grid_anchors
+        from ..models.faster_rcnn import FasterRCNN, rcnn_get_bboxes
+
+        @jax.jit
+        def eval_step(variables, images, img_hw, scale_factors):
+            # Fast R-CNN consumes EXTERNAL proposals (the reference reads
+            # precomputed .pkl files, detectors/fast_rcnn.py). Absent
+            # proposal files, a static multi-scale class-agnostic box
+            # grid stands in (same documented stand-in as the train
+            # branch, train/family.py fast_rcnn) — the RCNN head scores
+            # and refines every grid box.
+            out = model.apply(variables, images, img_hw, deterministic=True)
+            B, H, W = images.shape[:3]
+            grids = [grid_anchors((H // s, W // s), s,
+                                  base_anchors(float(s), (4.0, 8.0),
+                                               (0.5, 1.0, 2.0)))
+                     for s in (16, 32, 64)]
+            props = jnp.concatenate(grids, 0)
+            step = max(1, props.shape[0] // 1000)
+            props = props[::step][:1000]
+            props = jnp.broadcast_to(props[None],
+                                     (B,) + props.shape)
+            pvalid = jnp.ones(props.shape[:2], bool)
+            d = rcnn_get_bboxes(
+                lambda f: model.apply(variables, f,
+                                      method=FasterRCNN.roi_forward),
+                out.neck_feats, props, pvalid, img_hw,
+                num_classes=model.num_classes, scale_factor=scale_factors,
+                score_thr=max(score_thr, 0.05), max_per_img=max_per_img,
+                rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return eval_step
+
     if arch == "ga_rpn":
         from ..models.guided_anchor import ga_geometry, ga_get_bboxes
 
@@ -842,9 +876,21 @@ def evaluate(model, variables, dataset: TaskCocoDataset, loader: DataLoader,
 
     Evaluation classes follow the dataset's PRED_CLASSES (the x-class IL
     protocol: prev+cur classes are scored, like catpred='prev-cur')."""
-    pred_cat_ids = [dataset.ALL_CLASSES_IDS[n] for n in dataset.PRED_CLASSES]
-    pred_label_set = {dataset.cat2label[c] for c in pred_cat_ids}
-    ev = CocoDetectionEval(cat_ids=pred_cat_ids)
+    # RPN families are class-agnostic: the reference scores them with
+    # the proposal protocol (CocoDataset.evaluate metric='proposal':
+    # every det and every GT collapse to one category; AR@k is the
+    # headline). Per-category matching would score proposals against
+    # only one class's GT and report noise.
+    agnostic = arch in ("rpn", "ga_rpn", "cascade_rpn")
+    if agnostic:
+        pred_cat_ids = [-1]
+        pred_label_set = None
+        ev = CocoDetectionEval(cat_ids=pred_cat_ids)
+    else:
+        pred_cat_ids = [dataset.ALL_CLASSES_IDS[n]
+                        for n in dataset.PRED_CLASSES]
+        pred_label_set = {dataset.cat2label[c] for c in pred_cat_ids}
+        ev = CocoDetectionEval(cat_ids=pred_cat_ids)
 
     eval_step = make_eval_step(model, reg_max, score_thr, max_per_img,
                                arch=arch)
@@ -870,10 +916,15 @@ def evaluate(model, variables, dataset: TaskCocoDataset, loader: DataLoader,
             if img_id in local_seen:     # last-batch padding duplicates
                 continue
             local_seen.add(img_id)
-            keep = valid[i] & np.isin(labels[i],
-                                      np.array(sorted(pred_label_set)))
-            rec = (img_id, boxes[i][keep], scores[i][keep],
-                   [dataset.label2cat[int(l)] for l in labels[i][keep]])
+            if agnostic:
+                keep = valid[i]
+                cats_i = [-1] * int(keep.sum())
+            else:
+                keep = valid[i] & np.isin(labels[i],
+                                          np.array(sorted(pred_label_set)))
+                cats_i = [dataset.label2cat[int(l)]
+                          for l in labels[i][keep]]
+            rec = (img_id, boxes[i][keep], scores[i][keep], cats_i)
             if det_masks is not None:
                 rec = rec + (det_masks[i][keep],)
             if det_mscores is not None:
@@ -914,13 +965,16 @@ def evaluate(model, variables, dataset: TaskCocoDataset, loader: DataLoader,
     # ground truth for the evaluated images
     for img_id in seen:
         anns = dataset.coco.annotations(img_id)
-        anns = [a for a in anns if a["category_id"] in set(pred_cat_ids)]
+        if not agnostic:
+            anns = [a for a in anns
+                    if a["category_id"] in set(pred_cat_ids)]
         if not anns:
             continue
         gt = np.array([[a["bbox"][0], a["bbox"][1],
                         a["bbox"][0] + a["bbox"][2],
                         a["bbox"][1] + a["bbox"][3]] for a in anns])
-        cats_g = [a["category_id"] for a in anns]
+        cats_g = ([-1] * len(anns) if agnostic
+                  else [a["category_id"] for a in anns])
         crowd_g = [a.get("iscrowd", 0) for a in anns]
         areas_g = [a.get("area", None) or a["bbox"][2] * a["bbox"][3]
                    for a in anns]

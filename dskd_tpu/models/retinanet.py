@@ -66,8 +66,10 @@ class RetinaHead(nn.Module):
             for lvl in range(len(feats)):
                 for i in range(self.stacked_convs):
                     for p in ("cls", "reg"):
+                        # torch BN momentum 0.1 == flax momentum 0.9
+                        # (running = m*running + (1-m)*batch here)
                         bns[f"{p}{i}_l{lvl}"] = nn.BatchNorm(
-                            use_running_average=not train, momentum=0.99,
+                            use_running_average=not train, momentum=0.9,
                             epsilon=1e-5, name=f"{p}_bn{i}_lvl{lvl}")
         retina_cls = nn.Conv(
             A * self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],

@@ -12,6 +12,18 @@ from .state import TrainState
 from .step import Batch, parse_losses
 
 
+
+def _teacher_model(model, cfg: ExperimentConfig):
+    """The frozen teacher's module for KD families: the student's module
+    unless model.teacher_depth differs (r18 student <- r101 teacher,
+    configs/ld + configs/lad)."""
+    td = cfg.model.teacher_depth
+    if not td or td == cfg.model.depth:
+        return model
+    from .incremental import build_teacher_model
+    return build_teacher_model(cfg)
+
+
 def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                            num_prev: int, has_teacher: bool,
                            use_dropout: bool = True,
@@ -127,14 +139,15 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
         det_cfg = LDLossConfig(
             gfl=GFLLossConfig(num_classes=cfg.model.num_classes,
                               reg_max=cfg.model.reg_max))
+        t_model = _teacher_model(model, cfg)
 
         def losses_fn(variables, batch, teacher_vars, rng):
             out = model.apply(variables, batch.images, batch.img_hw,
                               deterministic=True)
             assert teacher_vars is not None, \
                 "arch='ld' requires a frozen teacher (kd_one_stage.py)"
-            t_out = model.apply(teacher_vars, batch.images, batch.img_hw,
-                                deterministic=True)
+            t_out = t_model.apply(teacher_vars, batch.images,
+                                  batch.img_hw, deterministic=True)
             return ld_loss(out.head, t_out.head, batch.gt_bboxes,
                            batch.gt_labels, batch.gt_valid, det_cfg), None
 
@@ -844,6 +857,7 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
         from ..models.paa import PAALossConfig, paa_anchors, paa_loss
         det_cfg = PAALossConfig(num_classes=cfg.model.num_classes)
         is_lad = arch == "lad"
+        t_model = _teacher_model(model, cfg) if is_lad else model
 
         def losses_fn(variables, batch, teacher_vars, rng):
             out = model.apply(variables, batch.images, batch.img_hw,
@@ -854,9 +868,9 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             if is_lad:
                 assert teacher_vars is not None, \
                     "arch='lad' requires a frozen teacher (lad.py)"
-                assign_out = model.apply(teacher_vars, batch.images,
-                                         batch.img_hw,
-                                         deterministic=True).head
+                assign_out = t_model.apply(teacher_vars, batch.images,
+                                           batch.img_hw,
+                                           deterministic=True).head
             return paa_loss(out.head, anchors, counts, batch.gt_bboxes,
                             batch.gt_labels, batch.gt_valid, det_cfg,
                             assign_out=assign_out), None

@@ -286,6 +286,22 @@ def build_model(cfg: ExperimentConfig):
     raise ValueError(f"unknown arch: {m.arch}")
 
 
+def build_teacher_model(cfg: ExperimentConfig):
+    """The frozen teacher's module: identical to the student unless
+    ``model.teacher_depth`` names a different backbone depth (the
+    configs/ld and configs/lad recipes distill an r18/r50 student from an
+    r101 teacher — kd_one_stage.py/lad.py build the teacher from its own
+    config file)."""
+    td = cfg.model.teacher_depth
+    if not td or td == cfg.model.depth:
+        return build_model(cfg)
+    import copy as _cp
+    import dataclasses as _dc
+    tcfg = _cp.copy(cfg)
+    tcfg.model = _dc.replace(cfg.model, depth=td)
+    return build_model(tcfg)
+
+
 def init_variables(model, cfg: ExperimentConfig, rng):
     H, W = cfg.data.bucket
     images = jnp.zeros((1, H, W, 3), jnp.float32)
@@ -614,7 +630,7 @@ def run_incremental(cfg: ExperimentConfig, student_ckpt: Optional[str] = None,
     variables = init_variables(model, cfg, rng)
     teacher_variables = None
 
-    def load_into(variables, path):
+    def load_into(variables, path, depth=None):
         if path.endswith((".pth", ".pt")):
             # mmdet/torch checkpoint (the reference's teacher_ckpt files,
             # configs/...il.py Task1.load_teacher) via the full converter
@@ -622,7 +638,7 @@ def run_incremental(cfg: ExperimentConfig, student_ckpt: Optional[str] = None,
             loaded = load_mmdet_checkpoint(
                 {"params": variables["params"],
                  "batch_stats": variables.get("batch_stats", {})}, path,
-                depth=cfg.model.depth)
+                depth=depth or cfg.model.depth)
             return {"params": loaded["params"],
                     "batch_stats": loaded.get("batch_stats", {})}
         import re
@@ -642,7 +658,15 @@ def run_incremental(cfg: ExperimentConfig, student_ckpt: Optional[str] = None,
         variables = load_into(variables, student_ckpt)
         log.info("student initialized from %s", student_ckpt)
     if teacher_ckpt:
-        teacher_variables = load_into(variables, teacher_ckpt)
+        td = cfg.model.teacher_depth
+        if td and td != cfg.model.depth:
+            # deeper-teacher recipes (ld/lad): the teacher has its own
+            # module + parameter tree, loaded against ITS template
+            t_model = build_teacher_model(cfg)
+            t_vars = init_variables(t_model, cfg, rng)
+            teacher_variables = load_into(t_vars, teacher_ckpt, depth=td)
+        else:
+            teacher_variables = load_into(variables, teacher_ckpt)
         log.info("external teacher loaded from %s", teacher_ckpt)
 
     for tid in range(1, task_nums + 1):

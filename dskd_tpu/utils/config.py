@@ -62,6 +62,10 @@ class ModelConfig:
     # 'hrnet_w18', 'swin_tiny', 'resnext'
     backbone: str = ""
     backbone_ckpt: Optional[str] = None   # torchvision-style weights
+    # KD families (configs/ld, configs/lad): the frozen teacher's ResNet
+    # depth when it differs from the student's (e.g. r18 student <- r101
+    # teacher); None = same architecture as the student
+    teacher_depth: Optional[int] = None
     # rematerialize transformer layers in the backward. OFF by default:
     # the flagship recipe (B=4/chip, 640x640) fits v5e HBM without it and
     # skipping the encoder recompute measures +15% step throughput
@@ -245,7 +249,9 @@ def update_data_root(cfg: ExperimentConfig) -> ExperimentConfig:
         train_img_prefix=rw(cfg.data.train_img_prefix),
         val_img_prefix=rw(cfg.data.val_img_prefix),
         data_root=rw(cfg.data.data_root),
-        seg_prefix=rw(cfg.data.seg_prefix))
+        seg_prefix=rw(cfg.data.seg_prefix),
+        cls_desc_file=rw(cfg.data.cls_desc_file),
+        hierarchy_file=rw(cfg.data.hierarchy_file))
     return cfg
 
 

@@ -23,7 +23,8 @@ def _tiny(cfg):
     structure (arch, distill flags, schedule shape)."""
     cfg.model = dataclasses.replace(
         cfg.model, depth=18, num_query=8,
-        num_encoder_layers=1, num_decoder_layers=1)
+        num_encoder_layers=1, num_decoder_layers=1,
+        teacher_depth=None)
     cfg.data = dataclasses.replace(
         cfg.data, bucket=(64, 64), img_scale=(64, 64), max_gt=4,
         samples_per_device=1, aspect_buckets=None, multi_scales=None)

@@ -66,3 +66,41 @@ def test_ld_family_train_step():
                      teacher)
     assert "loss_ld" in losses
     assert np.isfinite(float(losses["loss"]))
+
+
+def test_ld_deeper_teacher_r50_into_r18_student():
+    """configs/ld recipe shape: r18 student distilled from a DEEPER
+    teacher — the teacher runs through its own module/params
+    (ModelConfig.teacher_depth), not the student's."""
+    from dskd_tpu.train.family import make_family_train_step
+    from dskd_tpu.train.incremental import build_teacher_model
+    from dskd_tpu.train.optim import make_optimizer
+    from dskd_tpu.train.state import TrainState
+    from dskd_tpu.train.step import Batch
+    from dskd_tpu.utils.config import (DistillFlags, ExperimentConfig,
+                                       ModelConfig)
+
+    images, img_hw, gt, labels, valid = _inputs(1)
+    cfg = ExperimentConfig(
+        model=ModelConfig(arch="ld", num_classes=NC, depth=18,
+                          teacher_depth=50),
+        distill=DistillFlags(cates_distill="hard", feats_distill=""))
+    model = GFL(num_classes=NC, depth=18)
+    t_model = build_teacher_model(cfg)
+    assert t_model.depth == 50
+    v = model.init(jax.random.PRNGKey(0), images, img_hw)
+    tv = jax.tree.map(
+        jnp.copy, dict(t_model.init(jax.random.PRNGKey(9), images,
+                                    img_hw)))
+    # the teacher's backbone really is deeper (bottleneck params)
+    assert "layer1_block0" in tv["params"]["backbone"]
+    assert tv["params"]["backbone"]["layer1_block0"]["conv3"][
+        "kernel"].shape[-1] == 256
+    tx = make_optimizer(v["params"], lambda i: 1e-4)
+    state = TrainState.create(v["params"], v.get("batch_stats", {}), tx,
+                              jax.random.PRNGKey(1))
+    step = make_family_train_step("ld", model, cfg, num_prev=0,
+                                  has_teacher=True, use_dropout=False)
+    _, losses = step(state, Batch(images, img_hw, gt, labels, valid), tv)
+    assert "loss_ld" in losses
+    assert np.isfinite(float(losses["loss"]))

@@ -88,6 +88,21 @@ def main():
                              score_thr=cfg.test_score_thr,
                              max_per_img=cfg.test_max_per_img,
                              classwise=args.classwise, arch=cfg.model.arch)
+    elif cfg.data.dataset_type != "coco":
+        # voc / wider_face / cityscapes / lvis / openimages score with
+        # their own dataset.evaluate protocol (same dispatch as the
+        # training driver's run_eval)
+        from dskd_tpu.eval.evaluator import evaluate_dataset_native
+        loader = DataLoader(val_ds, batch, pipe, train=False,
+                            num_workers=cfg.data.num_workers,
+                            drop_last=False,
+                            num_hosts=jax.process_count(),
+                            host_id=jax.process_index())
+        stats = evaluate_dataset_native(
+            model, variables, val_ds, loader, cfg.model.num_classes,
+            cfg.data.dataset_type, reg_max=cfg.model.reg_max,
+            score_thr=cfg.test_score_thr,
+            max_per_img=cfg.test_max_per_img, arch=cfg.model.arch)
     else:
         loader = DataLoader(val_ds, batch, pipe, train=False,
                             num_workers=cfg.data.num_workers,
@@ -109,10 +124,11 @@ def main():
                      args.out)
     for k, v in stats.items():
         log.info("%s: %.4f", k, v)
-    copypaste = " ".join(f"{stats[k]:.3f}" for k in (
-        "bbox_mAP", "bbox_mAP_50", "bbox_mAP_75", "bbox_mAP_s",
-        "bbox_mAP_m", "bbox_mAP_l"))
-    log.info("bbox_mAP_copypaste: %s", copypaste)
+    if "bbox_mAP" in stats:
+        copypaste = " ".join(f"{stats[k]:.3f}" for k in (
+            "bbox_mAP", "bbox_mAP_50", "bbox_mAP_75", "bbox_mAP_s",
+            "bbox_mAP_m", "bbox_mAP_l") if k in stats)
+        log.info("bbox_mAP_copypaste: %s", copypaste)
 
 
 if __name__ == "__main__":
