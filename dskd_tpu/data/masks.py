@@ -148,6 +148,30 @@ def paste_masks_np(masks: np.ndarray, boxes: np.ndarray, out_hw,
     return out
 
 
+def canvas_to_source_grid(canvas_hw, stride: int, src_hw, scale,
+                          crop_offset=(0, 0), valid_hw=None, flip=False):
+    """Shared inverse-geometry grid for rasterized GT payloads: map the
+    strided canvas grid back through (crop <- resize <- [flip]) to source
+    pixel indices. Returns (ys, xs, valid_y, valid_x); ``flip`` only
+    affects how the caller should index (the source is flipped BEFORE
+    resize in this pipeline, so flip is applied to the source array, not
+    the grid) — accepted here so both consumers share one signature."""
+    Hc, Wc = canvas_hw
+    hs, ws = Hc // stride, Wc // stride
+    oh, ow = src_hw
+    sy, sx = (scale if isinstance(scale, (tuple, list, np.ndarray))
+              else (scale, scale))
+    top, left = crop_offset
+    vh, vw = (valid_hw if valid_hw is not None else (oh * sy, ow * sx))
+    ys = np.clip((np.arange(hs) * stride + stride / 2 + top) / sy,
+                 0, oh - 1).astype(np.int64)
+    xs = np.clip((np.arange(ws) * stride + stride / 2 + left) / sx,
+                 0, ow - 1).astype(np.int64)
+    valid_y = (np.arange(hs) * stride) < vh
+    valid_x = (np.arange(ws) * stride) < vw
+    return ys, xs, valid_y, valid_x
+
+
 def batch_gt_masks(segmentations, orig_hw, scale, canvas_hw, max_gt: int,
                    mask_stride: int = 4, flip: bool = False,
                    crop_offset=(0, 0), valid_hw=None) -> np.ndarray:
@@ -172,24 +196,14 @@ def batch_gt_masks(segmentations, orig_hw, scale, canvas_hw, max_gt: int,
     hs, ws = Hc // mask_stride, Wc // mask_stride
     out = np.zeros((max_gt, hs, ws), np.float32)
     oh, ow = orig_hw
-    sy, sx = (scale if isinstance(scale, (tuple, list, np.ndarray))
-              else (scale, scale))
-    top, left = crop_offset
-    vh, vw = (valid_hw if valid_hw is not None else (oh * sy, ow * sx))
+    ys, xs, valid_y, valid_x = canvas_to_source_grid(
+        canvas_hw, mask_stride, orig_hw, scale, crop_offset, valid_hw)
     for i, seg in enumerate(segmentations[:max_gt]):
         if seg is None:
             continue
         bm = ann_to_bitmap(seg, oh, ow)
         if flip:
             bm = bm[:, ::-1]
-        # sample the original bitmap at the canvas grid (inverse scale,
-        # shifted by the post-resize crop origin)
-        ys = np.clip((np.arange(hs) * mask_stride + mask_stride / 2
-                      + top) / sy, 0, oh - 1).astype(np.int64)
-        xs = np.clip((np.arange(ws) * mask_stride + mask_stride / 2
-                      + left) / sx, 0, ow - 1).astype(np.int64)
-        valid_y = (np.arange(hs) * mask_stride) < vh
-        valid_x = (np.arange(ws) * mask_stride) < vw
         out[i] = (bm[ys][:, xs] & valid_y[:, None]
                   & valid_x[None, :]).astype(np.float32)
     return out

@@ -335,13 +335,11 @@ def preprocess(img: np.ndarray, boxes: np.ndarray, labels: np.ndarray,
         hs, ws = H // st, W // st
         sem = np.full((hs, ws), 255, np.int32)
         if semantic is not None:
+            from .masks import canvas_to_source_grid
             s0 = semantic[:, ::-1] if flip else semantic
-            ys = np.clip((np.arange(hs) * st + st / 2 + crop_top)
-                         / h_scale, 0, h0 - 1).astype(np.int64)
-            xs = np.clip((np.arange(ws) * st + st / 2 + crop_left)
-                         / w_scale, 0, w0 - 1).astype(np.int64)
-            vy = (np.arange(hs) * st) < new_h
-            vx = (np.arange(ws) * st) < new_w
+            ys, xs, vy, vx = canvas_to_source_grid(
+                (H, W), st, (h0, w0), (h_scale, w_scale),
+                (crop_top, crop_left), (new_h, new_w))
             grid = s0[ys][:, xs].astype(np.int32)
             sem = np.where(vy[:, None] & vx[None, :], grid, 255)
         out["gt_semantic"] = sem
