@@ -82,3 +82,40 @@ def test_two_task_incremental_run(synthetic_coco):
     # task-aware checkpoints exist
     assert os.path.isdir(os.path.join(root, "work", "task_1_epoch_1"))
     assert os.path.isdir(os.path.join(root, "work", "task_2_epoch_1"))
+
+
+def test_four_task_incremental_run(synthetic_coco):
+    """4-task 1-class-each split: the task loop generalizes past the
+    2-task toy (tril val loads, teacher promotion chain task 2->3->4,
+    per-task optimizer rebuilds, num_prev advancing 0/1/2/3)."""
+    ann, img_dir, root = synthetic_coco
+
+    from dskd_tpu.train.incremental import run_incremental
+    from dskd_tpu.utils.config import (DataConfig, DistillFlags,
+                                       ExperimentConfig, ModelConfig,
+                                       TrainConfig)
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(num_classes=4, num_query=16, depth=18,
+                          num_encoder_layers=1, num_decoder_layers=1,
+                          num_levels=4, dropout=0.0),
+        data=DataConfig(train_ann=ann, val_ann=ann,
+                        train_img_prefix=img_dir, val_img_prefix=img_dir,
+                        catsplit=(1, 1, 1, 1), samples_per_device=1,
+                        num_workers=2, max_gt=8, bucket=(64, 64),
+                        img_scale=(64, 64)),
+        train=TrainConfig(base_lr=1e-4, warmup_iters=2, epochs_per_task=1,
+                          step_epochs=(10,), eval_interval=0,
+                          ckpt_interval=1, log_interval=1,
+                          work_dir=os.path.join(root, "work4"),
+                          use_dropout=False),
+        distill=DistillFlags(cates_distill="hard + teacher-first",
+                             feats_distill="",
+                             teacher_score_thr=0.05,
+                             teacher_max_per_img=8),
+    )
+    variables = run_incremental(cfg)
+    assert "params" in variables
+    for t in range(1, 5):
+        assert os.path.isdir(os.path.join(root, "work4",
+                                          f"task_{t}_epoch_1")), t
