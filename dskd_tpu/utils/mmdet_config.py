@@ -317,6 +317,25 @@ def mmdet_to_experiment(cfg: Dict[str, Any]) \
         model_kw["with_box_refine"] = True
     exp.model = dataclasses.replace(exp.model, **model_kw)
 
+    # the DSKD fork's distill recipe rides the IL head's config
+    # (gfl_deformable_detr_head_il.py flag strings, chaosuan :116-119)
+    bh = model.get("bbox_head") or {}
+    distill_kw = {k: bh[k] for k in ("cates_distill", "locat_distill",
+                                     "memory_distill", "feats_distill")
+                  if k in bh}
+    tcfg = bh.get("teacher_test_cfg") or {}
+    if "score_thr" in tcfg:
+        distill_kw["teacher_score_thr"] = float(tcfg["score_thr"])
+    if "max_per_img" in tcfg:
+        distill_kw["teacher_max_per_img"] = int(tcfg["max_per_img"])
+    if distill_kw:
+        exp.distill = dataclasses.replace(exp.distill, **distill_kw)
+    elif mtype in ("GFLDeformableDETR", "DeformableDETR_il", "DETR_il"):
+        # IL detector without explicit flags: do not inherit the
+        # flagship defaults silently
+        exp.distill = dataclasses.replace(exp.distill, cates_distill="",
+                                          feats_distill="")
+
     data = cfg.get("data", {})
     data_kw: Dict[str, Any] = {}
     if "samples_per_gpu" in data:
@@ -398,6 +417,11 @@ def mmdet_to_experiment(cfg: Dict[str, Any]) \
         train_kw["warmup_ratio"] = float(lr_cfg["warmup_ratio"])
     if lr_cfg.get("policy") not in (None, "step"):
         ignored.append(f"lr_config.policy={lr_cfg.get('policy')}")
+    task = cfg.get("task", {}) or {}
+    if isinstance(task, dict) and task.get("resume_by_task"):
+        rbt = task["resume_by_task"]
+        if isinstance(rbt, int) and rbt:
+            train_kw["resume_by_task"] = rbt
     runner = cfg.get("runner", {}) or {}
     if "max_epochs" in runner:
         train_kw["epochs_per_task"] = int(runner["max_epochs"])

@@ -263,3 +263,35 @@ def test_detectors_rfp_sac_import(tmp_path):
         """)
     exp2, _ = mmdet_to_experiment(load_mmdet_config(child2))
     assert exp2.model.arch == "faster_rcnn_pafpn"
+
+
+def test_distill_flags_transfer(tmp_path):
+    """The DSKD IL head's flag-string distill recipe maps onto
+    DistillFlags; an IL detector WITHOUT flags does not silently inherit
+    the flagship defaults."""
+    child = _write(tmp_path, "il2.py", """
+        model = dict(type='GFLDeformableDETR',
+                     bbox_head=dict(type='GFLDeformableDETRHeadIL',
+                                    num_classes=80,
+                                    cates_distill='hard + soft',
+                                    locat_distill='ld_bbox',
+                                    memory_distill='memory',
+                                    feats_distill='kldv',
+                                    teacher_test_cfg=dict(
+                                        score_thr=0.25, max_per_img=50)))
+        """)
+    exp, _ = mmdet_to_experiment(load_mmdet_config(child))
+    assert exp.distill.cates_distill == "hard + soft"
+    assert exp.distill.locat_distill == "ld_bbox"
+    assert exp.distill.memory_distill == "memory"
+    assert exp.distill.feats_distill == "kldv"
+    assert exp.distill.teacher_score_thr == 0.25
+    assert exp.distill.teacher_max_per_img == 50
+
+    bare = _write(tmp_path, "il3.py", """
+        model = dict(type='DeformableDETR_il',
+                     bbox_head=dict(num_classes=80))
+        """)
+    exp2, _ = mmdet_to_experiment(load_mmdet_config(bare))
+    assert exp2.distill.cates_distill == ""
+    assert exp2.distill.feats_distill == ""
