@@ -75,6 +75,10 @@ def main():
     pipe = PipelineConfig(img_scale=cfg.data.img_scale, flip_ratio=0.0,
                           max_gt=cfg.data.max_gt, bucket=cfg.data.bucket)
     batch = cfg.data.samples_per_device * jax.device_count()
+    if args.tta and cfg.data.dataset_type != "coco":
+        parser.error("--tta evaluates with the COCO protocol; "
+                     f"dataset_type={cfg.data.dataset_type!r} scores "
+                     "through its native evaluate() (drop --tta)")
     if args.tta:
         from dskd_tpu.eval.evaluator import evaluate_tta
         if args.tta_scales:
