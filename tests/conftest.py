@@ -52,7 +52,7 @@ _SLOW_FILES = {
     "test_cascade_rpn", "test_fpg", "test_guided_anchor",
     "test_nas_fpn",
     "test_cascade_rcnn", "test_faster_rcnn", "test_groie",
-    "test_samplers_zoo", "test_inference_api",
+    "test_samplers_zoo", "test_inference_api", "test_mmdet_config_import",
     "test_yolof", "test_yoloy",
     "test_yolov3", "test_ssd", "test_centernet", "test_retinanet",
     "test_fcos", "test_atss_family", "test_gfl", "test_detr",
