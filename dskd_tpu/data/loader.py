@@ -8,15 +8,35 @@ batches, and an N-deep device prefetch queue so host IO overlaps TPU steps.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import multiprocessing as mp
+import os
 import queue as queue_mod
 import threading
 from typing import Iterator, Optional
 
 import numpy as np
 
-from ..train.step import Batch
+from .batch import Batch
 from .coco import TaskCocoDataset
 from .pipeline import PipelineConfig, load_image, preprocess
+
+# ---- process-worker plumbing (DSKD_PROC_WORKERS=1) -------------------
+# The thread pool below parallelizes cv2 (GIL-released) but not the
+# numpy half of preprocess; real multi-core scaling needs processes —
+# the reference gets this from torch DataLoader worker processes. The
+# loader is pickled ONCE per worker via the initializer; children spawn
+# (never fork a backend-initialized process) and this module is
+# deliberately jax-free so they stay light.
+_WORKER_LOADER = {}
+
+
+def _proc_init(loader):
+    _WORKER_LOADER["loader"] = loader
+
+
+def _proc_load(args):
+    idx, seed = args
+    return _WORKER_LOADER["loader"]._load_one(idx, seed)
 
 
 class DataLoader:
@@ -44,6 +64,12 @@ class DataLoader:
         self.aspect_buckets = aspect_buckets
         self.gt_buckets = tuple(sorted(gt_buckets))
         self.prefetch = max(1, prefetch)
+        # DSKD_PROC_WORKERS=1 swaps the producer's thread pool for a
+        # spawn-based process pool (multi-core preprocess; ~1-2 s
+        # per-epoch pool start amortized over real epochs). Default off:
+        # one host already feeds ~21 chips through threads (PERF.md).
+        self.proc_workers = (os.environ.get("DSKD_PROC_WORKERS", "0")
+                             == "1" and num_workers > 1)
         self.epoch = 0
         self._flags = None
         if aspect_buckets is not None:
@@ -142,9 +168,14 @@ class DataLoader:
 
         def make_batch(b, pool):
             idxs = indices[b * self.batch_size:(b + 1) * self.batch_size]
-            samples = list(pool.map(
-                lambda t: self._load_one(t[1], base_seed + int(t[1])),
-                enumerate(idxs)))
+            if self.proc_workers:
+                samples = list(pool.map(
+                    _proc_load,
+                    [(int(i), base_seed + int(i)) for i in idxs]))
+            else:
+                samples = list(pool.map(
+                    lambda t: self._load_one(t[1], base_seed + int(t[1])),
+                    enumerate(idxs)))
             while len(samples) < self.batch_size:  # pad final batch
                 samples.append(samples[-1])
             stack = {k: np.stack([s[k] for s in samples])
@@ -193,7 +224,14 @@ class DataLoader:
 
         def producer():
             try:
-                with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                if self.proc_workers:
+                    ctx = mp.get_context("spawn")
+                    pool_cm = cf.ProcessPoolExecutor(
+                        self.num_workers, mp_context=ctx,
+                        initializer=_proc_init, initargs=(self,))
+                else:
+                    pool_cm = cf.ThreadPoolExecutor(self.num_workers)
+                with pool_cm as pool:
                     for b in range(nb):
                         q.put(make_batch(b, pool))
                 q.put(_DONE)

@@ -24,26 +24,10 @@ from ..models.gfl_detr_loss import DetLossConfig, detection_loss
 from .state import TrainState
 
 
-class Batch(NamedTuple):
-    """One padded global batch.
-
-    images: (B, H, W, 3) normalized NHWC.
-    img_hw: (B, 2) valid (h, w) after resize (the reference's img_shape).
-    gt_bboxes: (B, G, 4) xyxy in input coords; gt_labels: (B, G) int32;
-    gt_valid: (B, G) bool.
-    """
-    images: jnp.ndarray
-    img_hw: jnp.ndarray
-    gt_bboxes: jnp.ndarray
-    gt_labels: jnp.ndarray
-    gt_valid: jnp.ndarray
-    # optional padded GT instance bitmaps at mask_stride resolution
-    # (B, G, H/stride, W/stride); None for box-only families
-    gt_masks: jnp.ndarray = None
-    # optional per-pixel semantic GT at mask_stride resolution
-    # (B, H/stride, W/stride) int32 contiguous labels, 255 = void/pad;
-    # None except for panoptic families
-    gt_semantic: jnp.ndarray = None
+# Batch lives in the jax-free data.batch module (process-worker loaders
+# must import it without initializing a backend); re-exported here so
+# `from .step import Batch` keeps working everywhere.
+from ..data.batch import Batch  # noqa: F401
 
 
 def _cast_floats(tree, dtype):

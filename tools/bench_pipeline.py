@@ -25,6 +25,20 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
+class _SynthDS:
+    """Picklable synthetic dataset (process workers re-hydrate it)."""
+
+    def __init__(self, path, n, boxes, labels):
+        self.path, self.n = path, n
+        self.boxes, self.labels = boxes, labels
+
+    def __len__(self):
+        return self.n
+
+    def get_raw(self, i):
+        return (self.path, (480, 640), self.boxes, self.labels, i + 1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--hw", default="640x480")
@@ -58,30 +72,27 @@ def main():
     print(f"single-thread preprocess: {single:.1f} img/s "
           f"({1000 * dt / args.n:.2f} ms/img) at {H}x{W}", flush=True)
 
-    # threaded loader over a synthetic dataset
-    class _DS:
-        def __len__(self):
-            return args.n
+    # loader over a real JPEG on disk (decode included; works for both
+    # thread and DSKD_PROC_WORKERS=1 process pools)
+    import tempfile
 
-        def get_raw(self, i):
-            return ("", (480, 640), boxes, labels, i + 1)
+    import cv2
+    tmp = tempfile.NamedTemporaryFile(suffix=".jpg", delete=False)
+    cv2.imwrite(tmp.name, raws[0].astype(np.uint8))
 
-    import dskd_tpu.data.loader as loader_mod
-    orig = loader_mod.load_image
-    loader_mod.load_image = lambda p: raws[0]
-    try:
-        from dskd_tpu.data.loader import DataLoader
-        dl = DataLoader(_DS(), batch_size=8, pipeline=cfg, train=True,
-                        num_workers=args.workers)
-        n = 0
-        t0 = time.monotonic()
-        for batch, meta in dl:
-            n += batch.images.shape[0]
-        dt = time.monotonic() - t0
-        print(f"threaded loader (workers={args.workers}): "
-              f"{n / dt:.1f} img/s")
-    finally:
-        loader_mod.load_image = orig
+    from dskd_tpu.data.loader import DataLoader
+    dl = DataLoader(_SynthDS(tmp.name, args.n, boxes, labels),
+                    batch_size=8, pipeline=cfg,
+                    train=True, num_workers=args.workers)
+    mode = ("process" if dl.proc_workers else "thread")
+    n = 0
+    t0 = time.monotonic()
+    for batch, meta in dl:
+        n += batch.images.shape[0]
+    dt = time.monotonic() - t0
+    print(f"{mode} loader (workers={args.workers}, decode incl.): "
+          f"{n / dt:.1f} img/s", flush=True)
+    os.unlink(tmp.name)
 
 
 if __name__ == "__main__":
