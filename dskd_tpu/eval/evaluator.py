@@ -420,7 +420,7 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             d = solo_decode(out, tuple(images.shape[1:3]),
                             num_classes=model.num_classes,
                             score_thr=max(score_thr, 0.05),
-                            nms_pre=max(max_per_img, 100),
+                            nms_pre=max(max_per_img, 500),
                             max_per_img=max_per_img)
             return DetM(d["bboxes"] / scale_factors[:, None, :],
                         d["scores"], d["labels"], d["valid"], d["masks28"])

@@ -44,11 +44,13 @@ class DETREncoderLayer(nn.Module):
     dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, x, pos, deterministic=True):
+    def __call__(self, x, pos, deterministic=True,
+                 key_padding_mask=None):
         x = MultiheadAttention(self.embed_dims, self.num_heads, self.dropout,
                                name="self_attn")(
             x, x, x, query_pos=pos, key_pos=pos,
-            deterministic=deterministic)
+            deterministic=deterministic,
+            key_padding_mask=key_padding_mask)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = FFN(self.embed_dims, self.feedforward_channels, self.dropout,
                 name="ffn")(x, deterministic=deterministic)
@@ -62,7 +64,8 @@ class DETRDecoderLayer(nn.Module):
     dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, q, query_pos, memory, mem_pos, deterministic=True):
+    def __call__(self, q, query_pos, memory, mem_pos, deterministic=True,
+                 key_padding_mask=None):
         q = MultiheadAttention(self.embed_dims, self.num_heads, self.dropout,
                                name="self_attn")(
             q, q, q, query_pos=query_pos, key_pos=query_pos,
@@ -71,7 +74,8 @@ class DETRDecoderLayer(nn.Module):
         q = MultiheadAttention(self.embed_dims, self.num_heads, self.dropout,
                                name="cross_attn")(
             q, memory, memory, query_pos=query_pos, key_pos=mem_pos,
-            deterministic=deterministic)
+            deterministic=deterministic,
+            key_padding_mask=key_padding_mask)
         q = nn.LayerNorm(epsilon=1e-5, name="norm2")(q)
         q = FFN(self.embed_dims, self.feedforward_channels, self.dropout,
                 name="ffn")(q, deterministic=deterministic)
@@ -104,11 +108,15 @@ class DETR(nn.Module):
         pos = sine_positional_encoding(pad, num_feats=C // 2,
                                        dtype=x.dtype).reshape(B, H * W, C)
         tokens = x.reshape(B, H * W, C)
+        pad_flat = pad.reshape(B, H * W)
 
+        # the padded-region tokens are masked out of every attention
+        # (detr_head.py forward passes `masks` to encoder AND decoder)
         for i in range(self.num_encoder_layers):
             tokens = DETREncoderLayer(
                 C, feedforward_channels=2048, dropout=self.dropout,
-                name=f"encoder_layer{i}")(tokens, pos, deterministic)
+                name=f"encoder_layer{i}")(tokens, pos, deterministic,
+                                          key_padding_mask=pad_flat)
         memory = tokens
 
         query_embed = self.param("query_embedding",
@@ -123,7 +131,9 @@ class DETR(nn.Module):
         for i in range(self.num_decoder_layers):
             q = DETRDecoderLayer(
                 C, feedforward_channels=2048, dropout=self.dropout,
-                name=f"decoder_layer{i}")(q, qp, memory, pos, deterministic)
+                name=f"decoder_layer{i}")(q, qp, memory, pos,
+                                          deterministic,
+                                          key_padding_mask=pad_flat)
             inter.append(post_norm(q))
         hs = jnp.stack(inter, 0)                  # (nl, B, Q, C)
 

@@ -72,11 +72,16 @@ class HTCMaskHead(nn.Module):
 
 class FusedSemanticHead(nn.Module):
     """fused_semantic_head.py: per-level 1x1 laterals summed at the
-    fusion level, 4 3x3 convs, then 1x1 logits + 1x1 embedding."""
+    fusion level, 4 3x3 convs, then 1x1 logits + 1x1 embedding.
+
+    ``conv_to_res``: SCNet's variant (scnet_semantic_head.py +
+    configs/scnet conv_to_res=True) replaces the 4 convs with 2
+    SimplifiedBasicBlocks."""
     num_classes: int = 183
     channels: int = 256
     fusion_level: int = 1
     num_convs: int = 4
+    conv_to_res: bool = False
 
     @nn.compact
     def __call__(self, feats):
@@ -92,10 +97,16 @@ class FusedSemanticHead(nn.Module):
             lat = jax.image.resize(lat, (lat.shape[0], fh, fw, lat.shape[3]),
                                    method="bilinear")
             x = x + lat
-        for i in range(self.num_convs):
-            x = nn.relu(nn.Conv(self.channels, (3, 3),
-                                padding=[(1, 1), (1, 1)],
-                                name=f"conv{i}")(x))
+        if self.conv_to_res:
+            from .scnet import SimplifiedBasicBlock
+            for i in range(self.num_convs // 2):
+                x = SimplifiedBasicBlock(self.channels,
+                                         name=f"res{i}")(x)
+        else:
+            for i in range(self.num_convs):
+                x = nn.relu(nn.Conv(self.channels, (3, 3),
+                                    padding=[(1, 1), (1, 1)],
+                                    name=f"conv{i}")(x))
         pred = nn.Conv(self.num_classes, (1, 1), name="logits")(x)
         feat = nn.relu(nn.Conv(self.channels, (1, 1), name="embedding")(x))
         return pred, feat

@@ -81,10 +81,13 @@ class TransformerEncoderPixelDecoder(nn.Module):
         x = nn.Conv(self.channels, (1, 1), name="encoder_in_proj")(top)
         tokens = x.reshape(B, H * W, self.channels)
         posf = pos.reshape(B, H * W, self.channels)
+        pad_flat = pad.reshape(B, H * W)
         for i in range(self.num_encoder_layers):
+            # query_key_padding_mask=padding_mask (pixel_decoder.py:230)
             tokens = DETREncoderLayer(
                 self.channels, dropout=0.0,
-                name=f"encoder_layer{i}")(tokens, posf, deterministic)
+                name=f"encoder_layer{i}")(tokens, posf, deterministic,
+                                          key_padding_mask=pad_flat)
         memory = tokens                               # (B, HW, C)
         y = _gn_conv(tokens.reshape(B, H, W, self.channels), self.channels,
                      "encoder_out")
@@ -132,10 +135,12 @@ class MaskFormer(nn.Module):
         post_norm = nn.LayerNorm(epsilon=1e-5, name="post_norm")
         inter = []
         for i in range(self.num_decoder_layers):
+            # key_padding_mask=padding_mask (maskformer_head.py:463)
             q = DETRDecoderLayer(
                 C, dropout=0.0,
                 name=f"decoder_layer{i}")(q, qp, memory, mem_pos,
-                                          deterministic)
+                                          deterministic,
+                                          key_padding_mask=mem_pad)
             inter.append(post_norm(q))
         hs = jnp.stack(inter, 0)                       # (nl, B, Q, C)
 

@@ -133,7 +133,12 @@ def queryinst_loss(model, variables, out, gt_bboxes, gt_labels, gt_valid,
     for s in range(S):
         res = assigns[s]
         qidx, matched = invert_assignment(res.assigned_gt, res.pos_mask, G)
-        boxes = jnp.take_along_axis(out.bboxes[s], qidx[..., None], axis=1)
+        # DETACHED proposals for the mask path (sparse_roi_head.py:147
+        # builds mask sampling results from detach_proposal_list) — dice
+        # gradients must not leak into the box deltas through the
+        # bilinear sampling coordinates of roi_align
+        boxes = jax.lax.stop_gradient(
+            jnp.take_along_axis(out.bboxes[s], qidx[..., None], axis=1))
         attn = jnp.take_along_axis(out.attn_feats[s], qidx[..., None],
                                    axis=1)                # (B, G, C)
         f14 = jnp.stack([

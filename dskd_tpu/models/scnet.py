@@ -167,8 +167,11 @@ class SCNet(CascadeRCNN):
                                          name=f"bbox_head{i}")
                            for i in range(self.num_stages)]
         from .htc import FusedSemanticHead
+        # conv_to_res=True: SCNetSemanticHead swaps the 4 convs for 2
+        # SimplifiedBasicBlocks (configs/scnet semantic_head)
         self.semantic_head = FusedSemanticHead(
-            num_classes=self.semantic_classes, name="semantic_head")
+            num_classes=self.semantic_classes, conv_to_res=True,
+            name="semantic_head")
         self.glbctx_head = GlobalContextHead(num_classes=self.num_classes,
                                              name="glbctx_head")
         self.relay_head = FeatureRelayHead(name="feat_relay_head")
@@ -288,7 +291,6 @@ def scnet_get_bboxes(apply_roi, out: SCNetOutputs, proposals,
     feats_pi = [tuple(f[b] for f in out.neck_feats[:4]) for b in range(B)]
     rois = proposals
     stage_scores = []
-    shared_last = None
     for stage, stds in enumerate(STAGE_STDS):
         f7 = jnp.stack([
             multi_level_roi_align(feats_pi[b], rois[b], proposal_valid[b])
@@ -297,7 +299,6 @@ def scnet_get_bboxes(apply_roi, out: SCNetOutputs, proposals,
         cls_logits, reg, shared = apply_roi(
             f7.reshape(B * S, 7, 7, -1), stage)
         stage_scores.append(jax.nn.softmax(cls_logits, -1))
-        shared_last = shared.reshape(B, S, -1)
         refined = delta2bbox(rois.reshape(-1, 4), reg, stds=stds)
         h = img_hw[:, 0:1].astype(refined.dtype)
         w = img_hw[:, 1:2].astype(refined.dtype)
@@ -318,16 +319,27 @@ def scnet_get_bboxes(apply_roi, out: SCNetOutputs, proposals,
         nb, ns, nl, keep, kidx = batched_nms(
             boxes[top.keep_idxs], top.scores, top.labels, nms_iou,
             max_per_img, valid=top.valid)
-        ridx = top.keep_idxs[kidx]          # surviving proposal index
+        nb_in = nb                          # input-coordinate boxes
         if rescale and sf is not None:
             nb = nb / sf[None]
-        return nb, ns, nl, keep, ridx
+        return nb, ns, nl, keep, nb_in
 
     if scale_factor is None:
         scale_factor = jnp.ones((B, 4), jnp.float32)
-    nb, ns, nl, keep, ridx = jax.vmap(per_image)(
+    nb, ns, nl, keep, nb_in = jax.vmap(per_image)(
         refined, proposal_valid, probs, scale_factor)
-    shared_det = jnp.take_along_axis(shared_last, ridx[..., None], axis=1)
+    # the relayed feature re-pools the LAST bbox head at the FINAL
+    # detection boxes (scnet_roi_head.py:447-461 builds mask_rois from
+    # the post-NMS dets and re-runs _bbox_forward(-1)) — NOT the stale
+    # stage-input features
+    R = nb_in.shape[1]
+    f7d = jnp.stack([
+        multi_level_roi_align(feats_pi[b], nb_in[b], keep[b])
+        + _sem_roi(out.sem_feat[b], nb_in[b], keep[b], 7)
+        for b in range(B)]) + out.glbctx[:, None, None, None, :]
+    _, _, shared_det = apply_roi(
+        f7d.reshape(B * R, 7, 7, -1), len(STAGE_STDS) - 1)
+    shared_det = shared_det.reshape(B, R, -1)
     return dict(bboxes=nb, scores=ns, labels=nl, valid=keep,
                 shared=shared_det)
 

@@ -242,7 +242,7 @@ def solo_loss(outputs: SOLOOutputs, gt_bboxes, gt_labels, gt_valid,
 def solo_decode(outputs: SOLOOutputs, canvas_hw, num_classes: int,
                 num_grids=NUM_GRIDS, strides=STRIDES,
                 score_thr: float = 0.1, mask_thr: float = 0.5,
-                filter_thr: float = 0.05, nms_pre: int = 100,
+                filter_thr: float = 0.05, nms_pre: int = 500,
                 max_per_img: int = 100, sigma: float = 2.0):
     """solo_head.py get_results under static shapes: local-max keep on
     the score grids, top-k candidates, maskness rescoring, matrix NMS on
@@ -286,7 +286,9 @@ def solo_decode(outputs: SOLOOutputs, canvas_hw, num_classes: int,
         binm = m > mask_thr
         area = binm.sum(axis=(1, 2)).astype(jnp.float32)
         maskness = (m * binm).sum(axis=(1, 2)) / jnp.maximum(area, 1e-6)
-        ok = (sc > score_thr) & (area * 16.0 > cell_stride[cl])
+        # keep = sum_masks > strides (solo_head.py:531): area is
+        # already at the stride-4 mask grid — no extra scaling
+        ok = (sc > score_thr) & (area > cell_stride[cl])
         sc = sc * maskness * ok
         order = jnp.argsort(-sc)
         sc, lb = sc[order], lb[order]

@@ -154,7 +154,10 @@ class MultiheadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, key, value, query_pos=None, key_pos=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, key_padding_mask=None):
+        """``key_padding_mask``: (B, K) bool, True = PADDED key (the torch
+        nn.MultiheadAttention convention the reference uses) — those keys
+        are excluded from every query's attention."""
         identity = query
         q = query + query_pos if query_pos is not None else query
         k = key + key_pos if key_pos is not None else key
@@ -163,7 +166,11 @@ class MultiheadAttention(nn.Module):
             out_features=self.embed_dims, dropout_rate=self.dropout,
             kernel_init=nn.initializers.xavier_uniform(),
             deterministic=deterministic, name="attn")
-        out = attn(q, k, value)
+        mask = None
+        if key_padding_mask is not None:
+            # flax mask: True = attend; broadcast (B, 1, 1, K)
+            mask = (~key_padding_mask)[:, None, None, :]
+        out = attn(q, k, value, mask=mask)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return identity + out
 

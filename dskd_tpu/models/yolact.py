@@ -173,7 +173,8 @@ class YOLACTLossConfig(NamedTuple):
 
 
 def yolact_loss(out: YOLACTOutputs, anchors, gt_bboxes, gt_labels,
-                gt_valid, gt_masks, canvas_hw, cfg: YOLACTLossConfig):
+                gt_valid, gt_masks, canvas_hw, cfg: YOLACTLossConfig,
+                img_hw=None):
     """OHEM softmax CE (3:1) + smooth L1 (1.5) + cropped prototype BCE
     (6.125, box-area normalized) + aux semantic BCE
     (yolact_head.py loss / loss_single_OHEM / YOLACTProtonet.loss /
@@ -219,7 +220,10 @@ def yolact_loss(out: YOLACTOutputs, anchors, gt_bboxes, gt_labels,
     Hp, Wp = out.protos.shape[1:3]
     Hc, Wc = canvas_hw
 
-    def per_image(protos, coeff, assigned, gtb, gm):
+    if img_hw is None:
+        img_hw = jnp.tile(jnp.asarray([[Hc, Wc]], jnp.float32), (B, 1))
+
+    def per_image(protos, coeff, assigned, gtb, gm, hw):
         score = (assigned >= 0).astype(jnp.float32) \
             - jnp.arange(N, dtype=jnp.float32) / (N + 1.0)
         _, sel = jax.lax.top_k(score, M)
@@ -233,18 +237,24 @@ def yolact_loss(out: YOLACTOutputs, anchors, gt_bboxes, gt_labels,
             "bilinear").transpose(2, 0, 1)
         tgt_m = (tgt_m > 0.5).astype(jnp.float32)[g]       # (M, Hp, Wp)
         bce = L.binary_cross_entropy_with_logits(logits, tgt_m) * crop
-        gw = jnp.clip((boxes[:, 2] - boxes[:, 0]) / Wc, 1e-4)
-        gh = jnp.clip((boxes[:, 3] - boxes[:, 1]) / Hc, 1e-4)
+        # box extents normalize by the PER-IMAGE resized shape, not the
+        # padded canvas (yolact_head.py:793-800 uses img_meta img_shape)
+        h_im = hw[0].astype(boxes.dtype)
+        w_im = hw[1].astype(boxes.dtype)
+        gw = jnp.clip((boxes[:, 2] - boxes[:, 0]) / w_im, 1e-4)
+        gh = jnp.clip((boxes[:, 3] - boxes[:, 1]) / h_im, 1e-4)
         per = bce.mean(axis=(1, 2)) / gw / gh
         return (per * valid).sum(), valid.sum()
 
     lm, np_ = jax.vmap(per_image)(out.protos, coeffs, assign.assigned_gt,
-                                  gt_bboxes, gt_masks)
+                                  gt_bboxes, gt_masks,
+                                  jnp.asarray(img_hw, jnp.float32))
     total_sel = jnp.maximum(np_.sum().astype(jnp.float32), 1.0)
     loss_mask = LOSS_MASK_WEIGHT * lm.sum() / total_sel
 
     # ---- aux semantic head (YOLACTSegmHead.loss: sigmoid BCE against
-    # per-class unions of downsampled gt masks, averaged over B*C*H*W) --
+    # per-class unions of downsampled gt masks; avg_factor is
+    # num_imgs * H * W — the class dim is SUMMED, yolact_head.py:523-538)
     Hs, Ws = out.segm_pred.shape[1:3]
     gm_s = jax.image.resize(
         gt_masks.transpose(0, 2, 3, 1), (B, Hs, Ws, G), "bilinear")
@@ -253,7 +263,7 @@ def yolact_loss(out: YOLACTOutputs, anchors, gt_bboxes, gt_labels,
               * gt_valid[..., None].astype(jnp.float32))   # (B, G, C)
     seg_tgt = jnp.clip(jnp.einsum("bhwg,bgc->bhwc", gm_s, onehot), 0, 1)
     loss_segm = L.binary_cross_entropy_with_logits(
-        out.segm_pred, seg_tgt).mean()
+        out.segm_pred, seg_tgt).sum() / (B * Hs * Ws)
     return dict(loss_cls=loss_cls, loss_bbox=loss_bbox,
                 loss_mask=loss_mask, loss_segm=loss_segm)
 

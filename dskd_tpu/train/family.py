@@ -718,7 +718,7 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 out, anchors, batch.gt_bboxes, batch.gt_labels,
                 batch.gt_valid, batch.gt_masks,
                 canvas_hw=tuple(batch.images.shape[1:3]),
-                cfg=det_cfg), None
+                cfg=det_cfg, img_hw=batch.img_hw), None
 
     elif arch == "centernet":
         from ..models.centernet import CenterNetLossConfig, centernet_loss
