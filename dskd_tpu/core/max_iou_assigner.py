@@ -32,9 +32,24 @@ def max_iou_assign(boxes: jnp.ndarray, gt_bboxes: jnp.ndarray,
                    num_classes: int, pos_iou_thr: float = 0.7,
                    neg_iou_thr: float = 0.3, min_pos_iou: float = 0.3,
                    match_low_quality: bool = True) -> MaxIoUResult:
-    N = boxes.shape[0]
-    G = gt_bboxes.shape[0]
-    ious = jnp.where(gt_valid[None], bbox_overlaps(boxes, gt_bboxes), -1.0)
+    ious = bbox_overlaps(boxes, gt_bboxes)
+    return max_iou_assign_ious(ious, gt_labels, gt_valid, num_classes,
+                               pos_iou_thr=pos_iou_thr,
+                               neg_iou_thr=neg_iou_thr,
+                               min_pos_iou=min_pos_iou,
+                               match_low_quality=match_low_quality)
+
+
+def max_iou_assign_ious(ious: jnp.ndarray, gt_labels: jnp.ndarray,
+                        gt_valid: jnp.ndarray, num_classes: int,
+                        pos_iou_thr: float = 0.7, neg_iou_thr: float = 0.3,
+                        min_pos_iou: float = 0.3,
+                        match_low_quality: bool = True) -> MaxIoUResult:
+    """MaxIoU assignment from a precomputed (N, G) overlap matrix — the
+    ApproxMaxIoUAssigner (approx_max_iou_assigner.py) is exactly this on
+    the per-square max over its 9 approx anchors."""
+    N, G = ious.shape
+    ious = jnp.where(gt_valid[None], ious, -1.0)
     max_iou = ious.max(axis=1)
     argmax_gt = jnp.argmax(ious, axis=1).astype(jnp.int32)
 

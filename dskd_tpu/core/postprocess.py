@@ -200,3 +200,51 @@ def nms_match_groups(boxes: jnp.ndarray, scores: jnp.ndarray,
     group0 = jnp.full((N,), -1, jnp.int32)
     group, _ = jax.lax.while_loop(cond, body, (group0, 0))
     return group
+
+
+def soft_nms(boxes: jnp.ndarray, scores: jnp.ndarray, labels: jnp.ndarray,
+             max_out: int, valid=None, sigma: float = 0.5,
+             min_score: float = 1e-3):
+    """Greedy Gaussian Soft-NMS under static shapes (Bodla et al.; the
+    mmcv ops.soft_nms method='gaussian' the corner families' test_cfg
+    requests — configs/cornernet + centripetalnet nms=soft_nms gaussian).
+
+    Sequentially selects the current-highest-score box; every remaining
+    SAME-CLASS box decays by exp(-iou^2 / sigma) (the gaussian method
+    decays unconditionally — iou_threshold only gates the linear method).
+    Each selection keeps its decayed-at-selection score; selections at or
+    below ``min_score`` are marked invalid.
+
+    Returns (boxes, scores, labels, keep_mask) with first axis max_out,
+    ordered by selection (descending decayed score).
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    x1, y1, x2, y2 = (boxes[:, i] for i in range(4))
+    area = jnp.clip(x2 - x1, 0, None) * jnp.clip(y2 - y1, 0, None)
+    ix1 = jnp.maximum(x1[:, None], x1[None, :])
+    iy1 = jnp.maximum(y1[:, None], y1[None, :])
+    ix2 = jnp.minimum(x2[:, None], x2[None, :])
+    iy2 = jnp.minimum(y2[:, None], y2[None, :])
+    inter = jnp.clip(ix2 - ix1, 0, None) * jnp.clip(iy2 - iy1, 0, None)
+    union = jnp.maximum(area[:, None] + area[None, :] - inter, 1e-9)
+    iou = jnp.where(labels[:, None] == labels[None, :], inter / union, 0.0)
+
+    s0 = jnp.where(valid, scores, -jnp.inf)
+
+    def body(i, carry):
+        s, out_idx, out_sc = carry
+        j = jnp.argmax(s)
+        sj = s[j]
+        s = s * jnp.exp(-(iou[j] ** 2) / sigma)
+        s = s.at[j].set(-jnp.inf)
+        return (s, out_idx.at[i].set(j.astype(jnp.int32)),
+                out_sc.at[i].set(sj))
+
+    _, idxs, sc = jax.lax.fori_loop(
+        0, max_out, body,
+        (s0, jnp.zeros((max_out,), jnp.int32),
+         jnp.full((max_out,), -jnp.inf, scores.dtype)))
+    keep = sc > min_score
+    return (boxes[idxs], jnp.where(keep, sc, 0.0), labels[idxs], keep)

@@ -155,17 +155,24 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
         return eval_step
 
     if arch == "ga_rpn":
-        from ..models.guided_anchor import ga_geometry, ga_get_bboxes
+        from ..models.guided_anchor import (GARPN_OCTAVE_SCALE,
+                                            GARPN_STRIDES, ga_geometry,
+                                            ga_get_bboxes)
 
         @jax.jit
         def eval_step(variables, images, img_hw, scale_factors):
             out = model.apply(variables, images, img_hw, deterministic=True)
             centers, strides, _, _ = ga_geometry(
-                [c.shape[1:3] for c in out.head.cls_scores])
+                [c.shape[1:3] for c in out.head.cls_scores],
+                level_strides=GARPN_STRIDES,
+                octave_scale=GARPN_OCTAVE_SCALE)
             d = ga_get_bboxes(out.head, centers, strides, img_hw,
                               scale_factor=scale_factors, score_thr=0.0,
                               nms_iou=0.7, max_per_img=max_per_img,
-                              rescale=True)
+                              rescale=True,
+                              sigma=float(GARPN_OCTAVE_SCALE),
+                              shape_std=0.14,
+                              bbox_stds=(0.07, 0.07, 0.11, 0.11))
             return Det(d["bboxes"], d["scores"],
                        jnp.zeros(d["scores"].shape, jnp.int32), d["valid"])
         return eval_step

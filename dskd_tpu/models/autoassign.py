@@ -72,7 +72,8 @@ class AutoAssignHead(nn.Module):
                     epsilon=1e-5, num_groups=32, name=f"{p}_gn{i}")
         conv_cls = nn.Conv(
             self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
-            bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
+            # autoassign_head.py:175: prior prob 0.02, not the usual 0.01
+            bias_init=nn.initializers.constant(bias_init_with_prob(0.02)),
             name="conv_cls")
         conv_reg = nn.Conv(
             4, (3, 3), padding=[(1, 1), (1, 1)],

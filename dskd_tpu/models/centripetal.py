@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import losses as L
+from ..core.postprocess import soft_nms
 from ..ops.deform_conv import deform_conv2d
 from .cornernet import (CascadeCornerPool, CornerLossConfig, _pred_branch,
                         corner_targets)
@@ -147,16 +148,18 @@ def centripetalnet_loss(out: CentripetalHeadOutputs, gt_bboxes, gt_labels,
             p = jnp.clip(jax.nn.sigmoid(heat), 1e-4, 1 - 1e-4)
             det = det + L.gaussian_focal_loss(
                 p.reshape(-1), heat_t.reshape(-1), avg_factor=nv)
+        det = det / 2.0             # corner_head.py:621 (tl + br) / 2
 
         def at(maps, idx):
             return jax.vmap(lambda m, i: m.reshape(-1, 2)[i])(maps, idx)
 
-        off = L.l1_loss(
+        # loss_offset is SmoothL1(beta=1) inherited from corner_head
+        off = L.smooth_l1_loss(
             at(out.tl_offs[s], tl_idx).reshape(-1, 2),
-            tl_off_t.reshape(-1, 2), weight=woff.reshape(-1, 2),
-            avg_factor=2 * nv) + L.l1_loss(
+            tl_off_t.reshape(-1, 2), beta=1.0, weight=woff.reshape(-1, 2),
+            avg_factor=2 * nv) + L.smooth_l1_loss(
             at(out.br_offs[s], br_idx).reshape(-1, 2),
-            br_off_t.reshape(-1, 2), weight=woff.reshape(-1, 2),
+            br_off_t.reshape(-1, 2), beta=1.0, weight=woff.reshape(-1, 2),
             avg_factor=2 * nv)
         guide = L.smooth_l1_loss(
             at(out.tl_guiding[s], tl_idx).reshape(-1, 2),
@@ -221,20 +224,30 @@ def centripetalnet_get_bboxes(out: CentripetalHeadOutputs, img_hw,
         scores = (tsc[:, None] + bsc[None, :]) / 2
         ok = (tcls[:, None] == bcls[None, :])
         ok &= (bx[None, :] > tx[:, None]) & (by[None, :] > ty[:, None])
-        # central-region gate (central third of the candidate box)
+        # central-region gate (corner_head.py:951-977): region = center
+        # +- mu*wh/2 with mu = 1/2.4, shrunk to 1/2.1 for boxes with
+        # input-resolution area > 3500 ("magic nums from paper sec 4.1");
+        # both shifted centers must land STRICTLY inside
         cw = bx[None, :] - tx[:, None]
         ch = by[None, :] - ty[:, None]
-        lo_x = tx[:, None] + cw / 3
-        hi_x = bx[None, :] - cw / 3
-        lo_y = ty[:, None] + ch / 3
-        hi_y = by[None, :] - ch / 3
+        area_in = (cw * ch) * float(stride * stride)
+        mu = jnp.where(area_in > 3500.0, 1 / 2.1, 1 / 2.4)
+        cx_c = (tx[:, None] + bx[None, :]) / 2
+        cy_c = (ty[:, None] + by[None, :]) / 2
+        lo_x = cx_c - mu * cw / 2
+        hi_x = cx_c + mu * cw / 2
+        lo_y = cy_c - mu * ch / 2
+        hi_y = cy_c + mu * ch / 2
         for ctx, cty in ((tctx[:, None], tcty[:, None]),
                          (bctx[None, :], bcty[None, :])):
-            ok &= (ctx >= lo_x) & (ctx <= hi_x) \
-                & (cty >= lo_y) & (cty <= hi_y)
+            ok &= (ctx > lo_x) & (ctx < hi_x) \
+                & (cty > lo_y) & (cty < hi_y)
         scores = jnp.where(ok, scores, -1.0)
 
-        sc, idx = jax.lax.top_k(scores.reshape(-1), max_per_img)
+        # soft-NMS pool, then gaussian decay to max_per_img (test_cfg
+        # nms=soft_nms gaussian — configs/centripetalnet)
+        pool = min(10 * max_per_img, k * k)
+        sc, idx = jax.lax.top_k(scores.reshape(-1), pool)
         ti = idx // k
         bi = idx % k
         boxes = jnp.stack([tx[ti], ty[ti], bx[bi], by[bi]], -1) * stride
@@ -244,9 +257,12 @@ def centripetalnet_get_bboxes(out: CentripetalHeadOutputs, img_hw,
             jnp.clip(boxes[:, 0], 0, ww), jnp.clip(boxes[:, 1], 0, hh),
             jnp.clip(boxes[:, 2], 0, ww), jnp.clip(boxes[:, 3], 0, hh)],
             -1)
+        labels = tcls[ti]
+        boxes, sc, labels, keep = soft_nms(
+            boxes, sc, labels, max_per_img, valid=sc > 0)
         if rescale and sf is not None:
             boxes = boxes / sf[None]
-        return boxes, sc, tcls[ti], sc > score_thr
+        return boxes, sc, labels, keep & (sc > score_thr)
 
     if scale_factor is None:
         scale_factor = jnp.ones((B, 4), jnp.float32)

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import losses as L
+from ..core.postprocess import soft_nms
 from ..ops.corner_pool import corner_pool
 from .gfl_detr_head import bias_init_with_prob
 from .hourglass import ConvBN, HourglassNet
@@ -199,6 +200,7 @@ def cornernet_loss(out: CornerHeadOutputs, gt_bboxes, gt_labels, gt_valid,
             p = jnp.clip(jax.nn.sigmoid(heat), 1e-4, 1 - 1e-4)
             det = det + L.gaussian_focal_loss(
                 p.reshape(-1), heat_t.reshape(-1), avg_factor=nv)
+        det = det / 2.0             # corner_head.py:621 (tl + br) / 2
         # embeddings at the gt corner cells
         te = jax.vmap(lambda e, i: e.reshape(-1)[i])(
             out.tl_embs[s][..., 0], tl_idx)                   # (B, G)
@@ -218,11 +220,16 @@ def cornernet_loss(out: CornerHeadOutputs, gt_bboxes, gt_labels, gt_valid,
             out.tl_offs[s], tl_idx)                           # (B, G, 2)
         bo = jax.vmap(lambda o, i: o.reshape(-1, 2)[i])(
             out.br_offs[s], br_idx)
+        # corner_head.py:134: loss_offset is SmoothL1(beta=1.0); each
+        # corner normalizes by the cell count and the pair averages /2 —
+        # algebraically the 2*nv avg_factor used here
         woff = jnp.repeat(vmask[..., None], 2, -1)
-        off = L.l1_loss(to.reshape(-1, 2), tl_off_t.reshape(-1, 2),
-                        weight=woff.reshape(-1, 2), avg_factor=2 * nv) \
-            + L.l1_loss(bo.reshape(-1, 2), br_off_t.reshape(-1, 2),
-                        weight=woff.reshape(-1, 2), avg_factor=2 * nv)
+        off = L.smooth_l1_loss(
+            to.reshape(-1, 2), tl_off_t.reshape(-1, 2), beta=1.0,
+            weight=woff.reshape(-1, 2), avg_factor=2 * nv) \
+            + L.smooth_l1_loss(
+            bo.reshape(-1, 2), br_off_t.reshape(-1, 2), beta=1.0,
+            weight=woff.reshape(-1, 2), avg_factor=2 * nv)
         pre = "" if s == len(out.tl_heats) - 1 else f"s{s}."
         losses[pre + "loss_heatmap"] = det
         losses[pre + "loss_pull"] = cfg.pull_weight * pull
@@ -274,7 +281,10 @@ def cornernet_get_bboxes(out: CornerHeadOutputs, img_hw, k: int = 100,
         scores = jnp.where(ok, scores, -1.0)
 
         flat = scores.reshape(-1)
-        sc, idx = jax.lax.top_k(flat, max_per_img)
+        # soft-NMS pool, then gaussian decay to max_per_img (test_cfg
+        # nms=soft_nms gaussian — configs/cornernet)
+        pool = min(10 * max_per_img, k * k)
+        sc, idx = jax.lax.top_k(flat, pool)
         ti = idx // k
         bi = idx % k
         boxes = jnp.stack([tx[ti], ty[ti], bx[bi], by[bi]], -1)
@@ -284,10 +294,13 @@ def cornernet_get_bboxes(out: CornerHeadOutputs, img_hw, k: int = 100,
             jnp.clip(boxes[:, 0], 0, ww), jnp.clip(boxes[:, 1], 0, hh),
             jnp.clip(boxes[:, 2], 0, ww), jnp.clip(boxes[:, 3], 0, hh)],
             -1)
+        labels = tcls[ti]
+        boxes, sc, labels, keep = soft_nms(
+            boxes, sc, labels, max_per_img, valid=sc > 0)
         if rescale and sf is not None:
             boxes = boxes / sf[None]
-        valid = sc > score_thr
-        return boxes, sc, tcls[ti], valid
+        valid = keep & (sc > score_thr)
+        return boxes, sc, labels, valid
 
     if scale_factor is None:
         scale_factor = jnp.ones((B, 4), jnp.float32)

@@ -136,7 +136,9 @@ def fsaf_loss(out: FSAFHeadOutputs, gt_bboxes, gt_labels, gt_valid,
             xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * stride
             px = jnp.tile(xs[None, :], (h, 1))
             py = jnp.tile(ys[:, None], (1, w))
-            d = rs * stride                                  # image ltrb
+            # TBLRBBoxCoder normalizer=4.0 on a stride-sized prior
+            # (fsaf config bbox_coder): image dist = pred * 4 * stride
+            d = rs * (4.0 * stride)                          # image ltrb
             boxes = jnp.stack([px - d[..., 0], py - d[..., 1],
                                px + d[..., 2], py + d[..., 3]], -1)
             # per-gt candidate losses on the effective cells (detached)
@@ -179,7 +181,9 @@ def fsaf_loss(out: FSAFHeadOutputs, gt_bboxes, gt_labels, gt_valid,
                 weight=wgt.reshape(-1, 1), avg_factor=1.0,
                 gamma=cfg.focal_gamma, alpha=cfg.focal_alpha)
             tgt = gt[best.reshape(-1)]
-            lb = L.iou_loss(boxes.reshape(-1, 4), tgt,
+            # fsaf config loss_bbox = IoULoss default mode='log' (-log IoU),
+            # matching the level-selection metric above
+            lb = L.iou_loss(boxes.reshape(-1, 4), tgt, linear=False,
                             weight=pos_any.reshape(-1).astype(jnp.float32),
                             avg_factor=1.0)
             loss_cls_total = loss_cls_total + lc
@@ -209,7 +213,7 @@ def fsaf_get_bboxes(out: FSAFHeadOutputs, img_hw, scale_factor=None,
         xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * stride
         px = jnp.tile(xs[None, :], (h, 1)).reshape(-1)
         py = jnp.repeat(ys, w)
-        d = rs.reshape(B, -1, 4) * stride
+        d = rs.reshape(B, -1, 4) * (4.0 * stride)
         boxes = jnp.stack([px[None] - d[..., 0], py[None] - d[..., 1],
                            px[None] + d[..., 2], py[None] + d[..., 3]], -1)
         boxes_all.append(boxes)

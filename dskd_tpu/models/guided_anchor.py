@@ -29,17 +29,17 @@ from ..core import losses as L
 from ..core.anchors import base_anchors, bbox2delta, delta2bbox, \
     grid_anchors
 from ..core.boxes import bbox_overlaps
-from ..core.max_iou_assigner import max_iou_assign
+from ..core.max_iou_assigner import max_iou_assign, max_iou_assign_ious
 from ..core.postprocess import batched_nms, filter_scores_and_topk
 from ..ops.deform_conv import deform_conv2d
 from .fpn import FPN
 from .gfl_detr_head import bias_init_with_prob
 from .resnet import ResNet
 
-STRIDES = (8, 16, 32, 64, 128)
-OCTAVE_SCALE = 4
-ANCHOR_SIGMA = 8.0      # square anchor wh = sigma * stride at d = 0
-APPROX_SCALES = tuple(OCTAVE_SCALE * 2 ** (i / 3) for i in range(3))
+STRIDES = (8, 16, 32, 64, 128)        # GA-Retina (FPN start_level=1)
+GARPN_STRIDES = (4, 8, 16, 32, 64)    # GA-RPN (FPN start_level=0)
+OCTAVE_SCALE = 4                       # GA-Retina octave_base_scale
+GARPN_OCTAVE_SCALE = 8                 # GA-RPN octave_base_scale
 APPROX_RATIOS = (0.5, 1.0, 2.0)
 CENTER_RATIO = 0.2
 IGNORE_RATIO = 0.5
@@ -218,15 +218,21 @@ class GARetinaNet(nn.Module):
         return GAOutputs(head, neck)
 
 
-def ga_geometry(featmap_sizes):
-    """(centers (N, 2), strides (N,), approxs (N, 9, 4), counts)."""
+def ga_geometry(featmap_sizes, level_strides=STRIDES,
+                octave_scale: int = OCTAVE_SCALE):
+    """(centers (N, 2), strides (N,), approxs (N, 9, 4), counts).
+
+    GA-Retina: strides (8..128), octave_base_scale 4; GA-RPN: strides
+    (4..64), octave_base_scale 8 (each variant's approx + square anchor
+    generators, configs/guided_anchoring)."""
+    approx_scales = tuple(octave_scale * 2 ** (i / 3) for i in range(3))
     pts, strides, ap, counts = [], [], [], []
-    for (h, w), s in zip(featmap_sizes, STRIDES):
+    for (h, w), s in zip(featmap_sizes, level_strides):
         ys, xs = np.mgrid[:h, :w]
         pts.append(np.stack([(xs + 0.5) * s, (ys + 0.5) * s],
                             -1).reshape(-1, 2))
         strides.append(np.full((h * w,), s, np.float32))
-        base = base_anchors(s, APPROX_SCALES, APPROX_RATIOS)
+        base = base_anchors(s, approx_scales, APPROX_RATIOS)
         ap.append(grid_anchors((h, w), s, base).reshape(-1, 9, 4))
         counts.append(h * w)
     return (jnp.asarray(np.concatenate(pts), jnp.float32),
@@ -234,36 +240,100 @@ def ga_geometry(featmap_sizes):
             jnp.concatenate(ap, 0), tuple(counts))
 
 
-def guided_anchors(centers, strides, shape_flat):
-    """(B, N, 4) anchors from predicted (dw, dh)."""
-    wh = ANCHOR_SIGMA * strides[None, :, None] \
-        * jnp.exp(jnp.clip(shape_flat, -4.0, 4.0))
+def guided_anchors(centers, strides, shape_flat,
+                   sigma: float = float(OCTAVE_SCALE),
+                   shape_std: float = 1.0):
+    """(B, N, 4) anchors from predicted (dw, dh): the anchor_coder decode
+    of square (sigma*stride) anchors with deltas (0, 0, dw, dh) —
+    wh = sigma * stride * exp(std * d)."""
+    wh = sigma * strides[None, :, None] \
+        * jnp.exp(jnp.clip(shape_flat * shape_std, -4.0, 4.0))
     return jnp.concatenate([centers[None] - wh / 2,
                             centers[None] + wh / 2], -1)
 
 
 class GALossConfig(NamedTuple):
+    """Per-variant GA training recipe (configs/guided_anchoring).
+
+    Defaults are GA-Retina (ga_retinanet_r50_fpn_1x_coco.py); GA-RPN
+    (ga_rpn_r50_fpn_1x_coco.py) overrides: num_classes=1, focal_cls=False
+    (sigmoid CE + 256@0.5 sampling), anchor_sigma=8 with strides (4..64),
+    shape_std=0.14, bbox_stds=(0.07, 0.07, 0.11, 0.11), ga thresholds
+    0.7/0.3/0.3, head thresholds 0.7/0.3/0.3, smooth_beta=1.0."""
     num_classes: int = 80
-    # GA-RPN trains its objectness with plain sigmoid CE
-    # (ga_rpn config loss_cls CrossEntropyLoss use_sigmoid), GA-Retina
-    # with focal
-    focal_cls: bool = True
+    focal_cls: bool = True          # False => sigmoid CE + head sampling
     focal_gamma: float = 2.0
     focal_alpha: float = 0.25
     loss_loc_weight: float = 1.0
     loss_shape_weight: float = 1.0
     loss_cls_weight: float = 1.0
     loss_bbox_weight: float = 1.0
-    smooth_beta: float = 1.0 / 9.0
+    smooth_beta: float = 0.04       # SmoothL1 beta (rpn: 1.0)
+    # geometry (must match the ga_geometry/guided_anchors call)
+    strides: Tuple[int, ...] = STRIDES
+    octave_scale: int = OCTAVE_SCALE
+    anchor_sigma: float = float(OCTAVE_SCALE)   # square anchor scale
+    shape_std: float = 1.0          # anchor_coder wh std (rpn: 0.14)
+    bbox_stds: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    # ApproxMaxIoU (shape branch) assigner
+    ga_pos: float = 0.5
+    ga_neg: float = 0.4
+    ga_min_pos: float = 0.4
+    # head (guided-anchor) assigner
+    pos_iou: float = 0.5
+    neg_iou: float = 0.5
+    min_pos_iou: float = 0.0
+    sample_num: int = 256           # ga_sampler (and rpn head sampler)
+    pos_fraction: float = 0.5
+
+
+def _sampled_masks(rng, assigned_gt, num: int, pos_fraction: float):
+    """RandomSampler as (pos_mask, neg_mask) over all N anchors: up to
+    num*pos_fraction positives, negatives fill to num total (the
+    reference samples num - len(pos) negatives)."""
+    N = assigned_gt.shape[0]
+    num_pos_max = int(num * pos_fraction)
+    r1, r2 = jax.random.split(rng)
+    pos_keys = jnp.where(assigned_gt >= 0,
+                         jax.random.uniform(r1, (N,)), -1.0)
+    k = min(num_pos_max, N)
+    pv, pi = jax.lax.top_k(pos_keys, k)
+    pos_mask = jnp.zeros((N,), bool).at[pi].set(pv > 0)
+    n_pos = pos_mask.sum()
+    neg_keys = jnp.where(assigned_gt == -1,
+                         jax.random.uniform(r2, (N,)), -1.0)
+    kn = min(num, N)
+    nv, ni = jax.lax.top_k(neg_keys, kn)
+    want = (jnp.arange(kn) < (num - n_pos)) & (nv > 0)
+    neg_mask = jnp.zeros((N,), bool).at[ni].set(want)
+    return pos_mask, neg_mask
 
 
 def ga_loss(out: GAHeadOutputs, centers, strides, approxs, level_counts,
-            gt_bboxes, gt_labels, gt_valid, cfg: GALossConfig
-            ) -> Dict[str, jnp.ndarray]:
+            gt_bboxes, gt_labels, gt_valid, cfg: GALossConfig,
+            rng=None) -> Dict[str, jnp.ndarray]:
+    """guided_anchor_head.py:384-752 loss under static shapes.
+
+    * loc branch: focal loss on level-routed center regions
+      (ga_loc_targets: target level floor(log2(scale/(octave*stride0)) +
+      0.5); pos = central 0.2 region, ignore = 0.5 ring + adjacent-level
+      0.5 regions, negatives weighted 0.1, avg = cells/200). Cell
+      membership reproduces calc_region's rounded-slice arithmetic.
+      One deviation from the reference's in-place writes: overlapping
+      gts resolve order-independently (pos wins over ignore).
+    * shape branch: ApproxMaxIoUAssigner (max over the 9 approxes ->
+      full MaxIoU semantics) + RandomSampler 256@0.5; bounded IoU loss
+      on the decoded square anchors, avg = sampled total (fg+bg,
+      ga_sampling=True in both shipped configs).
+    * head: MaxIoU on the detached guided anchors; focal (retina,
+      avg=num_pos) or sampled sigmoid CE (rpn, avg=256*B); SmoothL1 on
+      bbox_coder deltas, same avg (the (N,4) sum / num_total_samples —
+      NOT 4x)."""
     B = out.cls_scores[0].shape[0]
     C = cfg.num_classes
     N = centers.shape[0]
     G = gt_bboxes.shape[1]
+    L_n = len(level_counts)
     cls_flat = jnp.concatenate(
         [c.reshape(B, -1, C) for c in out.cls_scores], 1)
     reg_flat = jnp.concatenate(
@@ -272,75 +342,131 @@ def ga_loss(out: GAHeadOutputs, centers, strides, approxs, level_counts,
         [r.reshape(B, -1) for r in out.loc_preds], 1)
     shape_flat = jnp.concatenate(
         [r.reshape(B, -1, 2) for r in out.shape_preds], 1)
-    anchors = guided_anchors(centers, strides, shape_flat)   # (B, N, 4)
+    anchors = guided_anchors(centers, strides, shape_flat,
+                             sigma=cfg.anchor_sigma,
+                             shape_std=cfg.shape_std)         # (B, N, 4)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
 
-    def per_image(loc, shp, anc, gb, gl, gv):
-        # --- location targets: center region pos, ring ignored ---
-        def region(ratio):
-            cx = (gb[:, 0] + gb[:, 2]) / 2
-            cy = (gb[:, 1] + gb[:, 3]) / 2
-            hw = (gb[:, 2] - gb[:, 0]) * ratio / 2
-            hh = (gb[:, 3] - gb[:, 1]) * ratio / 2
-            return ((centers[:, 0][:, None] >= (cx - hw)[None])
-                    & (centers[:, 0][:, None] <= (cx + hw)[None])
-                    & (centers[:, 1][:, None] >= (cy - hh)[None])
-                    & (centers[:, 1][:, None] <= (cy + hh)[None])
-                    & gv[None])
-        pos_loc = region(CENTER_RATIO).any(1)
-        ign_loc = region(IGNORE_RATIO).any(1) & ~pos_loc
-        w_loc = jnp.where(ign_loc, 0.0, 1.0)
+    # per-cell integer col/row index + level id (static geometry)
+    cell_ix = centers[:, 0] / strides - 0.5
+    cell_iy = centers[:, 1] / strides - 0.5
+    level_id = jnp.repeat(
+        jnp.arange(L_n), jnp.asarray(level_counts),
+        total_repeat_length=N)
+    lvl_strides = jnp.asarray(cfg.strides, jnp.float32)
 
-        # --- shape targets: responsibility by approx max IoU ---
-        ious = bbox_overlaps(approxs.reshape(-1, 4), gb)
-        ious = jnp.where(gv[None], ious.reshape(N, 9, G).max(1), -1.0)
-        best = jnp.argmax(ious, 1)
-        resp = ious.max(1) >= 0.5                    # responsible cells
-        tgt = gb[jnp.clip(best, 0, G - 1)]
-        shape_l = bounded_iou_loss(anc, tgt).sum(-1)
-        n_resp = jnp.maximum(resp.sum().astype(jnp.float32), 1.0)
-        loss_shape = (jnp.where(resp, shape_l, 0.0)).sum() / n_resp
-        return pos_loc, w_loc, loss_shape
+    r1 = (1.0 - CENTER_RATIO) / 2.0
+    r2 = (1.0 - IGNORE_RATIO) / 2.0
 
-    pos_loc, w_loc, shape_losses = jax.vmap(per_image)(
-        loc_flat, shape_flat, anchors, gt_bboxes, gt_labels, gt_valid)
-    n_loc = jnp.maximum(pos_loc.sum().astype(jnp.float32), 1.0)
+    def regions(gb, ratio, stride_per_gt):
+        """calc_region in cell units at each gt's own level: rounded
+        inclusive [x1, x2] x [y1, y2] (N, G) membership."""
+        g = gb / stride_per_gt[:, None]                       # (G, 4)
+        x1 = jnp.round((1 - ratio) * g[:, 0] + ratio * g[:, 2])
+        y1 = jnp.round((1 - ratio) * g[:, 1] + ratio * g[:, 3])
+        x2 = jnp.round(ratio * g[:, 0] + (1 - ratio) * g[:, 2])
+        y2 = jnp.round(ratio * g[:, 1] + (1 - ratio) * g[:, 3])
+        return ((cell_ix[:, None] >= x1[None])
+                & (cell_ix[:, None] <= x2[None])
+                & (cell_iy[:, None] >= y1[None])
+                & (cell_iy[:, None] <= y2[None]))
+
+    min_anchor = float(cfg.octave_scale * cfg.strides[0])
+
+    def per_image_loc(gb, gv):
+        scale = jnp.sqrt(jnp.clip((gb[:, 2] - gb[:, 0])
+                                  * (gb[:, 3] - gb[:, 1]), 1e-6))
+        lvl_g = jnp.clip(jnp.floor(jnp.log2(scale / min_anchor) + 0.5),
+                         0, L_n - 1).astype(jnp.int32)        # (G,)
+        s_g = lvl_strides[lvl_g]
+        same = (level_id[:, None] == lvl_g[None]) & gv[None]
+        pos = (regions(gb, r1, s_g) & same).any(1)
+        ign = (regions(gb, r2, s_g) & same).any(1)
+        # adjacent-level ignore maps
+        lo = jnp.clip(lvl_g - 1, 0, L_n - 1)
+        hi = jnp.clip(lvl_g + 1, 0, L_n - 1)
+        adj = ((regions(gb, r2, lvl_strides[lo])
+                & (level_id[:, None] == lo[None]) & (lvl_g > 0)[None]
+                & gv[None])
+               | (regions(gb, r2, lvl_strides[hi])
+                  & (level_id[:, None] == hi[None])
+                  & (lvl_g < L_n - 1)[None] & gv[None])).any(1)
+        w = jnp.where(pos, 1.0, jnp.where(ign | adj, 0.0, 0.1))
+        return pos, w
+
+    pos_loc, w_loc = jax.vmap(per_image_loc)(gt_bboxes, gt_valid)
+    loc_avg = B * N / 200.0
     loss_loc = cfg.loss_loc_weight * L.sigmoid_focal_loss(
         loc_flat.reshape(-1, 1),
         pos_loc.astype(jnp.float32).reshape(-1, 1),
-        weight=w_loc.reshape(-1, 1), avg_factor=n_loc)
-    loss_shape = cfg.loss_shape_weight * shape_losses.mean()
+        weight=w_loc.reshape(-1, 1), avg_factor=loc_avg,
+        gamma=cfg.focal_gamma, alpha=cfg.focal_alpha)
+
+    # --- shape targets: ApproxMaxIoU + RandomSampler ---
+    def per_image_shape(r, anc, gb, gl, gv):
+        ious = bbox_overlaps(approxs.reshape(-1, 4), gb)
+        ious = ious.reshape(N, 9, G).max(1)
+        res = max_iou_assign_ious(ious, gl, gv, C,
+                                  pos_iou_thr=cfg.ga_pos,
+                                  neg_iou_thr=cfg.ga_neg,
+                                  min_pos_iou=cfg.ga_min_pos)
+        pos_m, _ = _sampled_masks(r, res.assigned_gt, cfg.sample_num,
+                                  cfg.pos_fraction)
+        safe = jnp.clip(res.assigned_gt, 0, G - 1)
+        tgt = gb[safe]
+        shape_l = bounded_iou_loss(anc, tgt).sum(-1)
+        return jnp.where(pos_m, shape_l, 0.0).sum()
+
+    rngs = jax.random.split(rng, 2 * B)
+    shape_sums = jax.vmap(per_image_shape)(
+        rngs[:B], anchors, gt_bboxes, gt_labels, gt_valid)
+    # anchor_total_num: fg+bg, and RandomSampler fills to 256/img
+    loss_shape = (cfg.loss_shape_weight * shape_sums.sum()
+                  / float(cfg.sample_num * B))
 
     # --- head losses on the predicted (detached) anchors ---
     anchors_d = jax.lax.stop_gradient(anchors)
     assign = jax.vmap(lambda a, gb, gl, gv: max_iou_assign(
-        a, gb, gl, gv, C, pos_iou_thr=0.5, neg_iou_thr=0.4,
-        min_pos_iou=0.4))(anchors_d, gt_bboxes, gt_labels, gt_valid)
+        a, gb, gl, gv, C, pos_iou_thr=cfg.pos_iou,
+        neg_iou_thr=cfg.neg_iou,
+        min_pos_iou=cfg.min_pos_iou))(anchors_d, gt_bboxes, gt_labels,
+                                      gt_valid)
     pos = assign.assigned_gt >= 0
     ignore = assign.assigned_gt == -2
-    num_pos = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
     safe = jnp.clip(assign.assigned_gt, 0, G - 1)
     tgt = jnp.take_along_axis(gt_bboxes, safe[..., None], axis=1)
 
     onehot = jax.nn.one_hot(assign.labels, C + 1)[..., :C]
     if cfg.focal_cls:
+        num_total = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
+        w_cls = jnp.where(ignore, 0.0, 1.0)[..., None]
         loss_cls = cfg.loss_cls_weight * L.sigmoid_focal_loss(
             cls_flat.reshape(-1, C), onehot.reshape(-1, C),
-            weight=jnp.where(ignore, 0.0, 1.0).reshape(-1, 1),
-            avg_factor=num_pos, gamma=cfg.focal_gamma,
+            weight=w_cls.reshape(-1, 1),
+            avg_factor=num_total, gamma=cfg.focal_gamma,
             alpha=cfg.focal_alpha)
+        w_pos = pos
     else:
+        # rpn protocol: sampled sigmoid CE, avg = sampled total
+        pos_m, neg_m = jax.vmap(
+            lambda r, a: _sampled_masks(r, a, cfg.sample_num,
+                                        cfg.pos_fraction))(
+            rngs[B:], assign.assigned_gt)
+        num_total = jnp.asarray(float(cfg.sample_num * B))
+        w_cls = (pos_m | neg_m).astype(jnp.float32)[..., None]
         loss_cls = cfg.loss_cls_weight * L.bce_loss(
             cls_flat.reshape(-1), onehot.reshape(-1),
-            weight=jnp.where(ignore, 0.0, 1.0)
-            .repeat(C, -1).reshape(-1),
-            avg_factor=jnp.maximum((~ignore).sum().astype(
-                jnp.float32) * C, 1.0))
-    deltas_t = jax.vmap(bbox2delta)(anchors_d, tgt)
-    wreg = jnp.repeat(pos.astype(jnp.float32)[..., None], 4,
+            weight=jnp.broadcast_to(w_cls, cls_flat.shape).reshape(-1),
+            avg_factor=num_total)
+        w_pos = pos_m
+    deltas_t = jax.vmap(lambda a, t: bbox2delta(a, t, stds=cfg.bbox_stds)
+                        )(anchors_d, tgt)
+    wreg = jnp.repeat(w_pos.astype(jnp.float32)[..., None], 4,
                       -1).reshape(-1, 4)
     loss_bbox = cfg.loss_bbox_weight * L.smooth_l1_loss(
         reg_flat.reshape(-1, 4), deltas_t.reshape(-1, 4), weight=wreg,
-        avg_factor=num_pos * 4, beta=cfg.smooth_beta)
+        avg_factor=num_total, beta=cfg.smooth_beta)
     return dict(loss_loc=loss_loc, loss_shape=loss_shape,
                 loss_cls=loss_cls, loss_bbox=loss_bbox)
 
@@ -349,7 +475,10 @@ def ga_get_bboxes(out: GAHeadOutputs, centers, strides, img_hw,
                   scale_factor=None, score_thr: float = 0.05,
                   loc_thr: float = 0.01, nms_iou: float = 0.5,
                   nms_pre: int = 1000, max_per_img: int = 100,
-                  rescale: bool = False):
+                  rescale: bool = False,
+                  sigma: float = float(OCTAVE_SCALE),
+                  shape_std: float = 1.0,
+                  bbox_stds=(1.0, 1.0, 1.0, 1.0)):
     B = out.cls_scores[0].shape[0]
     C = out.cls_scores[0].shape[-1]
     cls_flat = jnp.concatenate(
@@ -360,14 +489,16 @@ def ga_get_bboxes(out: GAHeadOutputs, centers, strides, img_hw,
         [r.reshape(B, -1) for r in out.loc_preds], 1)
     shape_flat = jnp.concatenate(
         [r.reshape(B, -1, 2) for r in out.shape_preds], 1)
-    anchors = guided_anchors(centers, strides, shape_flat)
+    anchors = guided_anchors(centers, strides, shape_flat, sigma=sigma,
+                             shape_std=shape_std)
 
     def per_image(cls_s, delta, loc, anc, hw, sf):
         # anchor-free masking by the location score
         keep = jax.nn.sigmoid(loc) >= loc_thr
         probs = jax.nn.sigmoid(cls_s) * keep[:, None]
         top = filter_scores_and_topk(probs, score_thr, nms_pre)
-        boxes = delta2bbox(anc[top.keep_idxs], delta[top.keep_idxs])
+        boxes = delta2bbox(anc[top.keep_idxs], delta[top.keep_idxs],
+                           stds=bbox_stds)
         h, w = hw[0].astype(boxes.dtype), hw[1].astype(boxes.dtype)
         boxes = jnp.stack([
             jnp.clip(boxes[:, 0], 0, w), jnp.clip(boxes[:, 1], 0, h),

@@ -245,11 +245,14 @@ def paa_loss(out: PAAHeadOutputs, anchors, level_counts, gt_bboxes,
         cls_flat.reshape(-1, C), onehot.reshape(-1, C),
         avg_factor=num_pos, gamma=cfg.focal_gamma, alpha=cfg.focal_alpha)
     w = pos.astype(jnp.float32).reshape(-1)
-    loss_bbox = cfg.loss_bbox_weight * L.giou_loss(
-        decoded.reshape(-1, 4), tgt.reshape(-1, 4), weight=w,
-        avg_factor=num_pos)
     ious = jax.vmap(lambda p, t: bbox_overlaps(p, t, is_aligned=True))(
         jax.lax.stop_gradient(decoded), tgt)
+    # paa_head.py:190-194: GIoU weighted by each positive's current
+    # (detached) IoU, normalized by the IoU sum — NOT uniform/num_pos
+    w_iou = (jnp.clip(ious, 1e-6) * pos.astype(jnp.float32)).reshape(-1)
+    loss_bbox = cfg.loss_bbox_weight * L.giou_loss(
+        decoded.reshape(-1, 4), tgt.reshape(-1, 4), weight=w_iou,
+        avg_factor=jnp.maximum(w_iou.sum(), 1e-6))
     loss_iou = cfg.loss_iou_weight * L.bce_loss(
         iou_flat.reshape(-1), jnp.where(pos, ious, 0.0).reshape(-1),
         weight=w, avg_factor=num_pos)

@@ -137,8 +137,9 @@ def points2bbox(pts: jnp.ndarray, moment: jnp.ndarray) -> jnp.ndarray:
     p = pts.reshape(pts.shape[:-1] + (NUM_POINTS, 2))
     py, px = p[..., 0], p[..., 1]
     my, mx = py.mean(-1), px.mean(-1)
-    sy = py.std(-1)
-    sx = px.std(-1)
+    # torch.std is unbiased (/(n-1)); jnp defaults to /n
+    sy = py.std(-1, ddof=1)
+    sx = px.std(-1, ddof=1)
     m = (moment * MOMENT_MUL
          + jax.lax.stop_gradient(moment) * (1 - MOMENT_MUL))
     hw = sx * jnp.exp(m[0])
@@ -204,6 +205,7 @@ class RepPointsLossConfig(NamedTuple):
     loss_refine_weight: float = 1.0
     smooth_beta: float = 0.11
     refine_pos_iou: float = 0.5
+    refine_neg_iou: float = 0.4
 
 
 def _decoded_boxes(pts_flat, centers, strides, moment):
@@ -235,16 +237,22 @@ def reppoints_loss(out: RepPointsHeadOutputs, moment, gt_bboxes, gt_labels,
     a_init, pos_i, _ = jax.vmap(
         lambda b, l, v: point_assign(centers, strides, counts, b, l, v,
                                      C))(gt_bboxes, gt_labels, gt_valid)
-    # refine stage: MaxIoU on the detached init boxes
-    def refine_assign(boxes, gb, gv):
-        ious = bbox_overlaps(jax.lax.stop_gradient(boxes), gb)  # (N, G)
-        ious = jnp.where(gv[None], ious, 0.0)
-        best = ious.max(1)
-        arg = jnp.argmax(ious, 1)
-        pos = best >= cfg.refine_pos_iou
-        return jnp.where(pos, arg, -1), pos
+    # refine stage: full MaxIoUAssigner semantics on the detached init
+    # boxes (reppoints config: pos 0.5 / neg 0.4 / min_pos_iou 0 with
+    # low-quality gt-best matching; the [0.4, 0.5) band is IGNORED in the
+    # cls loss, not negative)
+    from ..core.max_iou_assigner import max_iou_assign
 
-    a_ref, pos_r = jax.vmap(refine_assign)(init_boxes, gt_bboxes, gt_valid)
+    def refine_assign(boxes, gb, gl, gv):
+        res = max_iou_assign(
+            jax.lax.stop_gradient(boxes), gb, gl, gv, C,
+            pos_iou_thr=cfg.refine_pos_iou,
+            neg_iou_thr=cfg.refine_neg_iou, min_pos_iou=0.0,
+            match_low_quality=True)
+        return res.assigned_gt, res.assigned_gt >= 0, res.assigned_gt == -2
+
+    a_ref, pos_r, ign_r = jax.vmap(refine_assign)(
+        init_boxes, gt_bboxes, gt_labels, gt_valid)
 
     norm = (BASE_SCALE * strides)[None, :, None]          # (1, N, 1)
 
@@ -254,9 +262,11 @@ def reppoints_loss(out: RepPointsHeadOutputs, moment, gt_bboxes, gt_labels,
         tgt = jnp.take_along_axis(gt_bboxes, safe[..., None], axis=1)
         w = jnp.repeat(pos.astype(jnp.float32)[..., None], 4,
                        -1).reshape(-1, 4)
+        # reppoints_head.py loss_single: the (N, 4)-weighted SmoothL1 sum
+        # is divided by num_total_samples (= npos), NOT 4*npos
         return weight * L.smooth_l1_loss(
             (boxes / norm).reshape(-1, 4), (tgt / norm).reshape(-1, 4),
-            weight=w, avg_factor=4 * npos, beta=cfg.smooth_beta)
+            weight=w, avg_factor=npos, beta=cfg.smooth_beta)
 
     loss_init = box_loss(init_boxes, a_init, pos_i, cfg.loss_init_weight)
     loss_refine = box_loss(refine_boxes, a_ref, pos_r,
@@ -268,8 +278,11 @@ def reppoints_loss(out: RepPointsHeadOutputs, moment, gt_bboxes, gt_labels,
                            axis=1).astype(jnp.int32), C)
     num_pos = jnp.maximum(pos_r.sum().astype(jnp.float32), 1.0)
     onehot = jax.nn.one_hot(labels, C + 1)[..., :C]
+    # anchors in the [neg, pos) IoU band are ignored (label_weights=0)
+    lw = jnp.repeat((~ign_r).astype(jnp.float32)[..., None], C,
+                    -1).reshape(-1, C)
     loss_cls = cfg.loss_cls_weight * L.sigmoid_focal_loss(
-        cls_flat.reshape(-1, C), onehot.reshape(-1, C),
+        cls_flat.reshape(-1, C), onehot.reshape(-1, C), weight=lw,
         avg_factor=num_pos, gamma=cfg.focal_gamma, alpha=cfg.focal_alpha)
     return dict(loss_cls=loss_cls, loss_pts_init=loss_init,
                 loss_pts_refine=loss_refine)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from ..core import losses as L
 from ..core.anchors import base_anchors, grid_anchors
 from ..core.atss import atss_assign
-from ..core.boxes import bbox_overlaps, distance2bbox
+from ..core.boxes import bbox_overlaps
 from ..core.postprocess import batched_nms, filter_scores_and_topk
 from .fcos import Scale
 from .fpn import FPN
@@ -163,12 +163,23 @@ class TOODHead(nn.Module):
                 jax.nn.sigmoid(logits) * jax.nn.sigmoid(prob), 1e-12))
 
             reg_feat = reg_decomp(stacked)
-            dist = jnp.exp(Scale(name=f"scale{lvl}")(
-                tood_reg(reg_feat))) * stride                 # ltrb, image
+            # tood_head.py:253: reg_dist = scale(tood_reg(...).exp()) —
+            # the learnable Scale multiplies AFTER exp
+            dist = Scale(name=f"scale{lvl}")(
+                jnp.exp(tood_reg(reg_feat)))                  # stride units
+            # decode to corner-coordinate maps FIRST (tood_head.py:255-258
+            # distance2bbox(anchor_center/stride, reg_dist)), then
+            # deform-sample each corner channel: the sampled value is the
+            # NEIGHBOR's decoded corner, not own-center minus neighbor-dist
+            Hf, Wf = f.shape[1], f.shape[2]
+            cy = (jnp.arange(Hf, dtype=dist.dtype) + 0.5)[None, :, None]
+            cx = (jnp.arange(Wf, dtype=dist.dtype) + 0.5)[None, None, :]
+            corner = jnp.stack([cx - dist[..., 0], cy - dist[..., 1],
+                                cx + dist[..., 2], cy + dist[..., 3]], -1)
             offsets = off_c2(nn.relu(off_c1(flat)))
-            dist = _sample_sides(dist, offsets)
+            boxes = _sample_sides(corner, offsets) * stride   # image xyxy
             cls_out.append(score)
-            reg_out.append(dist)
+            reg_out.append(boxes)
         return TOODHeadOutputs(tuple(cls_out), tuple(reg_out))
 
 
@@ -223,10 +234,14 @@ def task_aligned_assign(scores, boxes, points, gt_bboxes, gt_labels,
               & (points[:, 0][:, None] < gt_bboxes[None, :, 2])
               & (points[:, 1][:, None] > gt_bboxes[None, :, 1])
               & (points[:, 1][:, None] < gt_bboxes[None, :, 3]))
-    cand = jnp.where(inside & gt_valid[None], align, -1.0)    # (N, G)
+    # task_aligned_assigner.py:70-78 takes the GLOBAL top-k of the
+    # alignment metric per gt FIRST, then filters to center-inside —
+    # top-k slots spent on outside candidates are NOT back-filled
+    cand = jnp.where(gt_valid[None], align, -1.0)             # (N, G)
     k = min(topk, N)
     kth = jnp.sort(cand, axis=0)[-k]                          # (G,)
-    is_pos = (cand >= jnp.maximum(kth[None], 1e-12)) & (cand > 0)
+    is_pos = ((cand >= jnp.maximum(kth[None], 1e-12)) & (cand > 0)
+              & inside)
     # conflicts: a point claimed by several gts goes to the max-IoU one
     iou_masked = jnp.where(is_pos, ious, -1.0)
     assigned = jnp.argmax(iou_masked, axis=1)                 # (N,)
@@ -262,9 +277,8 @@ def tood_loss(out: TOODHeadOutputs, points, anchors, level_counts,
     C = cfg.num_classes
     cls_flat = jnp.concatenate(
         [c.reshape(B, -1, C) for c in out.cls_scores], 1)     # probs
-    dist_flat = jnp.concatenate(
-        [r.reshape(B, -1, 4) for r in out.bbox_preds], 1)
-    boxes = jax.vmap(lambda d: distance2bbox(points, d))(dist_flat)
+    boxes = jnp.concatenate(
+        [r.reshape(B, -1, 4) for r in out.bbox_preds], 1)    # decoded xyxy
 
     G = gt_bboxes.shape[1]
     if use_tal:
@@ -315,12 +329,12 @@ def tood_get_bboxes(out: TOODHeadOutputs, points, img_hw,
     C = out.cls_scores[0].shape[-1]
     cls_flat = jnp.concatenate(
         [c.reshape(B, -1, C) for c in out.cls_scores], 1)
-    dist_flat = jnp.concatenate(
-        [r.reshape(B, -1, 4) for r in out.bbox_preds], 1)
+    box_flat = jnp.concatenate(
+        [r.reshape(B, -1, 4) for r in out.bbox_preds], 1)    # decoded xyxy
 
     def per_image(probs, dist, hw, sf):
         top = filter_scores_and_topk(probs, score_thr, nms_pre)
-        boxes = distance2bbox(points[top.keep_idxs], dist[top.keep_idxs])
+        boxes = dist[top.keep_idxs]
         h, w = hw[0].astype(boxes.dtype), hw[1].astype(boxes.dtype)
         boxes = jnp.stack([
             jnp.clip(boxes[:, 0], 0, w), jnp.clip(boxes[:, 1], 0, h),
@@ -334,6 +348,6 @@ def tood_get_bboxes(out: TOODHeadOutputs, points, img_hw,
 
     if scale_factor is None:
         scale_factor = jnp.ones((B, 4), jnp.float32)
-    nb, ns, nl, keep = jax.vmap(per_image)(cls_flat, dist_flat, img_hw,
+    nb, ns, nl, keep = jax.vmap(per_image)(cls_flat, box_flat, img_hw,
                                            scale_factor)
     return dict(bboxes=nb, scores=ns, labels=nl, valid=keep)

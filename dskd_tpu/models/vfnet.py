@@ -117,7 +117,10 @@ class VFNetHead(nn.Module):
             r_ref = nn.relu(deform_conv2d(r, offs, refine_w))
             factor = jnp.exp(Scale(name=f"scale_refine{lvl}")(
                 refine_out(r_ref)))
-            refine = factor * init
+            # vfnet_head.py:298 multiplies bbox_pred.detach(): refine-loss
+            # gradients reach the initial branch only via the star offsets'
+            # gradient_mul mix, never through this product
+            refine = factor * jax.lax.stop_gradient(init)
             c_ref = nn.relu(deform_conv2d(c, offs, cls_w))
             cls_scores.append(cls_out(c_ref))
             init_preds.append(init)
@@ -196,18 +199,26 @@ def vfnet_loss(out: VFNetHeadOutputs, points, anchors, level_counts,
     init_boxes = jax.vmap(lambda d: distance2bbox(points, d))(init_flat)
     ref_boxes = jax.vmap(lambda d: distance2bbox(points, d))(ref_flat)
 
-    w = pos.astype(jnp.float32).reshape(-1)
+    # vfnet_head.py:441-470: each positive is weighted by its CURRENT
+    # (detached) IoU with the target and the normalizer is the weight sum,
+    # separately for the initial and refined branches
+    posf = pos.astype(jnp.float32)
+    iou_ini = jax.lax.stop_gradient(jax.vmap(
+        lambda p, t: bbox_overlaps(p, t, is_aligned=True))(init_boxes, tgt))
+    w_ini = (jnp.clip(iou_ini, 1e-6) * posf).reshape(-1)
     loss_bbox = cfg.loss_bbox_weight * L.giou_loss(
-        init_boxes.reshape(-1, 4), tgt.reshape(-1, 4), weight=w,
-        avg_factor=num_pos)
+        init_boxes.reshape(-1, 4), tgt.reshape(-1, 4), weight=w_ini,
+        avg_factor=jnp.maximum(w_ini.sum(), 1.0))
+
+    iou_rf = jax.lax.stop_gradient(jax.vmap(
+        lambda p, t: bbox_overlaps(p, t, is_aligned=True))(ref_boxes, tgt))
+    w_rf = (jnp.clip(iou_rf, 1e-6) * posf).reshape(-1)
     loss_bbox_rf = cfg.loss_bbox_refine_weight * L.giou_loss(
-        ref_boxes.reshape(-1, 4), tgt.reshape(-1, 4), weight=w,
-        avg_factor=num_pos)
+        ref_boxes.reshape(-1, 4), tgt.reshape(-1, 4), weight=w_rf,
+        avg_factor=jnp.maximum(w_rf.sum(), 1.0))
 
     # varifocal target: q = IoU(refined, gt) at positives, one-hot class
-    ious = jax.vmap(lambda p, t: bbox_overlaps(p, t, is_aligned=True))(
-        jax.lax.stop_gradient(ref_boxes), tgt)               # (B, N)
-    q = jnp.where(pos, ious, 0.0)
+    q = jnp.where(pos, iou_rf, 0.0)
     onehot = jax.nn.one_hot(assign.labels, C + 1)[..., :C]
     vfl_target = onehot * q[..., None]
     loss_cls = cfg.loss_cls_weight * L.varifocal_loss(

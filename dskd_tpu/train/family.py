@@ -257,19 +257,28 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                             batch.img_hw, rng, rpn_cfg), None
 
     elif arch == "ga_rpn":
-        from ..models.guided_anchor import (GALossConfig, ga_geometry,
-                                            ga_loss)
-        det_cfg = GALossConfig(num_classes=1, focal_cls=False)
+        from ..models.guided_anchor import (GALossConfig, GARPN_STRIDES,
+                                            GARPN_OCTAVE_SCALE,
+                                            ga_geometry, ga_loss)
+        det_cfg = GALossConfig(
+            num_classes=1, focal_cls=False, smooth_beta=1.0,
+            strides=GARPN_STRIDES, octave_scale=GARPN_OCTAVE_SCALE,
+            anchor_sigma=float(GARPN_OCTAVE_SCALE), shape_std=0.14,
+            bbox_stds=(0.07, 0.07, 0.11, 0.11),
+            ga_pos=0.7, ga_neg=0.3, ga_min_pos=0.3,
+            pos_iou=0.7, neg_iou=0.3, min_pos_iou=0.3)
 
         def losses_fn(variables, batch, teacher_vars, rng):
             out = model.apply(variables, batch.images, batch.img_hw,
                               deterministic=True)
             centers, strides, approxs, counts = ga_geometry(
-                [c.shape[1:3] for c in out.head.cls_scores])
+                [c.shape[1:3] for c in out.head.cls_scores],
+                level_strides=GARPN_STRIDES,
+                octave_scale=GARPN_OCTAVE_SCALE)
             return ga_loss(out.head, centers, strides, approxs, counts,
                            batch.gt_bboxes,
                            jnp.zeros_like(batch.gt_labels),
-                           batch.gt_valid, det_cfg), None
+                           batch.gt_valid, det_cfg, rng), None
 
     elif arch == "cascade_rpn":
         from ..models.cascade_rpn_head import crpn_loss
@@ -887,7 +896,7 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 [c.shape[1:3] for c in out.head.cls_scores])
             return ga_loss(out.head, centers, strides, approxs, counts,
                            batch.gt_bboxes, batch.gt_labels,
-                           batch.gt_valid, det_cfg), None
+                           batch.gt_valid, det_cfg, rng), None
 
     elif arch == "sabl_retina":
         from ..models.sabl_retina import (SABLLossConfig, sabl_anchors,

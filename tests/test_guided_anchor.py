@@ -23,9 +23,10 @@ def test_guided_anchor_shapes():
     centers, strides, approxs, counts = ga_geometry([(8, 8), (4, 4)])
     shape = jnp.zeros((1, centers.shape[0], 2))
     anc = np.asarray(guided_anchors(centers, strides, shape))[0]
-    # d=0 -> square anchor wh = 8 * stride, centered on the cell
+    # d=0 -> square anchor wh = scale(4) * stride, centered on the cell
+    # (square_anchor_generator scales=[4] in ga_retinanet configs)
     w0 = anc[0, 2] - anc[0, 0]
-    assert abs(w0 - 8 * 8) < 1e-4
+    assert abs(w0 - 4 * 8) < 1e-4
     assert approxs.shape == (80, 9, 4)
 
 

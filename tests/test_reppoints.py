@@ -13,12 +13,13 @@ B, HW, NC = 2, 64, 6
 
 
 def test_points2bbox_moment():
-    """With moment=0 the pseudo box is mean +- std exactly."""
+    """With moment=0 the pseudo box is mean +- std exactly (torch.std is
+    unbiased, /(n-1))."""
     pts = np.zeros((1, 18), np.float32)
     pts[0, 0::2] = [0, 0, 0, 4, 4, 4, 8, 8, 8]       # y
     pts[0, 1::2] = [0, 4, 8, 0, 4, 8, 0, 4, 8]       # x
     box = np.asarray(points2bbox(jnp.asarray(pts), jnp.zeros(2)))[0]
-    sd = np.std([0, 0, 0, 4, 4, 4, 8, 8, 8])
+    sd = np.std([0, 0, 0, 4, 4, 4, 8, 8, 8], ddof=1)
     np.testing.assert_allclose(box, [4 - sd, 4 - sd, 4 + sd, 4 + sd],
                                rtol=1e-5)
 
