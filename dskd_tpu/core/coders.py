@@ -232,3 +232,58 @@ def yolo_decode(anchors: jnp.ndarray, pred: jnp.ndarray,
         pred[..., 3])
     return jnp.stack([cx - hw_half, cy - hh_half,
                       cx + hw_half, cy + hh_half], axis=-1)
+
+
+def legacy_bbox2delta(proposals: jnp.ndarray, gt: jnp.ndarray,
+                      means=(0., 0., 0., 0.),
+                      stds=(1., 1., 1., 1.)) -> jnp.ndarray:
+    """MMDet V1.x delta encoding (legacy_delta_xywh_bbox_coder.py:85-131):
+    identical to bbox2delta except widths/heights carry the V1 ``+ 1``
+    pixel convention. Only used to run checkpoints trained under mmdet 1.x
+    (legacy SSD/RetinaNet configs)."""
+    px = (proposals[..., 0] + proposals[..., 2]) * 0.5
+    py = (proposals[..., 1] + proposals[..., 3]) * 0.5
+    pw = proposals[..., 2] - proposals[..., 0] + 1.0
+    ph = proposals[..., 3] - proposals[..., 1] + 1.0
+    gx = (gt[..., 0] + gt[..., 2]) * 0.5
+    gy = (gt[..., 1] + gt[..., 3]) * 0.5
+    gw = gt[..., 2] - gt[..., 0] + 1.0
+    gh = gt[..., 3] - gt[..., 1] + 1.0
+    deltas = jnp.stack([(gx - px) / pw, (gy - py) / ph,
+                        jnp.log(gw / pw), jnp.log(gh / ph)], -1)
+    means = jnp.asarray(means, deltas.dtype)
+    stds = jnp.asarray(stds, deltas.dtype)
+    return (deltas - means) / stds
+
+
+def legacy_delta2bbox(rois: jnp.ndarray, deltas: jnp.ndarray,
+                      means=(0., 0., 0., 0.), stds=(1., 1., 1., 1.),
+                      max_shape=None,
+                      wh_ratio_clip: float = 16 / 1000) -> jnp.ndarray:
+    """MMDet V1.x delta decoding (legacy_delta_xywh_bbox_coder.py:134-215):
+    V1 ``+ 1`` on the roi wh, and — matching the reference's deliberate
+    deviation, documented at its :202-206 — NO ``- 0.5`` when converting
+    the center form back to corners. ``deltas`` may be (..., 4*K) for
+    per-class regression."""
+    means = jnp.tile(jnp.asarray(means, deltas.dtype), deltas.shape[-1] // 4)
+    stds = jnp.tile(jnp.asarray(stds, deltas.dtype), deltas.shape[-1] // 4)
+    d = deltas * stds + means
+    dx, dy, dw, dh = d[..., 0::4], d[..., 1::4], d[..., 2::4], d[..., 3::4]
+    max_ratio = abs(float(np.log(wh_ratio_clip)))
+    dw = jnp.clip(dw, -max_ratio, max_ratio)
+    dh = jnp.clip(dh, -max_ratio, max_ratio)
+    px = ((rois[..., 0] + rois[..., 2]) * 0.5)[..., None]
+    py = ((rois[..., 1] + rois[..., 3]) * 0.5)[..., None]
+    pw = (rois[..., 2] - rois[..., 0] + 1.0)[..., None]
+    ph = (rois[..., 3] - rois[..., 1] + 1.0)[..., None]
+    gw = pw * jnp.exp(dw)
+    gh = ph * jnp.exp(dh)
+    gx = px + pw * dx
+    gy = py + ph * dy
+    x1, y1 = gx - gw * 0.5, gy - gh * 0.5
+    x2, y2 = gx + gw * 0.5, gy + gh * 0.5
+    if max_shape is not None:
+        hh, ww = max_shape[0] - 1, max_shape[1] - 1
+        x1, x2 = jnp.clip(x1, 0, ww), jnp.clip(x2, 0, ww)
+        y1, y2 = jnp.clip(y1, 0, hh), jnp.clip(y2, 0, hh)
+    return jnp.stack([x1, y1, x2, y2], -1).reshape(deltas.shape)

@@ -401,6 +401,52 @@ def seesaw_ce_loss(cls_score, labels, cum_samples, num_classes: int,
     return weight_reduce_loss(loss, weight, "mean", avg_factor)
 
 
+def ae_loss(tl_emb, br_emb, valid, margin: float = 1.0):
+    """Associative-embedding pull/push (losses/ae_loss.py:11-103), batched
+    under static shapes.
+
+    Inputs are the 1-d corner embeddings gathered at each gt's top-left /
+    bottom-right cells, (B, G), with ``valid`` masking the padded gt rows.
+    Per image i with N_i objects (the reference's per-image normalization,
+    then SUMMED over the batch — AssociativeEmbeddingLoss accumulates
+    ``pull_all += pull`` per image):
+
+      pull_i = sum_g [(tl-m)^2 + (br-m)^2] / N_i,   m = (tl+br)/2
+      push_i = sum_{j!=k} relu(margin - |m_j - m_k|) / (N_i (N_i - 1))
+
+    N_i == 0 gives 0/0-free zeros; N_i == 1 gives zero push (the eye-masked
+    pair matrix is empty and the denominator clamps to 1)."""
+    v = valid.astype(jnp.float32)                      # (B, G)
+    n = v.sum(-1)                                      # (B,)
+    mean = (tl_emb + br_emb) / 2
+    pull_num = (((tl_emb - mean) ** 2 + (br_emb - mean) ** 2) * v).sum(-1)
+    pull = pull_num / jnp.maximum(n, 1.0)              # (B,)
+    G = tl_emb.shape[-1]
+    pair_v = v[:, :, None] * v[:, None, :] * (1 - jnp.eye(G)[None])
+    dist = jnp.abs(mean[:, :, None] - mean[:, None, :])
+    push_num = (jnp.clip(margin - dist, 0) * pair_v).sum((-2, -1))
+    push = push_num / jnp.maximum(n * (n - 1), 1.0)    # (B,)
+    return pull.sum(), push.sum()
+
+
+def accuracy(pred, target, topk=1, thresh=None, valid=None):
+    """Top-k classification accuracy (losses/accuracy.py:5-63): fraction of
+    rows whose target class appears in the top-k logits (optionally also
+    requiring the logit to exceed ``thresh``). Returns a scalar in [0, 100]
+    (the reference's percentage convention); ``valid`` masks padded rows."""
+    k = min(int(topk), pred.shape[-1])
+    _, idx = jax.lax.top_k(pred, k)                    # (N, k)
+    correct = (idx == target[..., None])
+    if thresh is not None:
+        vals = jnp.take_along_axis(pred, idx, axis=-1)
+        correct = correct & (vals > thresh)
+    hit = correct.any(-1).astype(jnp.float32)
+    if valid is None:
+        return 100.0 * hit.mean()
+    v = valid.astype(jnp.float32)
+    return 100.0 * (hit * v).sum() / jnp.maximum(v.sum(), 1.0)
+
+
 # ---------------------------------------------------------------------------
 # configured wrappers (carry loss_weight like the reference's Loss modules)
 # ---------------------------------------------------------------------------

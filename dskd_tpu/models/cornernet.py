@@ -206,15 +206,11 @@ def cornernet_loss(out: CornerHeadOutputs, gt_bboxes, gt_labels, gt_valid,
             out.tl_embs[s][..., 0], tl_idx)                   # (B, G)
         be = jax.vmap(lambda e, i: e.reshape(-1)[i])(
             out.br_embs[s][..., 0], br_idx)
-        mean = (te + be) / 2
         vmask = gt_valid.astype(jnp.float32)
-        pull = (((te - mean) ** 2 + (be - mean) ** 2) * vmask).sum() / nv
-        # push: pairwise margin between different objects' means
-        pair_v = vmask[:, :, None] * vmask[:, None, :] \
-            * (1 - jnp.eye(G)[None])
-        dist = jnp.abs(mean[:, :, None] - mean[:, None, :])
-        push = (jnp.clip(1 - dist, 0) * pair_v).sum() \
-            / jnp.maximum((nv - 1) * nv, 1.0)
+        # ae_loss.py semantics: per-image normalization (N and N(N-1)),
+        # batch-SUMMED — not the global-count normalization of a naive
+        # batched port
+        pull, push = L.ae_loss(te, be, gt_valid)
         # offsets at corner cells
         to = jax.vmap(lambda o, i: o.reshape(-1, 2)[i])(
             out.tl_offs[s], tl_idx)                           # (B, G, 2)

@@ -233,9 +233,16 @@ class BBoxHead(nn.Module):
         x = roi_feats.reshape(roi_feats.shape[0], -1)
         x = nn.relu(nn.Dense(self.fc_channels, name="shared_fc0")(x))
         x = nn.relu(nn.Dense(self.fc_channels, name="shared_fc1")(x))
-        cls = nn.Dense(self.num_classes + (2 if self.seesaw else 1),
-                       kernel_init=nn.initializers.normal(0.01),
-                       name="fc_cls")(x)
+        if self.seesaw:
+            # the seesaw recipe pairs the loss with a NormedLinear
+            # classifier (configs/seesaw_loss/*: cls_predictor_cfg
+            # NormedLinear tempearture=20)
+            from .normed_predictor import NormedDense
+            cls = NormedDense(self.num_classes + 2, name="fc_cls")(x)
+        else:
+            cls = nn.Dense(self.num_classes + 1,
+                           kernel_init=nn.initializers.normal(0.01),
+                           name="fc_cls")(x)
         reg = nn.Dense(self.num_classes * 4,
                        kernel_init=nn.initializers.normal(0.001),
                        name="fc_reg")(x)

@@ -1,0 +1,154 @@
+"""Torch oracles for the small parity-tail pieces: associative-embedding
+loss (losses/ae_loss.py), the MMDet V1.x legacy delta coder
+(legacy_delta_xywh_bbox_coder.py), NormedLinear/NormedConv2d
+(models/utils/normed_predictor.py), and top-k accuracy
+(losses/accuracy.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from dskd_tpu.core.coders import legacy_bbox2delta, legacy_delta2bbox
+from dskd_tpu.core.losses import accuracy, ae_loss
+
+
+def torch_ae_per_image(tl, br, n):
+    """Re-statement of ae_loss_per_image (ae_loss.py:11-72) on 1-d
+    embeddings for the first n objects."""
+    if n == 0:
+        return 0.0, 0.0
+    tl = tl[:n]
+    br = br[:n]
+    me = (tl + br) / 2.0
+    pull = ((tl - me) ** 2 + (br - me) ** 2).sum() / n
+    if n == 1:
+        return float(pull), 0.0
+    conf = me[None, :].expand(n, n).permute(1, 0) - me
+    w = 1 - torch.eye(n)
+    conf = w * (1.0 - conf.abs())
+    push = F.relu(conf).sum() / (n * (n - 1))
+    return float(pull), float(push)
+
+
+@pytest.mark.parametrize("counts", [(3, 1), (0, 4), (2, 2), (1, 0)])
+def test_ae_loss_matches_torch(counts):
+    rng = np.random.RandomState(0)
+    B, G = len(counts), 5
+    tl = rng.randn(B, G).astype(np.float32)
+    br = rng.randn(B, G).astype(np.float32)
+    valid = np.zeros((B, G), bool)
+    for i, c in enumerate(counts):
+        valid[i, :c] = True
+    pull, push = ae_loss(jnp.asarray(tl), jnp.asarray(br),
+                         jnp.asarray(valid))
+    want_pull = want_push = 0.0
+    for i, c in enumerate(counts):
+        p, q = torch_ae_per_image(torch.tensor(tl[i]), torch.tensor(br[i]), c)
+        want_pull += p
+        want_push += q
+    np.testing.assert_allclose(float(pull), want_pull, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(push), want_push, rtol=1e-5, atol=1e-6)
+
+
+def torch_legacy_delta2bbox(rois, deltas, means, stds, max_shape,
+                            wh_ratio_clip=16 / 1000):
+    """Re-statement of legacy_delta2bbox (legacy coder :134-215)."""
+    means = deltas.new_tensor(means).repeat(1, deltas.size(1) // 4)
+    stds = deltas.new_tensor(stds).repeat(1, deltas.size(1) // 4)
+    d = deltas * stds + means
+    dx, dy = d[:, 0::4], d[:, 1::4]
+    dw, dh = d[:, 2::4], d[:, 3::4]
+    mr = abs(float(np.log(wh_ratio_clip)))
+    dw, dh = dw.clamp(-mr, mr), dh.clamp(-mr, mr)
+    px = ((rois[:, 0] + rois[:, 2]) * 0.5).unsqueeze(1)
+    py = ((rois[:, 1] + rois[:, 3]) * 0.5).unsqueeze(1)
+    pw = (rois[:, 2] - rois[:, 0] + 1.0).unsqueeze(1)
+    ph = (rois[:, 3] - rois[:, 1] + 1.0).unsqueeze(1)
+    gw, gh = pw * dw.exp(), ph * dh.exp()
+    gx, gy = px + pw * dx, py + ph * dy
+    x1, y1 = gx - gw * 0.5, gy - gh * 0.5
+    x2, y2 = gx + gw * 0.5, gy + gh * 0.5
+    if max_shape is not None:
+        x1 = x1.clamp(0, max_shape[1] - 1)
+        y1 = y1.clamp(0, max_shape[0] - 1)
+        x2 = x2.clamp(0, max_shape[1] - 1)
+        y2 = y2.clamp(0, max_shape[0] - 1)
+    return torch.stack([x1, y1, x2, y2], -1).view(deltas.size())
+
+
+def test_legacy_coder_roundtrip_and_torch():
+    rng = np.random.RandomState(1)
+    rois = np.abs(rng.rand(6, 4).astype(np.float32)) * 50
+    rois[:, 2:] += rois[:, :2] + 5
+    gts = rois + rng.randn(6, 4).astype(np.float32) * 2
+    means, stds = (0., 0., 0., 0.), (0.1, 0.1, 0.2, 0.2)
+    enc = legacy_bbox2delta(jnp.asarray(rois), jnp.asarray(gts), means, stds)
+    # decode deliberately drops the legacy +-0.5 corner correction
+    # (reference :202-206), so the roundtrip is a half-pixel dilation
+    dec = legacy_delta2bbox(jnp.asarray(rois), enc, means, stds)
+    want = gts + np.array([-0.5, -0.5, 0.5, 0.5], np.float32)
+    np.testing.assert_allclose(np.asarray(dec), want, rtol=1e-4, atol=1e-3)
+    # multi-class decode vs torch
+    deltas = rng.randn(6, 8).astype(np.float32)
+    ours = legacy_delta2bbox(jnp.asarray(rois), jnp.asarray(deltas),
+                             means, stds, max_shape=(60, 80))
+    want = torch_legacy_delta2bbox(torch.tensor(rois), torch.tensor(deltas),
+                                   means, stds, (60, 80))
+    np.testing.assert_allclose(np.asarray(ours), want.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_normed_dense_matches_torch():
+    from dskd_tpu.models.normed_predictor import NormedDense
+    rng = np.random.RandomState(2)
+    x = rng.randn(4, 16).astype(np.float32)
+    mod = NormedDense(8)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y = mod.apply(variables, jnp.asarray(x))
+    w = np.asarray(variables["params"]["kernel"])      # (in, out)
+    b = np.asarray(variables["params"]["bias"])
+    tw = torch.tensor(w.T)                             # torch (out, in)
+    tx = torch.tensor(x)
+    w_ = tw / (tw.norm(dim=1, keepdim=True) + 1e-6)
+    x_ = tx / (tx.norm(dim=1, keepdim=True) + 1e-6) * 20.0
+    want = F.linear(x_, w_, torch.tensor(b))
+    np.testing.assert_allclose(np.asarray(y), want.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_normed_conv_matches_torch():
+    from dskd_tpu.models.normed_predictor import NormedConv
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 5, 5, 6).astype(np.float32)
+    mod = NormedConv(4, kernel_size=(1, 1))
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y = mod.apply(variables, jnp.asarray(x))
+    w = np.asarray(variables["params"]["kernel"])      # (1, 1, in, out)
+    b = np.asarray(variables["params"]["bias"])
+    tw = torch.tensor(w[0, 0].T).unsqueeze(-1).unsqueeze(-1)  # (out, in, 1, 1)
+    tx = torch.tensor(x.transpose(0, 3, 1, 2))
+    w_ = tw / (tw.norm(dim=1, keepdim=True) + 1e-6)
+    x_ = tx / (tx.norm(dim=1, keepdim=True) + 1e-6) * 20.0
+    want = F.conv2d(x_, w_, torch.tensor(b))
+    np.testing.assert_allclose(
+        np.asarray(y), want.numpy().transpose(0, 2, 3, 1),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_accuracy_topk():
+    pred = jnp.asarray([[0.1, 0.9, 0.0],
+                        [0.8, 0.1, 0.1],
+                        [0.2, 0.3, 0.5],
+                        [0.3, 0.3, 0.4]])
+    target = jnp.asarray([1, 0, 0, 2])
+    assert float(accuracy(pred, target, topk=1)) == pytest.approx(75.0)
+    # row 2's target 0 (0.2) is outside its top-2 {2, 1}
+    assert float(accuracy(pred, target, topk=2)) == pytest.approx(75.0)
+    # thresh gates hits whose logit is too small
+    assert float(accuracy(pred, target, topk=1, thresh=0.85)) == \
+        pytest.approx(25.0)
+    v = jnp.asarray([True, True, False, False])
+    assert float(accuracy(pred, target, topk=1, valid=v)) == \
+        pytest.approx(100.0)
