@@ -115,10 +115,11 @@ def region_assign(anchors_list, featmap_sizes, gt_bboxes, gt_valid,
         x2 = jnp.round(ratio * gt[0] / s + (1 - ratio) * gt[2] / s)
         y2 = jnp.round(ratio * gt[1] / s + (1 - ratio) * gt[3] / s)
         hw = fmaps[lvl]
-        x1 = jnp.clip(x1, 0, hw[1] - 1)
-        y1 = jnp.clip(y1, 0, hw[0] - 1)
-        x2 = jnp.clip(x2, 0, hw[1] - 1)
-        y2 = jnp.clip(y2, 0, hw[0] - 1)
+        # calc_region clamps to the featmap EXTENT (region_assigner.py:20-23)
+        x1 = jnp.clip(x1, 0, hw[1])
+        y1 = jnp.clip(y1, 0, hw[0])
+        x2 = jnp.clip(x2, 0, hw[1])
+        y2 = jnp.clip(y2, 0, hw[0])
         inside = ((ctr[:, 0] >= x1) & (ctr[:, 0] <= x2)
                   & (ctr[:, 1] >= y1) & (ctr[:, 1] <= y2))
         return inside & (lvl_id == lvl)
@@ -278,26 +279,35 @@ def crpn_loss(out: CRPNOutputs, gt_bboxes, gt_valid, rng,
 
 
 def crpn_proposals(out: CRPNOutputs, img_hw, nms_pre: int = 2000,
-                   max_total: int = 1000, nms_iou: float = 0.8):
-    """Stage-2 decode -> NMS proposals (crpn test_cfg: nms 0.8,
-    max_per_img 1000 for the AR protocol)."""
+                   max_total: int = 2000, nms_iou: float = 0.8):
+    """Stage-2 decode -> NMS proposals, following the reference protocol
+    (cascade_rpn_head.py:582-651 + crpn test_cfg: nms_pre=2000 applied PER
+    LEVEL, NMS 0.8 with level ids as the batched-NMS classes — proposals
+    from different levels never suppress each other — max_per_img 2000)."""
     B = out.s1_regs[0].shape[0]
-    s2c = jnp.concatenate([c.reshape(B, -1) for c in out.s2_cls], 1)
-    s2 = jnp.concatenate([r.reshape(B, -1, 4) for r in out.s2_regs], 1)
-    refined = jnp.concatenate(out.refined, 1)
 
-    def per_image(c, reg, ref, hw):
-        scores = jax.nn.sigmoid(c)
-        k = min(nms_pre, scores.shape[0])
-        top_s, ti = jax.lax.top_k(scores, k)
-        boxes = delta2bbox(ref[ti], reg[ti], stds=STAGE2_STDS)
+    def per_image(cs, regs, refs, hw):
+        sc, bx, lv = [], [], []
+        for lvl in range(len(cs)):
+            scores = jax.nn.sigmoid(cs[lvl])
+            k = min(nms_pre, scores.shape[0])
+            top_s, ti = jax.lax.top_k(scores, k)
+            boxes = delta2bbox(refs[lvl][ti], regs[lvl][ti],
+                               stds=STAGE2_STDS)
+            sc.append(top_s)
+            bx.append(boxes)
+            lv.append(jnp.full((k,), lvl, jnp.int32))
+        scores = jnp.concatenate(sc)
+        boxes = jnp.concatenate(bx, 0)
         h = hw[0].astype(boxes.dtype)
         w = hw[1].astype(boxes.dtype)
         boxes = jnp.stack([
             jnp.clip(boxes[:, 0], 0, w), jnp.clip(boxes[:, 1], 0, h),
             jnp.clip(boxes[:, 2], 0, w), jnp.clip(boxes[:, 3], 0, h)], -1)
         nb, ns, _, keep, _ = batched_nms(
-            boxes, top_s, jnp.zeros((k,), jnp.int32), nms_iou, max_total)
+            boxes, scores, jnp.concatenate(lv), nms_iou, max_total)
         return nb, ns, keep
 
-    return jax.vmap(per_image)(s2c, s2, refined, img_hw)
+    cs = tuple(c.reshape(B, -1) for c in out.s2_cls)
+    regs = tuple(r.reshape(B, -1, 4) for r in out.s2_regs)
+    return jax.vmap(per_image)(cs, regs, out.refined, img_hw)

@@ -82,32 +82,17 @@ class CenterNet(nn.Module):
         return CenterNetOutputs(heatmap, wh, offset, (neck,))
 
 
-def gaussian_radius(h, w, min_overlap: float = 0.3):
-    """CornerNet gaussian radius (mmdet models/utils/gaussian_target.py:
-    gaussian_radius) — min of the three quadratic solutions."""
-    a1 = 1.0
-    b1 = h + w
-    c1 = w * h * (1 - min_overlap) / (1 + min_overlap)
-    r1 = (b1 - jnp.sqrt(jnp.clip(b1 ** 2 - 4 * a1 * c1, 0, None))) / 2
-
-    a2 = 4.0
-    b2 = 2 * (h + w)
-    c2 = (1 - min_overlap) * w * h
-    r2 = (b2 - jnp.sqrt(jnp.clip(b2 ** 2 - 4 * a2 * c2, 0, None))) / 2
-
-    a3 = 4 * min_overlap
-    b3 = -2 * min_overlap * (h + w)
-    c3 = (min_overlap - 1) * w * h
-    r3 = (b3 + jnp.sqrt(jnp.clip(b3 ** 2 - 4 * a3 * c3, 0, None))) / 2
-    return jnp.minimum(jnp.minimum(r1, r2), r3)
-
-
 def render_targets(gt_bboxes, gt_labels, gt_valid, num_classes,
                    feat_hw: Tuple[int, int], stride: int = 4):
-    """Per-image gaussian heatmap + wh/offset targets at centers.
+    """Per-image gaussian heatmap + wh/offset targets at centers
+    (centernet_head.py:216-240: gaussian_radius(min_overlap=0.3) with
+    int truncation + gen_gaussian_target's windowed splat, shared with
+    the corner families).
 
     gt boxes in INPUT coords. Returns (heatmap (H, W, C), wh (G, 2),
     offset (G, 2), center int indices (G, 2) as (y, x), valid (G,))."""
+    from .cornernet import gaussian_radius, gaussian_splat_max
+
     H, W = feat_hw
     cx = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) / 2 / stride
     cy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) / 2 / stride
@@ -116,17 +101,8 @@ def render_targets(gt_bboxes, gt_labels, gt_valid, num_classes,
     ix = jnp.clip(jnp.floor(cx), 0, W - 1).astype(jnp.int32)
     iy = jnp.clip(jnp.floor(cy), 0, H - 1).astype(jnp.int32)
     radius = jnp.clip(gaussian_radius(h, w), 0, None)
-    sigma = (2 * radius + 1) / 6.0
-
-    ys = jnp.arange(H, dtype=jnp.float32)[:, None, None]   # (H, 1, 1)
-    xs = jnp.arange(W, dtype=jnp.float32)[None, :, None]   # (1, W, 1)
-    d2 = ((ys - iy[None, None, :].astype(jnp.float32)) ** 2
-          + (xs - ix[None, None, :].astype(jnp.float32)) ** 2)
-    g = jnp.exp(-d2 / jnp.clip(2 * sigma[None, None, :] ** 2, 1e-6, None))
-    g = jnp.where(gt_valid[None, None, :], g, 0.0)         # (H, W, G)
-    onehot = jax.nn.one_hot(gt_labels, num_classes)        # (G, C)
-    # per-class max over the gaussians (gen_gaussian_target's max-splat)
-    heatmap = jnp.max(g[..., None] * onehot[None, None], axis=2)
+    onehot = jax.nn.one_hot(gt_labels, num_classes) * gt_valid[:, None]
+    heatmap = gaussian_splat_max(ix, iy, onehot, radius, (H, W))
 
     wh_t = jnp.stack([w, h], -1)
     off_t = jnp.stack([cx - ix, cy - iy], -1)

@@ -132,6 +132,30 @@ def gaussian_radius(h, w, min_overlap: float = 0.3):
     return jnp.minimum(jnp.minimum(r1, r2), r3)
 
 
+def gaussian_splat_max(ix, iy, weights, radius, hw):
+    """Max-combined WINDOWED gaussians at integer centers, matching
+    gen_gaussian_target (utils/gaussian_target.py:32-65): the radius is
+    int-truncated (``max(0, int(r))``), sigma = (2r+1)/6 on the truncated
+    radius, and the kernel only covers the (2r+1)^2 window around the
+    center — tails outside are exactly zero.
+
+    ix/iy: (G,) int cells; weights: (G, C) per-gt channel weights (one-hot
+    * validity); radius: (G,) continuous. Returns (H, W, C)."""
+    H, W = hw
+    r = jnp.floor(jnp.clip(radius, 0.0, None))              # int(r)
+    sigma = (2.0 * r + 1.0) / 6.0
+    ys = jnp.arange(H, dtype=jnp.float32)
+    xs = jnp.arange(W, dtype=jnp.float32)
+    dy = ys[None, :] - iy[:, None].astype(jnp.float32)      # (G, H)
+    dx = xs[None, :] - ix[:, None].astype(jnp.float32)      # (G, W)
+    g = jnp.exp(-(dy[:, :, None] ** 2 + dx[:, None, :] ** 2)
+                / jnp.clip(2 * sigma[:, None, None] ** 2, 1e-12))
+    window = ((jnp.abs(dy)[:, :, None] <= r[:, None, None])
+              & (jnp.abs(dx)[:, None, :] <= r[:, None, None]))
+    g = jnp.where(window, g, 0.0)                           # (G, H, W)
+    return (g[..., None] * weights[:, None, None, :]).max(0)
+
+
 def corner_targets(gt_bboxes, gt_labels, gt_valid, h, w, num_classes,
                    stride: int = 4):
     """One image: gaussian heatmaps (h, w, C) x2, offset targets + masks
@@ -149,23 +173,11 @@ def corner_targets(gt_bboxes, gt_labels, gt_valid, h, w, num_classes,
     ibry = jnp.clip(jnp.floor(bry), 0, h - 1).astype(jnp.int32)
 
     radius = jnp.clip(gaussian_radius((bry - tly), (brx - tlx)), 0.0, None)
-    sigma = jnp.clip((2 * radius + 1) / 6.0, 1e-3)
-
-    ys = jnp.arange(h, dtype=jnp.float32)
-    xs = jnp.arange(w, dtype=jnp.float32)
-
-    def heat(ix, iy):
-        dy2 = (ys[None, :] - iy[:, None].astype(jnp.float32)) ** 2
-        dx2 = (xs[None, :] - ix[:, None].astype(jnp.float32)) ** 2
-        g = jnp.exp(-(dy2[:, :, None] + dx2[:, None, :])
-                    / (2 * sigma[:, None, None] ** 2))       # (G, h, w)
-        g = jnp.where(gt_valid[:, None, None], g, 0.0)
-        onehot = jax.nn.one_hot(
-            jnp.clip(gt_labels, 0, num_classes - 1), num_classes)
-        return (g[..., None] * onehot[:, None, None, :]).max(0)
-
-    tl_heat = heat(itlx, itly)
-    br_heat = heat(ibrx, ibry)
+    onehot = jax.nn.one_hot(
+        jnp.clip(gt_labels, 0, num_classes - 1), num_classes) \
+        * gt_valid[:, None]
+    tl_heat = gaussian_splat_max(itlx, itly, onehot, radius, (h, w))
+    br_heat = gaussian_splat_max(ibrx, ibry, onehot, radius, (h, w))
     tl_off = jnp.stack([tlx - itlx, tly - itly], -1)          # (G, 2)
     br_off = jnp.stack([brx - ibrx, bry - ibry], -1)
     tl_idx = itly * w + itlx                                  # (G,)

@@ -129,11 +129,12 @@ def _level_targets(h, w, stride, base, lo, hi, gt_bboxes, gt_labels,
     bx = jnp.take(gt_bboxes, best.reshape(-1), axis=0)       # (hw, 4)
     px = jnp.tile(xs[None, :], (h, 1)).reshape(-1)
     py = jnp.repeat(ys, w)
-    eps = 1e-6
     t = jnp.stack([
         (px - bx[:, 0]) / base, (py - bx[:, 1]) / base,
         (bx[:, 2] - px) / base, (bx[:, 3] - py) / base], -1)
-    t = jnp.log(jnp.clip(t, 1.0 / 16, 16.0) + eps)
+    # clamp(1/16, 16) BEFORE log (fovea_head.py:266-268); the clamp floor
+    # keeps the log finite, no epsilon needed
+    t = jnp.log(jnp.clip(t, 1.0 / 16, 16.0))
     return labels, t, pos.reshape(-1)
 
 
@@ -142,7 +143,9 @@ class FoveaLossConfig(NamedTuple):
     focal_gamma: float = 2.0
     focal_alpha: float = 0.25
     loss_cls_weight: float = 1.0
-    loss_bbox_weight: float = 0.75
+    # fovea config: SmoothL1Loss(beta=0.11, loss_weight=1.0)
+    loss_bbox_weight: float = 1.0
+    smooth_beta: float = 0.11
 
 
 def fovea_loss(out: FoveaHeadOutputs, gt_bboxes, gt_labels, gt_valid,
@@ -168,15 +171,18 @@ def fovea_loss(out: FoveaHeadOutputs, gt_bboxes, gt_labels, gt_valid,
     cls_flat = jnp.concatenate(all_cls, 1)
     reg_flat = jnp.concatenate(all_reg, 1)
 
-    num_pos = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
+    num_pos = pos.sum().astype(jnp.float32)
     onehot = jax.nn.one_hot(labels, C + 1)[..., :C]
+    # fovea_head.py:167-178: cls avg = num_pos + num_imgs; bbox is
+    # SmoothL1 summed over the (P, 4) elements / num_pos
     loss_cls = cfg.loss_cls_weight * L.sigmoid_focal_loss(
         cls_flat.reshape(-1, C), onehot.reshape(-1, C),
-        avg_factor=num_pos, gamma=cfg.focal_gamma, alpha=cfg.focal_alpha)
+        avg_factor=num_pos + B, gamma=cfg.focal_gamma,
+        alpha=cfg.focal_alpha)
     w = jnp.repeat(pos.astype(jnp.float32)[..., None], 4, -1).reshape(-1, 4)
     loss_bbox = cfg.loss_bbox_weight * L.smooth_l1_loss(
         reg_flat.reshape(-1, 4), t.reshape(-1, 4), weight=w,
-        avg_factor=4 * num_pos)
+        beta=cfg.smooth_beta, avg_factor=jnp.maximum(num_pos, 1.0))
     return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
 
 
@@ -206,7 +212,9 @@ def fovea_get_bboxes(out: FoveaHeadOutputs, img_hw, scale_factor=None,
         probs = jax.nn.sigmoid(cls_s)
         top = filter_scores_and_topk(probs, score_thr, nms_pre)
         bsel = bx[top.keep_idxs]
-        h, w = hw[0].astype(bsel.dtype), hw[1].astype(bsel.dtype)
+        # _bbox_decode clamps to max_shape - 1 (fovea_head.py:364-370)
+        h = hw[0].astype(bsel.dtype) - 1
+        w = hw[1].astype(bsel.dtype) - 1
         bsel = jnp.stack([
             jnp.clip(bsel[:, 0], 0, w), jnp.clip(bsel[:, 1], 0, h),
             jnp.clip(bsel[:, 2], 0, w), jnp.clip(bsel[:, 3], 0, h)], -1)

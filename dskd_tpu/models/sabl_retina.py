@@ -23,6 +23,7 @@ from ..core import losses as L
 from ..core.anchors import base_anchors, grid_anchors
 from ..core.boxes import bbox_overlaps
 from ..core.coders import bbox2bucket, bucket2bbox
+from ..core.max_iou_assigner import max_iou_assign_ious
 from ..core.postprocess import batched_nms, filter_scores_and_topk
 from .fpn import FPN
 from .gfl_detr_head import bias_init_with_prob
@@ -114,26 +115,16 @@ def approx_max_iou_assign(approxs, gt_bboxes, gt_labels, gt_valid,
                           num_classes: int, pos_thr: float = 0.5,
                           neg_thr: float = 0.4, min_pos_iou: float = 0.0):
     """One image. approxs: (N, 9, 4); each cell votes with its MAX-IoU
-    approx (approx_max_iou_assigner.py), then standard MaxIoU rules."""
+    approx (approx_max_iou_assigner.py:108-137), then the standard MaxIoU
+    rules via the shared core assigner."""
     N = approxs.shape[0]
     G = gt_bboxes.shape[0]
     ious = bbox_overlaps(approxs.reshape(-1, 4), gt_bboxes)
     ious = ious.reshape(N, 9, G).max(axis=1)                  # (N, G)
-    ious = jnp.where(gt_valid[None], ious, -1.0)
-    max_iou = ious.max(1)
-    argmax = jnp.argmax(ious, 1).astype(jnp.int32)
-    assigned = jnp.where(max_iou >= pos_thr, argmax, -1)
-    assigned = jnp.where((max_iou >= neg_thr) & (max_iou < pos_thr), -2,
-                         assigned)
-    # low-quality matches: each gt claims its best cell
-    gt_best = jnp.argmax(ious, axis=0)
-    ok = gt_valid & (ious.max(0) >= min_pos_iou)
-    assigned = assigned.at[jnp.where(ok, gt_best, N)].set(
-        jnp.arange(G, dtype=jnp.int32), mode="drop")
-    pos = assigned >= 0
-    safe = jnp.clip(assigned, 0, G - 1)
-    labels = jnp.where(pos, gt_labels[safe], num_classes)
-    return assigned, pos, labels
+    res = max_iou_assign_ious(ious, gt_labels.astype(jnp.int32), gt_valid,
+                              num_classes, pos_iou_thr=pos_thr,
+                              neg_iou_thr=neg_thr, min_pos_iou=min_pos_iou)
+    return res.assigned_gt, res.assigned_gt >= 0, res.labels
 
 
 class SABLLossConfig(NamedTuple):
@@ -183,9 +174,10 @@ def sabl_loss(out: SABLHeadOutputs, squares, approxs, gt_bboxes,
     loss_bc = cfg.loss_bucket_cls_weight * L.bce_loss(
         bc_flat.reshape(-1), blab.reshape(-1),
         weight=(bw * pw).reshape(-1), avg_factor=num_pos * 4 * SIDE)
+    # avg_factor = pos * 4 sides * offset_topk=2 (sabl_retina_head.py:477)
     loss_br = cfg.loss_bucket_reg_weight * L.smooth_l1_loss(
         br_flat.reshape(-1), offs.reshape(-1),
-        weight=(ow * pw).reshape(-1), avg_factor=num_pos * 4,
+        weight=(ow * pw).reshape(-1), avg_factor=num_pos * 4 * 2,
         beta=cfg.smooth_beta)
     return dict(loss_cls=loss_cls, loss_bbox_cls=loss_bc,
                 loss_bbox_reg=loss_br)

@@ -41,6 +41,9 @@ def ssd_level_anchors(level: int):
     box(mn, mn)
     box(float(np.sqrt(mn * mx)), float(np.sqrt(mn * mx)))
     for r in LEVEL_RATIOS[level]:
+        # SSDAnchorGenerator (scale_major=False + the [0, R, 1..R-1]
+        # index_select) orders each ratio pair WIDE (h/w = 1/r) before
+        # TALL (h/w = r) — anchor_generator.py:553-590
         s = float(np.sqrt(r))
         box(mn * s, mn / s)
         box(mn / s, mn * s)
@@ -220,7 +223,7 @@ def ssd_detection_loss(out: SSDOutputs, anchors, gt_bboxes, gt_labels,
 
 def ssd_get_bboxes(out: SSDOutputs, anchors, img_hw, scale_factor=None,
                    score_thr: float = 0.02, nms_iou: float = 0.45,
-                   nms_pre: int = 1000, max_per_img: int = 100,
+                   nms_pre: int = 1000, max_per_img: int = 200,
                    rescale: bool = False,
                    target_stds=(0.1, 0.1, 0.2, 0.2)):
     B = out.cls_scores[0].shape[0]

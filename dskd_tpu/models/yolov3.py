@@ -113,6 +113,7 @@ def yolo_level_anchors(featmap_size, level: int) -> jnp.ndarray:
 
 class YOLOV3LossConfig(NamedTuple):
     num_classes: int = 80
+    pos_iou_thr: float = 0.5
     neg_iou_thr: float = 0.5
     obj_weight: float = 1.0
     cls_weight: float = 1.0
@@ -122,9 +123,17 @@ class YOLOV3LossConfig(NamedTuple):
 
 def yolov3_loss(out: YOLOV3Outputs, gt_bboxes, gt_labels, gt_valid,
                 cfg: YOLOV3LossConfig):
-    """Responsible-anchor assignment (best IoU per GT over all anchors),
-    BCE objectness with >neg_iou_thr ignore band, BCE cls, sigmoid-xy +
-    log-wh regression at positives (yolo_head.loss_single semantics)."""
+    """GridAssigner targets + batch-SUM losses (yolo_head.py:350-391 with
+    the yolov3_d53 config's reduction='sum' on every term).
+
+    GridAssigner (grid_assigner.py:72-156, pos/neg 0.5/0.5, min_pos 0):
+      * default ignore; anchors with max-gt IoU <= neg_thr are negative;
+      * RESPONSIBLE anchors (their cell contains some gt center at that
+        level) with max IoU > pos_thr are positive to their argmax gt;
+      * each gt additionally claims its best-IoU responsible anchor
+        (> min_pos_iou, gt order: later gts overwrite).
+    Conf trains on pos+neg (ignored anchors weight 0); xy/wh/cls on pos.
+    No avg_factor anywhere — the reference recipe's losses are raw sums."""
     B = out.preds[0].shape[0]
     C = cfg.num_classes
     sizes = [p.shape[1:3] for p in out.preds]
@@ -133,46 +142,66 @@ def yolov3_loss(out: YOLOV3Outputs, gt_bboxes, gt_labels, gt_valid,
     strides = jnp.concatenate([
         jnp.full((h * w * 3,), STRIDES[i], jnp.float32)
         for i, (h, w) in enumerate(sizes)])
+    # flat per-anchor cell coords + level ids (cell-major, anchor-minor)
+    cell_x, cell_y, lvl_id = [], [], []
+    for i, (h, w) in enumerate(sizes):
+        ys, xs = np.mgrid[:h, :w]
+        cell_x.append(np.repeat(xs.reshape(-1), 3))
+        cell_y.append(np.repeat(ys.reshape(-1), 3))
+        lvl_id.append(np.full((h * w * 3,), i, np.int32))
+    cell_x = jnp.asarray(np.concatenate(cell_x), jnp.int32)
+    cell_y = jnp.asarray(np.concatenate(cell_y), jnp.int32)
+    lvl_id = jnp.asarray(np.concatenate(lvl_id), jnp.int32)
+    lvl_strides = jnp.asarray(STRIDES, jnp.float32)[lvl_id]
     preds = jnp.concatenate(
         [p.reshape(B, -1, 5 + C) for p in out.preds], axis=1)  # (B, N, .)
     N = anchors.shape[0]
     G = gt_bboxes.shape[1]
 
     def per_image(pred, gtb, gtl, gtv):
-        ious = jnp.where(gtv[None], bbox_overlaps(anchors, gtb), -1.0)
-        # responsible anchor: argmax IoU per GT
-        resp = jnp.argmax(ious, axis=0)                    # (G,)
-        pos = jnp.zeros((N,), bool).at[
-            jnp.where(gtv, resp, N)].set(True, mode="drop")
-        gt_of = jnp.full((N,), 0, jnp.int32).at[
-            jnp.where(gtv, resp, N)].set(jnp.arange(G, dtype=jnp.int32),
-                                         mode="drop")
-        ignore = (ious.max(axis=1) > cfg.neg_iou_thr) & ~pos
-        obj_t = pos.astype(jnp.float32)
-        obj_w = (~ignore).astype(jnp.float32)
+        gcx = (gtb[:, 0] + gtb[:, 2]) * 0.5
+        gcy = (gtb[:, 1] + gtb[:, 3]) * 0.5
+        gx = jnp.floor(gcx[None, :] / lvl_strides[:, None]).astype(jnp.int32)
+        gy = jnp.floor(gcy[None, :] / lvl_strides[:, None]).astype(jnp.int32)
+        resp_ng = ((cell_x[:, None] == gx) & (cell_y[:, None] == gy)
+                   & gtv[None, :])                          # (N, G)
+        flags = resp_ng.any(1)                              # (N,)
 
-        tgt_box = gtb[gt_of]
-        enc = yolo_encode(anchors, tgt_box, strides)       # (N, 4)
+        ious_all = jnp.where(gtv[None], bbox_overlaps(anchors, gtb), -1.0)
+        max_all = ious_all.max(1)
+        neg = (max_all >= 0) & (max_all <= cfg.neg_iou_thr)
+
+        masked = jnp.where(flags[:, None], ious_all, -1.0)  # (N, G)
+        m = masked.max(1)
+        am = jnp.argmax(masked, 1).astype(jnp.int32)
+        assigned = jnp.where(m > cfg.pos_iou_thr, am, -1)
+        # rule 4: each gt claims its best responsible anchor
+        gt_best = jnp.argmax(masked, axis=0)
+        ok = gtv & (masked.max(0) > 0.0) & flags[gt_best]
+        assigned = assigned.at[jnp.where(ok, gt_best, N)].set(
+            jnp.arange(G, dtype=jnp.int32), mode="drop")
+
+        pos = assigned >= 0
+        gt_of = jnp.clip(assigned, 0, G - 1)
         pw = pos.astype(jnp.float32)
+        conf_w = (pos | (neg & ~pos)).astype(jnp.float32)
+
+        enc = yolo_encode(anchors, gtb[gt_of], strides)     # (N, 4)
         loss_xy = cfg.xy_weight * L.bce_loss(
-            pred[:, :2], enc[:, :2], weight=pw[:, None],
-            avg_factor=jnp.maximum(pw.sum(), 1.0))
+            pred[:, :2], enc[:, :2], weight=pw[:, None], reduction="sum")
         loss_wh = cfg.wh_weight * L.mse_loss(
-            pred[:, 2:4], enc[:, 2:], weight=pw[:, None],
-            avg_factor=jnp.maximum(pw.sum(), 1.0))
+            pred[:, 2:4], enc[:, 2:], weight=pw[:, None], reduction="sum")
         loss_obj = cfg.obj_weight * L.bce_loss(
-            pred[:, 4], obj_t, weight=obj_w,
-            avg_factor=jnp.maximum(pw.sum(), 1.0))
+            pred[:, 4], pw, weight=conf_w, reduction="sum")
         onehot = jax.nn.one_hot(gtl[gt_of], C)
         loss_cls = cfg.cls_weight * L.bce_loss(
-            pred[:, 5:], onehot, weight=pw[:, None],
-            avg_factor=jnp.maximum(pw.sum(), 1.0))
+            pred[:, 5:], onehot, weight=pw[:, None], reduction="sum")
         return loss_xy, loss_wh, loss_obj, loss_cls
 
     lxy, lwh, lobj, lcls = jax.vmap(per_image)(
         preds, gt_bboxes, gt_labels, gt_valid)
-    return dict(loss_xy=lxy.mean(), loss_wh=lwh.mean(),
-                loss_conf=lobj.mean(), loss_cls=lcls.mean())
+    return dict(loss_xy=lxy.sum(), loss_wh=lwh.sum(),
+                loss_conf=lobj.sum(), loss_cls=lcls.sum())
 
 
 def yolov3_get_bboxes(out: YOLOV3Outputs, img_hw, scale_factor=None,
@@ -192,6 +221,8 @@ def yolov3_get_bboxes(out: YOLOV3Outputs, img_hw, scale_factor=None,
 
     def per_image(pred, hw, sf):
         obj = jax.nn.sigmoid(pred[:, 4:5])
+        # conf_thr=0.005 objectness gate (yolo_head get_bboxes + test_cfg)
+        obj = jnp.where(obj >= 0.005, obj, 0.0)
         probs = jax.nn.sigmoid(pred[:, 5:]) * obj
         top = filter_scores_and_topk(probs, score_thr, nms_pre)
         sel = pred[top.keep_idxs]

@@ -116,14 +116,11 @@ def test_region_assign_matches_reference_loop():
     def flags(g, ratio, lvl):
         s = STRIDES[lvl]
         h, w = sizes[lvl]
-        x1 = np.clip(round((1 - ratio) * g[0] / s + ratio * g[2] / s),
-                     0, w - 1)
-        y1 = np.clip(round((1 - ratio) * g[1] / s + ratio * g[3] / s),
-                     0, h - 1)
-        x2 = np.clip(round(ratio * g[0] / s + (1 - ratio) * g[2] / s),
-                     0, w - 1)
-        y2 = np.clip(round(ratio * g[1] / s + (1 - ratio) * g[3] / s),
-                     0, h - 1)
+        # calc_region clamps to the featmap EXTENT (region_assigner.py:20-23)
+        x1 = np.clip(round((1 - ratio) * g[0] / s + ratio * g[2] / s), 0, w)
+        y1 = np.clip(round((1 - ratio) * g[1] / s + ratio * g[3] / s), 0, h)
+        x2 = np.clip(round(ratio * g[0] / s + (1 - ratio) * g[2] / s), 0, w)
+        y2 = np.clip(round(ratio * g[1] / s + (1 - ratio) * g[3] / s), 0, h)
         return ((ctr[:, 0] >= x1) & (ctr[:, 0] <= x2)
                 & (ctr[:, 1] >= y1) & (ctr[:, 1] <= y2)
                 & (lvl_id == lvl))
