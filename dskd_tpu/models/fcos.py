@@ -86,8 +86,9 @@ class FCOSHead(nn.Module):
                 c = nn.relu(convs[f"cls_gn{i}"](convs[f"cls_conv{i}"](c)))
                 r = nn.relu(convs[f"reg_gn{i}"](convs[f"reg_conv{i}"](r)))
             cls_out.append(conv_cls(c))
-            # centerness on the REG branch (fcos_head centerness_on_reg)
-            ctr_out.append(conv_ctr(r))
+            # centerness on the CLS branch: the gn-head 1x config keeps
+            # fcos_head.py's centerness_on_reg=False default
+            ctr_out.append(conv_ctr(c))
             reg = Scale(name=f"scale{lvl}")(conv_reg(r))
             reg_out.append(jnp.exp(reg))      # positive distances
         return FCOSHeadOutputs(tuple(cls_out), tuple(reg_out),
@@ -219,8 +220,10 @@ def fcos_detection_loss(out: FCOSHeadOutputs, points, meta, gt_bboxes,
         jnp.broadcast_to(points[None], (B,) + points.shape).reshape(-1, 2),
         tgt.reshape(-1, 4))
     w = (pos.astype(jnp.float32) * ctr_tgt).reshape(-1)
-    loss_bbox = cfg.loss_bbox_weight * L.giou_loss(
-        pred_boxes, tgt_boxes, weight=w,
+    # config loss_bbox = IoULoss(loss_weight=1.0): mmdet's default 'log'
+    # mode, -log(IoU) — not GIoU (that's the center-normbbox-giou variant)
+    loss_bbox = cfg.loss_bbox_weight * L.iou_loss(
+        pred_boxes, tgt_boxes, linear=False, weight=w,
         avg_factor=jnp.clip(ctr_tgt.sum(), 1e-6, None))
 
     loss_ctr = cfg.loss_ctr_weight * L.bce_loss(

@@ -60,9 +60,11 @@ def ld_loss(student_out, teacher_out, gt_bboxes, gt_labels, gt_valid,
 
     w = jax.lax.stop_gradient(jax.nn.sigmoid(cls_flat).max(-1)) \
         * pos.astype(jnp.float32)                     # (B, N)
+    # ld_head.py:240-261: loss_ld keeps its raw avg_factor=4.0 — unlike
+    # bbox/dfl it is NOT divided by the summed weight_targets
     kl = L.kd_kl_div_loss(s_reg.reshape(-1, n_bins),
                           t_reg.reshape(-1, n_bins), T=cfg.ld_T,
                           weight=jnp.repeat(w.reshape(-1), 4),
-                          avg_factor=4.0 * jnp.maximum(w.sum(), 1.0))
+                          avg_factor=4.0)
     losses["loss_ld"] = cfg.ld_weight * kl
     return losses
