@@ -11,11 +11,13 @@ instead of regressing deltas:
   * targets: ROIs are the positive samples EXTENDED 2x around their
     center; each GT grid point rasterizes a pos_radius=1 disk on its
     heatmap; BCE-with-logits, weight 15, fused + unfused supervised;
+  * Grid R-CNN Plus sub-regions: the 28x28 output channel of each point
+    is its own sub-window of a virtual 56x56 whole map over the 2x
+    extended ROI (calc_sub_regions); targets rasterize on the whole map
+    and crop, decode adds the sub-window origin back;
   * decode: per-point spatial argmax (+0.5 cell center) mapped back from
     the extended ROI; each box side is the prob-weighted mean of its 3
-    border points. (The reference restricts each argmax to a per-point
-    quarter sub-region; the global argmax here is a documented
-    simplification.)
+    border points.
 """
 from __future__ import annotations
 
@@ -135,27 +137,66 @@ def extend_rois(rois, factor: float = 2.0):
     return jnp.stack([cx - hw, cy - hh, cx + hw, cy + hh], -1)
 
 
+WHOLE_MAP = HEATMAP * 2        # virtual 56x56 map over the extended roi
+
+
+def _sub_regions():
+    """Per-point 28x28 sub-window origins in the 56 whole map
+    (grid_head.py:193-222, Grid R-CNN Plus)."""
+    half = WHOLE_MAP // 4 * 2
+    origins = []
+    for i in range(GRID_POINTS):
+        x_idx, y_idx = i // GRID_SIZE, i % GRID_SIZE
+        def o(idx):
+            if idx == 0:
+                return 0
+            if idx == GRID_SIZE - 1:
+                return half
+            return max(int((idx / (GRID_SIZE - 1) - 0.25) * WHOLE_MAP), 0)
+        origins.append((o(x_idx), o(y_idx)))
+    return origins
+
+
+SUB_ORIGINS = _sub_regions()
+
+
 def grid_targets(ext_rois, gt_boxes):
-    """(R, 4) extended ROIs + matched GT -> (R, 28, 28, 9) binary maps
-    (pos_radius disk at each projected grid point) + in-bounds validity."""
+    """(R, 4) extended ROIs + matched GT -> (R, 28, 28, 9) binary maps.
+
+    Faithful to grid_head.py get_targets: each grid point's disk
+    (pos_radius=1, integer cells) is rasterized on the virtual
+    56x56 whole map, and channel j is its own 28x28 SUB-REGION crop
+    (2x finer than a naive 28 whole map). Expanded rois narrower than
+    grid_size pixels get all-zero targets (the 'ignore small bboxes'
+    skip)."""
     ew = jnp.clip(ext_rois[:, 2] - ext_rois[:, 0], 1e-4)
     eh = jnp.clip(ext_rois[:, 3] - ext_rois[:, 1], 1e-4)
     frac = jnp.asarray(np.array(
         [[i / (GRID_SIZE - 1), j / (GRID_SIZE - 1)]
          for i in range(GRID_SIZE) for j in range(GRID_SIZE)],
-        np.float32))                                  # (9, 2) (fx, fy)?
+        np.float32))                                  # (9, 2) (fx, fy)
     # grid point p = (x1 + fx*(x2-x1), y1 + fy*(y2-y1)) with the
     # NEIGHBORS indexing (i = column, j = row)
     gx = gt_boxes[:, 0:1] + frac[None, :, 0] * (
         gt_boxes[:, 2:3] - gt_boxes[:, 0:1])          # (R, 9)
     gy = gt_boxes[:, 1:2] + frac[None, :, 1] * (
         gt_boxes[:, 3:4] - gt_boxes[:, 1:2])
-    px = (gx - ext_rois[:, 0:1]) / ew[:, None] * HEATMAP
-    py = (gy - ext_rois[:, 1:2]) / eh[:, None] * HEATMAP
-    xs = jnp.arange(HEATMAP, dtype=jnp.float32) + 0.5
-    d2 = ((xs[None, :, None, None] - py[:, None, None, :]) ** 2
-          + (xs[None, None, :, None] - px[:, None, None, :]) ** 2)
-    return (d2 <= POS_RADIUS ** 2 * 4).astype(jnp.float32)
+    # int() truncation to whole-map integer cells (reference :272-275)
+    cx = jnp.trunc((gx - ext_rois[:, 0:1]) / ew[:, None] * WHOLE_MAP)
+    cy = jnp.trunc((gy - ext_rois[:, 1:2]) / eh[:, None] * WHOLE_MAP)
+    ox = jnp.asarray([o[0] for o in SUB_ORIGINS], jnp.float32)
+    oy = jnp.asarray([o[1] for o in SUB_ORIGINS], jnp.float32)
+    cells = jnp.arange(HEATMAP, dtype=jnp.float32)
+    # whole-map coords of each sub-window cell, per point
+    X = cells[None, :] + ox[:, None]                  # (9, 28)
+    Y = cells[None, :] + oy[:, None]
+    dx = X[None, :, :] - cx[:, :, None]               # (R, 9, 28)
+    dy = Y[None, :, :] - cy[:, :, None]
+    disk = (dy[:, :, :, None] ** 2 + dx[:, :, None, :] ** 2
+            <= POS_RADIUS ** 2)                       # (R, 9, 28y, 28x)
+    small = (ew <= GRID_SIZE) | (eh <= GRID_SIZE)
+    disk = disk & ~small[:, None, None, None]
+    return disk.transpose(0, 2, 3, 1).astype(jnp.float32)
 
 
 def grid_head_loss(grid_pred: Dict, ext_rois, gt_boxes, pos_valid,
@@ -175,18 +216,24 @@ def grid_head_loss(grid_pred: Dict, ext_rois, gt_boxes, pos_valid,
 
 
 def grid_decode(grid_pred_fused, ext_rois):
-    """(R, 28, 28, 9) logits + extended ROIs -> (R, 4) boxes."""
+    """(R, 28, 28, 9) logits + extended ROIs -> (R, 4) boxes.
+
+    Each point's channel is its sub-region: the argmax cell maps back to
+    whole-map coords by adding the sub-window origin, then (X + 0.5)/56
+    of the extended extent (grid_head.py:298-343)."""
     R = ext_rois.shape[0]
     probs = jax.nn.sigmoid(grid_pred_fused)
     flat = probs.transpose(0, 3, 1, 2).reshape(R, GRID_POINTS, -1)
     idx = jnp.argmax(flat, -1)
     score = flat.max(-1)                              # (R, 9)
-    py = (idx // HEATMAP).astype(jnp.float32) + 0.5
-    px = (idx % HEATMAP).astype(jnp.float32) + 0.5
+    ox = jnp.asarray([o[0] for o in SUB_ORIGINS], jnp.float32)
+    oy = jnp.asarray([o[1] for o in SUB_ORIGINS], jnp.float32)
+    py = (idx // HEATMAP).astype(jnp.float32) + oy[None] + 0.5
+    px = (idx % HEATMAP).astype(jnp.float32) + ox[None] + 0.5
     ew = ext_rois[:, 2:3] - ext_rois[:, 0:1]
     eh = ext_rois[:, 3:4] - ext_rois[:, 1:2]
-    ax = ext_rois[:, 0:1] + px / HEATMAP * ew         # absolute coords
-    ay = ext_rois[:, 1:2] + py / HEATMAP * eh
+    ax = ext_rois[:, 0:1] + px / WHOLE_MAP * ew       # absolute coords
+    ay = ext_rois[:, 1:2] + py / WHOLE_MAP * eh
 
     def side(pt_ids, coords):
         ids = jnp.asarray(pt_ids)

@@ -82,7 +82,10 @@ def maskiou_targets(sel_logits, tgt28, rois, gt_mask_sel,
     whole instance that lies inside the box (area_ratio) — both areas in
     28x28-target units so the ratio is resolution-free.
     """
-    pred = (jax.nn.sigmoid(sel_logits) > thr).astype(jnp.float32)
+    # reference quirk: get_targets thresholds the RAW LOGITS against
+    # mask_thr_binary=0.5 (maskiou_head.py:134 — pos_mask_pred is never
+    # sigmoided before the comparison), i.e. effectively sigmoid > 0.622
+    pred = (sel_logits > thr).astype(jnp.float32)
     pred_area = pred.sum(axis=(-2, -1))
     overlap = (pred * tgt28).sum(axis=(-2, -1))
     # area ratio on the stride-4 bitmap: inside-box gt area / whole area

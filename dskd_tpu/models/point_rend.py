@@ -204,6 +204,13 @@ def refine_masks_test(apply_point, p2_feats, rois, rois_valid, labels,
     uncertain cells of the predicted class, re-predict them with the
     point head, scatter in. 2 steps: 7 -> 14 -> 28.
 
+    Conscious deviation: the reference recipe runs 5 steps to 224x224
+    over ALL class channels (test_cfg subdivision_steps=5,
+    subdivision_num_points=784) — ~100 rois x 80 classes x 224^2 floats
+    of live buffer. Here the refinement stops at the 28x28 paste
+    resolution this framework rasterizes masks at, which is the
+    same point budget relative to the output grid.
+
     rois: (B, R, 4); coarse: (B*R, 7, 7, C). Returns (B*R, 28, 28, C)."""
     B, R = rois.shape[:2]
     M = B * R

@@ -22,22 +22,29 @@ def test_grid_target_decode_roundtrip():
     np.testing.assert_allclose(np.asarray(boxes)[0],
                                np.asarray(gt)[0], atol=6.0)
     # peaked logits (monotone-decreasing from the true point): error is at
-    # most half a heatmap cell per side
+    # most half a WHOLE-MAP cell per side. Each point's 28x28 channel is
+    # its sub-window of the virtual 56 map (Grid R-CNN Plus), so the
+    # synthetic logits are built in whole-map coords minus the origin.
     import jax.numpy as jnp2
-    from dskd_tpu.models.grid_rcnn import GRID_SIZE, HEATMAP
+    from dskd_tpu.models.grid_rcnn import HEATMAP, SUB_ORIGINS, WHOLE_MAP
     frac = np.array([[i / 2.0, j / 2.0] for i in range(3)
                      for j in range(3)], np.float32)
     g = np.asarray(gt)
     gx = g[:, 0:1] + frac[None, :, 0] * (g[:, 2:3] - g[:, 0:1])
     gy = g[:, 1:2] + frac[None, :, 1] * (g[:, 3:4] - g[:, 1:2])
     e = np.asarray(erois)
-    px = (gx - e[:, 0:1]) / (e[:, 2:3] - e[:, 0:1]) * HEATMAP
-    py = (gy - e[:, 1:2]) / (e[:, 3:4] - e[:, 1:2]) * HEATMAP
-    xs = np.arange(HEATMAP, dtype=np.float32) + 0.5
-    d2 = ((xs[None, :, None, None] - py[:, None, None, :]) ** 2
-          + (xs[None, None, :, None] - px[:, None, None, :]) ** 2)
+    px = (gx - e[:, 0:1]) / (e[:, 2:3] - e[:, 0:1]) * WHOLE_MAP  # (1, 9)
+    py = (gy - e[:, 1:2]) / (e[:, 3:4] - e[:, 1:2]) * WHOLE_MAP
+    ox = np.array([o[0] for o in SUB_ORIGINS], np.float32)
+    oy = np.array([o[1] for o in SUB_ORIGINS], np.float32)
+    cells = np.arange(HEATMAP, dtype=np.float32) + 0.5
+    X = cells[None, :] + ox[:, None]                  # (9, 28) whole coords
+    Y = cells[None, :] + oy[:, None]
+    d2 = ((Y.T[None, :, None, :] - py[:, None, None, :]) ** 2
+          + (X.T[None, None, :, :] - px[:, None, None, :]) ** 2)
     boxes2 = grid_decode(jnp2.asarray(-d2.astype(np.float32)), erois)
-    cell = max(float(e[0, 2] - e[0, 0]), float(e[0, 3] - e[0, 1])) / HEATMAP
+    cell = max(float(e[0, 2] - e[0, 0]),
+               float(e[0, 3] - e[0, 1])) / WHOLE_MAP
     np.testing.assert_allclose(np.asarray(boxes2)[0], g[0],
                                atol=0.51 * cell)
 

@@ -39,7 +39,8 @@ def test_maskiou_targets_oracle():
                                      jnp.asarray(rois), jnp.asarray(gm),
                                      mask_stride=stride))
     for p in range(P):
-        pred = (1 / (1 + np.exp(-logits[p])) > 0.5).astype(np.float32)
+        # reference quirk: RAW logits compared to mask_thr_binary=0.5
+        pred = (logits[p] > 0.5).astype(np.float32)
         overlap = (pred * tgt[p]).sum()
         # area ratio via pixel-center membership on the stride-4 grid
         yc = (np.arange(Hm) + 0.5) * stride
@@ -105,6 +106,21 @@ def test_ms_rcnn_family_step():
                               jax.random.PRNGKey(1))
     step = make_family_train_step("ms_rcnn", model, cfg, num_prev=0,
                                   has_teacher=False, use_dropout=False)
+    # push the mask head's final bias up so some logits clear the raw
+    # 0.5 target threshold at init (maskiou targets are zero otherwise,
+    # exactly as in reference early training)
+    import flax
+    params = flax.core.unfreeze(state.params) if hasattr(
+        flax.core, "unfreeze") else state.params
+    mh = params["mask_head"]
+    def bump(d):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                bump(v)
+            elif k == "bias":
+                d[k] = v + 1.0
+    bump(mh)
+    state = state.replace(params=params)
     # snapshot before the step: the train step donates its input state
     before = jax.tree_util.tree_map(np.asarray,
                                     state.params["mask_iou_head"])
