@@ -52,6 +52,29 @@ def filter_scores_and_topk(scores: jnp.ndarray, score_thr: float,
     return TopkResult(top_scores, labels, keep_idxs, valid)
 
 
+def filter_scores_and_topk_mlvl(scores: jnp.ndarray, score_thr: float,
+                                topk: int, level_sizes) -> TopkResult:
+    """Per-LEVEL threshold + top-k, the reference's decode protocol:
+    ``nms_pre`` applies to each pyramid level independently
+    (_get_bboxes_single loops levels; filter_scores_and_topk at each),
+    so up to ``topk * num_levels`` candidates reach NMS — a global
+    top-k starves low-resolution levels in crowded scenes.
+
+    ``scores``: (N, K) with N the concatenation of ``level_sizes`` rows.
+    Returns a TopkResult whose first axis is sum(min(topk, size*K)) —
+    static, ordered level-major. keep_idxs index the CONCATENATED rows."""
+    parts = []
+    start = 0
+    for size in level_sizes:
+        r = filter_scores_and_topk(scores[start:start + size], score_thr,
+                                   min(topk, size * scores.shape[1]))
+        parts.append(TopkResult(r.scores, r.labels,
+                                r.keep_idxs + start, r.valid))
+        start += size
+    return TopkResult(*[jnp.concatenate([getattr(p, f) for p in parts])
+                        for f in TopkResult._fields])
+
+
 def matrix_nms(ious: jnp.ndarray, labels: jnp.ndarray,
                scores: jnp.ndarray, kernel: str = "gaussian",
                sigma: float = 2.0, valid=None) -> jnp.ndarray:

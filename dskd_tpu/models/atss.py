@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from ..core import losses as L
 from ..core.anchors import base_anchors, bbox2delta, delta2bbox, grid_anchors
 from ..core.atss import atss_assign
-from ..core.postprocess import batched_nms, filter_scores_and_topk
+from ..core.postprocess import batched_nms, filter_scores_and_topk, \
+    filter_scores_and_topk_mlvl
 from .fcos import Scale
 from .fpn import FPN
 from .gfl_detr_head import bias_init_with_prob
@@ -208,9 +209,15 @@ def atss_get_bboxes(out: ATSSHeadOutputs, anchors, img_hw,
     ctr_flat = jnp.concatenate(
         [c.reshape(B, -1) for c in out.centernesses], axis=1)
 
+    level_sizes = [c.shape[1] * c.shape[2] * (c.shape[3] // C)
+                   for c in out.cls_scores]
+
     def per_image(cls_s, delta, ctr, hw, sf):
         probs = jax.nn.sigmoid(cls_s) * jax.nn.sigmoid(ctr)[:, None]
-        top = filter_scores_and_topk(probs, score_thr, nms_pre)
+        # nms_pre applies PER LEVEL (the reference's
+        # _get_bboxes_single loops levels)
+        top = filter_scores_and_topk_mlvl(probs, score_thr,
+                                          nms_pre, level_sizes)
         boxes = delta2bbox(anchors[top.keep_idxs], delta[top.keep_idxs],
                            stds=DELTA_STDS)
         h, w = hw[0].astype(boxes.dtype), hw[1].astype(boxes.dtype)

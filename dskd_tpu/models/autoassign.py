@@ -31,7 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.boxes import bbox_overlaps, distance2bbox
-from ..core.postprocess import batched_nms, filter_scores_and_topk
+from ..core.postprocess import batched_nms, filter_scores_and_topk, \
+    filter_scores_and_topk_mlvl
 from .fcos import Scale
 from .fpn import FPN
 from .gfl_detr_head import bias_init_with_prob
@@ -240,9 +241,14 @@ def autoassign_get_bboxes(out: AutoAssignHeadOutputs, img_hw,
     obj_flat = jnp.concatenate(
         [o.reshape(B, -1) for o in out.objectness], 1)
 
+    level_sizes = [c.shape[1] * c.shape[2] for c in out.cls_scores]
+
     def per_image(cls_s, dist, obj, hw, sf):
         probs = jax.nn.sigmoid(cls_s) * jax.nn.sigmoid(obj)[:, None]
-        top = filter_scores_and_topk(probs, score_thr, nms_pre)
+        # nms_pre applies PER LEVEL (the reference's
+        # _get_bboxes_single loops levels)
+        top = filter_scores_and_topk_mlvl(probs, score_thr,
+                                          nms_pre, level_sizes)
         boxes = distance2bbox(points[top.keep_idxs], dist[top.keep_idxs])
         h, w = hw[0].astype(boxes.dtype), hw[1].astype(boxes.dtype)
         boxes = jnp.stack([

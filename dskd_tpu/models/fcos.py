@@ -19,7 +19,8 @@ import numpy as np
 
 from ..core import losses as L
 from ..core.boxes import distance2bbox
-from ..core.postprocess import batched_nms, filter_scores_and_topk
+from ..core.postprocess import batched_nms, filter_scores_and_topk, \
+    filter_scores_and_topk_mlvl
 from .fpn import FPN
 from .gfl_detr_head import bias_init_with_prob
 from .resnet import ResNet
@@ -248,9 +249,14 @@ def fcos_get_bboxes(out: FCOSHeadOutputs, points, img_hw,
     ctr_flat = jnp.concatenate(
         [c.reshape(B, -1) for c in out.centernesses], axis=1)
 
+    level_sizes = [c.shape[1] * c.shape[2] for c in out.cls_scores]
+
     def per_image(cls_s, reg, ctr, hw, sf):
         probs = jax.nn.sigmoid(cls_s) * jax.nn.sigmoid(ctr)[:, None]
-        top = filter_scores_and_topk(probs, score_thr, nms_pre)
+        # nms_pre applies PER LEVEL (the reference's
+        # _get_bboxes_single loops levels)
+        top = filter_scores_and_topk_mlvl(probs, score_thr,
+                                          nms_pre, level_sizes)
         boxes = distance2bbox(points[top.keep_idxs], reg[top.keep_idxs])
         h, w = hw[0].astype(boxes.dtype), hw[1].astype(boxes.dtype)
         boxes = jnp.stack([

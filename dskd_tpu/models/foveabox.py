@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import losses as L
-from ..core.postprocess import batched_nms, filter_scores_and_topk
+from ..core.postprocess import batched_nms, filter_scores_and_topk, \
+    filter_scores_and_topk_mlvl
 from .fpn import FPN
 from .gfl_detr_head import bias_init_with_prob
 from .resnet import ResNet
@@ -208,9 +209,14 @@ def fovea_get_bboxes(out: FoveaHeadOutputs, img_hw, scale_factor=None,
     boxes_flat = jnp.concatenate(boxes_all, 1)
     cls_flat = jnp.concatenate(cls_all, 1)
 
+    level_sizes = [c.shape[1] * c.shape[2] for c in out.cls_scores]
+
     def per_image(cls_s, bx, hw, sf):
         probs = jax.nn.sigmoid(cls_s)
-        top = filter_scores_and_topk(probs, score_thr, nms_pre)
+        # nms_pre applies PER LEVEL (the reference's
+        # _get_bboxes_single loops levels)
+        top = filter_scores_and_topk_mlvl(probs, score_thr,
+                                          nms_pre, level_sizes)
         bsel = bx[top.keep_idxs]
         # _bbox_decode clamps to max_shape - 1 (fovea_head.py:364-370)
         h = hw[0].astype(bsel.dtype) - 1

@@ -20,7 +20,8 @@ from ..core.anchors import base_anchors, grid_anchors
 from ..core.atss import atss_assign
 from ..core.boxes import bbox2distance, bbox_overlaps, distance2bbox
 from ..core.integral import integral
-from ..core.postprocess import batched_nms, filter_scores_and_topk
+from ..core.postprocess import batched_nms, filter_scores_and_topk, \
+    filter_scores_and_topk_mlvl
 
 
 class GFLHeadOutputs(NamedTuple):
@@ -201,8 +202,13 @@ def gfl_get_bboxes(out: GFLHeadOutputs, img_hw, scale_factor=None,
     scores = jnp.concatenate(all_scores, 1)
     boxes = jnp.concatenate(all_boxes, 1)
 
+    level_sizes = [c.shape[1] * c.shape[2] for c in out.cls_scores]
+
     def per_image(sc, bx, hw, sf):
-        top = filter_scores_and_topk(sc, score_thr, nms_pre)
+        # nms_pre applies PER LEVEL (the reference's
+        # _get_bboxes_single loops levels)
+        top = filter_scores_and_topk_mlvl(sc, score_thr,
+                                          nms_pre, level_sizes)
         b = bx[top.keep_idxs]
         h, w = hw[0].astype(b.dtype), hw[1].astype(b.dtype)
         b = jnp.stack([jnp.clip(b[:, 0], 0, w), jnp.clip(b[:, 1], 0, h),

@@ -30,7 +30,8 @@ from ..core.anchors import base_anchors, bbox2delta, delta2bbox, \
     grid_anchors
 from ..core.boxes import bbox_overlaps
 from ..core.max_iou_assigner import max_iou_assign, max_iou_assign_ious
-from ..core.postprocess import batched_nms, filter_scores_and_topk
+from ..core.postprocess import batched_nms, filter_scores_and_topk, \
+    filter_scores_and_topk_mlvl
 from ..ops.deform_conv import deform_conv2d
 from .fpn import FPN
 from .gfl_detr_head import bias_init_with_prob
@@ -492,11 +493,16 @@ def ga_get_bboxes(out: GAHeadOutputs, centers, strides, img_hw,
     anchors = guided_anchors(centers, strides, shape_flat, sigma=sigma,
                              shape_std=shape_std)
 
+    level_sizes = [c.shape[1] * c.shape[2] for c in out.cls_scores]
+
     def per_image(cls_s, delta, loc, anc, hw, sf):
         # anchor-free masking by the location score
         keep = jax.nn.sigmoid(loc) >= loc_thr
         probs = jax.nn.sigmoid(cls_s) * keep[:, None]
-        top = filter_scores_and_topk(probs, score_thr, nms_pre)
+        # nms_pre applies PER LEVEL (the reference's
+        # _get_bboxes_single loops levels)
+        top = filter_scores_and_topk_mlvl(probs, score_thr,
+                                          nms_pre, level_sizes)
         boxes = delta2bbox(anc[top.keep_idxs], delta[top.keep_idxs],
                            stds=bbox_stds)
         h, w = hw[0].astype(boxes.dtype), hw[1].astype(boxes.dtype)

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from ..core import losses as L
 from ..core.anchors import base_anchors, delta2bbox, grid_anchors
 from ..core.boxes import bbox_overlaps
-from ..core.postprocess import batched_nms, filter_scores_and_topk
+from ..core.postprocess import batched_nms, filter_scores_and_topk, \
+    filter_scores_and_topk_mlvl
 from .atss import DELTA_STDS
 from .fcos import Scale
 from .fpn import FPN
@@ -290,11 +291,17 @@ def paa_get_bboxes(out: PAAHeadOutputs, anchors, img_hw, scale_factor=None,
     iou_flat = jnp.concatenate(
         [r.reshape(B, -1) for r in out.iou_preds], 1)
 
+    level_sizes = [c.shape[1] * c.shape[2] * (c.shape[3] // C)
+                   for c in out.cls_scores]
+
     def per_image(cls_s, delta, iou_p, hw, sf):
         probs = jnp.sqrt(jnp.clip(
             jax.nn.sigmoid(cls_s) * jax.nn.sigmoid(iou_p)[:, None],
             1e-12))
-        top = filter_scores_and_topk(probs, score_thr, nms_pre)
+        # nms_pre applies PER LEVEL (the reference's
+        # _get_bboxes_single loops levels)
+        top = filter_scores_and_topk_mlvl(probs, score_thr,
+                                          nms_pre, level_sizes)
         boxes = delta2bbox(anchors[top.keep_idxs], delta[top.keep_idxs],
                            stds=DELTA_STDS)
         h, w = hw[0].astype(boxes.dtype), hw[1].astype(boxes.dtype)

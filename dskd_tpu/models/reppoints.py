@@ -24,7 +24,8 @@ import numpy as np
 
 from ..core import losses as L
 from ..core.boxes import bbox_overlaps
-from ..core.postprocess import batched_nms, filter_scores_and_topk
+from ..core.postprocess import batched_nms, filter_scores_and_topk, \
+    filter_scores_and_topk_mlvl
 from ..ops.deform_conv import deform_conv2d
 from .fpn import FPN
 from .gfl_detr_head import bias_init_with_prob
@@ -302,9 +303,14 @@ def reppoints_get_bboxes(out: RepPointsHeadOutputs, moment, img_hw,
         [p.reshape(B, -1, 2 * NUM_POINTS) for p in out.pts_refine], 1)
     boxes_flat = _decoded_boxes(pr_flat, centers, strides, moment)
 
+    level_sizes = [c.shape[1] * c.shape[2] for c in out.cls_scores]
+
     def per_image(cls_s, bx, hw, sf):
         probs = jax.nn.sigmoid(cls_s)
-        top = filter_scores_and_topk(probs, score_thr, nms_pre)
+        # nms_pre applies PER LEVEL (the reference's
+        # _get_bboxes_single loops levels)
+        top = filter_scores_and_topk_mlvl(probs, score_thr,
+                                          nms_pre, level_sizes)
         bsel = bx[top.keep_idxs]
         h, w = hw[0].astype(bsel.dtype), hw[1].astype(bsel.dtype)
         bsel = jnp.stack([

@@ -18,7 +18,8 @@ import numpy as np
 from ..core import losses as L
 from ..core.anchors import base_anchors, bbox2delta, delta2bbox, grid_anchors
 from ..core.max_iou_assigner import max_iou_assign
-from ..core.postprocess import batched_nms, filter_scores_and_topk
+from ..core.postprocess import batched_nms, filter_scores_and_topk, \
+    filter_scores_and_topk_mlvl
 from .fpn import FPN
 from .gfl_detr_head import bias_init_with_prob
 from .resnet import ResNet
@@ -295,9 +296,15 @@ def retina_get_bboxes(out: RetinaHeadOutputs, anchors, img_hw,
     deltas = jnp.concatenate(
         [r.reshape(B, -1, 4) for r in out.bbox_preds], axis=1)
 
+    level_sizes = [c.shape[1] * c.shape[2] * (c.shape[3] // C)
+                   for c in out.cls_scores]
+
     def per_image(cls_s, delta, hw, sf):
         probs = jax.nn.sigmoid(cls_s)
-        top = filter_scores_and_topk(probs, score_thr, nms_pre)
+        # nms_pre applies PER LEVEL (the reference's
+        # _get_bboxes_single loops levels)
+        top = filter_scores_and_topk_mlvl(probs, score_thr,
+                                          nms_pre, level_sizes)
         boxes = delta2bbox(anchors[top.keep_idxs], delta[top.keep_idxs])
         h, w = hw[0].astype(boxes.dtype), hw[1].astype(boxes.dtype)
         boxes = jnp.stack([

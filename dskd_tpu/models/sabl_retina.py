@@ -24,7 +24,8 @@ from ..core.anchors import base_anchors, grid_anchors
 from ..core.boxes import bbox_overlaps
 from ..core.coders import bbox2bucket, bucket2bbox
 from ..core.max_iou_assigner import max_iou_assign_ious
-from ..core.postprocess import batched_nms, filter_scores_and_topk
+from ..core.postprocess import batched_nms, filter_scores_and_topk, \
+    filter_scores_and_topk_mlvl
 from .fpn import FPN
 from .gfl_detr_head import bias_init_with_prob
 from .resnet import ResNet
@@ -196,11 +197,16 @@ def sabl_get_bboxes(out: SABLHeadOutputs, squares, img_hw,
     br_flat = jnp.concatenate(
         [c.reshape(B, -1, 4 * SIDE) for c in out.bucket_reg], 1)
 
+    level_sizes = [c.shape[1] * c.shape[2] for c in out.cls_scores]
+
     def per_image(cls_s, bc, br, hw, sf):
         boxes, conf = bucket2bbox(squares, bc, br, NUM_BUCKETS,
                                   SCALE_FACTOR)
         probs = jax.nn.sigmoid(cls_s) * conf[:, None]   # loc rescoring
-        top = filter_scores_and_topk(probs, score_thr, nms_pre)
+        # nms_pre applies PER LEVEL (the reference's
+        # _get_bboxes_single loops levels)
+        top = filter_scores_and_topk_mlvl(probs, score_thr,
+                                          nms_pre, level_sizes)
         bsel = boxes[top.keep_idxs]
         h, w = hw[0].astype(bsel.dtype), hw[1].astype(bsel.dtype)
         bsel = jnp.stack([

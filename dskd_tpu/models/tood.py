@@ -32,7 +32,8 @@ from ..core import losses as L
 from ..core.anchors import base_anchors, grid_anchors
 from ..core.atss import atss_assign
 from ..core.boxes import bbox_overlaps
-from ..core.postprocess import batched_nms, filter_scores_and_topk
+from ..core.postprocess import batched_nms, filter_scores_and_topk, \
+    filter_scores_and_topk_mlvl
 from .fcos import Scale
 from .fpn import FPN
 from .gfl_detr_head import bias_init_with_prob
@@ -332,8 +333,13 @@ def tood_get_bboxes(out: TOODHeadOutputs, points, img_hw,
     box_flat = jnp.concatenate(
         [r.reshape(B, -1, 4) for r in out.bbox_preds], 1)    # decoded xyxy
 
+    level_sizes = [c.shape[1] * c.shape[2] for c in out.cls_scores]
+
     def per_image(probs, dist, hw, sf):
-        top = filter_scores_and_topk(probs, score_thr, nms_pre)
+        # nms_pre applies PER LEVEL (the reference's
+        # _get_bboxes_single loops levels)
+        top = filter_scores_and_topk_mlvl(probs, score_thr,
+                                          nms_pre, level_sizes)
         boxes = dist[top.keep_idxs]
         h, w = hw[0].astype(boxes.dtype), hw[1].astype(boxes.dtype)
         boxes = jnp.stack([

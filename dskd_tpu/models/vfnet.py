@@ -29,7 +29,8 @@ from ..core import losses as L
 from ..core.anchors import base_anchors, grid_anchors
 from ..core.atss import atss_assign
 from ..core.boxes import bbox_overlaps, distance2bbox
-from ..core.postprocess import batched_nms, filter_scores_and_topk
+from ..core.postprocess import batched_nms, filter_scores_and_topk, \
+    filter_scores_and_topk_mlvl
 from ..ops.deform_conv import deform_conv2d
 from .fcos import Scale
 from .fpn import FPN
@@ -241,9 +242,14 @@ def vfnet_get_bboxes(out: VFNetHeadOutputs, points, img_hw,
     ref_flat = jnp.concatenate(
         [r.reshape(B, -1, 4) for r in out.bbox_preds_refine], 1)
 
+    level_sizes = [c.shape[1] * c.shape[2] for c in out.cls_scores]
+
     def per_image(cls_s, dist, hw, sf):
         probs = jax.nn.sigmoid(cls_s)
-        top = filter_scores_and_topk(probs, score_thr, nms_pre)
+        # nms_pre applies PER LEVEL (the reference's
+        # _get_bboxes_single loops levels)
+        top = filter_scores_and_topk_mlvl(probs, score_thr,
+                                          nms_pre, level_sizes)
         boxes = distance2bbox(points[top.keep_idxs], dist[top.keep_idxs])
         h, w = hw[0].astype(boxes.dtype), hw[1].astype(boxes.dtype)
         boxes = jnp.stack([

@@ -22,7 +22,8 @@ import numpy as np
 from ..core import losses as L
 from ..core.boxes import bbox_overlaps
 from ..core.coders import yolo_decode, yolo_encode
-from ..core.postprocess import batched_nms, filter_scores_and_topk
+from ..core.postprocess import batched_nms, filter_scores_and_topk, \
+    filter_scores_and_topk_mlvl
 from .dilated_encoder import TrainableBatchNorm
 
 # (w, h) anchor pairs per level, strides 32/16/8 (yolov3_d53 base config)
@@ -219,12 +220,17 @@ def yolov3_get_bboxes(out: YOLOV3Outputs, img_hw, scale_factor=None,
     preds = jnp.concatenate(
         [p.reshape(B, -1, 5 + C) for p in out.preds], axis=1)
 
+    level_sizes = [p.shape[1] * p.shape[2] * 3 for p in out.preds]
+
     def per_image(pred, hw, sf):
         obj = jax.nn.sigmoid(pred[:, 4:5])
         # conf_thr=0.005 objectness gate (yolo_head get_bboxes + test_cfg)
         obj = jnp.where(obj >= 0.005, obj, 0.0)
         probs = jax.nn.sigmoid(pred[:, 5:]) * obj
-        top = filter_scores_and_topk(probs, score_thr, nms_pre)
+        # nms_pre applies PER LEVEL (the reference's
+        # _get_bboxes_single loops levels)
+        top = filter_scores_and_topk_mlvl(probs, score_thr,
+                                          nms_pre, level_sizes)
         sel = pred[top.keep_idxs]
         xywh = jnp.concatenate([jax.nn.sigmoid(sel[:, :2]), sel[:, 2:4]],
                                -1)
