@@ -271,3 +271,54 @@ def soft_nms(boxes: jnp.ndarray, scores: jnp.ndarray, labels: jnp.ndarray,
          jnp.full((max_out,), -jnp.inf, scores.dtype)))
     keep = sc > min_score
     return (boxes[idxs], jnp.where(keep, sc, 0.0), labels[idxs], keep)
+
+
+def fast_nms(boxes, scores, score_thr: float, iou_thr: float,
+             top_k: int, max_out: int, coeffs=None, valid=None):
+    """YOLACT Fast NMS (core/post_processing/bbox_nms.py:98-170) under
+    static shapes: per class, keep the top_k by score, suppress any
+    detection whose IoU to a HIGHER-scored same-class detection exceeds
+    ``iou_thr`` — already-suppressed detections still suppress (the
+    paper's parallel relaxation) — then keep the global top ``max_out``.
+
+    boxes (N, 4), scores (N, C), coeffs optional (N, K). Returns
+    (boxes (max_out, 4), scores, labels, coeffs | None, keep_mask)."""
+    N, C = scores.shape
+    k = min(top_k, N)
+    s = scores
+    if valid is not None:
+        s = jnp.where(valid[:, None], s, -1.0)
+    sc, idx = jax.lax.top_k(s.T, k)                   # (C, k)
+    b = boxes[idx]                                    # (C, k, 4)
+    x1 = jnp.maximum(b[:, :, None, 0], b[:, None, :, 0])
+    y1 = jnp.maximum(b[:, :, None, 1], b[:, None, :, 1])
+    x2 = jnp.minimum(b[:, :, None, 2], b[:, None, :, 2])
+    y2 = jnp.minimum(b[:, :, None, 3], b[:, None, :, 3])
+    inter = jnp.clip(x2 - x1, 0) * jnp.clip(y2 - y1, 0)
+    area = jnp.clip(b[..., 2] - b[..., 0], 0) \
+        * jnp.clip(b[..., 3] - b[..., 1], 0)
+    union = jnp.maximum(area[:, :, None] + area[:, None, :] - inter, 1e-9)
+    iou = inter / union                               # (C, k, k)
+    # triu(diagonal=1): row j suppresses column i only for j < i
+    tri = jnp.tril(jnp.ones((k, k), bool))            # j >= i zeroed below
+    iou = jnp.where(tri[None], 0.0, iou)
+    iou_max = iou.max(axis=1)                         # (C, k) over j < i
+    keep = (iou_max <= iou_thr) & (sc > score_thr)
+
+    flat_sc = jnp.where(keep, sc, -1.0).reshape(-1)   # (C*k,)
+    m = min(max_out, C * k)
+    out_sc, oi = jax.lax.top_k(flat_sc, m)
+    cls = (oi // k).astype(jnp.int32)
+    det = idx.reshape(-1)[oi]                         # original row ids
+    out_b = boxes[det]
+    out_c = coeffs[det] if coeffs is not None else None
+    ok = out_sc > 0.0
+    if m < max_out:
+        pad = max_out - m
+        out_b = jnp.pad(out_b, ((0, pad), (0, 0)))
+        out_sc = jnp.pad(out_sc, (0, pad), constant_values=-1.0)
+        cls = jnp.pad(cls, (0, pad))
+        ok = jnp.pad(ok, (0, pad))
+        if out_c is not None:
+            out_c = jnp.pad(out_c, ((0, pad), (0, 0)))
+    return out_b, out_sc, cls, out_c, ok

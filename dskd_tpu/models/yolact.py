@@ -36,7 +36,8 @@ import jax.numpy as jnp
 from ..core import losses as L
 from ..core.anchors import base_anchors, bbox2delta, delta2bbox, grid_anchors
 from ..core.max_iou_assigner import max_iou_assign
-from ..core.postprocess import batched_nms, filter_scores_and_topk
+from ..core.postprocess import batched_nms, fast_nms, \
+    filter_scores_and_topk
 from .fpn import FPN
 from .resnet import ResNet
 
@@ -285,17 +286,18 @@ def yolact_decode(out: YOLACTOutputs, anchors, img_hw,
 
     def per_image(cls_s, delta, coeff, protos, hw):
         probs = jax.nn.softmax(cls_s, -1)[:, :C]
-        top = filter_scores_and_topk(probs, score_thr, nms_pre)
-        boxes = delta2bbox(anchors[top.keep_idxs], delta[top.keep_idxs],
-                           stds=TARGET_STDS)
+        boxes = delta2bbox(anchors, delta, stds=TARGET_STDS)
         h, w = hw[0].astype(boxes.dtype), hw[1].astype(boxes.dtype)
         boxes = jnp.stack([
             jnp.clip(boxes[:, 0], 0, w), jnp.clip(boxes[:, 1], 0, h),
             jnp.clip(boxes[:, 2], 0, w), jnp.clip(boxes[:, 3], 0, h)], -1)
-        nb, ns, nl, keep, keep_idx = batched_nms(
-            boxes, top.scores, top.labels, nms_iou, max_per_img,
-            valid=top.valid)
-        sel_coeff = coeff[top.keep_idxs][keep_idx]         # (R, K)
+        # the reference's Fast NMS (test_cfg top_k=200, iou_thr=0.5):
+        # one (C, k, k) matrix pass, no sequential suppression loop — it
+        # runs over ALL decoded anchors rather than an nms_pre pre-filter
+        # (a strict superset of the reference's candidate set)
+        nb, ns, nl, sel_coeff, keep = fast_nms(
+            boxes, probs, score_thr, nms_iou, top_k=200,
+            max_out=max_per_img, coeffs=coeff)
         m = jax.nn.sigmoid(
             jnp.einsum("hwk,rk->rhw", protos, sel_coeff))
         crop = _crop_mask(protos.shape[0], protos.shape[1], nb)

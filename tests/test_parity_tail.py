@@ -152,3 +152,44 @@ def test_accuracy_topk():
     v = jnp.asarray([True, True, False, False])
     assert float(accuracy(pred, target, topk=1, valid=v)) == \
         pytest.approx(100.0)
+
+
+def test_fast_nms_matches_torch():
+    """Restatement of fast_nms (core/post_processing/bbox_nms.py:98-170)."""
+    from dskd_tpu.core.postprocess import fast_nms
+    rng = np.random.RandomState(7)
+    N, C = 40, 3
+    boxes = np.abs(rng.rand(N, 4).astype(np.float32)) * 60
+    boxes[:, 2:] = boxes[:, :2] + rng.rand(N, 2).astype(np.float32) * 40 + 2
+    scores = rng.rand(N, C).astype(np.float32)
+    iou_thr, score_thr, top_k, max_out = 0.5, 0.05, 20, 10
+
+    tb = torch.tensor(boxes)
+    ts = torch.tensor(scores)
+    sc, idx = ts.t().sort(1, descending=True)
+    idx = idx[:, :top_k]
+    sc = sc[:, :top_k]
+    b = tb[idx.reshape(-1)].view(C, top_k, 4)
+    x1 = torch.max(b[:, :, None, 0], b[:, None, :, 0])
+    y1 = torch.max(b[:, :, None, 1], b[:, None, :, 1])
+    x2 = torch.min(b[:, :, None, 2], b[:, None, :, 2])
+    y2 = torch.min(b[:, :, None, 3], b[:, None, :, 3])
+    inter = (x2 - x1).clamp(0) * (y2 - y1).clamp(0)
+    area = (b[..., 2] - b[..., 0]).clamp(0) * (b[..., 3] - b[..., 1]).clamp(0)
+    iou = inter / (area[:, :, None] + area[:, None, :] - inter).clamp(1e-9)
+    iou = iou.triu_(diagonal=1)
+    iou_max = iou.max(dim=1)[0]
+    keep = (iou_max <= iou_thr) & (sc > score_thr)
+    flat = torch.where(keep, sc, torch.tensor(-1.0)).reshape(-1)
+    want_sc, oi = flat.sort(descending=True)
+    want_sc = want_sc[:max_out]
+    want_cls = (oi[:max_out] // top_k).numpy()
+    want_det = idx.reshape(-1)[oi[:max_out]].numpy()
+
+    ob, osc, ocls, _, ok = fast_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                                    score_thr, iou_thr, top_k, max_out)
+    np.testing.assert_allclose(np.asarray(osc), want_sc.numpy(), rtol=1e-5)
+    valid = want_sc.numpy() > 0
+    np.testing.assert_array_equal(np.asarray(ocls)[valid], want_cls[valid])
+    np.testing.assert_allclose(np.asarray(ob)[valid],
+                               boxes[want_det[valid]], rtol=1e-5)
