@@ -18,7 +18,33 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
 import os
+import socket
+import sys
 import time
+
+# Fail fast when the axon tunnel is down: backend init otherwise blocks
+# FOREVER (the remote-compile client retries without a deadline), which
+# reads as a silent hang to the driver. Probe the tunnel socket first and
+# poll up to BENCH_WAIT_TUNNEL seconds (default 10 min) before giving up
+# with a visible error.
+def _tunnel_up() -> bool:
+    try:
+        with socket.create_connection(("127.0.0.1", 8083), timeout=3):
+            return True
+    except OSError:
+        return False
+
+
+if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+    _deadline = time.time() + float(os.environ.get("BENCH_WAIT_TUNNEL",
+                                                   "600"))
+    while not _tunnel_up():
+        if time.time() > _deadline:
+            print("bench.py: axon tunnel unreachable at 127.0.0.1:8083 "
+                  "(waited BENCH_WAIT_TUNNEL); refusing to hang in "
+                  "backend init", file=sys.stderr)
+            sys.exit(2)
+        time.sleep(15)
 
 import jax
 import jax.numpy as jnp
