@@ -51,7 +51,9 @@ def atss_assign(anchors: jnp.ndarray, num_level_anchors: Sequence[int],
     K = cand_idx.shape[1]
 
     cand_ious = jnp.take_along_axis(ious.T, cand_idx, axis=1)  # (G, K)
-    thr = cand_ious.mean(1) + cand_ious.std(1)               # (G,)
+    # torch .std() is the UNBIASED (n-1) estimator — ddof=1 keeps the
+    # mean+std positive threshold bit-aligned with atss_assigner.py
+    thr = cand_ious.mean(1) + cand_ious.std(1, ddof=1)       # (G,)
 
     # candidate centers inside gt
     cx = anchor_cxy[cand_idx]                                # (G, K, 2)

@@ -13,10 +13,14 @@ from dskd_tpu.models.gfl_head import (GFLLossConfig, gfl_anchors,
 def test_atss_basic():
     # two levels of anchors on a 64x64 image, one gt box
     from dskd_tpu.core.anchors import base_anchors, grid_anchors
-    a1 = grid_anchors((8, 8), 8, base_anchors(64, (1.0,), (1.0,)))
-    a2 = grid_anchors((4, 4), 16, base_anchors(128, (1.0,), (1.0,)))
+    # anchors sized near the gt and an off-grid gt: the perfectly
+    # symmetric old geometry produced 4 TIED candidate IoUs, where
+    # mean + unbiased-std (torch semantics) exceeds the max and ATSS
+    # legitimately yields zero positives
+    a1 = grid_anchors((8, 8), 8, base_anchors(32, (1.0,), (1.0,)))
+    a2 = grid_anchors((4, 4), 16, base_anchors(64, (1.0,), (1.0,)))
     anchors = jnp.concatenate([a1, a2], 0)
-    gt = jnp.array([[8.0, 8.0, 40.0, 40.0], [0, 0, 0, 0]])
+    gt = jnp.array([[6.0, 10.0, 46.0, 42.0], [0, 0, 0, 0]])
     labels = jnp.array([3, 0], jnp.int32)
     valid = jnp.array([True, False])
     res = atss_assign(anchors, [64, 16], gt, labels, valid, num_classes=10,
