@@ -193,3 +193,32 @@ def test_fast_nms_matches_torch():
     np.testing.assert_array_equal(np.asarray(ocls)[valid], want_cls[valid])
     np.testing.assert_allclose(np.asarray(ob)[valid],
                                boxes[want_det[valid]], rtol=1e-5)
+
+
+def test_gaussian_splat_matches_gen_gaussian_target():
+    """Restatement of gaussian2D + gen_gaussian_target
+    (models/utils/gaussian_target.py:8-65): int-truncated radius, sigma
+    (2r+1)/6, kernel windowed to the (2r+1)^2 extent, max-combined."""
+    from dskd_tpu.models.cornernet import gaussian_splat_max
+
+    H, W = 12, 16
+    centers = [(3, 4), (10, 2), (3, 4)]
+    radii = [2.7, 1.2, 4.0]
+    want = np.zeros((H, W), np.float32)
+    for (x, y), r in zip(centers, radii):
+        r = max(0, int(r))
+        sigma = (2 * r + 1) / 6.0
+        xs = np.arange(-r, r + 1)
+        k = np.exp(-(xs[None] ** 2 + xs[:, None] ** 2) / (2 * sigma ** 2))
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                yy, xx = y + dy, x + dx
+                if 0 <= yy < H and 0 <= xx < W:
+                    want[yy, xx] = max(want[yy, xx], k[dy + r, dx + r])
+
+    ix = jnp.asarray([c[0] for c in centers], jnp.int32)
+    iy = jnp.asarray([c[1] for c in centers], jnp.int32)
+    weights = jnp.ones((3, 1), jnp.float32)
+    got = gaussian_splat_max(ix, iy, weights, jnp.asarray(radii), (H, W))
+    np.testing.assert_allclose(np.asarray(got)[..., 0], want,
+                               rtol=1e-5, atol=1e-6)
