@@ -114,16 +114,20 @@ def paa_anchors(featmap_sizes):
 
 
 def gmm_split(scores, valid, iters: int = EM_ITERS):
-    """(K,) candidate scores (lower = better) + validity -> bool mask of
-    members of the LOW-mean component (paa_head gmm separation, sklearn
-    GaussianMixture replaced by a fixed-iteration EM)."""
+    """(K,) candidate scores (lower = better) + validity -> bool positive
+    mask per the reference's separation scheme (c)
+    (paa_head.py:324-400): fit a 2-component GMM (sklearn
+    GaussianMixture(means_init=[min,max], precisions_init=1) replaced by
+    a fixed-iteration EM), find the fg-assigned candidate with the PEAK
+    total likelihood, and take every candidate whose loss is <= that
+    peak's loss — not merely the fg-assigned members (scheme (b))."""
     K = scores.shape[0]
     big = 1e8
     s = jnp.where(valid, scores, big)
     smin = jnp.where(valid, s, big).min()
     smax = jnp.where(valid, s, -big).max()
     mu = jnp.stack([smin, smax])
-    var = jnp.ones(2) * jnp.clip((smax - smin) ** 2 / 4, 1e-4)
+    var = jnp.ones(2)               # sklearn precisions_init = 1.0
     pi = jnp.array([0.5, 0.5])
 
     def em(_, carry):
@@ -146,7 +150,14 @@ def gmm_split(scores, valid, iters: int = EM_ITERS):
             + jnp.log(jnp.clip(pi[None], 1e-8)))
     comp = jnp.argmax(logp, axis=1)
     lo = jnp.argmin(mu)                # the low-loss (= good) component
-    return valid & (comp == lo)
+    fg = valid & (comp == lo)
+    # scheme (c): gmm.score_samples = log sum_k pi_k N(s; mu_k, var_k);
+    # positives = all candidates with loss <= the loss of the fg
+    # candidate at the likelihood peak
+    ll = jax.scipy.special.logsumexp(logp, axis=1)
+    ll_fg = jnp.where(fg, ll, -jnp.inf)
+    peak_loss = s[jnp.argmax(ll_fg)]
+    return valid & fg.any() & (s <= peak_loss)
 
 
 class PAALossConfig(NamedTuple):

@@ -16,7 +16,13 @@ def test_gmm_split_separates_bimodal():
     scores = jnp.asarray(np.concatenate([lo, hi]).astype(np.float32))
     valid = jnp.ones((45,), bool)
     m = np.asarray(gmm_split(scores, valid))
-    assert m[:20].all() and not m[20:].any()
+    # separation scheme (c) (paa_head.py:389-400): positives are the
+    # loss-sorted PREFIX up to the fg likelihood peak — a nonempty
+    # subset of the low cluster; the high cluster contributes none
+    assert m.any() and not m[20:].any()
+    # prefix property: every positive's loss <= every non-positive's
+    sc = np.asarray(scores)
+    assert sc[m].max() <= sc[~m].min() + 1e-6
     # invalid entries never become positives
     valid2 = jnp.asarray(np.arange(45) < 10)
     m2 = np.asarray(gmm_split(scores, valid2))
