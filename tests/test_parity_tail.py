@@ -222,3 +222,27 @@ def test_gaussian_splat_matches_gen_gaussian_target():
     got = gaussian_splat_max(ix, iy, weights, jnp.asarray(radii), (H, W))
     np.testing.assert_allclose(np.asarray(got)[..., 0], want,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_filter_scores_and_topk_mlvl_per_level():
+    """Per-level nms_pre: each level contributes its own top-k, indices
+    address the concatenated rows."""
+    from dskd_tpu.core.postprocess import filter_scores_and_topk_mlvl
+    rng = np.random.RandomState(11)
+    sizes = [6, 3]
+    scores = jnp.asarray(rng.rand(9, 2).astype(np.float32))
+    r = filter_scores_and_topk_mlvl(scores, 0.0, 4, sizes)
+    # level 0 yields 4 rows, level 1 all 3*2=6 pairs capped at... min(4, 6)=4
+    assert r.scores.shape[0] == 4 + 4
+    s = np.asarray(scores)
+    # level-0 part: the top-4 (row, class) pairs from rows 0..5
+    flat0 = s[:6].reshape(-1)
+    want0 = np.sort(flat0)[::-1][:4]
+    np.testing.assert_allclose(np.sort(np.asarray(r.scores[:4]))[::-1],
+                               want0, rtol=1e-6)
+    # all level-1 keep_idxs address rows >= 6
+    assert (np.asarray(r.keep_idxs[4:]) >= 6).all()
+    # labels consistent with the scores they index
+    for i in range(8):
+        ki = int(r.keep_idxs[i]); lb = int(r.labels[i])
+        np.testing.assert_allclose(float(r.scores[i]), s[ki, lb], rtol=1e-6)
