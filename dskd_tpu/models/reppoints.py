@@ -164,10 +164,14 @@ def reppoints_centers(featmap_sizes):
 
 def point_assign(centers, strides, level_counts, gt_bboxes, gt_labels,
                  gt_valid, num_classes: int, scale: int = BASE_SCALE):
-    """PointAssigner (point_assigner.py): each GT lands on the level
-    matching floor(log2(sqrt(wh)/scale)) and claims its nearest cell
-    center there; later GTs overwrite on ties (approximated: nearest
-    center per GT, conflicts resolved to the LAST gt)."""
+    """PointAssigner (point_assigner.py:24-121, reppoints config
+    pos_num=1): each GT lands on the level matching
+    floor(log2(sqrt(wh)/scale)) and claims the cell center there nearest
+    under the per-axis (w, h)-NORMALIZED metric
+    ||(p - c) / (gw, gh)|| (point_assigner.py:101); when two GTs claim
+    the same point, the one at smaller normalized distance wins, earlier
+    gt index breaking exact ties (the reference's strict `<` against the
+    recorded dist, point_assigner.py:111-121)."""
     N = centers.shape[0]
     G = gt_bboxes.shape[0]
     gw = jnp.clip(gt_bboxes[:, 2] - gt_bboxes[:, 0], 1e-6)
@@ -182,15 +186,23 @@ def point_assign(centers, strides, level_counts, gt_bboxes, gt_labels,
                           for i, n in enumerate(level_counts)])
     gcx = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) / 2
     gcy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) / 2
-    d = jnp.sqrt((centers[:, 0][None] - gcx[:, None]) ** 2
-                 + (centers[:, 1][None] - gcy[:, None]) ** 2)   # (G, N)
+    d = jnp.sqrt(((centers[:, 0][None] - gcx[:, None]) / gw[:, None]) ** 2
+                 + ((centers[:, 1][None] - gcy[:, None])
+                    / gh[:, None]) ** 2)                        # (G, N)
     d = jnp.where((pl[None] == lvl[:, None]) & gt_valid[:, None],
                   d, jnp.inf)
     nearest = jnp.argmin(d, axis=1)                             # (G,)
-    ok = jnp.isfinite(d.min(1)) & gt_valid
-    assigned = jnp.full((N,), -1, jnp.int32).at[
-        jnp.where(ok, nearest, N)].set(
-        jnp.arange(G, dtype=jnp.int32), mode="drop")
+    dmin = d.min(1)
+    ok = jnp.isfinite(dmin) & gt_valid
+    # closest-gt-wins: rank GTs by (dist asc, index asc), scatter-min the
+    # rank per point, then map the winning rank back to its gt index.
+    order = jnp.lexsort((jnp.arange(G), dmin))                  # rank -> gt
+    rank = jnp.zeros((G,), jnp.int32).at[order].set(
+        jnp.arange(G, dtype=jnp.int32))                         # gt -> rank
+    best_rank = jnp.full((N,), G, jnp.int32).at[
+        jnp.where(ok, nearest, N)].min(rank, mode="drop")
+    assigned = jnp.where(best_rank < G,
+                         order[jnp.clip(best_rank, 0, G - 1)], -1)
     pos = assigned >= 0
     safe = jnp.clip(assigned, 0, G - 1)
     labels = jnp.where(pos, gt_labels[safe], num_classes)

@@ -42,6 +42,52 @@ def test_point_assigner_levels():
     assert lvls[0] == 0 and lvls[1] > 0
 
 
+def test_point_assigner_torch_oracle():
+    """Vectorized assigner == a loop restatement of the reference
+    (point_assigner.py:88-121): per-gt nearest point on its level under
+    the (w, h)-normalized metric, strict-< replacement across gts."""
+    rng = np.random.RandomState(3)
+    sizes = [(8, 8), (4, 4), (2, 2), (1, 1), (1, 1)]
+    centers, strides, counts = reppoints_centers(sizes)
+    c_np = np.asarray(centers)
+    pl = np.concatenate([np.full(n, i) for i, n in enumerate(counts)])
+    for trial in range(5):
+        G = 8
+        xy = rng.rand(G, 2) * 40
+        wh = np.exp(rng.randn(G, 2) * 1.5) * 12 + 1   # elongated boxes too
+        gt = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+        valid = rng.rand(G) > 0.2
+        labels = rng.randint(0, NC, G).astype(np.int32)
+
+        # reference restatement
+        gw = np.maximum(gt[:, 2] - gt[:, 0], 1e-6)
+        gh = np.maximum(gt[:, 3] - gt[:, 1], 1e-6)
+        glvl = np.clip(np.floor(np.log2(np.sqrt(gw * gh) / 4)).astype(int)
+                       - 3, 0, len(counts) - 1)
+        exp_assigned = np.full(c_np.shape[0], -1, int)
+        exp_dist = np.full(c_np.shape[0], np.inf)
+        for g in range(G):
+            if not valid[g]:
+                continue
+            m = pl == glvl[g]
+            cx, cy = (gt[g, 0] + gt[g, 2]) / 2, (gt[g, 1] + gt[g, 3]) / 2
+            d = np.sqrt(((c_np[m, 0] - cx) / gw[g]) ** 2
+                        + ((c_np[m, 1] - cy) / gh[g]) ** 2)
+            j = np.where(m)[0][np.argmin(d)]         # pos_num=1
+            if d.min() < exp_dist[j]:
+                exp_assigned[j] = g
+                exp_dist[j] = d.min()
+
+        assigned, pos, lab = point_assign(
+            centers, strides, counts, jnp.asarray(gt),
+            jnp.asarray(labels), jnp.asarray(valid), NC)
+        np.testing.assert_array_equal(np.asarray(assigned), exp_assigned,
+                                      err_msg=f"trial {trial}")
+        exp_lab = np.where(exp_assigned >= 0,
+                           labels[np.clip(exp_assigned, 0, G - 1)], NC)
+        np.testing.assert_array_equal(np.asarray(lab), exp_lab)
+
+
 def test_reppoints_forward_loss_decode_step():
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(B, HW, HW, 3).astype(np.float32) * 0.2)
