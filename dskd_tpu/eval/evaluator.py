@@ -81,6 +81,11 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
                 "retinanet_ghm", "retinanet_fpg", "retinanet_nasfpn"):
         from ..models.retinanet import retina_anchors, retina_get_bboxes
 
+        # free_anchor's config swaps the retina coder stds for
+        # (0.1, 0.1, 0.2, 0.2) (free_anchor config bbox_coder)
+        from ..models.free_anchor import DELTA_STDS as _FA_STDS
+        _stds = _FA_STDS if arch == "free_anchor" else (1.0,) * 4
+
         @jax.jit
         def eval_step(variables, images, img_hw, scale_factors):
             out = model.apply(variables, images, img_hw, deterministic=True)
@@ -89,7 +94,8 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
             d = retina_get_bboxes(out.head, anchors, img_hw,
                                   scale_factor=scale_factors,
                                   score_thr=max(score_thr, 0.05),
-                                  max_per_img=max_per_img, rescale=True)
+                                  max_per_img=max_per_img, rescale=True,
+                                  delta_stds=_stds)
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 

@@ -32,6 +32,27 @@ def hard_sigmoid(x, bias: float = 3.0, divisor: float = 6.0):
     return jnp.clip((x + bias) / divisor, 0.0, 1.0)
 
 
+def _upsample_align_corners(x, out_hw):
+    """Bilinear resize with torch's align_corners=True grid (the
+    reference's F.interpolate call, dyhead.py:118-122); jax.image.resize
+    only offers the half-pixel (align_corners=False) convention."""
+    B, h2, w2, C = x.shape
+    H, W = out_hw
+    ys = jnp.linspace(0.0, h2 - 1.0, H)
+    xs = jnp.linspace(0.0, w2 - 1.0, W)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h2 - 1)
+    x1 = jnp.minimum(x0 + 1, w2 - 1)
+    wy = (ys - y0)[None, :, None, None]
+    wx = (xs - x0)[None, None, :, None]
+    rows0 = x[:, y0]
+    rows1 = x[:, y1]
+    top = rows0[:, :, x0] * (1 - wx) + rows0[:, :, x1] * wx
+    bot = rows1[:, :, x0] * (1 - wx) + rows1[:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
 class DyReLU(nn.Module):
     channels: int
     ratio: int = 4
@@ -40,8 +61,13 @@ class DyReLU(nn.Module):
     def __call__(self, x):
         c = self.channels
         g = x.mean(axis=(1, 2), keepdims=True)
-        g = nn.relu(nn.Conv(c // self.ratio, (1, 1), name="conv1")(g))
-        g = hard_sigmoid(nn.Conv(4 * c, (1, 1), name="conv2")(g)) - 0.5
+        # every plain conv in the block is normal_init(std=0.01)
+        # (dyhead.py:93-97 _init_weights)
+        init = nn.initializers.normal(0.01)
+        g = nn.relu(nn.Conv(c // self.ratio, (1, 1), kernel_init=init,
+                            name="conv1")(g))
+        g = hard_sigmoid(nn.Conv(4 * c, (1, 1), kernel_init=init,
+                                 name="conv2")(g)) - 0.5
         a1 = g[..., :c] * 2.0 + 1.0
         b1 = g[..., c:2 * c]
         a2 = g[..., 2 * c:3 * c] * 2.0
@@ -56,7 +82,11 @@ class _DyDCN(nn.Module):
 
     @nn.compact
     def __call__(self, x, offsets, mask):
-        w = self.param("kernel", nn.initializers.he_normal(),
+        # mmcv ModulatedDeformConv2d.init_weights: uniform(-s, s) with
+        # s = 1/sqrt(fan_in) => variance 1/(3*fan_in)
+        w = self.param("kernel",
+                       nn.initializers.variance_scaling(
+                           1.0 / 3.0, "fan_in", "uniform"),
                        (3, 3, x.shape[-1], self.out_channels))
         y = deform_conv2d(x, offsets, w, stride=self.stride, padding=1,
                           mask=mask)
@@ -76,7 +106,9 @@ class DyHeadBlock(nn.Module):
                               kernel_init=nn.initializers.zeros,
                               bias_init=nn.initializers.zeros,
                               name="spatial_conv_offset")
-        scale_c = nn.Conv(1, (1, 1), name="scale_attn_conv")
+        scale_c = nn.Conv(1, (1, 1),
+                          kernel_init=nn.initializers.normal(0.01),
+                          name="scale_attn_conv")
         task = DyReLU(self.out_channels, name="task_attn")
 
         def scale_attn(f):
@@ -99,7 +131,7 @@ class DyHeadBlock(nn.Module):
                 off_ds = offsets[:, ::2, ::2]
                 mask_ds = mask[:, ::2, ::2]
                 hi = conv_high(feats[lvl + 1], off_ds, mask_ds)
-                hi = jax.image.resize(hi, mid.shape, method="bilinear")
+                hi = _upsample_align_corners(hi, mid.shape[1:3])
                 s = s + hi * scale_attn(hi)
                 n += 1
             outs.append(task(s / n))

@@ -25,6 +25,10 @@ from .retinanet import RetinaNet, retina_anchors, retina_get_bboxes
 EPS = 1e-12
 PRE_ANCHOR_TOPK = 50
 BBOX_THR = 0.6
+# the free_anchor config overrides the retina coder to stds (0.1, 0.1,
+# 0.2, 0.2) (retinanet_free_anchor_r50_fpn_1x_coco.py bbox_coder), unlike
+# vanilla retinanet's identity stds
+DELTA_STDS = (0.1, 0.1, 0.2, 0.2)
 
 
 class FreeAnchorLossConfig(NamedTuple):
@@ -53,7 +57,8 @@ def free_anchor_loss(out, anchors, gt_bboxes, gt_labels, gt_valid,
         cls_prob = jax.nn.sigmoid(cls_s)                    # (N, C)
 
         # ---- A+ membership probability (detached) ----
-        pred_boxes = jax.lax.stop_gradient(delta2bbox(anchors, deltas))
+        pred_boxes = jax.lax.stop_gradient(
+            delta2bbox(anchors, deltas, stds=DELTA_STDS))
         obi = bbox_overlaps(gb, pred_boxes)                 # (G, N)
         obi = jnp.where(gv[:, None], obi, 0.0)
         t2 = jnp.clip(obi.max(1, keepdims=True), BBOX_THR + 1e-12)
@@ -74,7 +79,8 @@ def free_anchor_loss(out, anchors, gt_bboxes, gt_labels, gt_valid,
         m_anchors = anchors[matched]                        # (G, K, 4)
         m_targets = bbox2delta(m_anchors,
                                jnp.broadcast_to(gb[:, None, :],
-                                                m_anchors.shape))
+                                                m_anchors.shape),
+                               stds=DELTA_STDS)
         m_preds = deltas[matched]                           # (G, K, 4)
         diff = jnp.abs(m_preds - m_targets)
         sl1 = jnp.where(diff < cfg.smooth_beta,

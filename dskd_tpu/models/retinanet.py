@@ -286,7 +286,8 @@ def retina_detection_loss(out: RetinaHeadOutputs, anchors, gt_bboxes,
 def retina_get_bboxes(out: RetinaHeadOutputs, anchors, img_hw,
                       scale_factor=None, score_thr: float = 0.05,
                       nms_iou: float = 0.5, nms_pre: int = 1000,
-                      max_per_img: int = 100, rescale: bool = False):
+                      max_per_img: int = 100, rescale: bool = False,
+                      delta_stds=(1.0, 1.0, 1.0, 1.0)):
     """Static-shape decode: per-image threshold/top-k, delta decode, clip,
     class-aware NMS (the retina test_cfg)."""
     B = out.cls_scores[0].shape[0]
@@ -305,7 +306,8 @@ def retina_get_bboxes(out: RetinaHeadOutputs, anchors, img_hw,
         # _get_bboxes_single loops levels)
         top = filter_scores_and_topk_mlvl(probs, score_thr,
                                           nms_pre, level_sizes)
-        boxes = delta2bbox(anchors[top.keep_idxs], delta[top.keep_idxs])
+        boxes = delta2bbox(anchors[top.keep_idxs], delta[top.keep_idxs],
+                           stds=delta_stds)
         h, w = hw[0].astype(boxes.dtype), hw[1].astype(boxes.dtype)
         boxes = jnp.stack([
             jnp.clip(boxes[:, 0], 0, w), jnp.clip(boxes[:, 1], 0, h),

@@ -129,13 +129,17 @@ class SSD(nn.Module):
     def __call__(self, images, img_hw, deterministic: bool = True):
         feats = SSDVGG(name="backbone")(images)
         cls_out, reg_out = [], []
+        # ssd_head.py init_cfg: Xavier-uniform head convs, bias 0
+        init = nn.initializers.xavier_uniform()
         for lvl, f in enumerate(feats):
             A = 2 + 2 * len(LEVEL_RATIOS[lvl])
             cls_out.append(nn.Conv(A * (self.num_classes + 1), (3, 3),
                                    padding=[(1, 1), (1, 1)],
+                                   kernel_init=init,
                                    name=f"cls_conv{lvl}")(f))
             reg_out.append(nn.Conv(A * 4, (3, 3),
                                    padding=[(1, 1), (1, 1)],
+                                   kernel_init=init,
                                    name=f"reg_conv{lvl}")(f))
         return SSDOutputs(tuple(cls_out), tuple(reg_out), feats)
 

@@ -46,3 +46,22 @@ def test_atss_with_dyhead_forward_and_step():
     assert "dyhead" in v["params"]
     out = model.apply(v, x, hw)
     assert len(out.head.cls_scores) == 5
+
+
+def test_upsample_align_corners_torch_oracle():
+    """_upsample_align_corners == F.interpolate(..., align_corners=True)
+    (the reference's high-level path, dyhead.py:118-122)."""
+    import torch
+    import torch.nn.functional as F
+
+    from dskd_tpu.models.dyhead import _upsample_align_corners
+
+    rng = np.random.RandomState(0)
+    for (h2, w2), (H, W) in [((4, 6), (8, 11)), ((3, 3), (6, 6)),
+                             ((5, 7), (9, 13))]:
+        x = rng.randn(2, h2, w2, 3).astype(np.float32)
+        got = np.asarray(_upsample_align_corners(jnp.asarray(x), (H, W)))
+        exp = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2),
+                            size=(H, W), mode="bilinear",
+                            align_corners=True).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, exp, atol=1e-5)
