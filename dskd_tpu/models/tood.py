@@ -100,11 +100,16 @@ class TaskDecomposition(nn.Module):
         flat = stacked.reshape(B, H, W, n * C)
         gap = flat.mean(axis=(1, 2), keepdims=True)           # (B,1,1,nC)
         a = nn.relu(nn.Conv(n * C // self.la_down_rate, (1, 1),
+                            kernel_init=nn.initializers.normal(0.001),
                             name="la_conv1")(gap))
-        a = jax.nn.sigmoid(nn.Conv(n, (1, 1), name="la_conv2")(a))
+        a = jax.nn.sigmoid(nn.Conv(
+            n, (1, 1), kernel_init=nn.initializers.normal(0.001),
+            name="la_conv2")(a))
         w = a.reshape(B, 1, 1, n, 1)
         y = (stacked * w).reshape(B, H, W, n * C)
-        y = nn.Conv(C, (1, 1), use_bias=False, name="reduction")(y)
+        y = nn.Conv(C, (1, 1), use_bias=False,
+                    kernel_init=nn.initializers.normal(0.01),
+                    name="reduction")(y)
         return nn.relu(nn.GroupNorm(epsilon=1e-5, num_groups=32,
                                     name="reduction_gn")(y))
 
@@ -121,27 +126,39 @@ class TOODHead(nn.Module):
         for i in range(self.stacked_convs):
             inter.append((
                 nn.Conv(C, (3, 3), padding=[(1, 1), (1, 1)],
-                        use_bias=False, name=f"inter_conv{i}"),
+                        use_bias=False,
+                        kernel_init=nn.initializers.normal(0.01),
+                        name=f"inter_conv{i}"),
                 nn.GroupNorm(epsilon=1e-5, num_groups=32,
                              name=f"inter_gn{i}")))
         cls_decomp = TaskDecomposition(C, self.stacked_convs,
                                        name="cls_decomp")
         reg_decomp = TaskDecomposition(C, self.stacked_convs,
                                        name="reg_decomp")
+        # init parity (tood_head.py:193-208): inter/cls_prob/reduction/
+        # tood_cls/tood_reg normal(0.01); layer attention + reg_offset
+        # normal(0.001); cls biases at prior prob 0.01
         tood_cls = nn.Conv(
             self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
+            kernel_init=nn.initializers.normal(0.01),
             bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
             name="tood_cls")
         tood_reg = nn.Conv(4, (3, 3), padding=[(1, 1), (1, 1)],
+                           kernel_init=nn.initializers.normal(0.01),
                            name="tood_reg")
-        prob_c1 = nn.Conv(C // 4, (1, 1), name="cls_prob_conv1")
+        prob_c1 = nn.Conv(C // 4, (1, 1),
+                          kernel_init=nn.initializers.normal(0.01),
+                          name="cls_prob_conv1")
         prob_c2 = nn.Conv(
             1, (3, 3), padding=[(1, 1), (1, 1)],
+            kernel_init=nn.initializers.normal(0.01),
             bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
             name="cls_prob_conv2")
-        off_c1 = nn.Conv(C // 4, (1, 1), name="reg_offset_conv1")
+        off_c1 = nn.Conv(C // 4, (1, 1),
+                         kernel_init=nn.initializers.normal(0.001),
+                         name="reg_offset_conv1")
         off_c2 = nn.Conv(8, (3, 3), padding=[(1, 1), (1, 1)],
-                         kernel_init=nn.initializers.zeros,
+                         kernel_init=nn.initializers.normal(0.001),
                          bias_init=nn.initializers.zeros,
                          name="reg_offset_conv2")
 
@@ -262,6 +279,16 @@ def _qfl_activated(p, q, beta: float = 2.0):
     return ce * jnp.abs(q - p) ** beta
 
 
+def _focal_activated(p, onehot, gamma: float = 2.0, alpha: float = 0.25):
+    """Activated sigmoid focal loss (losses/focal_loss.py
+    py_focal_loss_with_prob): operates on probabilities."""
+    eps = 1e-12
+    pt = (1 - p) * onehot + p * (1 - onehot)
+    fw = (alpha * onehot + (1 - alpha) * (1 - onehot)) * pt ** gamma
+    ce = -(onehot * jnp.log(p + eps) + (1 - onehot) * jnp.log(1 - p + eps))
+    return ce * fw
+
+
 class TOODLossConfig(NamedTuple):
     num_classes: int = 80
     topk: int = 13
@@ -311,14 +338,27 @@ def tood_loss(out: TOODHeadOutputs, points, anchors, level_counts,
     tgt = jnp.take_along_axis(
         gt_bboxes, jnp.clip(assigned, 0, G - 1)[..., None], axis=1)
 
-    q = jax.nn.one_hot(labels, C + 1)[..., :C] * t[..., None]
-    lc = _qfl_activated(cls_flat, q).sum(-1).reshape(-1)
-    loss_cls = cfg.loss_cls_weight * lc.sum() / jnp.maximum(t.sum(), 1.0)
+    if use_tal:
+        q = jax.nn.one_hot(labels, C + 1)[..., :C] * t[..., None]
+        lc = _qfl_activated(cls_flat, q).sum(-1).reshape(-1)
+        loss_cls = (cfg.loss_cls_weight * lc.sum()
+                    / jnp.maximum(t.sum(), 1.0))
+        w = t.reshape(-1)
+    else:
+        # initial epochs (tood_head.py:118-124,334-346): activated
+        # FocalLoss(gamma=2, alpha=.25) over num_pos, GIoU weighted by the
+        # ATSS centerness of the anchor center in the assigned gt
+        onehot = jax.nn.one_hot(labels, C + 1)[..., :C]
+        lc = _focal_activated(cls_flat, onehot).sum(-1).reshape(-1)
+        loss_cls = cfg.loss_cls_weight * lc.sum() / num_pos
+        from .atss import _centerness_target
+        ctr = jax.vmap(_centerness_target)(
+            jnp.broadcast_to(anchors, (B,) + anchors.shape), tgt)
+        w = (jnp.where(pos, ctr, 0.0)).reshape(-1)
 
-    w = t.reshape(-1)
     loss_bbox = cfg.loss_bbox_weight * L.giou_loss(
         boxes.reshape(-1, 4), tgt.reshape(-1, 4), weight=w,
-        avg_factor=jnp.maximum(t.sum(), 1.0))
+        avg_factor=jnp.maximum(w.sum(), 1.0))
     return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
 
 

@@ -106,7 +106,9 @@ class VFNetHead(nn.Module):
         cls_scores, init_preds, refine_preds = [], [], []
         for lvl, f in enumerate(feats):
             stride = STRIDES[lvl]
-            reg_denom = stride * 2.0
+            # vfnet_head.py:133-136: reg_denoms are the regress-range ends
+            # [64, 128, 256, 512, 512*2] == stride * 8 at every level
+            reg_denom = stride * 8.0
             c = r = f
             for i in range(self.stacked_convs):
                 c = nn.relu(convs[f"cls{i}_gn"](convs[f"cls{i}"](c)))
