@@ -136,14 +136,24 @@ def main():
     # warmup / compile
     for _ in range(3):
         state, losses = step(state, batch, teacher_vars)
-    jax.block_until_ready(losses["loss"])
+    # Synchronize via a HOST SCALAR FETCH, not block_until_ready: through
+    # the axon tunnel block_until_ready can return before execution
+    # completes (measured: a faulting program "finished" 10 steps in
+    # 0.2 s), and it also never surfaces deferred execution errors. A
+    # device_get of the final loss both drains the dependent chain (each
+    # step donates and consumes the previous state) and raises if any
+    # step poisoned its outputs.
+    warm_loss = float(np.asarray(jax.device_get(losses["loss"])))
 
     n_iters = 10
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, losses = step(state, batch, teacher_vars)
-    jax.block_until_ready(losses["loss"])
+    final_loss = float(np.asarray(jax.device_get(losses["loss"])))
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss), f"non-finite loss {final_loss}"
+    print(f"warm loss {warm_loss:.4f} final loss {final_loss:.4f} "
+          f"({dt / n_iters * 1e3:.1f} ms/step)", file=sys.stderr)
 
     n_chips = jax.device_count()
     img_s_chip = B * n_iters / dt / n_chips

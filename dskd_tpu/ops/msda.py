@@ -204,8 +204,11 @@ def ms_deform_attn_core(value: jnp.ndarray,
     # Pallas corner-table pack (ops/pack_kernel.py): big levels build the
     # packed table in ONE kernel write instead of the XLA pad/concat/
     # transpose chain, and gather it middle-axis (no head-major transpose).
-    # Targets the ~25% reshape/copy/pad trace bucket (PERF.md round 3).
-    pack_kernel = os.environ.get("DSKD_PACK_KERNEL", "0") == "1"
+    # Targets the ~25% reshape/copy/pad trace bucket. DEFAULT ON since the
+    # round-3 chip A/B with host-fetch timing: 5.853 vs 5.389 img/s/chip
+    # (+8.6% end-to-end incl. VJP, PERF.md finding 8); DSKD_PACK_KERNEL=0
+    # restores the XLA pack chain.
+    pack_kernel = os.environ.get("DSKD_PACK_KERNEL", "1") == "1"
     use_mxu = (mxu_gather_max_rows > 0
                and (jax.default_backend() == "tpu"
                     # test hook: exercise the Pallas paths in interpret mode
