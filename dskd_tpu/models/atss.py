@@ -48,14 +48,17 @@ class ATSSHead(nn.Module):
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]) -> ATSSHeadOutputs:
+        # init parity (atss_head.py:36-43): head convs Normal(std=0.01),
+        # atss_cls bias at prior prob 0.01
+        n01 = nn.initializers.normal(0.01)
         convs = {}
         for i in range(self.stacked_convs):
             convs[f"cls_conv{i}"] = nn.Conv(
                 self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                use_bias=False, name=f"cls_conv{i}")
+                use_bias=False, kernel_init=n01, name=f"cls_conv{i}")
             convs[f"reg_conv{i}"] = nn.Conv(
                 self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                use_bias=False, name=f"reg_conv{i}")
+                use_bias=False, kernel_init=n01, name=f"reg_conv{i}")
             # ConvModule norm_cfg GN(32) between conv and relu
             # (atss_head.py / atss_r50_fpn_1x config), conv bias off
             convs[f"cls_gn{i}"] = nn.GroupNorm(epsilon=1e-5, num_groups=32,
@@ -64,12 +67,13 @@ class ATSSHead(nn.Module):
                                                name=f"reg_gn{i}")
         atss_cls = nn.Conv(
             self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
+            kernel_init=n01,
             bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
             name="atss_cls")
         atss_reg = nn.Conv(4, (3, 3), padding=[(1, 1), (1, 1)],
-                           name="atss_reg")
+                           kernel_init=n01, name="atss_reg")
         atss_ctr = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
-                           name="atss_centerness")
+                           kernel_init=n01, name="atss_centerness")
 
         cls_out, reg_out, ctr_out = [], [], []
         for lvl, f in enumerate(feats):

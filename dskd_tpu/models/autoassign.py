@@ -63,25 +63,29 @@ class AutoAssignHead(nn.Module):
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]
                  ) -> AutoAssignHeadOutputs:
+        # init parity (autoassign_head.py:173-177 + FCOS scheme): all
+        # convs Normal(std=0.01)
+        n01 = nn.initializers.normal(0.01)
         convs = {}
         for i in range(self.stacked_convs):
             for p in ("cls", "reg"):
                 convs[f"{p}{i}"] = nn.Conv(
                     self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                    use_bias=False, name=f"{p}_conv{i}")
+                    use_bias=False, kernel_init=n01, name=f"{p}_conv{i}")
                 convs[f"{p}{i}_gn"] = nn.GroupNorm(
                     epsilon=1e-5, num_groups=32, name=f"{p}_gn{i}")
         conv_cls = nn.Conv(
             self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
+            kernel_init=n01,
             # autoassign_head.py:175: prior prob 0.02, not the usual 0.01
             bias_init=nn.initializers.constant(bias_init_with_prob(0.02)),
             name="conv_cls")
         conv_reg = nn.Conv(
-            4, (3, 3), padding=[(1, 1), (1, 1)],
+            4, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=n01,
             # reference init: reg bias 4.0 so boxes start non-degenerate
             bias_init=nn.initializers.constant(4.0), name="conv_reg")
         conv_obj = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
-                           name="conv_objectness")
+                           kernel_init=n01, name="conv_objectness")
         cls_out, reg_out, obj_out = [], [], []
         for lvl, f in enumerate(feats):
             c = r = f

@@ -33,7 +33,9 @@ class BFP(nn.Module):
         gathered = [_resize_to(x, h, w) for x in inputs]
         balanced = sum(gathered) / len(gathered)
         C = balanced.shape[-1]
+        # init parity (necks/bfp.py init_cfg): Xavier-uniform conv
         refined = nn.Conv(C, (3, 3), padding=[(1, 1), (1, 1)],
+                          kernel_init=nn.initializers.xavier_uniform(),
                           name="refine")(balanced)
         outs = []
         for x in inputs:

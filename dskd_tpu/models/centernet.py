@@ -51,18 +51,22 @@ class CenterNetHead(nn.Module):
 
     @nn.compact
     def __call__(self, feat):
-        def branch(out_ch, name, bias_init=0.0):
+        def branch(out_ch, name, bias_init=0.0, kernel_init=None):
+            kw = {} if kernel_init is None else dict(kernel_init=kernel_init)
             x = nn.Conv(self.feat_channels, (3, 3),
-                        padding=[(1, 1), (1, 1)], name=f"{name}_conv")(feat)
+                        padding=[(1, 1), (1, 1)], name=f"{name}_conv",
+                        **kw)(feat)
             x = nn.relu(x)
             return nn.Conv(out_ch, (1, 1),
                            bias_init=nn.initializers.constant(bias_init),
-                           name=f"{name}_out")(x)
+                           name=f"{name}_out", **kw)(x)
 
-        # heatmap bias init -2.19 = log(0.1/0.9) (centernet_head.init_weights)
+        # init parity (centernet_head.py:73-79): heatmap out bias
+        # -2.19 = log(0.1/0.9); wh/offset convs Normal(std=0.001)
+        n001 = nn.initializers.normal(0.001)
         heatmap = branch(self.num_classes, "heatmap", bias_init=-2.19)
-        wh = branch(2, "wh")
-        offset = branch(2, "offset")
+        wh = branch(2, "wh", kernel_init=n001)
+        offset = branch(2, "offset", kernel_init=n001)
         return heatmap, wh, offset
 
 

@@ -64,8 +64,10 @@ class CentripetalHead(nn.Module):
             outs["bro"].append(_pred_branch(br, 2, f"br_off{i}"))
             for tag, pooled in (("tl", tl), ("br", br)):
                 g = _pred_branch(pooled, 2, f"{tag}_guiding{i}")
+                # init parity (centripetal_head.py:146-147): the dcn
+                # offset conv is Normal(std=0.1), not zero-initialized
                 off = nn.Conv(18, (1, 1),
-                              kernel_init=nn.initializers.zeros,
+                              kernel_init=nn.initializers.normal(0.1),
                               bias_init=nn.initializers.zeros,
                               name=f"{tag}_dcn_offset{i}")(
                     jax.lax.stop_gradient(g))

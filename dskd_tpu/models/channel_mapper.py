@@ -24,16 +24,19 @@ class ChannelMapper(nn.Module):
         outs = []
         k = self.kernel_size
         pad = (k - 1) // 2
+        # init parity (channel_mapper.py:54-55): Xavier-uniform convs
+        xav = nn.initializers.xavier_uniform()
         for i, x in enumerate(inputs):
             y = nn.Conv(self.out_channels, (k, k),
                         padding=[(pad, pad), (pad, pad)],
-                        name=f"conv{i}")(x)
+                        kernel_init=xav, name=f"conv{i}")(x)
             y = nn.GroupNorm(epsilon=1e-5, num_groups=self.num_groups, name=f"gn{i}")(y)
             outs.append(y)
         x = inputs[-1]
         for j in range(self.num_outs - len(inputs)):
             y = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                        padding=[(1, 1), (1, 1)], name=f"extra_conv{j}")(x)
+                        padding=[(1, 1), (1, 1)], kernel_init=xav,
+                        name=f"extra_conv{j}")(x)
             y = nn.GroupNorm(epsilon=1e-5, num_groups=self.num_groups, name=f"extra_gn{j}")(y)
             outs.append(y)
             x = y

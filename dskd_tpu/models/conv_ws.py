@@ -24,12 +24,13 @@ class ConvWS(nn.Module):
     use_bias: bool = True
     feature_group_count: int = 1
     eps: float = 1e-5
+    kernel_init: Any = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kh, kw = self.kernel_size
         in_c = x.shape[-1] // self.feature_group_count
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+        kernel = self.param("kernel", self.kernel_init,
                             (kh, kw, in_c, self.features))
         flat = kernel.reshape(-1, self.features)
         mean = flat.mean(axis=0)

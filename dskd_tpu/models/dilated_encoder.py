@@ -33,13 +33,17 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         identity = x
         d = self.dilation
-        y = nn.Conv(self.mid_channels, (1, 1), name="conv1")(x)
+        # init parity (dilated_encoder.py:99-101): block convs Normal(0.01)
+        n01 = nn.initializers.normal(0.01)
+        y = nn.Conv(self.mid_channels, (1, 1), kernel_init=n01,
+                    name="conv1")(x)
         y = nn.relu(TrainableBatchNorm(name="bn1")(y, train))
         y = nn.Conv(self.mid_channels, (3, 3),
                     kernel_dilation=(d, d), padding=[(d, d), (d, d)],
-                    name="conv2")(y)
+                    kernel_init=n01, name="conv2")(y)
         y = nn.relu(TrainableBatchNorm(name="bn2")(y, train))
-        y = nn.Conv(self.out_channels, (1, 1), name="conv3")(y)
+        y = nn.Conv(self.out_channels, (1, 1), kernel_init=n01,
+                    name="conv3")(y)
         y = nn.relu(TrainableBatchNorm(name="bn3")(y, train))
         return y + identity
 
@@ -54,10 +58,14 @@ class DilatedEncoder(nn.Module):
     def __call__(self, inputs: Sequence[jnp.ndarray],
                  train: bool = False) -> Tuple[jnp.ndarray, ...]:
         x = inputs[-1]                          # C5 only
-        x = nn.Conv(self.out_channels, (1, 1), name="lateral_conv")(x)
+        # init parity (dilated_encoder.py:95-96): caffe2 Xavier =
+        # uniform(+-sqrt(3/fan_in)) on lateral/fpn convs
+        c2x = nn.initializers.variance_scaling(1.0, "fan_in", "uniform")
+        x = nn.Conv(self.out_channels, (1, 1), kernel_init=c2x,
+                    name="lateral_conv")(x)
         x = TrainableBatchNorm(name="lateral_norm")(x, train)
         x = nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                    name="fpn_conv")(x)
+                    kernel_init=c2x, name="fpn_conv")(x)
         x = TrainableBatchNorm(name="fpn_norm")(x, train)
         for i in range(self.num_residual_blocks):
             x = Bottleneck(self.block_mid_channels, self.out_channels,

@@ -210,8 +210,12 @@ class DoubleBBoxHead(nn.Module):
 
         # fc (cls) branch
         x = roi_feats.reshape(roi_feats.shape[0], -1)
-        x = nn.relu(nn.Dense(self.fc_channels, name="cls_fc0")(x))
-        x = nn.relu(nn.Dense(self.fc_channels, name="cls_fc1")(x))
+        # convfc_bbox_head init_cfg: branch FCs Xavier-uniform
+        xav = nn.initializers.xavier_uniform()
+        x = nn.relu(nn.Dense(self.fc_channels, kernel_init=xav,
+                             name="cls_fc0")(x))
+        x = nn.relu(nn.Dense(self.fc_channels, kernel_init=xav,
+                             name="cls_fc1")(x))
         cls = nn.Dense(self.num_classes + 1,
                        kernel_init=nn.initializers.normal(0.01),
                        name="fc_cls")(x)
@@ -231,8 +235,12 @@ class BBoxHead(nn.Module):
     @nn.compact
     def __call__(self, roi_feats: jnp.ndarray):
         x = roi_feats.reshape(roi_feats.shape[0], -1)
-        x = nn.relu(nn.Dense(self.fc_channels, name="shared_fc0")(x))
-        x = nn.relu(nn.Dense(self.fc_channels, name="shared_fc1")(x))
+        # convfc_bbox_head init_cfg: shared FCs Xavier-uniform
+        xav = nn.initializers.xavier_uniform()
+        x = nn.relu(nn.Dense(self.fc_channels, kernel_init=xav,
+                             name="shared_fc0")(x))
+        x = nn.relu(nn.Dense(self.fc_channels, kernel_init=xav,
+                             name="shared_fc1")(x))
         if self.seesaw:
             # the seesaw recipe pairs the loss with a NormedLinear
             # classifier (configs/seesaw_loss/*: cls_predictor_cfg

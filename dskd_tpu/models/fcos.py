@@ -57,14 +57,17 @@ class FCOSHead(nn.Module):
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]) -> FCOSHeadOutputs:
+        # init parity (anchor_free_head.py:66-74): every head conv
+        # Normal(std=0.01); conv_cls bias at prior prob 0.01
+        n01 = nn.initializers.normal(0.01)
         convs = {}
         for i in range(self.stacked_convs):
             convs[f"cls_conv{i}"] = nn.Conv(
                 self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                use_bias=False, name=f"cls_conv{i}")
+                use_bias=False, kernel_init=n01, name=f"cls_conv{i}")
             convs[f"reg_conv{i}"] = nn.Conv(
                 self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                use_bias=False, name=f"reg_conv{i}")
+                use_bias=False, kernel_init=n01, name=f"reg_conv{i}")
             # the reference's ConvModule norm_cfg: GN(32) between conv and
             # relu (fcos_head.py gn-head config), conv bias absorbed by GN
             convs[f"cls_gn{i}"] = nn.GroupNorm(epsilon=1e-5, num_groups=32,
@@ -73,12 +76,13 @@ class FCOSHead(nn.Module):
                                                name=f"reg_gn{i}")
         conv_cls = nn.Conv(
             self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
+            kernel_init=n01,
             bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
             name="conv_cls")
         conv_reg = nn.Conv(4, (3, 3), padding=[(1, 1), (1, 1)],
-                           name="conv_reg")
+                           kernel_init=n01, name="conv_reg")
         conv_ctr = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
-                           name="conv_centerness")
+                           kernel_init=n01, name="conv_centerness")
 
         cls_out, reg_out, ctr_out = [], [], []
         for lvl, f in enumerate(feats):

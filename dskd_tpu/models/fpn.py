@@ -43,7 +43,9 @@ class FPN(nn.Module):
             _C = nn.Conv
 
         def _Conv(*a, **kw):
-            # mmdet ConvModule drops the conv bias when a norm follows
+            # mmdet ConvModule drops the conv bias when a norm follows;
+            # init parity (necks/fpn.py:75-76): Xavier-uniform convs
+            kw.setdefault("kernel_init", nn.initializers.xavier_uniform())
             return _C(*a, use_bias=(self.norm != "gn"), **kw)
 
         def _n(x, name):

@@ -48,18 +48,22 @@ class FSAFHead(nn.Module):
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]) -> FSAFHeadOutputs:
+        # init parity (fsaf_head.py:46-55): head convs Normal(std=0.01),
+        # conv_cls bias at prior prob 0.01
+        n01 = nn.initializers.normal(0.01)
         convs = {}
         for i in range(self.stacked_convs):
             for p in ("cls", "reg"):
                 convs[f"{p}{i}"] = nn.Conv(
                     self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                    name=f"{p}_conv{i}")
+                    kernel_init=n01, name=f"{p}_conv{i}")
         conv_cls = nn.Conv(
             self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
+            kernel_init=n01,
             bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
             name="conv_cls")
         conv_reg = nn.Conv(4, (3, 3), padding=[(1, 1), (1, 1)],
-                           name="conv_reg")
+                           kernel_init=n01, name="conv_reg")
         cls_out, reg_out = [], []
         for f in feats:
             c = r = f

@@ -90,35 +90,41 @@ class GARetinaHead(nn.Module):
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]) -> GAHeadOutputs:
         C = self.feat_channels
+        # init parity (ga_retina_head.py:23-41 + guided_anchor_head.py
+        # FeatureAdaption:36-41): every conv Normal(std=0.01) incl.
+        # conv_shape; conv_loc/retina_cls bias at prior prob 0.01; the
+        # adaption offset conv Normal(std=0.1), no bias
+        n01 = nn.initializers.normal(0.01)
         convs = {}
         for i in range(self.stacked_convs):
             for p in ("cls", "reg"):
                 convs[f"{p}{i}"] = nn.Conv(
                     C, (3, 3), padding=[(1, 1), (1, 1)],
-                    name=f"{p}_conv{i}")
+                    kernel_init=n01, name=f"{p}_conv{i}")
         conv_loc = nn.Conv(
-            1, (1, 1),
+            1, (1, 1), kernel_init=n01,
             bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
             name="conv_loc")
-        conv_shape = nn.Conv(2, (1, 1), kernel_init=nn.initializers.zeros,
+        conv_shape = nn.Conv(2, (1, 1), kernel_init=n01,
                              bias_init=nn.initializers.zeros,
                              name="conv_shape")
-        offset_cls = nn.Conv(18, (1, 1), kernel_init=nn.initializers.zeros,
-                             bias_init=nn.initializers.zeros,
-                             name="cls_adaption_offset")
-        offset_reg = nn.Conv(18, (1, 1), kernel_init=nn.initializers.zeros,
-                             bias_init=nn.initializers.zeros,
-                             name="reg_adaption_offset")
+        offset_cls = nn.Conv(18, (1, 1),
+                             kernel_init=nn.initializers.normal(0.1),
+                             use_bias=False, name="cls_adaption_offset")
+        offset_reg = nn.Conv(18, (1, 1),
+                             kernel_init=nn.initializers.normal(0.1),
+                             use_bias=False, name="reg_adaption_offset")
         w_cls_ad = self.param("cls_adaption_kernel",
                               nn.initializers.normal(0.01), (3, 3, C, C))
         w_reg_ad = self.param("reg_adaption_kernel",
                               nn.initializers.normal(0.01), (3, 3, C, C))
         retina_cls = nn.Conv(
             self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
+            kernel_init=n01,
             bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
             name="ga_retina_cls")
         retina_reg = nn.Conv(4, (3, 3), padding=[(1, 1), (1, 1)],
-                             name="ga_retina_reg")
+                             kernel_init=n01, name="ga_retina_reg")
 
         cls_out, reg_out, loc_out, shape_out = [], [], [], []
         for f in feats:
@@ -149,25 +155,28 @@ class GARPNHead(nn.Module):
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]) -> GAHeadOutputs:
         C = self.feat_channels
+        # init parity: same scheme as GAHead (Normal 0.01 convs, prior-
+        # prob biases on loc/cls, Normal 0.1 bias-free offset conv)
+        n01 = nn.initializers.normal(0.01)
         rpn_conv = nn.Conv(C, (3, 3), padding=[(1, 1), (1, 1)],
-                           name="rpn_conv")
+                           kernel_init=n01, name="rpn_conv")
         conv_loc = nn.Conv(
-            1, (1, 1),
+            1, (1, 1), kernel_init=n01,
             bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
             name="conv_loc")
-        conv_shape = nn.Conv(2, (1, 1), kernel_init=nn.initializers.zeros,
+        conv_shape = nn.Conv(2, (1, 1), kernel_init=n01,
                              bias_init=nn.initializers.zeros,
                              name="conv_shape")
-        offset = nn.Conv(18, (1, 1), kernel_init=nn.initializers.zeros,
-                         bias_init=nn.initializers.zeros,
-                         name="adaption_offset")
+        offset = nn.Conv(18, (1, 1),
+                         kernel_init=nn.initializers.normal(0.1),
+                         use_bias=False, name="adaption_offset")
         w_ad = self.param("adaption_kernel",
                           nn.initializers.normal(0.01), (3, 3, C, C))
         conv_cls = nn.Conv(
-            1, (1, 1),
+            1, (1, 1), kernel_init=n01,
             bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
             name="conv_cls")
-        conv_reg = nn.Conv(4, (1, 1), name="conv_reg")
+        conv_reg = nn.Conv(4, (1, 1), kernel_init=n01, name="conv_reg")
 
         cls_out, reg_out, loc_out, shape_out = [], [], [], []
         for f in feats:

@@ -56,22 +56,26 @@ class PAAHead(nn.Module):
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]) -> PAAHeadOutputs:
+        # init parity (ATSS init scheme, atss_head.py:36-43): head convs
+        # Normal(std=0.01), paa_cls bias at prior prob 0.01
+        n01 = nn.initializers.normal(0.01)
         convs = {}
         for i in range(self.stacked_convs):
             for p in ("cls", "reg"):
                 convs[f"{p}{i}"] = nn.Conv(
                     self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                    use_bias=False, name=f"{p}_conv{i}")
+                    use_bias=False, kernel_init=n01, name=f"{p}_conv{i}")
                 convs[f"{p}{i}_gn"] = nn.GroupNorm(
                     epsilon=1e-5, num_groups=32, name=f"{p}_gn{i}")
         paa_cls = nn.Conv(
             self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
+            kernel_init=n01,
             bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
             name="paa_cls")
         paa_reg = nn.Conv(4, (3, 3), padding=[(1, 1), (1, 1)],
-                          name="paa_reg")
+                          kernel_init=n01, name="paa_reg")
         paa_iou = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
-                          name="paa_iou")
+                          kernel_init=n01, name="paa_iou")
         cls_out, reg_out, iou_out = [], [], []
         for lvl, f in enumerate(feats):
             c = r = f

@@ -25,9 +25,12 @@ class PAFPN(nn.Module):
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray]
                  ) -> Tuple[jnp.ndarray, ...]:
+        # init parity (necks/pafpn.py:58-59): Xavier-uniform convs
+        xav = nn.initializers.xavier_uniform()
         used = list(inputs[self.start_level:])
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), name=f"lateral{i}")(x)
+            nn.Conv(self.out_channels, (1, 1), kernel_init=xav,
+                    name=f"lateral{i}")(x)
             for i, x in enumerate(used)]
 
         n = len(laterals)
@@ -37,21 +40,21 @@ class PAFPN(nn.Module):
                     :laterals[i - 1].shape[2]]
             laterals[i - 1] = laterals[i - 1] + up
 
-        inter = [nn.Conv(self.out_channels, (3, 3),
+        inter = [nn.Conv(self.out_channels, (3, 3), kernel_init=xav,
                          padding=[(1, 1), (1, 1)], name=f"fpn_conv{i}")(x)
                  for i, x in enumerate(laterals)]
 
         # bottom-up path aggregation (pafpn.py:119-121)
         for i in range(n - 1):
             down = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                           padding=[(1, 1), (1, 1)],
+                           padding=[(1, 1), (1, 1)], kernel_init=xav,
                            name=f"downsample_conv{i}")(inter[i])
             inter[i + 1] = inter[i + 1] + down[:, :inter[i + 1].shape[1],
                                                :inter[i + 1].shape[2]]
 
         outs = [inter[0]]
         outs += [nn.Conv(self.out_channels, (3, 3),
-                         padding=[(1, 1), (1, 1)],
+                         padding=[(1, 1), (1, 1)], kernel_init=xav,
                          name=f"pafpn_conv{i - 1}")(inter[i])
                  for i in range(1, n)]
 
@@ -68,6 +71,7 @@ class PAFPN(nn.Module):
                         src = nn.relu(src)
                     src = nn.Conv(self.out_channels, (3, 3),
                                   strides=(2, 2), padding=[(1, 1), (1, 1)],
+                                  kernel_init=xav,
                                   name=f"extra_conv{j}")(src)
                     outs.append(src)
         return tuple(outs)

@@ -53,10 +53,15 @@ class CoarseMaskHead(nn.Module):
         x = nn.relu(nn.Conv(self.channels, (2, 2), strides=(2, 2),
                             padding="VALID", name="downsample")(roi_feats14))
         x = x.reshape(x.shape[0], -1)
-        x = nn.relu(nn.Dense(self.fc_channels, name="fc0")(x))
-        x = nn.relu(nn.Dense(self.fc_channels, name="fc1")(x))
+        # init parity (coarse_mask_head.py:31-35): Xavier fcs, fc_logits
+        # CONSTANT 0.001 (every weight the same value, not normal noise)
+        xav = nn.initializers.xavier_uniform()
+        x = nn.relu(nn.Dense(self.fc_channels, kernel_init=xav,
+                             name="fc0")(x))
+        x = nn.relu(nn.Dense(self.fc_channels, kernel_init=xav,
+                             name="fc1")(x))
         x = nn.Dense(self.num_classes * COARSE_SIZE * COARSE_SIZE,
-                     kernel_init=nn.initializers.normal(0.001),
+                     kernel_init=nn.initializers.constant(0.001),
                      name="fc_logits")(x)
         return x.reshape(-1, COARSE_SIZE, COARSE_SIZE, self.num_classes)
 

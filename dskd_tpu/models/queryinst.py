@@ -8,7 +8,7 @@ each stage's post-self-attention proposal features (attn_feats,
 dii_head.py:171) drive a DynamicConv over the 14x14 RoI features of that
 stage's PREDICTED boxes (with_proj=False: per-position features), then 4
 convs + x2 deconv + per-class 28x28 logits, trained with DiceLoss
-(V-Net squared-denominator form, eps=1e-5, weight 8.0) at the GT class,
+(V-Net squared-denominator form, eps=1e-3, weight 8.0) at the GT class,
 averaged over positives (dynamic_mask_head.py loss).
 
 TPU-native re-design: the reference runs the mask head only on the
@@ -105,9 +105,10 @@ def invert_assignment(assigned_gt, pos_mask, num_gt: int):
     return qidx, matched
 
 
-def dice_loss(pred_sig, target, valid, eps: float = 1e-5):
-    """V-Net dice (losses/dice_loss.py naive_dice=False), averaged over
-    valid instances. pred_sig/target: (M, H, W); valid: (M,)."""
+def dice_loss(pred_sig, target, valid, eps: float = 1e-3):
+    """V-Net dice (losses/dice_loss.py naive_dice=False, default
+    eps=1e-3), averaged over valid instances. pred_sig/target:
+    (M, H, W); valid: (M,)."""
     p = pred_sig.reshape(pred_sig.shape[0], -1)
     t = target.reshape(target.shape[0], -1)
     a = (p * t).sum(-1)

@@ -61,28 +61,31 @@ class RepPointsHead(nn.Module):
                  ) -> RepPointsHeadOutputs:
         C = self.feat_channels
         P2 = NUM_POINTS * 2
+        # init parity (reppoints_head.py:58-66): EVERY conv Normal(0.01)
+        # including the point-offset predictors (the reference does NOT
+        # zero-init them); cls_out bias at prior prob 0.01
+        n01 = nn.initializers.normal(0.01)
         convs = {}
         for i in range(self.stacked_convs):
             for p in ("cls", "pts"):
                 convs[f"{p}{i}"] = nn.Conv(
                     C, (3, 3), padding=[(1, 1), (1, 1)],
-                    name=f"{p}_conv{i}")
+                    kernel_init=n01, name=f"{p}_conv{i}")
         init_conv = nn.Conv(self.point_feat_channels, (3, 3),
-                            padding=[(1, 1), (1, 1)],
+                            padding=[(1, 1), (1, 1)], kernel_init=n01,
                             name="reppoints_pts_init_conv")
-        init_out = nn.Conv(P2, (1, 1), kernel_init=nn.initializers.zeros,
+        init_out = nn.Conv(P2, (1, 1), kernel_init=n01,
                            bias_init=nn.initializers.zeros,
                            name="reppoints_pts_init_out")
         cls_w = self.param("reppoints_cls_conv_kernel",
                            nn.initializers.normal(0.01), (3, 3, C, C))
         cls_out = nn.Conv(
-            self.num_classes, (1, 1),
+            self.num_classes, (1, 1), kernel_init=n01,
             bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
             name="reppoints_cls_out")
         refine_w = self.param("reppoints_pts_refine_conv_kernel",
                               nn.initializers.normal(0.01), (3, 3, C, C))
-        refine_out = nn.Conv(P2, (1, 1),
-                             kernel_init=nn.initializers.zeros,
+        refine_out = nn.Conv(P2, (1, 1), kernel_init=n01,
                              bias_init=nn.initializers.zeros,
                              name="reppoints_pts_refine_out")
 

@@ -53,15 +53,20 @@ class RetinaHead(nn.Module):
     def __call__(self, feats: Sequence[jnp.ndarray],
                  train: bool = False) -> RetinaHeadOutputs:
         A = SCALES_PER_OCTAVE * len(RATIOS)
+        # init parity (retina_head.py:41-48): head convs Normal(std=0.01),
+        # retina_cls bias at prior prob 0.01
+        n01 = nn.initializers.normal(0.01)
         convs = {}
         # weights shared across levels (retina_head: one head, all levels)
         for i in range(self.stacked_convs):
             convs[f"cls_conv{i}"] = nn.Conv(
                 self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                use_bias=not self.sepbn, name=f"cls_conv{i}")
+                use_bias=not self.sepbn, kernel_init=n01,
+                name=f"cls_conv{i}")
             convs[f"reg_conv{i}"] = nn.Conv(
                 self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                use_bias=not self.sepbn, name=f"reg_conv{i}")
+                use_bias=not self.sepbn, kernel_init=n01,
+                name=f"reg_conv{i}")
         bns = {}
         if self.sepbn:
             for lvl in range(len(feats)):
@@ -74,10 +79,11 @@ class RetinaHead(nn.Module):
                             epsilon=1e-5, name=f"{p}_bn{i}_lvl{lvl}")
         retina_cls = nn.Conv(
             A * self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
+            kernel_init=n01,
             bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
             name="retina_cls")
         retina_reg = nn.Conv(A * 4, (3, 3), padding=[(1, 1), (1, 1)],
-                             name="retina_reg")
+                             kernel_init=n01, name="retina_reg")
 
         cls_out, reg_out = [], []
         for lvl, f in enumerate(feats):

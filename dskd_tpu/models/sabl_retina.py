@@ -56,20 +56,24 @@ class SABLRetinaHead(nn.Module):
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]) -> SABLHeadOutputs:
+        # init parity (sabl_retina_head.py:91-99): all convs
+        # Normal(std=0.01), retina_cls bias at prior prob 0.01
+        n01 = nn.initializers.normal(0.01)
         convs = {}
         for i in range(self.stacked_convs):
             for p in ("cls", "reg"):
                 convs[f"{p}{i}"] = nn.Conv(
                     self.feat_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                    name=f"{p}_conv{i}")
+                    kernel_init=n01, name=f"{p}_conv{i}")
         retina_cls = nn.Conv(
             self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
+            kernel_init=n01,
             bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
             name="retina_cls")
         bkt_cls = nn.Conv(4 * SIDE, (3, 3), padding=[(1, 1), (1, 1)],
-                          name="retina_bbox_cls")
+                          kernel_init=n01, name="retina_bbox_cls")
         bkt_reg = nn.Conv(4 * SIDE, (3, 3), padding=[(1, 1), (1, 1)],
-                          name="retina_bbox_reg")
+                          kernel_init=n01, name="retina_bbox_reg")
         cls_out, bc_out, br_out = [], [], []
         for f in feats:
             c = r = f

@@ -223,8 +223,9 @@ def solo_loss(outputs: SOLOOutputs, gt_bboxes, gt_labels, gt_valid,
         p2 = (pred * pred).sum(axis=(1, 2)).reshape(B, S2)
         t2 = (tgt * tgt).sum(axis=(2, 3))                     # (B, G)
         t2_sel = jnp.take_along_axis(t2, safe, axis=1)
-        # mmdet DiceLoss eps=1e-3 (naive dice with squared denominators)
-        dice = (2 * inter_sel + 1e-3) / (p2 + t2_sel + 1e-3)
+        # mmdet DiceLoss naive_dice=False (dice_loss.py:53-55): eps is
+        # added to EACH squared sum, numerator stays 2a
+        dice = (2 * inter_sel) / ((p2 + 1e-3) + (t2_sel + 1e-3))
         dice_sum = dice_sum + ((1.0 - dice)
                                * (a_flat > 0)).sum()
         cls_flat.append(cls_pred.reshape(-1, num_classes))

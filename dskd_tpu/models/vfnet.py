@@ -78,28 +78,33 @@ class VFNetHead(nn.Module):
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]) -> VFNetHeadOutputs:
         C = self.feat_channels
+        # init parity (vfnet_head.py:104-112): every conv Normal(std=0.01),
+        # vfnet_cls bias at prior prob 0.01
+        n01 = nn.initializers.normal(0.01)
         convs = {}
         for p in ("cls", "reg"):
             for i in range(self.stacked_convs):
                 convs[f"{p}{i}"] = nn.Conv(
                     C, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
-                    name=f"{p}_conv{i}")
+                    kernel_init=n01, name=f"{p}_conv{i}")
                 convs[f"{p}{i}_gn"] = nn.GroupNorm(
                     epsilon=1e-5, num_groups=32, name=f"{p}_gn{i}")
         reg_conv = nn.Conv(C, (3, 3), padding=[(1, 1), (1, 1)],
-                           use_bias=False, name="vfnet_reg_conv")
+                           use_bias=False, kernel_init=n01,
+                           name="vfnet_reg_conv")
         reg_conv_gn = nn.GroupNorm(epsilon=1e-5, num_groups=32,
                                    name="vfnet_reg_conv_gn")
         reg_out = nn.Conv(4, (3, 3), padding=[(1, 1), (1, 1)],
-                          name="vfnet_reg")
+                          kernel_init=n01, name="vfnet_reg")
         refine_w = self.param("reg_refine_dconv_kernel",
                               nn.initializers.normal(0.01), (3, 3, C, C))
         refine_out = nn.Conv(4, (3, 3), padding=[(1, 1), (1, 1)],
-                             name="vfnet_reg_refine")
+                             kernel_init=n01, name="vfnet_reg_refine")
         cls_w = self.param("cls_dconv_kernel",
                            nn.initializers.normal(0.01), (3, 3, C, C))
         cls_out = nn.Conv(
             self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
+            kernel_init=n01,
             bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
             name="vfnet_cls")
 

@@ -76,15 +76,20 @@ class YOLACTHead(nn.Module):
     @nn.compact
     def __call__(self, feats) -> YOLACTHeadOutputs:
         A = len(RATIOS)
+        # init parity (yolact_head.py:65-70): Xavier-uniform convs, bias 0
+        xav = nn.initializers.xavier_uniform()
         convs = [nn.Conv(self.feat_channels, (3, 3),
-                         padding=[(1, 1), (1, 1)], name=f"head_conv{i}")
+                         padding=[(1, 1), (1, 1)], kernel_init=xav,
+                         name=f"head_conv{i}")
                  for i in range(self.num_head_convs)]
         conv_cls = nn.Conv(A * (self.num_classes + 1), (3, 3),
-                           padding=[(1, 1), (1, 1)], name="conv_cls")
+                           padding=[(1, 1), (1, 1)], kernel_init=xav,
+                           name="conv_cls")
         conv_reg = nn.Conv(A * 4, (3, 3), padding=[(1, 1), (1, 1)],
-                           name="conv_reg")
+                           kernel_init=xav, name="conv_reg")
         conv_coeff = nn.Conv(A * self.num_protos, (3, 3),
-                             padding=[(1, 1), (1, 1)], name="conv_coeff")
+                             padding=[(1, 1), (1, 1)], kernel_init=xav,
+                             name="conv_coeff")
         cls_out, reg_out, coeff_out = [], [], []
         for x in feats:
             for c in convs:

@@ -91,7 +91,9 @@ class YOLOV3(nn.Module):
         preds = []
         for lvl, (d, ch) in enumerate(zip((d5, d4, d3), (512, 256, 128))):
             h = _conv(d, ch * 2, 3, 1, f"head{lvl}", train)
+            # init parity (yolo_head.py:172): convs_pred Normal(std=0.01)
             p = nn.Conv(3 * (5 + self.num_classes), (1, 1),
+                        kernel_init=nn.initializers.normal(0.01),
                         name=f"pred{lvl}")(h)
             preds.append(p)
         return YOLOV3Outputs(tuple(preds), (d5, d4, d3))
