@@ -177,3 +177,70 @@ def test_publish_model_strips_and_hashes(tmp_path):
     blob = open(final, "rb").read()
     restored = msgpack_restore(blob)
     assert "params" in restored and "opt_state" not in restored
+
+
+def test_confusion_matrix_group_results_roundtrip():
+    """Non-IL confusion_matrix: results-json grouping + a perfect match
+    lands entirely on the diagonal (ref confusion_matrix.py:60-95)."""
+    from confusion_matrix import group_results
+    from confusion_matrix_il import calculate_confusion_matrix
+
+    cat2label = {11: 0, 22: 1, 33: 2}
+    # two images, xywh results matching the GT exactly
+    results = [
+        dict(image_id=7, category_id=11, bbox=[10, 10, 20, 20], score=.9),
+        dict(image_id=7, category_id=33, bbox=[50, 50, 10, 10], score=.8),
+        dict(image_id=9, category_id=22, bbox=[0, 0, 30, 30], score=.7),
+    ]
+    dets = group_results(results, 3, cat2label, [7, 9])
+    assert len(dets) == 2 and len(dets[0]) == 3
+    assert dets[0][0].shape == (1, 5) and dets[1][1].shape == (1, 5)
+
+    gts = [
+        (np.array([[10, 10, 30, 30], [50, 50, 60, 60]], np.float32),
+         np.array([0, 2], np.int32)),
+        (np.array([[0, 0, 30, 30]], np.float32), np.array([1], np.int32)),
+    ]
+    cm = calculate_confusion_matrix(gts, dets, 3, score_thr=0.3,
+                                    iou_thr=0.5)
+    assert cm[0, 0] == 1 and cm[1, 1] == 1 and cm[2, 2] == 1
+    assert cm.sum() == 3  # no FPs, no misses
+
+
+def test_download_dataset_local_move_and_urls(tmp_path):
+    """download_dataset: url table sanity + local-file 'download' path
+    (no network: a local source file is moved into the save dir)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools", "misc"))
+    from download_dataset import DATA2URL, download_one
+
+    assert set(DATA2URL) >= {"coco2017", "voc2007", "lvis"}
+    assert all(u.startswith("http") for us in DATA2URL.values()
+               for u in us)
+    src = tmp_path / "src" / "archive.zip"
+    src.parent.mkdir()
+    import zipfile
+    with zipfile.ZipFile(src, "w") as z:
+        z.writestr("inner.txt", "hello")
+    dst = tmp_path / "out"
+    dst.mkdir()
+    download_one(str(src), dst, unzip=True, delete=False)
+    assert (dst / "archive.zip").exists()
+    assert (dst / "inner.txt").read_text() == "hello"
+
+
+def test_gen_coco_panoptic_test_info(tmp_path):
+    import json
+    import subprocess
+
+    (tmp_path / "panoptic_val2017.json").write_text(json.dumps(
+        {"categories": [{"id": 1, "isthing": 1}]}))
+    (tmp_path / "image_info_test-dev2017.json").write_text(json.dumps(
+        {"images": [{"id": 5}], "categories": [{"id": 1}]}))
+    script = os.path.join(os.path.dirname(__file__), "..", "tools",
+                          "misc", "gen_coco_panoptic_test_info.py")
+    subprocess.check_call([sys.executable, script, str(tmp_path)])
+    out = json.loads((tmp_path /
+                      "panoptic_image_info_test-dev2017.json").read_text())
+    assert out["categories"][0]["isthing"] == 1
+    assert out["images"] == [{"id": 5}]
