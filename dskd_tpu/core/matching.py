@@ -110,7 +110,8 @@ def lap_jv(cost: jnp.ndarray) -> jnp.ndarray:
 
 def lap_auction(cost: jnp.ndarray, eps_frac: float = None,
                 max_iters: int = 1500,
-                with_stats: bool = False) -> jnp.ndarray:
+                with_stats: bool = False,
+                row_mask: jnp.ndarray = None) -> jnp.ndarray:
     """Near-optimal LAP via the auction algorithm (Bertsekas), batched-
     friendly: every iteration is a handful of vectorized (R, C) ops, so the
     degenerate early-training costs that drive the sequential JV solver to
@@ -129,6 +130,16 @@ def lap_auction(cost: jnp.ndarray, eps_frac: float = None,
     also returns the number of rows the completion fallback placed (0 when
     the auction converged — nonzero means the matching quality degraded
     and should be surfaced in the training log).
+
+    ``row_mask``: optional (R,) bool — rows marked False never bid and the
+    loop terminates once every True row is assigned. Use for PADDED rows
+    (their assignments are discarded by the caller anyway): without the
+    mask, K padding rows with identical constant costs all prefer the same
+    column and the auction resolves exactly one of them per round — K extra
+    sequential iterations for matches nobody reads. Masked rows get
+    distinct leftover columns from the completion fallback, so the result
+    is still a valid one-to-one assignment, and they are excluded from the
+    fallback statistic.
     """
     if eps_frac is None:
         # default 1/100 (measured: loss trajectories match JV, PERF.md);
@@ -145,17 +156,25 @@ def lap_auction(cost: jnp.ndarray, eps_frac: float = None,
     rows = jnp.arange(R, dtype=jnp.int32)
     cols = jnp.arange(C, dtype=jnp.int32)
 
+    live = jnp.ones((R,), bool) if row_mask is None else row_mask
+
     def cond(s):
         _, rowcol, _, it = s
-        return (rowcol < 0).any() & (it < max_iters)
+        return ((rowcol < 0) & live).any() & (it < max_iters)
 
     def body(s):
         owner, rowcol, prices, it = s
         val = v - prices[None, :]
-        top2, idx2 = jax.lax.top_k(val, 2)
-        best_col = idx2[:, 0].astype(jnp.int32)
-        bid = prices[best_col] + (top2[:, 0] - top2[:, 1]) + eps
-        active = rowcol < 0
+        # top-2 via two max passes: lax.top_k lowers to a sort-based
+        # kernel on TPU, while argmax + masked max are plain VPU
+        # reductions. Tie semantics match top_k (first index wins; an
+        # equal runner-up gives the same zero margin).
+        best_col = jnp.argmax(val, axis=-1).astype(jnp.int32)
+        m1 = jnp.take_along_axis(val, best_col[:, None], axis=-1)[:, 0]
+        m2 = jnp.where(cols[None, :] == best_col[:, None],
+                       -jnp.inf, val).max(-1)
+        bid = prices[best_col] + (m1 - m2) + eps
+        active = (rowcol < 0) & live
         tgt = jnp.where(active, best_col, C)
         best_bid = jnp.full((C + 1,), -jnp.inf).at[tgt].max(
             jnp.where(active, bid, -jnp.inf))
@@ -191,8 +210,25 @@ def lap_auction(cost: jnp.ndarray, eps_frac: float = None,
     fallback = free_cols[jnp.clip(row_rank, 0, C - 1)]
     result = jnp.where(unassigned, fallback, rowcol)
     if with_stats:
-        return result, unassigned.sum().astype(jnp.int32)
+        return result, (unassigned & live).sum().astype(jnp.int32)
     return result
+
+
+def _tie_jitter(shape) -> jnp.ndarray:
+    """Deterministic per-cell U[0,1) tie-break noise.
+
+    Uses a Knuth/xxhash-style multiplicative mix so each row's preference
+    ORDER over columns is decorrelated across rows. The previous linear
+    hash ((r*131071 + c*8191) % 65521) never wraps within c < 300 for
+    small r, so EVERY row's jitter was minimized at c=0 — under the
+    auction solver, rows with tied costs then all contend for column 0
+    and resolve one per round instead of spreading across free columns.
+    """
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    h = (r * jnp.uint32(2654435761) + c) * jnp.uint32(2246822519)
+    h = (h ^ (h >> 15)) * jnp.uint32(2654435761)
+    return (h >> 8).astype(jnp.float32) / jnp.float32(1 << 24)
 
 
 class AssignResult(NamedTuple):
@@ -275,11 +311,7 @@ def hungarian_assign(cost: jnp.ndarray, gt_valid: jnp.ndarray,
         cost_rows = jnp.where(gt_valid[None, :], cost, big_m)    # (Q, G)
         if tiebreak:
             span = jnp.maximum(cost_rows.max() - cost_rows.min(), 1e-3)
-            r = jax.lax.broadcasted_iota(jnp.uint32, (Q, G), 0)
-            c = jax.lax.broadcasted_iota(jnp.uint32, (Q, G), 1)
-            u = ((r * 131071 + c * 8191) % 65521).astype(
-                cost.dtype) / 65521.0
-            cost_rows = cost_rows + span * tiebreak * u
+            cost_rows = cost_rows + span * tiebreak * _tie_jitter((Q, G))
         if solver == "auction":
             q2g, n_fb = lap_auction(cost_rows, with_stats=True)
         else:
@@ -296,12 +328,13 @@ def hungarian_assign(cost: jnp.ndarray, gt_valid: jnp.ndarray,
     cost_rows = jnp.where(gt_valid[:, None], cost.T, 0.0)        # (G, Q)
     if tiebreak:
         span = jnp.maximum(cost_rows.max() - cost_rows.min(), 1e-3)
-        r = jax.lax.broadcasted_iota(jnp.uint32, (G, Q), 0)
-        c = jax.lax.broadcasted_iota(jnp.uint32, (G, Q), 1)
-        u = ((r * 131071 + c * 8191) % 65521).astype(cost.dtype) / 65521.0
-        cost_rows = cost_rows + span * tiebreak * u
+        cost_rows = cost_rows + span * tiebreak * _tie_jitter((G, Q))
     if solver == "auction":
-        row2col, n_fb = lap_auction(cost_rows, with_stats=True)  # (G,)
+        # padded GT rows never bid (their matches are discarded below);
+        # without the mask each padding row costs one sequential auction
+        # round — ~100 extra iterations/solve at teacher_max_per_img=100
+        row2col, n_fb = lap_auction(cost_rows, with_stats=True,
+                                    row_mask=gt_valid)           # (G,)
     else:
         row2col, n_fb = lap_jv(cost_rows), jnp.int32(0)
 

@@ -42,3 +42,38 @@ def test_auction_in_assign():
     assert int(res.num_pos) == 7
     m = np.asarray(res.assigned_gt)
     assert sorted(m[m >= 0].tolist()) == list(range(7))
+
+
+def test_auction_row_mask_padded_rows():
+    """Masked (padded) rows never bid: the solve is exact on the live
+    submatrix, fallback counts live rows only, and the returned columns
+    are still one-to-one across ALL rows (fallback fills the dead ones).
+
+    The padded-teacher-det regime (hungarian_assign merged-GT path): 32
+    live rows + 100 constant padding rows over 300 columns.
+    """
+    rng = np.random.RandomState(7)
+    live_n, pad_n, C = 32, 100, 300
+    cost = np.concatenate([rng.randn(live_n, C).astype(np.float32) * 2,
+                           np.zeros((pad_n, C), np.float32)])
+    mask = np.zeros(live_n + pad_n, bool)
+    mask[:live_n] = True
+    row2col, n_fb = lap_auction(jnp.array(cost), with_stats=True,
+                                row_mask=jnp.array(mask))
+    row2col = np.asarray(row2col)
+    assert int(n_fb) == 0                       # every live row converged
+    assert len(set(row2col.tolist())) == live_n + pad_n  # one-to-one
+    ours = cost[:live_n][np.arange(live_n), row2col[:live_n]].sum()
+    ri, ci = linear_sum_assignment(cost[:live_n])
+    opt = cost[:live_n][ri, ci].sum()
+    assert ours <= opt + 0.01 * (cost.max() - cost.min()) * live_n
+
+
+def test_tie_jitter_spreads_row_preferences():
+    """Each row's jitter argmin must be decorrelated across rows: tied
+    (constant-cost) rows otherwise all contend for one column and the
+    auction resolves exactly one per round (the old linear hash put every
+    row's minimum at column 0)."""
+    from dskd_tpu.core.matching import _tie_jitter
+    u = np.asarray(_tie_jitter((128, 300)))
+    assert len(set(np.argmin(u, axis=1).tolist())) > 64

@@ -34,7 +34,7 @@ def build_step(B):
 
     hw = os.environ.get("BENCH_HW", "640x480")
     H, W = (int(t) for t in hw.split("x"))
-    MAXG = 100
+    MAXG = int(os.environ.get("BENCH_MAXG", "32"))  # match bench default
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
     model = GFLDeformableDETR(remat=remat)
     det_cfg = DetLossConfig()
