@@ -337,6 +337,25 @@ def ms_deform_attn_core(value: jnp.ndarray,
                     and sp > mxu_gather_max_rows
                     and Q == sum(hh * ww for hh, ww in spatial_shapes))
         if use_mxu and sp <= mxu_gather_max_rows:
+            if os.environ.get("DSKD_WGATHER", "1") == "1":
+                # fused weighted gather: corner weighting + P-reduction
+                # run INSIDE the one-hot kernel, so the (B*H, Q*P, 4D)
+                # gathered rows, the repeat(w, D) lane expansion (a 6-D
+                # broadcast whose (4, D=32) minor pair tiles at 4x lane
+                # padding) and their reshapes never touch HBM — the
+                # round-3 trace billed ~150 ms/step to that marshalling.
+                from .mxu_gather import mxu_gather_weighted
+                idxw = flat.transpose(0, 2, 1, 3)      # (B, H, Q, P)
+                wts = cw.transpose(0, 2, 1, 3, 4)      # (B, H, Q, P, 4)
+                acc = mxu_gather_weighted(
+                    packed.reshape(B * H, sp, 4 * D),
+                    idxw.reshape(B * H, Q, P),
+                    wts.reshape(B * H, Q, P, 4))
+                acc = acc.reshape(B, H, Q, 4 * D)
+                out = out + sum(acc[..., c * D:(c + 1) * D]
+                                for c in range(4))
+                start += h * w
+                continue
             from .mxu_gather import mxu_gather
             # all P points in one kernel call per level
             idx = flat.transpose(0, 2, 1, 3).reshape(B * H, Q * P)

@@ -68,7 +68,7 @@ def build_step(B):
     return step, state, batch, teacher_vars
 
 
-def summarize(trace_dir, top=30):
+def summarize(trace_dir, top=30, detail=20):
     paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True) + glob.glob(
         os.path.join(trace_dir, "**", "trace.json.gz"), recursive=True)
@@ -76,6 +76,7 @@ def summarize(trace_dir, top=30):
     with gzip.open(sorted(paths)[-1], "rt") as f:
         events = json.load(f).get("traceEvents", [])
     bucket = defaultdict(float)
+    inst = defaultdict(lambda: [0.0, 0, ""])   # per op INSTANCE (uid kept)
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
@@ -87,10 +88,25 @@ def summarize(trace_dir, top=30):
         key = re.sub(r"[.\d]+$", "", name)        # strip op uid suffixes
         bucket[key] += e["dur"]
         total += e["dur"]
+        args = e.get("args") or {}
+        long = args.get("long_name") or args.get("hlo_op") or ""
+        rec = inst[name]
+        rec[0] += e["dur"]
+        rec[1] += 1
+        if long and not rec[2]:
+            rec[2] = long
     rows = sorted(bucket.items(), key=lambda kv: -kv[1])[:top]
     print(f"{'op':60s} {'ms':>10} {'%':>6}")
     for k, v in rows:
         print(f"{k[:60]:60s} {v / 1000:10.1f} {100 * v / total:6.1f}")
+    # top individual op instances with their HLO long names (shapes) —
+    # the bucket view can't say WHICH copy/reshape/fusion dominates
+    print(f"\n-- top {detail} op instances --")
+    top_inst = sorted(inst.items(), key=lambda kv: -kv[1][0])[:detail]
+    for name, (dur, n, long) in top_inst:
+        print(f"{name:40s} {dur / 1000:9.1f} ms  x{n}")
+        if long:
+            print(f"    {long[:240]}")
 
 
 def main():
