@@ -145,7 +145,7 @@ def main():
     # step poisoned its outputs.
     warm_loss = float(np.asarray(jax.device_get(losses["loss"])))
 
-    n_iters = 10
+    n_iters = int(os.environ.get("BENCH_STEPS", "10"))
     t0 = time.perf_counter()
     for _ in range(n_iters):
         state, losses = step(state, batch, teacher_vars)
