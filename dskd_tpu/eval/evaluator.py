@@ -216,6 +216,15 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
                     return model.apply(
                         variables, all_level_roi_align(fpi, r, v),
                         method=FasterRCNN.groie_forward)
+            if getattr(model, "double_head", False):
+                from ..models.faster_rcnn import scale_rois
+                from ..ops.roi_align import multi_level_roi_align
+
+                def extract_fn(fpi, r, v):
+                    f_cls = multi_level_roi_align(fpi, r, v)
+                    f_reg = multi_level_roi_align(
+                        fpi, scale_rois(r, 1.3), v, level_rois=r)
+                    return jnp.concatenate([f_cls, f_reg], -1)
             d = rcnn_get_bboxes(
                 lambda f: model.apply(variables, f,
                                       method=FasterRCNN.roi_forward),
@@ -260,8 +269,8 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
 
     if arch == "point_rend":
         from ..models.faster_rcnn import rcnn_get_bboxes, rpn_proposals
-        from ..models.point_rend import PointRendRCNN, refine_masks_test
-        from ..ops.roi_align import multi_level_roi_align
+        from ..models.point_rend import (PointRendRCNN, refine_masks_test,
+                                         simple_roi_align_p2)
         DetM = namedtuple("DetM",
                           ["bboxes", "scores", "labels", "valid", "masks"])
 
@@ -279,13 +288,11 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
                 rescale=True)
             rois_in = d["bboxes"] * scale_factors[:, None, :]
             B, R = rois_in.shape[:2]
-            feats_pi = [tuple(f[b] for f in out.neck_feats[:4])
-                        for b in range(B)]
-            f14 = jnp.stack([
-                multi_level_roi_align(feats_pi[b], rois_in[b],
-                                      d["valid"][b], out_size=14)
-                for b in range(B)])
-            coarse = model.apply(variables, f14.reshape(B * R, 14, 14, -1),
+            # SimpleRoIAlign(14) on P2 only, as in training
+            f14 = jnp.concatenate([
+                simple_roi_align_p2(out.neck_feats[0][b], rois_in[b],
+                                    d["valid"][b]) for b in range(B)])
+            coarse = model.apply(variables, f14,
                                  method=PointRendRCNN.coarse_forward)
             refined = refine_masks_test(
                 lambda fi, cp: model.apply(

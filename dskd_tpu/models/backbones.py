@@ -32,8 +32,10 @@ def build_backbone(spec: str, depth: int = 50, frozen_stages: int = 1,
                        frozen_stages=frozen_stages, name=name), "c2345")
     if spec.startswith("effb"):
         from .efficientnet import EfficientNet
+        # retinanet_effb3_fpn_crop896 recipe: drop_path_rate=0.2
         return (EfficientNet(arch=spec[3:], out_indices=(2, 4, 6),
-                             frozen_stages=frozen_stages, name=name),
+                             frozen_stages=frozen_stages,
+                             drop_path_rate=0.2, name=name),
                 "c345")
     if spec.startswith("hrnet_w"):
         from .hrnet import HRNet

@@ -9,6 +9,7 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -23,8 +24,38 @@ def _resize_to(x, h, w):
     return jnp.repeat(jnp.repeat(x, r, axis=1), r, axis=2)
 
 
+class NonLocal2d(nn.Module):
+    """mmcv NonLocal2d, embedded-gaussian mode, reduction=1,
+    use_scale=False — the Libra BFP refine op (necks/bfp.py:62-68).
+    conv_out is ZERO-initialized (mmcv _NonLocalNd.init_weights with no
+    norm) so the block starts as identity; theta/phi/g Normal(0.01)."""
+    use_scale: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        n01 = nn.initializers.normal(0.01)
+        g = nn.Conv(C, (1, 1), kernel_init=n01,
+                    name="g")(x).reshape(B, H * W, C)
+        theta = nn.Conv(C, (1, 1), kernel_init=n01,
+                        name="theta")(x).reshape(B, H * W, C)
+        phi = nn.Conv(C, (1, 1), kernel_init=n01,
+                      name="phi")(x).reshape(B, H * W, C)
+        pw = jnp.einsum("bic,bjc->bij", theta, phi)
+        if self.use_scale:
+            pw = pw / jnp.sqrt(jnp.asarray(C, pw.dtype))
+        pw = jax.nn.softmax(pw, axis=-1)
+        y = jnp.einsum("bij,bjc->bic", pw, g).reshape(B, H, W, C)
+        return x + nn.Conv(C, (1, 1),
+                           kernel_init=nn.initializers.zeros,
+                           name="conv_out")(y)
+
+
 class BFP(nn.Module):
     refine_level: int = 2
+    # Libra's config sets refine_type='non_local'
+    # (configs/libra_rcnn/libra_faster_rcnn_r50_fpn_1x_coco.py:15)
+    refine_type: str = "non_local"
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray]
@@ -33,10 +64,15 @@ class BFP(nn.Module):
         gathered = [_resize_to(x, h, w) for x in inputs]
         balanced = sum(gathered) / len(gathered)
         C = balanced.shape[-1]
-        # init parity (necks/bfp.py init_cfg): Xavier-uniform conv
-        refined = nn.Conv(C, (3, 3), padding=[(1, 1), (1, 1)],
-                          kernel_init=nn.initializers.xavier_uniform(),
-                          name="refine")(balanced)
+        if self.refine_type == "non_local":
+            refined = NonLocal2d(name="refine")(balanced)
+        elif self.refine_type == "conv":
+            # init parity (necks/bfp.py init_cfg): Xavier-uniform conv
+            refined = nn.Conv(C, (3, 3), padding=[(1, 1), (1, 1)],
+                              kernel_init=nn.initializers.xavier_uniform(),
+                              name="refine")(balanced)
+        else:
+            refined = balanced
         outs = []
         for x in inputs:
             res = _resize_to(refined, x.shape[1], x.shape[2])

@@ -6,10 +6,11 @@ depth_mult on repeats w/ ceil). Detection taps the stride-8/16/32 stages:
 ``out_indices=(2, 4, 6)`` in this module's 0..6 stage numbering gives the
 channels mmdet's retinanet_effb3 config consumes (48, 136, 384 for b3).
 
-Stochastic depth is a train-time regularizer in the reference; this
-implementation omits it (documented deviation — detection fine-tune
-schedules are short and the reference's survival probs are near 1).
-BN runs on frozen running stats (norm_eval), same as the ResNet family.
+Stochastic depth (drop_path) follows the reference recipe: the rate
+scales linearly 0 -> drop_path_rate over the block sequence
+(efficientnet.py:335 torch.linspace) and drops whole residual branches
+per sample at train time (retinanet_effb3 config sets 0.2). BN runs on
+frozen running stats (norm_eval), same as the ResNet family.
 """
 from __future__ import annotations
 
@@ -59,9 +60,10 @@ class MBConv(nn.Module):
     kernel: int
     stride: int
     se_ratio: float = 0.25
+    drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         in_ch = x.shape[-1]
         mid = in_ch * self.expand_ratio
         y = x
@@ -84,6 +86,13 @@ class MBConv(nn.Module):
                     name="project_conv")(y)
         y = FrozenBatchNorm(name="project_bn")(y)
         if self.stride == 1 and in_ch == self.out_ch:
+            if self.drop_path > 0:
+                # DropPath: drop the whole residual branch per sample,
+                # rescaled by 1/keep_prob (mmcv DropPath semantics)
+                y = nn.Dropout(rate=self.drop_path,
+                               broadcast_dims=(1, 2, 3),
+                               name="drop_path")(
+                    y, deterministic=deterministic)
             y = y + x
         return y
 
@@ -92,9 +101,12 @@ class EfficientNet(nn.Module):
     arch: str = "b3"
     out_indices: Sequence[int] = (2, 4, 6)
     frozen_stages: int = 0
+    # retinanet_effb3_fpn_crop896 sets 0.2; linearly scaled over blocks
+    drop_path_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    def __call__(self, x: jnp.ndarray,
+                 deterministic: bool = True) -> Tuple[jnp.ndarray, ...]:
         wm, dm = SCALES[self.arch]
         stem_ch = round_filters(32, wm)
         y = nn.Conv(stem_ch, (3, 3), strides=(2, 2),
@@ -105,11 +117,18 @@ class EfficientNet(nn.Module):
             y = jax.lax.stop_gradient(y)
 
         outs = []
+        total_blocks = sum(round_repeats(n, dm) for _, _, n, _, _ in B0_ARCH)
+        bi = 0
         for si, (er, ch, n, k, s) in enumerate(B0_ARCH):
             out_ch = round_filters(ch, wm)
             for b in range(round_repeats(n, dm)):
+                dpr = (self.drop_path_rate * bi / max(total_blocks - 1, 1)
+                       if self.drop_path_rate > 0 else 0.0)
                 y = MBConv(out_ch, er, k, s if b == 0 else 1,
-                           name=f"stage{si}_block{b}")(y)
+                           drop_path=dpr,
+                           name=f"stage{si}_block{b}")(
+                    y, deterministic=deterministic)
+                bi += 1
             if si + 1 <= self.frozen_stages:
                 y = jax.lax.stop_gradient(y)
             if si in self.out_indices:

@@ -162,7 +162,9 @@ class FasterRCNN(nn.Module):
         rpn = self.rpn_head(neck) if self.with_rpn else None
         return FasterRCNNOutputs(rpn, neck)
 
-    def roi_forward(self, roi_feats):
+    def roi_forward(self, roi_feats, train: bool = False):
+        if self.double_head:
+            return self.roi_bbox_head(roi_feats, train=train)
         return self.roi_bbox_head(roi_feats)
 
     def groie_forward(self, lvl_feats):
@@ -171,45 +173,76 @@ class FasterRCNN(nn.Module):
 
     def init_all(self, images, img_hw, deterministic: bool = True):
         out = self(images, img_hw, deterministic)
-        self.roi_bbox_head(jnp.zeros((1, 7, 7, 256), images.dtype))
+        c_roi = 512 if self.double_head else 256
+        self.roi_bbox_head(jnp.zeros((1, 7, 7, c_roi), images.dtype))
         if self.groie:
             self.roi_extractor(jnp.zeros((1, 4, 7, 7, 256), images.dtype))
         return out
 
 
+def scale_rois(rois: jnp.ndarray, factor: float) -> jnp.ndarray:
+    """Scale boxes about their centers (mmcv RoIAlign roi_scale_factor /
+    SingleRoIExtractor.roi_rescale — Double-Head pools its reg branch at
+    1.3x RoIs, double_roi_head.py:24 + configs/double_heads)."""
+    c = (rois[..., :2] + rois[..., 2:]) * 0.5
+    wh = (rois[..., 2:] - rois[..., :2]) * factor
+    return jnp.concatenate([c - wh * 0.5, c + wh * 0.5], axis=-1)
+
+
 class DoubleBBoxHead(nn.Module):
     """Double-Head R-CNN ROI head (parity: mmdet roi_heads/bbox_heads/
-    double_bbox_head.py + configs/double_heads, box AP 40.0): the
-    classification branch is fully-connected (2x FC 1024) while the
-    regression branch is convolutional (residual 3x3 blocks + GAP + FC) —
-    the paper's observation that fc suits cls and conv suits loc."""
+    double_bbox_head.py + roi_heads/double_roi_head.py +
+    configs/double_heads, box AP 40.0): the classification branch is
+    fully-connected (2x FC 1024) while the regression branch is
+    convolutional — a BN'd BasicResBlock widening 256->1024 followed by
+    ``num_convs`` BN'd ResNet Bottlenecks + GAP + FC. The reg branch
+    pools its own RoI features at 1.3x-scaled RoIs
+    (reg_roi_scale_factor, double_roi_head.py:13-24); the input here is
+    the channel-concat [cls pool (256) | scaled reg pool (256)]."""
     num_classes: int = 80
     fc_channels: int = 1024
     conv_channels: int = 1024
     num_convs: int = 4
 
     @nn.compact
-    def __call__(self, roi_feats: jnp.ndarray):
-        # conv (reg) branch: widen then residual bottleneck blocks
-        y = nn.Conv(self.conv_channels, (1, 1), name="conv_widen")(
-            roi_feats)
+    def __call__(self, roi_feats: jnp.ndarray, train: bool = False):
+        cin = roi_feats.shape[-1] // 2
+        x_cls, x_reg = roi_feats[..., :cin], roi_feats[..., cin:]
+
+        def bn(name):
+            return nn.BatchNorm(use_running_average=not train,
+                                momentum=0.9, epsilon=1e-5, name=name)
+
+        # BasicResBlock (double_bbox_head.py:11-60): 3x3 BN ReLU ->
+        # 1x1 BN (no act), + 1x1 BN identity projection, ReLU
+        y = nn.relu(bn("res_bn1")(nn.Conv(
+            cin, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+            name="res_conv1")(x_reg)))
+        y = bn("res_bn2")(nn.Conv(self.conv_channels, (1, 1),
+                                  use_bias=False, name="res_conv2")(y))
+        idn = bn("res_bn_id")(nn.Conv(self.conv_channels, (1, 1),
+                                      use_bias=False,
+                                      name="res_conv_id")(x_reg))
+        y = nn.relu(y + idn)
+        # num_convs ResNet Bottlenecks (planes = conv_channels // 4)
+        p = self.conv_channels // 4
         for i in range(self.num_convs):
-            idn = y
-            z = nn.relu(nn.Conv(self.conv_channels // 4, (1, 1),
-                                name=f"res{i}_reduce")(y))
-            z = nn.relu(nn.Conv(self.conv_channels // 4, (3, 3),
-                                padding=[(1, 1), (1, 1)],
-                                name=f"res{i}_conv")(z))
-            z = nn.Conv(self.conv_channels, (1, 1),
-                        name=f"res{i}_expand")(z)
-            y = nn.relu(idn + z)
+            z = nn.relu(bn(f"b{i}_bn1")(nn.Conv(
+                p, (1, 1), use_bias=False, name=f"b{i}_conv1")(y)))
+            z = nn.relu(bn(f"b{i}_bn2")(nn.Conv(
+                p, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                name=f"b{i}_conv2")(z)))
+            z = bn(f"b{i}_bn3")(nn.Conv(self.conv_channels, (1, 1),
+                                        use_bias=False,
+                                        name=f"b{i}_conv3")(z))
+            y = nn.relu(y + z)
         y = y.mean(axis=(1, 2))                          # GAP
         reg = nn.Dense(self.num_classes * 4,
                        kernel_init=nn.initializers.normal(0.001),
                        name="fc_reg")(y)
 
-        # fc (cls) branch
-        x = roi_feats.reshape(roi_feats.shape[0], -1)
+        # fc (cls) branch on the UNSCALED pool
+        x = x_cls.reshape(x_cls.shape[0], -1)
         # convfc_bbox_head init_cfg: branch FCs Xavier-uniform
         xav = nn.initializers.xavier_uniform()
         x = nn.relu(nn.Dense(self.fc_channels, kernel_init=xav,
@@ -466,6 +499,12 @@ class RCNNLossConfig(NamedTuple):
     pos_iou_thr: float = 0.5
     neg_iou_thr: float = 0.5
     min_pos_iou: float = 0.5
+    # Double-Head R-CNN: both branch losses weighted 2.0 and SmoothL1
+    # beta=1.0 (configs/double_heads/dh_faster_rcnn_r50_fpn_1x_coco.py);
+    # smooth_l1_beta=0 keeps the default plain-L1 recipe
+    loss_cls_weight: float = 1.0
+    loss_bbox_weight: float = 1.0
+    smooth_l1_beta: float = 0.0
     # Libra R-CNN options: balanced L1 bbox loss + IoU-balanced negatives
     balanced_l1: bool = False
     iou_balanced_neg: bool = False
@@ -650,7 +689,7 @@ def rcnn_forward_train(bbox_head_apply, neck_feats, proposals,
     else:
         # w_slots carries the ScoreHLR per-negative weights (ones unless
         # cfg.isr_n; pisa_roi_head.py:115-124 maps them into label_weights)
-        loss_cls = L.cross_entropy_loss(
+        loss_cls = cfg.loss_cls_weight * L.cross_entropy_loss(
             cls_logits, labels_flat,
             weight=valid_flat * w_slots.reshape(-1),
             avg_factor=num_total)
@@ -679,9 +718,13 @@ def rcnn_forward_train(bbox_head_apply, neck_feats, proposals,
         d = jnp.abs(reg_at - deltas_tgt)
         per = jnp.where(d < beta, 0.5 * d * d / beta,
                         d - 0.5 * beta).sum(-1)
+    elif cfg.smooth_l1_beta > 0:
+        d = jnp.abs(reg_at - deltas_tgt)
+        b = cfg.smooth_l1_beta
+        per = jnp.where(d < b, 0.5 * d * d / b, d - 0.5 * b).sum(-1)
     else:
         per = jnp.abs(reg_at - deltas_tgt).sum(-1)
-    loss_bbox = (per * is_pos_flat).sum() / num_total
+    loss_bbox = cfg.loss_bbox_weight * (per * is_pos_flat).sum() / num_total
 
     losses = dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
     if cfg.pisa:

@@ -92,11 +92,13 @@ class FusedSemanticHead(nn.Module):
         for i, f in enumerate(feats):
             if i == self.fusion_level:
                 continue
-            lat = nn.relu(nn.Conv(self.channels, (1, 1),
-                                  name=f"lateral{i}")(f))
-            lat = jax.image.resize(lat, (lat.shape[0], fh, fw, lat.shape[3]),
-                                   method="bilinear")
-            x = x + lat
+            # reference order (fused_semantic_head.py:98-104): interpolate
+            # the RAW level first, lateral conv+ReLU after — the ordering
+            # matters through the ReLU.
+            f = jax.image.resize(f, (f.shape[0], fh, fw, f.shape[3]),
+                                 method="bilinear")
+            x = x + nn.relu(nn.Conv(self.channels, (1, 1),
+                                    name=f"lateral{i}")(f))
         if self.conv_to_res:
             from .scnet import SimplifiedBasicBlock
             for i in range(self.num_convs // 2):
@@ -189,9 +191,18 @@ def semantic_seg_loss(sem_pred, gt_semantic, ignore_index: int = 255,
 
 
 def _sem_roi(sem_feat_b, rois_b, valid_b, out_size: int):
-    """Semantic RoI fusion term: pool the stride-8 embedding at the RoIs
-    (htc_roi_head.py semantic_roi_extractor, out_channels 256)."""
-    o = roi_align(sem_feat_b, rois_b, out_size, spatial_scale=1.0 / 8)
+    """Semantic RoI fusion term: pool the stride-8 embedding at the RoIs.
+
+    The reference extractor always pools 14x14 (htc config
+    semantic_roi_extractor output_size=14) and adaptive-avg-pools down
+    for the 7x7 bbox branch (htc_roi_head.py:165-170); 14->7 adaptive
+    pooling is an exact 2x2 mean, reproduced here."""
+    o = roi_align(sem_feat_b, rois_b, 14, spatial_scale=1.0 / 8)
+    if out_size != 14:
+        assert 14 % out_size == 0, out_size
+        k = 14 // out_size
+        o = o.reshape(o.shape[0], out_size, k, out_size, k,
+                      o.shape[-1]).mean((2, 4))
     return o * valid_b[:, None, None, None]
 
 

@@ -178,6 +178,25 @@ def fine_grained_point_feats(p2_feat_b, rois_b, rel_points_b,
     return out                                          # (M, P, 256)
 
 
+def simple_roi_align_p2(p2_feat_b, rois_b, valid_b, out_size: int = 14,
+                        stride: int = 4):
+    """mmcv SimpleRoIAlign on the single P2 level: bilinear point-sample
+    at the out_size x out_size RoI cell centers ((j+0.5)/S, (i+0.5)/S).
+    PointRend's mask extractor is GenericRoIExtractor(SimpleRoIAlign(14),
+    featmap_strides=[4]) — the coarse head sees ONLY stride-4 features
+    (configs/point_rend/point_rend_r50_caffe_fpn_mstrain_1x_coco.py:7-13).
+
+    p2_feat_b: (H, W, C); rois_b: (M, 4) xyxy. Returns (M, S, S, C)."""
+    S = out_size
+    c = (jnp.arange(S, dtype=jnp.float32) + 0.5) / S
+    gy, gx = jnp.meshgrid(c, c, indexing="ij")
+    rel = jnp.stack([gx, gy], -1).reshape(1, S * S, 2)
+    rel = jnp.broadcast_to(rel, (rois_b.shape[0], S * S, 2))
+    out = fine_grained_point_feats(p2_feat_b, rois_b, rel, stride)
+    out = out.reshape(-1, S, S, out.shape[-1])
+    return out * valid_b[:, None, None, None]
+
+
 def point_targets(rois, rel_points, gt_mask_sel, mask_stride: int = 4):
     """GT bitmap bilinearly sampled at the image-space points
     (mask_point_head.get_targets)."""

@@ -132,7 +132,11 @@ class RetinaNet(nn.Module):
                           lambda: jnp.zeros((self.ghm_r_bins,), jnp.float32))
         bb, kind = build_backbone(self.backbone, self.depth,
                                   self.frozen_stages)
-        feats = bb(images)
+        if self.backbone.startswith("effb"):
+            # EfficientNet threads stochastic depth (drop_path) at train
+            feats = bb(images, deterministic=deterministic)
+        else:
+            feats = bb(images)
         if self.neck == "fpg":
             from .fpg import FPG
             neck = FPG(out_channels=256, num_outs=5, name="neck")(feats)
@@ -148,8 +152,11 @@ class RetinaNet(nn.Module):
                        start_level=1 if kind == "c2345" else 0,
                        add_extra_convs="on_input",
                        relu_before_extra_convs=False, name="neck")(feats)
+        # RetinaSepBNHead pairs with NAS-FPN AND the EfficientNet recipe
+        # (configs/efficientnet/retinanet_effb3...py:29 RetinaSepBNHead)
         head = RetinaHead(num_classes=self.num_classes,
-                          sepbn=(self.neck == "nasfpn"),
+                          sepbn=(self.neck == "nasfpn"
+                                 or self.backbone.startswith("effb")),
                           name="bbox_head")(neck,
                                             train=not deterministic)
         return RetinaNetOutputs(head, neck)

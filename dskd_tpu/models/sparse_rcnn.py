@@ -241,14 +241,14 @@ def sparse_rcnn_get_bboxes(out: SparseRCNNOutputs, img_hw,
     B, N, C = cls.shape
 
     def per_image(c, bx, hw, sf):
+        # Flat top-k over (N, C) sigmoid scores, NO border clamp: the
+        # reference decodes with clip_border=False and simple_test
+        # (sparse_roi_head.py:349-362) emits the last stage's boxes as-is.
+        del hw
         probs = jax.nn.sigmoid(c)
         top = filter_scores_and_topk(probs, score_thr,
                                      min(max_per_img, N * C))
         bsel = bx[top.keep_idxs]
-        h, w = hw[0].astype(bsel.dtype), hw[1].astype(bsel.dtype)
-        bsel = jnp.stack([
-            jnp.clip(bsel[:, 0], 0, w), jnp.clip(bsel[:, 1], 0, h),
-            jnp.clip(bsel[:, 2], 0, w), jnp.clip(bsel[:, 3], 0, h)], -1)
         if rescale and sf is not None:
             bsel = bsel / sf[None]
         return bsel, top.scores, top.labels, top.valid, top.keep_idxs

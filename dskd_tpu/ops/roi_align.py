@@ -69,13 +69,18 @@ def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int = 7,
 
 
 def multi_level_roi_align(feats, rois, roi_valid, strides=(4, 8, 16, 32),
-                          out_size: int = 7, finest_scale: int = 56):
+                          out_size: int = 7, finest_scale: int = 56,
+                          level_rois=None):
     """SingleRoIExtractor parity: map each ROI to a level by its scale
     (level = floor(log2(sqrt(area)/56 + 1e-6)) clamped), extract there.
 
-    feats: per-level (H, W, C) for ONE image. rois: (R, 4)."""
-    w = rois[:, 2] - rois[:, 0]
-    h = rois[:, 3] - rois[:, 1]
+    feats: per-level (H, W, C) for ONE image. rois: (R, 4).
+    ``level_rois``: when given, the LEVEL MAPPING uses these boxes while
+    pooling uses ``rois`` — the reference maps levels before applying
+    roi_scale_factor (single_level_roi_extractor.py forward)."""
+    lr = rois if level_rois is None else level_rois
+    w = lr[:, 2] - lr[:, 0]
+    h = lr[:, 3] - lr[:, 1]
     scale = jnp.sqrt(jnp.clip(w * h, 1e-6, None))
     lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
     lvl = jnp.clip(lvl, 0, len(feats) - 1).astype(jnp.int32)

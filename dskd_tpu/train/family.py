@@ -196,7 +196,9 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
         from ..models.retinanet import (RetinaLossConfig, retina_anchors,
                                         retina_detection_loss)
         pisa = arch == "pisa_retinanet"
-        sepbn = arch == "retinanet_nasfpn"
+        # per-level BN heads: NAS-FPN and the EfficientNet recipe
+        sepbn = (arch == "retinanet_nasfpn"
+                 or cfg.model.backbone.startswith("effb"))
         ghm = arch == "retinanet_ghm"
         # GHM recipe swaps Focal+L1 for GHMC + GHMR(loss_weight=10)
         # (configs/ghm/retinanet_ghm_r50_fpn_1x_coco.py)
@@ -206,10 +208,12 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
 
         def losses_fn(variables, batch, teacher_vars, rng):
             if sepbn:
-                # RetinaSepBNHead trains its per-level BN statistics
+                # RetinaSepBNHead trains its per-level BN statistics;
+                # the rng feeds EfficientNet's drop_path when present
                 out, mutated = model.apply(
                     variables, batch.images, batch.img_hw,
-                    deterministic=False, mutable=["batch_stats"])
+                    deterministic=False, mutable=["batch_stats"],
+                    rngs={"dropout": rng})
                 stats = mutated["batch_stats"]
             else:
                 out = model.apply(variables, batch.images, batch.img_hw,
@@ -298,10 +302,16 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                                           rpn_loss, rpn_proposals)
         rpn_cfg = RPNLossConfig()
         libra = arch == "libra_faster_rcnn"
+        dh = arch == "double_head_rcnn"
         rcnn_cfg = RCNNLossConfig(num_classes=cfg.model.num_classes,
                                   num_samples=cfg.rcnn_num_samples,
                                   balanced_l1=libra,
                                   iou_balanced_neg=libra,
+                                  # Double-Head: 2.0 cls/bbox weights +
+                                  # SmoothL1 beta 1 (configs/double_heads)
+                                  loss_cls_weight=2.0 if dh else 1.0,
+                                  loss_bbox_weight=2.0 if dh else 1.0,
+                                  smooth_l1_beta=1.0 if dh else 0.0,
                                   pisa=(arch == "pisa_faster_rcnn"),
                                   isr_n=(arch == "pisa_faster_rcnn"),
                                   dynamic=(arch == "dynamic_rcnn"))
@@ -325,13 +335,40 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                     return model.apply(
                         variables, all_level_roi_align(fpi, r, v),
                         method=FasterRCNN.groie_forward)
+            head_apply = lambda f: model.apply(
+                variables, f, method=FasterRCNN.roi_forward)
+            mut_stats = {}
+            if dh:
+                from ..models.faster_rcnn import scale_rois
+                from ..ops.roi_align import multi_level_roi_align
+
+                def extract_fn(fpi, r, v):
+                    # [cls pool | reg pool at 1.3x RoIs], levels mapped
+                    # on the unscaled boxes (double_roi_head.py:24)
+                    f_cls = multi_level_roi_align(fpi, r, v)
+                    f_reg = multi_level_roi_align(
+                        fpi, scale_rois(r, 1.3), v, level_rois=r)
+                    return jnp.concatenate([f_cls, f_reg], -1)
+
+                def head_apply(f):
+                    (c, r), mut = model.apply(
+                        variables, f, True,
+                        method=FasterRCNN.roi_forward,
+                        mutable=["batch_stats"])
+                    mut_stats["bs"] = mut["batch_stats"]
+                    return c, r
             rcnn_losses, _ = rcnn_forward_train(
-                lambda f: model.apply(variables, f,
-                                      method=FasterRCNN.roi_forward),
+                head_apply,
                 out.neck_feats, props, valid, batch.gt_bboxes,
                 batch.gt_labels, batch.gt_valid, rng2, rcnn_cfg,
                 extract_fn=extract_fn)
             losses.update({f"rcnn_{k}": v for k, v in rcnn_losses.items()})
+            if dh:
+                # merge the head's updated BN stats over the frozen
+                # backbone stats so the train step can thread them
+                bs = dict(variables.get("batch_stats", {}))
+                bs.update(mut_stats["bs"])
+                return losses, bs
             return losses, None
 
     elif arch in ("mask_rcnn", "mask_rcnn_seesaw", "panoptic_fpn",
@@ -439,9 +476,9 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
         from ..models.point_rend import (COARSE_SIZE, PointRendRCNN,
                                          fine_grained_point_feats,
                                          point_loss, point_targets,
-                                         sample_train_points)
+                                         sample_train_points,
+                                         simple_roi_align_p2)
         from ..ops.point_sample import point_sample
-        from ..ops.roi_align import multi_level_roi_align
         rpn_cfg = RPNLossConfig()
         rcnn_cfg = RCNNLossConfig(num_classes=cfg.model.num_classes,
                                   num_samples=cfg.rcnn_num_samples)
@@ -469,13 +506,12 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             pos_v = samples.is_pos[:, :P]
             lab_p = samples.labels[:, :P]
             gi_p = samples.gt_idx[:, :P]
-            feats_pi = [tuple(f[b] for f in out.neck_feats[:4])
-                        for b in range(B)]
-            f14 = jnp.stack([
-                multi_level_roi_align(feats_pi[b], rois_p[b], pos_v[b],
-                                      out_size=14) for b in range(B)])
-            coarse = model.apply(variables,
-                                 f14.reshape(B * P, 14, 14, -1),
+            # coarse head input: SimpleRoIAlign(14) on P2 ONLY (the
+            # reference's GenericRoIExtractor featmap_strides=[4])
+            f14 = jnp.concatenate([
+                simple_roi_align_p2(out.neck_feats[0][b], rois_p[b],
+                                    pos_v[b]) for b in range(B)])
+            coarse = model.apply(variables, f14,
                                  method=PointRendRCNN.coarse_forward)
             gm = jax.vmap(lambda m, i: m[i])(batch.gt_masks, gi_p)
             rois_f = rois_p.reshape(-1, 4)

@@ -132,3 +132,23 @@ def test_retinanet_with_resnest_and_pvt():
         v = model.init(jax.random.PRNGKey(0), x, hw)
         out = model.apply(v, x, hw)
         assert len(out.head.cls_scores) == 5, spec
+
+
+def test_efficientnet_drop_path():
+    """Stochastic depth: linear-scaled drop_path is stochastic at train
+    time and an identity at eval (reference efficientnet.py:335 +
+    retinanet_effb3 config drop_path_rate=0.2)."""
+    m = EfficientNet(arch="b0", drop_path_rate=0.5)
+    x = jnp.ones((2, 32, 32, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    e1 = m.apply(v, x)[-1]
+    e2 = m.apply(v, x)[-1]
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2))  # eval det
+    t1 = m.apply(v, x, deterministic=False,
+                 rngs={"dropout": jax.random.PRNGKey(1)})[-1]
+    t2 = m.apply(v, x, deterministic=False,
+                 rngs={"dropout": jax.random.PRNGKey(2)})[-1]
+    # freshly-initialized outputs are tiny in magnitude — compare
+    # relative to the signal scale
+    diff = np.abs(np.asarray(t1) - np.asarray(t2)).max()
+    assert diff > 0.01 * np.abs(np.asarray(t1)).max()

@@ -98,11 +98,20 @@ def test_double_head_rcnn_step():
                                        ModelConfig)
 
     head = DoubleBBoxHead(num_classes=5, fc_channels=64, conv_channels=64)
-    feats = jnp.zeros((3, 7, 7, 32))
+    # input = channel-concat of [cls pool | 1.3x-scaled reg pool]
+    feats = jnp.zeros((3, 7, 7, 64))
     hv = head.init(jax.random.PRNGKey(0), feats)
     cls, reg = head.apply(hv, feats)
     assert cls.shape == (3, 6) and reg.shape == (3, 20)
-    assert "res0_conv" in hv["params"] and "cls_fc0" in hv["params"]
+    # BasicResBlock + Bottlenecks with trained BN (double_bbox_head.py)
+    assert "res_conv1" in hv["params"] and "b0_conv1" in hv["params"]
+    assert "cls_fc0" in hv["params"] and "res_bn1" in hv["batch_stats"]
+    (_, _), mut = head.apply(hv, jnp.ones((3, 7, 7, 64)), True,
+                             mutable=["batch_stats"])
+    moved = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(np.abs(np.asarray(b)).sum()),
+        mut["batch_stats"], 0.0)
+    assert moved > 0.0    # train=True updates the BN running stats
 
     NC, HW, B = 6, 64, 1
     rng = np.random.RandomState(0)

@@ -121,3 +121,39 @@ def test_point_rend_eval_step():
     det = step(v, images, img_hw, jnp.ones((B, 4)))
     assert det.masks.shape == (B, 8, 28, 28)
     assert det.bboxes.shape == (B, 8, 4)
+
+
+def test_simple_roi_align_p2_oracle():
+    """SimpleRoIAlign(S) on P2 = bilinear sampling at the S x S RoI cell
+    centers; numpy grid_sample(align_corners=False) oracle."""
+    from dskd_tpu.models.point_rend import simple_roi_align_p2
+    rng = np.random.RandomState(3)
+    H = W = 16
+    stride = 4
+    feat = rng.randn(H, W, 2).astype(np.float32)
+    rois = np.asarray([[2.0, 3.0, 30.0, 20.0], [0.0, 0.0, 64.0, 64.0]],
+                      np.float32)
+    S = 4
+    out = np.asarray(simple_roi_align_p2(
+        jnp.asarray(feat), jnp.asarray(rois), jnp.ones((2,), bool),
+        out_size=S, stride=stride))
+
+    def bilin(x, y):
+        xs, ys = x - 0.5, y - 0.5
+        x0, y0 = int(np.floor(xs)), int(np.floor(ys))
+        tx, ty = xs - x0, ys - y0
+        acc = np.zeros(2, np.float32)
+        for dy, wy in ((0, 1 - ty), (1, ty)):
+            for dx, wx in ((0, 1 - tx), (1, tx)):
+                yy, xx = y0 + dy, x0 + dx
+                if 0 <= yy < H and 0 <= xx < W:
+                    acc += wy * wx * feat[yy, xx]
+        return acc
+
+    for r, (x1, y1, x2, y2) in enumerate(rois):
+        for i in range(S):
+            for j in range(S):
+                px = (x1 + (j + 0.5) / S * (x2 - x1)) / stride
+                py = (y1 + (i + 0.5) / S * (y2 - y1)) / stride
+                np.testing.assert_allclose(out[r, i, j], bilin(px, py),
+                                           rtol=1e-5, atol=1e-5)
