@@ -82,6 +82,13 @@ class FPN(nn.Module):
                 for i, x in enumerate(laterals)]
 
         if self.num_outs > len(outs):
+            if not self.add_extra_convs:
+                # fpn.py:187-189: parameter-free max_pool2d(kernel=1,
+                # stride=2) on the last OUTPUT (Faster/Mask R-CNN P6) —
+                # k=1 s=2 maxpool is exact 2x subsampling
+                for _ in range(self.num_outs - len(laterals)):
+                    outs.append(outs[-1][:, ::2, ::2, :])
+                return tuple(outs)
             if self.add_extra_convs == "on_input":
                 extra_src = used[-1]
             else:

@@ -239,9 +239,14 @@ class ResNet(nn.Module):
                             and self.gen_attn_stages[i]):
                         kw.update(gen_attn=True,
                                   gen_attn_type=self.gen_attn_type)
+                # torch rule: projection shortcut iff stride != 1 or
+                # in_c != out_c. BasicBlock stage 1 (stride 1, 64->64)
+                # has NO downsample (resnet.py _make_stage_layer);
+                # Bottleneck stage 1 does (64 -> planes*4).
                 out = block(planes=planes,
                             stride=stride if b == 0 else 1,
-                            downsample=(b == 0),
+                            downsample=(b == 0 and
+                                        (i > 0 or block is Bottleneck)),
                             name=f"layer{i + 1}_block{b}", **kw)(out)
             if self.frozen_stages >= i + 1:
                 out = lax.stop_gradient(out)

@@ -57,3 +57,47 @@ def test_whole_model_forward_matches_torch():
                                atol=1e-4, err_msg="cls logits diverge")
     np.testing.assert_allclose(got_bbox, want_bbox.numpy(), rtol=1e-4,
                                atol=1e-4, err_msg="bbox decode diverges")
+
+
+def test_retinanet_whole_model_matches_torch():
+    """Second whole-model oracle, CNN-family assembly: flax RetinaNet-R18
+    (ResNet + FPN on_input extras + shared RetinaHead) == functional torch
+    re-statement (tests/torch_retinanet.py) on one mmdet-layout state dict
+    with RANDOMIZED BN statistics — validates the backbone BN mapping, the
+    FPN top-down/extra-level wiring, and the head conv stack end-to-end."""
+    from dskd_tpu.models.retinanet import RetinaNet
+    from dskd_tpu.utils.torch_weights import load_mmdet_retinanet_state_dict
+
+    from test_mmdet_convert import _synthetic_retinanet_state
+    from torch_retinanet import retinanet_forward
+
+    NC = 4
+    rng = np.random.RandomState(3)
+    images = rng.randn(2, 64, 80, 3).astype(np.float32) * 0.4
+    state = _synthetic_retinanet_state(NC=NC, A=9, seed=5, rich_bn=True)
+
+    model = RetinaNet(num_classes=NC, depth=18)
+    v = model.init(jax.random.PRNGKey(0), jnp.asarray(images),
+                   jnp.asarray([[64, 80], [60, 72]], np.int32))
+    loaded = load_mmdet_retinanet_state_dict(dict(v), state, depth=18,
+                                             strict=True)
+    out = model.apply(loaded, jnp.asarray(images),
+                      jnp.asarray([[64, 80], [60, 72]], np.int32),
+                      deterministic=True)
+
+    want_cls, want_reg = retinanet_forward(
+        state, torch.tensor(images.transpose(0, 3, 1, 2)))
+
+    assert len(out.head.cls_scores) == len(want_cls) == 5
+    # measured agreement: max|d| 0.013 on activations up to |4000| (the
+    # randomized BN stats inflate magnitudes ~3e-6 relative) — pure f32
+    # accumulation-order noise through 18 convs + FPN + 5-conv head
+    for lvl in range(5):
+        got_c = np.asarray(out.head.cls_scores[lvl], np.float32)
+        got_r = np.asarray(out.head.bbox_preds[lvl], np.float32)
+        np.testing.assert_allclose(
+            got_c, want_cls[lvl].permute(0, 2, 3, 1).numpy(),
+            rtol=2e-3, atol=0.05, err_msg=f"cls level {lvl}")
+        np.testing.assert_allclose(
+            got_r, want_reg[lvl].permute(0, 2, 3, 1).numpy(),
+            rtol=2e-3, atol=0.05, err_msg=f"reg level {lvl}")

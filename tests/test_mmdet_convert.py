@@ -194,26 +194,14 @@ def test_pth_file_load(tmp_path):
     assert float(jnp.abs(jnp.asarray(new) - old).max()) > 0
 
 
-def test_retinanet_convert_strict_and_head_oracle():
-    """mmdet RetinaNet state_dict strict-loads, and the converted HEAD
-    reproduces a torch re-statement of retina_head.py numerically."""
+def _synthetic_retinanet_state(NC=4, A=9, seed=0, rich_bn=False):
+    """mmdet-layout RetinaNet-R18 state dict covering every expected key.
+
+    ``rich_bn`` randomizes BN scale/bias/running stats (instead of the
+    identity transform) so whole-model oracles exercise the BN mapping."""
     import torch
-    import torch.nn.functional as F
 
-    import jax
-    import jax.numpy as jnp
-    from dskd_tpu.models.retinanet import RetinaNet
-    from dskd_tpu.utils.torch_weights import (
-        load_mmdet_retinanet_state_dict)
-
-    rng = np.random.RandomState(0)
-    NC, A = 4, 9
-    model = RetinaNet(num_classes=NC, depth=18)
-    images = jnp.zeros((1, 64, 64, 3))
-    img_hw = jnp.asarray([[64, 64]], np.int32)
-    v = model.init(jax.random.PRNGKey(0), images, img_hw)
-
-    # synthetic mmdet-style state dict covering every expected key
+    rng = np.random.RandomState(seed)
     state = {}
 
     def add_conv(name, cin, cout):
@@ -228,9 +216,16 @@ def test_retinanet_convert_strict_and_head_oracle():
         bb[name + ".weight"] = torch.from_numpy(
             rng.randn(cout, cin, k, k).astype(np.float32) * 0.05)
     def tbn(name, c):
-        for suf, val in (("weight", np.ones(c)), ("bias", np.zeros(c)),
-                         ("running_mean", np.zeros(c)),
-                         ("running_var", np.ones(c))):
+        if rich_bn:
+            vals = (("weight", 1 + 0.2 * rng.randn(c)),
+                    ("bias", 0.2 * rng.randn(c)),
+                    ("running_mean", 0.2 * rng.randn(c)),
+                    ("running_var", 1 + 0.5 * rng.rand(c)))
+        else:
+            vals = (("weight", np.ones(c)), ("bias", np.zeros(c)),
+                    ("running_mean", np.zeros(c)),
+                    ("running_var", np.ones(c)))
+        for suf, val in vals:
             bb[name + "." + suf] = torch.from_numpy(
                 val.astype(np.float32))
     tconv("conv1", 3, 64, 7)
@@ -264,6 +259,29 @@ def test_retinanet_convert_strict_and_head_oracle():
         add_conv(f"bbox_head.reg_convs.{i}.conv", 256, 256)
     add_conv("bbox_head.retina_cls", 256, A * NC)
     add_conv("bbox_head.retina_reg", 256, A * 4)
+    return state
+
+
+def test_retinanet_convert_strict_and_head_oracle():
+    """mmdet RetinaNet state_dict strict-loads, and the converted HEAD
+    reproduces a torch re-statement of retina_head.py numerically."""
+    import torch
+    import torch.nn.functional as F
+
+    import jax
+    import jax.numpy as jnp
+    from dskd_tpu.models.retinanet import RetinaNet
+    from dskd_tpu.utils.torch_weights import (
+        load_mmdet_retinanet_state_dict)
+
+    rng = np.random.RandomState(0)
+    NC, A = 4, 9
+    model = RetinaNet(num_classes=NC, depth=18)
+    images = jnp.zeros((1, 64, 64, 3))
+    img_hw = jnp.asarray([[64, 64]], np.int32)
+    v = model.init(jax.random.PRNGKey(0), images, img_hw)
+
+    state = _synthetic_retinanet_state(NC=NC, A=A, seed=0)
 
     v2 = load_mmdet_retinanet_state_dict(v, state, depth=18, strict=True)
 
