@@ -255,6 +255,9 @@ def load_mmdet_state_dict(variables, state, depth: int = 50,
         _assert_subtree(variables["params"], params, path="params")
         _assert_subtree(variables.get("batch_stats", {}), stats,
                         path="batch_stats")
+        _assert_full_coverage(variables["params"], params, path="params")
+        _assert_full_coverage(variables.get("batch_stats", {}), stats,
+                              path="batch_stats")
     variables["params"] = _merge(variables["params"], params)
     variables["batch_stats"] = _merge(variables.get("batch_stats", {}),
                                       stats)
@@ -269,6 +272,28 @@ def _assert_subtree(dst, src, path=""):
         else:
             assert tuple(dst[k].shape) == tuple(v.shape), \
                 (f"{path}/{k}", tuple(dst[k].shape), tuple(v.shape))
+
+
+def _leaf_paths(tree, prefix=()):
+    out = set()
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out |= _leaf_paths(v, prefix + (k,))
+        else:
+            out.add("/".join(prefix + (k,)))
+    return out
+
+
+def _assert_full_coverage(dst, src, path=""):
+    """Inverse of _assert_subtree: every model leaf must be WRITTEN by the
+    converter. Catches spurious flax-only parameters that would silently
+    keep their random init under a converted checkpoint (the failure mode
+    behind the BasicBlock stage-1 shortcut bug — a branch torch does not
+    have stays at init and corrupts the forward)."""
+    orphans = sorted(_leaf_paths(dst) - _leaf_paths(src))
+    assert not orphans, \
+        f"{path}: model leaves not covered by the converter: {orphans[:8]}" \
+        f"{' ...' if len(orphans) > 8 else ''}"
 
 
 def convert_mmdet_retinanet(state, depth: int = 50, stacked_convs: int = 4,
@@ -318,6 +343,9 @@ def load_mmdet_retinanet_state_dict(variables, state, depth: int = 50,
         _assert_subtree(variables["params"], params, path="params")
         _assert_subtree(variables.get("batch_stats", {}), stats,
                         path="batch_stats")
+        _assert_full_coverage(variables["params"], params, path="params")
+        _assert_full_coverage(variables.get("batch_stats", {}), stats,
+                              path="batch_stats")
     variables["params"] = _merge(variables["params"], params)
     variables["batch_stats"] = _merge(variables.get("batch_stats", {}),
                                       stats)
