@@ -32,12 +32,18 @@ LEVEL_RATIOS = ((2,), (2, 3), (2, 3), (2, 3), (2,), (2,))
 
 def ssd_level_anchors(level: int):
     """Base anchors for one level: [1, 1'] scales x ratios (ssd_head
-    anchor recipe) -> 4 or 6 anchors."""
+    anchor recipe) -> 4 or 6 anchors.
+
+    Unlike the default AnchorGenerator (grid-corner centers),
+    SSDAnchorGenerator centers every anchor at stride/2
+    (anchor_generator.py:503 ``centers=[(stride/2, stride/2) ...]``) —
+    the level-5 single cell is centered on the 300x300 image."""
     mn, mx = MIN_SIZES[level], MAX_SIZES[level]
+    c = STRIDES[level] / 2.0
     boxes = []
 
     def box(w, h):
-        boxes.append([-w / 2, -h / 2, w / 2, h / 2])
+        boxes.append([c - w / 2, c - h / 2, c + w / 2, c + h / 2])
 
     box(mn, mn)
     box(float(np.sqrt(mn * mx)), float(np.sqrt(mn * mx)))

@@ -13,11 +13,18 @@ def test_level_anchor_counts_and_sizes():
     a0 = np.asarray(ssd_level_anchors(0))
     a1 = np.asarray(ssd_level_anchors(1))
     assert a0.shape == (4, 4) and a1.shape == (6, 4)
-    # first anchor is the min_size square
-    np.testing.assert_allclose(a0[0], [-10.5, -10.5, 10.5, 10.5])
+    # SSDAnchorGenerator centers at stride/2 (anchor_generator.py:503):
+    # level 0 stride 8 -> center 4; first anchor is the min_size square
+    np.testing.assert_allclose(a0[0], [4 - 10.5, 4 - 10.5,
+                                       4 + 10.5, 4 + 10.5])
     # second is the geometric-mean square sqrt(21*45)
     s = np.sqrt(21 * 45) / 2
-    np.testing.assert_allclose(a0[1], [-s, -s, s, s], rtol=1e-5)
+    np.testing.assert_allclose(a0[1], [4 - s, 4 - s, 4 + s, 4 + s],
+                               rtol=1e-5)
+    # level 5 (stride 300, one cell) is centered on the 300 image
+    a5 = np.asarray(ssd_level_anchors(5))
+    np.testing.assert_allclose(a5[0], [150 - 130.5, 150 - 130.5,
+                                       150 + 130.5, 150 + 130.5])
 
 
 @pytest.fixture(scope="module")
