@@ -152,12 +152,16 @@ def points2bbox(pts: jnp.ndarray, moment: jnp.ndarray) -> jnp.ndarray:
 
 
 def reppoints_centers(featmap_sizes):
-    """All-level cell centers (N, 2) image coords + per-point stride (N,)
-    + per-level counts."""
+    """All-level grid points (N, 2) image coords + per-point stride (N,)
+    + per-level counts.
+
+    RepPoints deliberately uses OFFSET-0 priors — reppoints_head.py:98
+    ``MlvlPointGenerator(self.point_strides, offset=0.)`` — so centers
+    sit at x*stride, not the (x+0.5)*stride cell centers FCOS uses."""
     pts, strides, counts = [], [], []
     for (h, w), s in zip(featmap_sizes, STRIDES):
         ys, xs = np.mgrid[:h, :w]
-        pts.append(np.stack([(xs + 0.5) * s, (ys + 0.5) * s],
+        pts.append(np.stack([xs * s, ys * s],
                             -1).reshape(-1, 2))
         strides.append(np.full((h * w,), s, np.float32))
         counts.append(h * w)
