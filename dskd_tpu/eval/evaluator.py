@@ -217,14 +217,8 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
                         variables, all_level_roi_align(fpi, r, v),
                         method=FasterRCNN.groie_forward)
             if getattr(model, "double_head", False):
-                from ..models.faster_rcnn import scale_rois
-                from ..ops.roi_align import multi_level_roi_align
-
-                def extract_fn(fpi, r, v):
-                    f_cls = multi_level_roi_align(fpi, r, v)
-                    f_reg = multi_level_roi_align(
-                        fpi, scale_rois(r, 1.3), v, level_rois=r)
-                    return jnp.concatenate([f_cls, f_reg], -1)
+                from ..models.faster_rcnn import double_head_extract_fn
+                extract_fn = double_head_extract_fn
             d = rcnn_get_bboxes(
                 lambda f: model.apply(variables, f,
                                       method=FasterRCNN.roi_forward),

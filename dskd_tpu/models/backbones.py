@@ -13,7 +13,7 @@ from __future__ import annotations
 
 
 def build_backbone(spec: str, depth: int = 50, frozen_stages: int = 1,
-                   name: str = "backbone"):
+                   name: str = "backbone", drop_path_rate: float = 0.0):
     """Returns (module, pyramid_kind): pyramid_kind is 'c2345' for 4-stage
     stride-4..32 pyramids, 'c345' for stride-8..32 triples (EfficientNet),
     'hr' for HRNet branch lists (needs HRFPN)."""
@@ -32,10 +32,11 @@ def build_backbone(spec: str, depth: int = 50, frozen_stages: int = 1,
                        frozen_stages=frozen_stages, name=name), "c2345")
     if spec.startswith("effb"):
         from .efficientnet import EfficientNet
-        # retinanet_effb3_fpn_crop896 recipe: drop_path_rate=0.2
+        # drop_path_rate is recipe-specific (retinanet_effb3 sets 0.2) —
+        # the caller passes it rather than this shared builder
         return (EfficientNet(arch=spec[3:], out_indices=(2, 4, 6),
                              frozen_stages=frozen_stages,
-                             drop_path_rate=0.2, name=name),
+                             drop_path_rate=drop_path_rate, name=name),
                 "c345")
     if spec.startswith("hrnet_w"):
         from .hrnet import HRNet

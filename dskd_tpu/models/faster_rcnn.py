@@ -189,6 +189,18 @@ def scale_rois(rois: jnp.ndarray, factor: float) -> jnp.ndarray:
     return jnp.concatenate([c - wh * 0.5, c + wh * 0.5], axis=-1)
 
 
+def double_head_extract_fn(fpi, rois, valid):
+    """Double-Head RoI pooling: [cls pool | reg pool at 1.3x RoIs], the
+    pyramid LEVEL mapped on the unscaled boxes (double_roi_head.py:13-24
+    roi_rescale happens after map_roi_levels). Shared by the train-step
+    builder and the evaluator."""
+    from ..ops.roi_align import multi_level_roi_align
+    f_cls = multi_level_roi_align(fpi, rois, valid)
+    f_reg = multi_level_roi_align(fpi, scale_rois(rois, 1.3), valid,
+                                  level_rois=rois)
+    return jnp.concatenate([f_cls, f_reg], -1)
+
+
 class DoubleBBoxHead(nn.Module):
     """Double-Head R-CNN ROI head (parity: mmdet roi_heads/bbox_heads/
     double_bbox_head.py + roi_heads/double_roi_head.py +

@@ -31,33 +31,47 @@ class FPN(nn.Module):
     upsample: str = "nearest"
     # gn / gn+ws recipe (configs/gn, configs/gn+ws): GroupNorm(32) after
     # every FPN conv (no activation, mmdet ConvModule act_cfg=None),
-    # optionally weight-standardized convs
+    # optionally weight-standardized convs; 'bn' = BatchNorm (the
+    # retinanet_effb3 recipe, norm_cfg=BN + no_norm_on_lateral=True)
     norm: str = ""
     ws: bool = False
+    # mmdet FPN no_norm_on_lateral: lateral 1x1 ConvModules skip the norm
+    # (and therefore keep their bias, ConvModule bias='auto')
+    no_norm_on_lateral: bool = False
 
     @nn.compact
-    def __call__(self, inputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
+    def __call__(self, inputs: Sequence[jnp.ndarray],
+                 train: bool = False) -> Tuple[jnp.ndarray, ...]:
         if self.ws:
             from .conv_ws import ConvWS as _C
         else:
             _C = nn.Conv
 
-        def _Conv(*a, **kw):
+        def _Conv(*a, lateral=False, **kw):
             # mmdet ConvModule drops the conv bias when a norm follows;
             # init parity (necks/fpn.py:75-76): Xavier-uniform convs
             kw.setdefault("kernel_init", nn.initializers.xavier_uniform())
-            return _C(*a, use_bias=(self.norm != "gn"), **kw)
+            normed = bool(self.norm) and not (lateral
+                                              and self.no_norm_on_lateral)
+            return _C(*a, use_bias=not normed, **kw)
 
-        def _n(x, name):
+        def _n(x, name, lateral=False):
+            if lateral and self.no_norm_on_lateral:
+                return x
             if self.norm == "gn":
                 return nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                    name=name)(x)
+            if self.norm == "bn":
+                return nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.9, epsilon=1e-5,
                                     name=name)(x)
             return x
 
         used = list(inputs[self.start_level:])
         laterals = [
-            _n(_Conv(self.out_channels, (1, 1), name=f"lateral{i}")(x),
-               f"lateral_gn{i}")
+            _n(_Conv(self.out_channels, (1, 1), lateral=True,
+                     name=f"lateral{i}")(x),
+               f"lateral_gn{i}", lateral=True)
             for i, x in enumerate(used)]
 
         for i in range(len(laterals) - 1, 0, -1):

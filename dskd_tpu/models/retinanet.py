@@ -130,9 +130,13 @@ class RetinaNet(nn.Module):
                           lambda: jnp.zeros((self.ghm_c_bins,), jnp.float32))
             self.variable("batch_stats", "ghm_acc_r",
                           lambda: jnp.zeros((self.ghm_r_bins,), jnp.float32))
+        effb = self.backbone.startswith("effb")
+        # retinanet_effb3_fpn_crop896 recipe: drop_path 0.2, frozen_stages=0
+        # (nothing frozen), BN trained — backbone AND neck
         bb, kind = build_backbone(self.backbone, self.depth,
-                                  self.frozen_stages)
-        if self.backbone.startswith("effb"):
+                                  0 if effb else self.frozen_stages,
+                                  drop_path_rate=0.2 if effb else 0.0)
+        if effb:
             # EfficientNet threads stochastic depth (drop_path) at train
             feats = bb(images, deterministic=deterministic)
         else:
@@ -148,10 +152,15 @@ class RetinaNet(nn.Module):
             from .hrnet import HRFPN
             neck = HRFPN(out_channels=256, num_outs=5, name="neck")(feats)
         else:
+            # effb neck recipe (retinanet_effb3...py): ReLU before the
+            # second extra conv, BN on every non-lateral FPN conv
             neck = FPN(out_channels=256, num_outs=5,
                        start_level=1 if kind == "c2345" else 0,
                        add_extra_convs="on_input",
-                       relu_before_extra_convs=False, name="neck")(feats)
+                       relu_before_extra_convs=effb,
+                       norm="bn" if effb else "",
+                       no_norm_on_lateral=effb,
+                       name="neck")(feats, train=not deterministic)
         # RetinaSepBNHead pairs with NAS-FPN AND the EfficientNet recipe
         # (configs/efficientnet/retinanet_effb3...py:29 RetinaSepBNHead)
         head = RetinaHead(num_classes=self.num_classes,

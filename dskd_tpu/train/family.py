@@ -201,9 +201,14 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                  or cfg.model.backbone.startswith("effb"))
         ghm = arch == "retinanet_ghm"
         # GHM recipe swaps Focal+L1 for GHMC + GHMR(loss_weight=10)
-        # (configs/ghm/retinanet_ghm_r50_fpn_1x_coco.py)
+        # (configs/ghm/retinanet_ghm_r50_fpn_1x_coco.py); the effb recipe
+        # raises the assigner's neg_iou_thr 0.4 -> 0.5
+        # (configs/efficientnet/retinanet_effb3...py train_cfg)
         det_cfg = RetinaLossConfig(num_classes=cfg.model.num_classes,
                                    ghm=ghm,
+                                   neg_iou_thr=0.5
+                                   if cfg.model.backbone.startswith("effb")
+                                   else 0.4,
                                    loss_bbox_weight=10.0 if ghm else 1.0)
 
         def losses_fn(variables, batch, teacher_vars, rng):
@@ -222,14 +227,17 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
             anchors = retina_anchors(
                 [c.shape[1:3] for c in out.head.cls_scores])
             if ghm:
-                # thread the GHM EMA bin counts through batch_stats
+                # thread the GHM EMA bin counts through batch_stats —
+                # START from the mutable-apply stats when sepbn also ran
+                # (a ghm+effb combo would otherwise discard the SepBN /
+                # backbone BN updates and freeze them at init)
                 bs = variables["batch_stats"]
                 losses, new_ghm = retina_detection_loss(
                     out.head, anchors, batch.gt_bboxes, batch.gt_labels,
                     batch.gt_valid, det_cfg,
                     ghm_state={"acc_c": bs["ghm_acc_c"],
                                "acc_r": bs["ghm_acc_r"]})
-                new_bs = dict(bs)
+                new_bs = dict(stats if stats is not None else bs)
                 new_bs["ghm_acc_c"] = new_ghm["acc_c"]
                 new_bs["ghm_acc_r"] = new_ghm["acc_r"]
                 return losses, new_bs
@@ -339,16 +347,8 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 variables, f, method=FasterRCNN.roi_forward)
             mut_stats = {}
             if dh:
-                from ..models.faster_rcnn import scale_rois
-                from ..ops.roi_align import multi_level_roi_align
-
-                def extract_fn(fpi, r, v):
-                    # [cls pool | reg pool at 1.3x RoIs], levels mapped
-                    # on the unscaled boxes (double_roi_head.py:24)
-                    f_cls = multi_level_roi_align(fpi, r, v)
-                    f_reg = multi_level_roi_align(
-                        fpi, scale_rois(r, 1.3), v, level_rois=r)
-                    return jnp.concatenate([f_cls, f_reg], -1)
+                from ..models.faster_rcnn import double_head_extract_fn
+                extract_fn = double_head_extract_fn
 
                 def head_apply(f):
                     (c, r), mut = model.apply(

@@ -144,10 +144,13 @@ def test_efficientnet_drop_path():
     e1 = m.apply(v, x)[-1]
     e2 = m.apply(v, x)[-1]
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2))  # eval det
-    t1 = m.apply(v, x, deterministic=False,
-                 rngs={"dropout": jax.random.PRNGKey(1)})[-1]
-    t2 = m.apply(v, x, deterministic=False,
-                 rngs={"dropout": jax.random.PRNGKey(2)})[-1]
+    # train mode also runs BN in batch-stat mode (norm_eval=False per the
+    # retinanet_effb3 recipe) — batch_stats must be mutable
+    t1, _ = m.apply(v, x, deterministic=False, mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+    t2, _ = m.apply(v, x, deterministic=False, mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.PRNGKey(2)})
+    t1, t2 = t1[-1], t2[-1]
     # freshly-initialized outputs are tiny in magnitude — compare
     # relative to the signal scale
     diff = np.abs(np.asarray(t1) - np.asarray(t2)).max()

@@ -194,3 +194,67 @@ def test_ghm_grad_flows():
     gr = jax.grad(lambda p: ghm_r_loss(jnp.asarray(p), target, lw)[0])(pred)
     assert np.isfinite(np.asarray(gr)).all()
     assert np.abs(np.asarray(gr)).sum() > 0
+
+
+def test_ghm_effb_sepbn_stats_both_update():
+    """Regression: retinanet_ghm + an effb backbone runs the SepBN head
+    AND the GHM EMA — one train step must update BOTH the BN running
+    stats (from the mutable apply) and the GHM bin counts; the ghm
+    branch previously rebuilt batch_stats from the pre-step variables,
+    freezing every BN at init."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from dskd_tpu.train.family import make_family_train_step
+    from dskd_tpu.train.incremental import build_model, init_variables
+    from dskd_tpu.train.optim import make_optimizer
+    from dskd_tpu.train.schedule import step_lr_schedule
+    from dskd_tpu.train.state import TrainState
+    from dskd_tpu.train.step import Batch
+    from dskd_tpu.utils.config import load_config
+
+    cfg = load_config("configs/retinanet_ghm_r50_1x.py")
+    cfg.model = dataclasses.replace(cfg.model, num_classes=6,
+                                    backbone="effb0")
+    cfg.data = dataclasses.replace(cfg.data, bucket=(64, 64),
+                                   img_scale=(64, 64), max_gt=4,
+                                   aspect_buckets=None, multi_scales=None)
+    model = build_model(cfg)
+    variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(3)
+    B, H, W = 2, 64, 64
+    xy = rng.rand(B, 4, 2).astype(np.float32) * 30
+    wh = rng.rand(B, 4, 2).astype(np.float32) * 20 + 6
+    batch = Batch(
+        jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32) * 0.1),
+        jnp.asarray(np.tile([[H, W]], (B, 1)).astype(np.int32)),
+        jnp.asarray(np.concatenate([xy, xy + wh], -1)),
+        jnp.asarray(rng.randint(0, 6, (B, 4)).astype(np.int32)),
+        jnp.asarray(np.tile(np.arange(4) < 2, (B, 1))))
+
+    step = make_family_train_step("retinanet_ghm", model, cfg,
+                                  num_prev=1, has_teacher=False,
+                                  use_dropout=False)
+    tx = make_optimizer(variables["params"],
+                        step_lr_schedule(1e-4, iters_per_epoch=10))
+    bs0 = jax.tree.map(lambda x: np.asarray(x).copy(),
+                       dict(variables.get("batch_stats", {})))
+    state = TrainState.create(variables["params"],
+                              variables.get("batch_stats", {}), tx,
+                              jax.random.PRNGKey(1))
+    s1, l1 = step(state, batch, None)
+    assert np.isfinite(float(l1["loss"]))
+    # GHM EMAs moved
+    assert np.abs(np.asarray(s1.batch_stats["ghm_acc_c"])
+                  - bs0["ghm_acc_c"]).sum() > 0
+    # and so did the BN running stats (any non-GHM leaf)
+    moved = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        {k: v for k, v in dict(s1.batch_stats).items()
+         if not k.startswith("ghm_")},
+        {k: v for k, v in bs0.items() if not k.startswith("ghm_")})
+    total = max(jax.tree.leaves(moved) or [0.0])
+    assert total > 0, "BN running stats froze at init"
