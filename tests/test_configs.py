@@ -127,3 +127,29 @@ def test_arch_config_steps(name, path):
         if has_teacher else None
     new_state, losses = step(state, batch, teacher_vars)
     assert np.isfinite(float(losses["loss"])), (path, losses)
+
+
+@pytest.mark.parametrize("name,path", _unique_arch_configs(),
+                         ids=[n for n, _ in _unique_arch_configs()])
+def test_arch_config_evals(name, path):
+    """One jitted eval (decode) step per unique arch — the inference-path
+    counterpart of test_arch_config_steps. evaluate() dispatches
+    make_eval_step(model, arch=cfg.model.arch) for every shipped config
+    (train/incremental.py), so every arch string must decode."""
+    from dskd_tpu.eval.evaluator import make_eval_step
+    from dskd_tpu.train.incremental import build_model, init_variables
+    from dskd_tpu.utils.config import load_config
+
+    cfg = _tiny(load_config(path))
+    model = build_model(cfg)
+    variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+
+    B, (H, W) = 1, cfg.data.bucket
+    images = jnp.zeros((B, H, W, 3), jnp.float32)
+    img_hw = jnp.asarray(np.tile([[H, W]], (B, 1)).astype(np.int32))
+    step = make_eval_step(model, reg_max=cfg.model.reg_max,
+                          max_per_img=8, arch=cfg.model.arch)
+    det = step(variables, images, img_hw, jnp.ones((B, 4), jnp.float32))
+    assert det.bboxes.shape[0] == B and det.bboxes.shape[-1] == 4
+    assert np.isfinite(np.asarray(det.scores)).all(), name
+    assert np.isfinite(np.asarray(det.bboxes)).all(), name
