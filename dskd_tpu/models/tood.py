@@ -189,9 +189,13 @@ class TOODHead(nn.Module):
             # distance2bbox(anchor_center/stride, reg_dist)), then
             # deform-sample each corner channel: the sampled value is the
             # NEIGHBOR's decoded corner, not own-center minus neighbor-dist
+            # anchor_center(anchor)/stride with the config's default
+            # center_offset=0 AnchorGenerator = the bare grid index x,
+            # NOT the (x+0.5) cell center (tood_head.py:231 priors +
+            # configs/tood/tood_r50_fpn_1x_coco.py:31-36)
             Hf, Wf = f.shape[1], f.shape[2]
-            cy = (jnp.arange(Hf, dtype=dist.dtype) + 0.5)[None, :, None]
-            cx = (jnp.arange(Wf, dtype=dist.dtype) + 0.5)[None, None, :]
+            cy = jnp.arange(Hf, dtype=dist.dtype)[None, :, None]
+            cx = jnp.arange(Wf, dtype=dist.dtype)[None, None, :]
             corner = jnp.stack([cx - dist[..., 0], cy - dist[..., 1],
                                 cx + dist[..., 2], cy + dist[..., 3]], -1)
             offsets = off_c2(nn.relu(off_c1(flat)))
@@ -224,7 +228,8 @@ def tood_points(featmap_sizes):
     pts, per_level, counts = [], [], []
     for (h, w), stride in zip(featmap_sizes, STRIDES):
         ys, xs = np.mgrid[:h, :w]
-        pts.append(np.stack([(xs + 0.5) * stride, (ys + 0.5) * stride],
+        # anchor centers of the offset-0 grid (matches the anchors below)
+        pts.append(np.stack([xs * stride, ys * stride],
                             -1).reshape(-1, 2))
         base = base_anchors(stride, (ANCHOR_SCALE,), (1.0,))
         a = grid_anchors((h, w), stride, base)
