@@ -11,6 +11,18 @@ configurable backbone (ModelConfig.backbone). Specs:
 """
 from __future__ import annotations
 
+# backbones that carry stochastic depth (DropPath) and therefore take a
+# `deterministic` kwarg at apply time
+_STOCHASTIC = ("effb", "swin", "pvt")
+
+
+def apply_backbone(bb, spec: str, images, deterministic: bool = True):
+    """Apply a built backbone, threading `deterministic` only to the
+    families whose __call__ takes it (stochastic-depth backbones)."""
+    if spec.startswith(_STOCHASTIC):
+        return bb(images, deterministic=deterministic)
+    return bb(images)
+
 
 def build_backbone(spec: str, depth: int = 50, frozen_stages: int = 1,
                    name: str = "backbone", drop_path_rate: float = 0.0):
@@ -45,7 +57,11 @@ def build_backbone(spec: str, depth: int = 50, frozen_stages: int = 1,
     if spec.startswith("swin"):
         from .swin import SwinTransformer
         arch = spec.split("_", 1)[1] if "_" in spec else "tiny"
-        return (SwinTransformer(arch=arch, name=name), "c2345")
+        # detection recipes (mask_rcnn/retinanet swin-t 1x) train with
+        # stochastic depth 0.2; callers thread `deterministic`
+        return (SwinTransformer(arch=arch,
+                                drop_path_rate=(drop_path_rate or 0.2),
+                                name=name), "c2345")
     if spec.startswith("res2net"):
         from .res2net import Res2Net
         d = int(spec[len("res2net"):]) if len(spec) > 7 else 50
@@ -59,5 +75,6 @@ def build_backbone(spec: str, depth: int = 50, frozen_stages: int = 1,
     if spec.startswith("pvt"):
         from .pvt import PVT
         arch = spec.split("_", 1)[1] if "_" in spec else "tiny"
-        return (PVT(arch=arch, name=name), "c2345")
+        return (PVT(arch=arch, drop_path_rate=(drop_path_rate or 0.1),
+                    name=name), "c2345")
     raise ValueError(f"unknown backbone spec: {spec!r}")

@@ -155,7 +155,9 @@ class FasterRCNN(nn.Module):
             self.roi_extractor = GRoIE()
 
     def __call__(self, images, img_hw, deterministic: bool = True):
-        feats = self.backbone(images)
+        from .backbones import apply_backbone
+        feats = apply_backbone(self.backbone, self.backbone_spec, images,
+                               deterministic)
         neck = self.neck(feats)
         if self.use_bfp:
             neck = self.bfp(neck)

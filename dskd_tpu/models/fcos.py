@@ -114,10 +114,10 @@ class FCOS(nn.Module):
     @nn.compact
     def __call__(self, images: jnp.ndarray, img_hw: jnp.ndarray,
                  deterministic: bool = True) -> FCOSOutputs:
-        from .backbones import build_backbone
+        from .backbones import apply_backbone, build_backbone
         bb, kind = build_backbone(self.backbone, self.depth,
                                   self.frozen_stages)
-        feats = bb(images)
+        feats = apply_backbone(bb, self.backbone, images, deterministic)
         if kind == "hr":
             from .hrnet import HRFPN
             neck = HRFPN(out_channels=256, num_outs=5, name="neck")(feats)

@@ -61,15 +61,25 @@ class HGBasicBlock(nn.Module):
 
 
 class ResChain(nn.Module):
+    """mmdet ResLayer: ``downsample_first`` places the channel-changing
+    (and strided) block first (default) or LAST (the reference's low3
+    chains, hourglass.py ResLayer(downsample_first=False))."""
     planes: int
     blocks: int
     stride: int = 1
+    downsample_first: bool = True
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         for b in range(self.blocks):
-            x = HGBasicBlock(self.planes,
-                             stride=self.stride if b == 0 else 1,
+            if self.downsample_first:
+                planes = self.planes
+                stride = self.stride if b == 0 else 1
+            else:
+                last = b == self.blocks - 1
+                planes = self.planes if last else x.shape[-1]
+                stride = self.stride if last else 1
+            x = HGBasicBlock(planes, stride=stride,
                              name=f"block{b}")(x, deterministic)
         return x
 
@@ -101,7 +111,8 @@ class HourglassModule(nn.Module):
         else:
             low2 = ResChain(next_c, next_b, name="low2")(
                 low1, deterministic)
-        low3 = ResChain(cur_c, cur_b, name="low3")(low2, deterministic)
+        low3 = ResChain(cur_c, cur_b, downsample_first=False,
+                        name="low3")(low2, deterministic)
         return up1 + _nearest_up2(low3)
 
 

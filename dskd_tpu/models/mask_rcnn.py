@@ -99,7 +99,9 @@ class MaskRCNN(nn.Module):
                                             jnp.float32))
 
     def __call__(self, images, img_hw, deterministic: bool = True):
-        feats = self.backbone(images)
+        from .backbones import apply_backbone
+        feats = apply_backbone(self.backbone, self.backbone_spec, images,
+                               deterministic)
         neck = self.neck(feats)
         return MaskRCNNOutputs(self.rpn_head(neck), neck)
 

@@ -58,8 +58,12 @@ class InvertedResidual(nn.Module):
 
 
 class MobileNetV2(nn.Module):
-    """out_indices are 0-based stage ids over the 7 inverted-residual
-    stages (mmdet default (1, 2, 4, 6) feeds 4-level necks)."""
+    """out_indices are 0-based over the reference's 8 layers: stages 0-6
+    are the inverted-residual stages, index 7 is the trailing 1x1
+    ReLU6 conv to 1280*widen ch (mobilenet_v2.py:121-136 'conv2' — the
+    ssdlite recipe taps (4, 7)). The default (1, 2, 4, 6) feeds 4-level
+    necks at strides 4/8/16/32 (the reference detection default is
+    (1, 2, 4, 7); index 6 and 7 share stride 32)."""
     out_indices: Sequence[int] = (1, 2, 4, 6)
     frozen_stages: int = -1
     widen_factor: float = 1.0
@@ -84,4 +88,9 @@ class MobileNetV2(nn.Module):
                 out = lax.stop_gradient(out)
             if i in self.out_indices:
                 outs.append(out)
+        if 7 in self.out_indices:
+            c = (int(1280 * self.widen_factor)
+                 if self.widen_factor > 1.0 else 1280)
+            out = nn.Conv(c, (1, 1), use_bias=False, name="conv2")(out)
+            outs.append(_relu6(FrozenBatchNorm(name="conv2_bn")(out)))
         return tuple(outs)

@@ -5,6 +5,10 @@ Bottle2neck: the bottleneck's single 3x3 conv becomes a hierarchy of
 receptive fields inside one block); stage-type blocks (stride > 1) skip
 the cascade add and average-pool the last slice. res2net50 layout:
 scales=4, base_width=26.
+
+The Res2Net trunk is a ResNet-D: deep 3-conv stem and avg-down shortcut
+(reference res2net.py:307-317 forces deep_stem=True, avg_down=True —
+AvgPool2d(stride) before a stride-1 1x1 projection, resnet.py:196-207).
 """
 from __future__ import annotations
 
@@ -56,9 +60,14 @@ class Bottle2neck(nn.Module):
                       name="conv3")(out)
         out = FrozenBatchNorm(name="bn3")(out)
         if self.downsample:
+            # avg_down shortcut: AvgPool(stride) + 1x1 conv stride 1
+            if self.stride > 1:
+                identity = nn.avg_pool(
+                    identity, (self.stride, self.stride),
+                    strides=(self.stride, self.stride))
             identity = nn.Conv(self.planes * self.expansion, (1, 1),
-                               strides=(self.stride, self.stride),
-                               use_bias=False, name="downsample_conv")(x)
+                               use_bias=False,
+                               name="downsample_conv")(identity)
             identity = FrozenBatchNorm(name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
@@ -75,9 +84,13 @@ class Res2Net(nn.Module):
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
         kind, stage_blocks = ARCH_SETTINGS[self.depth]
         assert kind == "bottleneck", "res2net needs a bottleneck depth"
-        out = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                      use_bias=False, name="stem_conv")(x)
-        out = nn.relu(FrozenBatchNorm(name="stem_bn")(out))
+        # deep stem: 32/2 -> 32 -> 64 (ResNet-D)
+        out = x
+        for i, (ch, s) in enumerate(((32, 2), (32, 1), (64, 1))):
+            out = nn.Conv(ch, (3, 3), strides=(s, s),
+                          padding=[(1, 1), (1, 1)], use_bias=False,
+                          name=f"stem_conv{i}")(out)
+            out = nn.relu(FrozenBatchNorm(name=f"stem_bn{i}")(out))
         if self.frozen_stages >= 0:
             out = lax.stop_gradient(out)
         out = nn.max_pool(out, (3, 3), strides=(2, 2),

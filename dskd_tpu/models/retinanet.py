@@ -136,11 +136,9 @@ class RetinaNet(nn.Module):
         bb, kind = build_backbone(self.backbone, self.depth,
                                   0 if effb else self.frozen_stages,
                                   drop_path_rate=0.2 if effb else 0.0)
-        if effb:
-            # EfficientNet threads stochastic depth (drop_path) at train
-            feats = bb(images, deterministic=deterministic)
-        else:
-            feats = bb(images)
+        # effb/swin/pvt thread stochastic depth (drop_path) at train
+        from .backbones import apply_backbone
+        feats = apply_backbone(bb, self.backbone, images, deterministic)
         if self.neck == "fpg":
             from .fpg import FPG
             neck = FPG(out_channels=256, num_outs=5, name="neck")(feats)

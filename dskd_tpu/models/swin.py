@@ -87,9 +87,19 @@ class SwinBlock(nn.Module):
     dim: int
     num_heads: int
     shift: int            # 0 = W-MSA, WINDOW//2 = SW-MSA
+    drop_path: float = 0.0
+
+    def _drop_path(self, y, deterministic):
+        # DropPath (stochastic depth): drop the whole residual branch per
+        # sample, rescaled by 1/keep_prob — mmcv DropPath on both the attn
+        # and FFN adds (reference swin.py:344,353)
+        if self.drop_path == 0.0:
+            return y
+        return nn.Dropout(rate=self.drop_path, broadcast_dims=(1, 2, 3))(
+            y, deterministic=deterministic)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         """x: (B, H, W, C); H/W need not be WINDOW multiples — the map is
         zero-padded bottom/right to the window grid and cropped back, the
         reference swin.py's F.pad in its window partition."""
@@ -118,13 +128,13 @@ class SwinBlock(nn.Module):
         y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
         if shift:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
-        x = shortcut + y[:, :H, :W]
+        x = shortcut + self._drop_path(y[:, :H, :W], deterministic)
 
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = nn.Dense(4 * C, name="mlp_fc1")(y)
         y = nn.gelu(y)
         y = nn.Dense(C, name="mlp_fc2")(y)
-        return x + y
+        return x + self._drop_path(y, deterministic)
 
 
 class PatchMerging(nn.Module):
@@ -154,14 +164,21 @@ class SwinTransformer(nn.Module):
     (e.g. multiples of 224: 224 -> 56/28/14/7)."""
     arch: str = "tiny"
     out_indices: Sequence[int] = (0, 1, 2, 3)
+    # stochastic depth, linearly decayed 0 -> rate over all blocks
+    # (reference swin.py:540 default 0.1; the detection recipes —
+    # mask_rcnn_swin-t-p4-w7_fpn_1x_coco.py:21 — train with 0.2)
+    drop_path_rate: float = 0.1
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    def __call__(self, x: jnp.ndarray,
+                 deterministic: bool = True) -> Tuple[jnp.ndarray, ...]:
         cfg = ARCHS[self.arch]
         dim = cfg["embed_dim"]
         x = nn.Conv(dim, (4, 4), strides=(4, 4), name="patch_embed")(x)
         x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
 
+        total = sum(cfg["depths"])
+        bi = 0
         outs = []
         for si, (depth, heads) in enumerate(zip(cfg["depths"],
                                                 cfg["heads"])):
@@ -169,9 +186,13 @@ class SwinTransformer(nn.Module):
             if si > 0:
                 x = PatchMerging(stage_dim, name=f"merge{si}")(x)
             for b in range(depth):
+                dpr = self.drop_path_rate * bi / max(total - 1, 1)
                 x = SwinBlock(stage_dim, heads,
                               shift=0 if b % 2 == 0 else WINDOW // 2,
-                              name=f"stage{si}_block{b}")(x)
+                              drop_path=dpr,
+                              name=f"stage{si}_block{b}")(
+                    x, deterministic=deterministic)
+                bi += 1
             if si in self.out_indices:
                 outs.append(nn.LayerNorm(epsilon=1e-5, name=f"out_norm{si}")(x))
         return tuple(outs)

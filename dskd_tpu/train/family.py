@@ -211,6 +211,9 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                                    else 0.4,
                                    loss_bbox_weight=10.0 if ghm else 1.0)
 
+        # swin/pvt backbones carry stochastic depth (no BN to mutate)
+        stoch_bb = cfg.model.backbone.startswith(("swin", "pvt"))
+
         def losses_fn(variables, batch, teacher_vars, rng):
             if sepbn:
                 # RetinaSepBNHead trains its per-level BN statistics;
@@ -220,6 +223,11 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                     deterministic=False, mutable=["batch_stats"],
                     rngs={"dropout": rng})
                 stats = mutated["batch_stats"]
+            elif stoch_bb:
+                out = model.apply(variables, batch.images, batch.img_hw,
+                                  deterministic=False,
+                                  rngs={"dropout": rng})
+                stats = None
             else:
                 out = model.apply(variables, batch.images, batch.img_hw,
                                   deterministic=True)
@@ -249,10 +257,12 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
         from ..models.fcos import (FCOSLossConfig, fcos_detection_loss,
                                    fcos_points)
         det_cfg = FCOSLossConfig(num_classes=cfg.model.num_classes)
+        stoch_bb = cfg.model.backbone.startswith(("effb", "swin", "pvt"))
 
         def losses_fn(variables, batch, teacher_vars, rng):
             out = model.apply(variables, batch.images, batch.img_hw,
-                              deterministic=True)
+                              deterministic=not stoch_bb,
+                              rngs={"dropout": rng} if stoch_bb else None)
             points, meta = fcos_points(
                 [c.shape[1:3] for c in out.head.cls_scores])
             return fcos_detection_loss(
@@ -323,10 +333,13 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                                   pisa=(arch == "pisa_faster_rcnn"),
                                   isr_n=(arch == "pisa_faster_rcnn"),
                                   dynamic=(arch == "dynamic_rcnn"))
+        stoch_bb = cfg.model.backbone.startswith(("effb", "swin", "pvt"))
 
         def losses_fn(variables, batch, teacher_vars, rng):
-            rng1, rng2 = jax.random.split(rng)
-            out = model.apply(variables, batch.images, batch.img_hw)
+            rng1, rng2, rng3 = jax.random.split(rng, 3)
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=not stoch_bb,
+                              rngs={"dropout": rng3} if stoch_bb else None)
             losses = rpn_loss(out.rpn, batch.gt_bboxes, batch.gt_valid,
                               batch.img_hw, rng1, rpn_cfg)
             # proposals are detached (the reference never backprops
@@ -387,9 +400,13 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
         panoptic = arch == "panoptic_fpn"
         mask_scoring = arch == "ms_rcnn"
 
+        stoch_bb = cfg.model.backbone.startswith(("effb", "swin", "pvt"))
+
         def losses_fn(variables, batch, teacher_vars, rng):
-            rng1, rng2 = jax.random.split(rng)
-            out = model.apply(variables, batch.images, batch.img_hw)
+            rng1, rng2, rng3 = jax.random.split(rng, 3)
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=not stoch_bb,
+                              rngs={"dropout": rng3} if stoch_bb else None)
             losses = rpn_loss(out.rpn, batch.gt_bboxes, batch.gt_valid,
                               batch.img_hw, rng1, rpn_cfg)
             props, _, valid = rpn_proposals(out.rpn, batch.img_hw,

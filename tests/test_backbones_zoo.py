@@ -155,3 +155,22 @@ def test_efficientnet_drop_path():
     # relative to the signal scale
     diff = np.abs(np.asarray(t1) - np.asarray(t2)).max()
     assert diff > 0.01 * np.abs(np.asarray(t1)).max()
+
+
+def test_pvt_drop_path_and_v1_protocol():
+    """PVT v1: stochastic depth at train (pvt.py:426 default 0.1), no
+    per-stage out-norm (norm_after_stage=False -> Identity, pvt.py:519)."""
+    from dskd_tpu.models.pvt import PVT
+    m = PVT(arch="tiny", drop_path_rate=0.5)
+    x = jnp.ones((2, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert not any(k.startswith("out_norm") for k in v["params"])
+    e1 = m.apply(v, x)[-1]
+    e2 = m.apply(v, x)[-1]
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2))
+    t1 = m.apply(v, x, deterministic=False,
+                 rngs={"dropout": jax.random.PRNGKey(1)})[-1]
+    t2 = m.apply(v, x, deterministic=False,
+                 rngs={"dropout": jax.random.PRNGKey(2)})[-1]
+    diff = np.abs(np.asarray(t1) - np.asarray(t2)).max()
+    assert diff > 0.01 * np.abs(np.asarray(t1)).max()

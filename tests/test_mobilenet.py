@@ -44,3 +44,14 @@ def test_frozen_stages_stop_gradients():
     g_live = grads["stage7_block0"]["project"]["kernel"]
     assert float(jnp.abs(g_frozen).max()) == 0.0
     assert float(jnp.abs(g_live).max()) > 0.0
+
+
+def test_mobilenet_conv2_1280_tap():
+    """Index 7 taps the trailing 1x1 ReLU6 conv to 1280 ch (reference
+    mobilenet_v2.py:121-136, the ssdlite (4, 7) recipe)."""
+    model = MobileNetV2(out_indices=(4, 7))
+    x = jnp.zeros((1, 64, 64, 3))
+    v = model.init(jax.random.PRNGKey(0), x)
+    outs = model.apply(v, x)
+    assert outs[0].shape == (1, 4, 4, 96)
+    assert outs[1].shape == (1, 2, 2, 1280)

@@ -57,3 +57,21 @@ def test_swin_shifted_blocks_change_output():
     g = jax.grad(f)(vars_["params"])
     gb = g["stage0_block1"]["attn"]["rel_bias"]
     assert float(jnp.abs(gb).max()) > 0
+
+
+def test_swin_drop_path_stochastic_train_identity_eval():
+    """Stochastic depth (reference swin.py:540 drop_path_rate, detection
+    recipes 0.2): per-sample residual drops at train, identity at eval."""
+    model = SwinTransformer(arch="tiny", out_indices=(3,),
+                            drop_path_rate=0.5)
+    x = jnp.ones((2, 56, 56, 3))
+    v = model.init(jax.random.PRNGKey(0), x)
+    e1 = model.apply(v, x)[-1]
+    e2 = model.apply(v, x)[-1]
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2))
+    t1 = model.apply(v, x, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(1)})[-1]
+    t2 = model.apply(v, x, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(2)})[-1]
+    diff = np.abs(np.asarray(t1) - np.asarray(t2)).max()
+    assert diff > 0.01 * np.abs(np.asarray(t1)).max()
