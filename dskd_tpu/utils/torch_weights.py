@@ -350,3 +350,88 @@ def load_mmdet_retinanet_state_dict(variables, state, depth: int = 50,
     variables["batch_stats"] = _merge(variables.get("batch_stats", {}),
                                       stats)
     return variables
+
+
+SWIN_DEPTHS = {"tiny": (2, 2, 6, 2), "small": (2, 2, 18, 2),
+               "base": (2, 2, 18, 2)}
+
+
+def convert_mmdet_swin(state, arch: str = "tiny",
+                       out_indices=(0, 1, 2, 3)):
+    """mmdet SwinTransformer state_dict (backbone.-stripped keys) ->
+    flax params for models/swin.SwinTransformer.
+
+    Key map (mmdet swin.py module tree):
+      patch_embed.projection/.norm      -> patch_embed / patch_norm
+      stages.{s}.blocks.{b}.norm1/2     -> stage{s}_block{b}.norm1/2
+      ...attn.w_msa.qkv|proj            -> ...attn.qkv|proj (Linear -> Dense
+                                           kernel transpose)
+      ...attn.w_msa.relative_position_bias_table -> ...attn.rel_bias
+         (the static _rel_pos_index reproduces relative_position_index,
+          so the table maps verbatim — verified numerically in
+          tests/test_swin_convert.py)
+      ...ffn.layers.0.0 / layers.1      -> mlp_fc1 / mlp_fc2
+      stages.{s}.downsample.norm/reduction -> merge{s+1} (mmdet merges at
+         the END of stage s; this module merges entering stage s+1 —
+         same op, and PatchMerging's channel order matches nn.Unfold's
+         c*4 + (kh*2+kw) layout, models/swin.py:139-144)
+      norm{i} (per out_index)           -> out_norm{i}
+    """
+    g = lambda k: _to_np(state[k])
+
+    def ln(base):
+        return {"scale": g(base + ".weight"), "bias": g(base + ".bias")}
+
+    def dense(base, bias=True):
+        d = {"kernel": g(base + ".weight").T}
+        if bias:
+            d["bias"] = g(base + ".bias")
+        return d
+
+    p = {
+        "patch_embed": {
+            "kernel": g("patch_embed.projection.weight").transpose(
+                2, 3, 1, 0),
+            "bias": g("patch_embed.projection.bias")},
+        "patch_norm": ln("patch_embed.norm"),
+    }
+    for si, d in enumerate(SWIN_DEPTHS[arch]):
+        if si > 0:
+            ds = f"stages.{si - 1}.downsample"
+            p[f"merge{si}"] = {
+                "norm": ln(ds + ".norm"),
+                "reduction": dense(ds + ".reduction", bias=False)}
+        for b in range(d):
+            base = f"stages.{si}.blocks.{b}"
+            p[f"stage{si}_block{b}"] = {
+                "norm1": ln(base + ".norm1"),
+                "norm2": ln(base + ".norm2"),
+                "attn": {
+                    "qkv": dense(base + ".attn.w_msa.qkv"),
+                    "proj": dense(base + ".attn.w_msa.proj"),
+                    "rel_bias": g(
+                        base + ".attn.w_msa.relative_position_bias_table"),
+                },
+                "mlp_fc1": dense(base + ".ffn.layers.0.0"),
+                "mlp_fc2": dense(base + ".ffn.layers.1"),
+            }
+    for i in out_indices:
+        p[f"out_norm{i}"] = ln(f"norm{i}")
+    return p
+
+
+def load_mmdet_swin_state_dict(variables, state, arch: str = "tiny",
+                               strict: bool = True,
+                               backbone_prefix: str = "backbone."):
+    """Strict-load an mmdet swin checkpoint's backbone into initialized
+    models/swin.SwinTransformer variables. ``state`` may be a full
+    detector state_dict — only ``backbone_prefix`` keys are read."""
+    bstate = {k[len(backbone_prefix):]: v for k, v in state.items()
+              if k.startswith(backbone_prefix)} or state
+    params = convert_mmdet_swin(bstate, arch=arch)
+    variables = dict(variables)
+    if strict:
+        _assert_subtree(variables["params"], params, path="params")
+        _assert_full_coverage(variables["params"], params, path="params")
+    variables["params"] = _merge(variables["params"], params)
+    return variables
