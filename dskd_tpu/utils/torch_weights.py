@@ -435,3 +435,84 @@ def load_mmdet_swin_state_dict(variables, state, arch: str = "tiny",
         _assert_full_coverage(variables["params"], params, path="params")
     variables["params"] = _merge(variables["params"], params)
     return variables
+
+
+def convert_mmdet_faster_rcnn(state, depth: int = 50,
+                              num_fpn_levels: int = 4):
+    """mmdet Faster R-CNN (R50-FPN, Shared2FCBBoxHead) state_dict ->
+    (params, batch_stats) for models/faster_rcnn.FasterRCNN.
+
+    Layout (two_stage.py + standard_roi_head.py):
+      backbone.*                       -> backbone (resnet converter)
+      neck.lateral_convs/fpn_convs     -> neck.lateral{i}/fpn_conv{i}
+                                          (P6 is parameter-free maxpool)
+      rpn_head.rpn_conv|rpn_cls|rpn_reg-> rpn_head.*
+      roi_head.bbox_head.shared_fcs.{0,1} -> roi_bbox_head.shared_fc{0,1}
+         shared_fcs.0 eats the FLATTENED 7x7x256 RoI: torch flattens
+         NCHW (channel slowest... fastest varies) as (C, H, W) with W
+         fastest; this framework flattens NHWC with C fastest — the fc0
+         kernel is permuted (1024, C, 7, 7) -> (7, 7, C, 1024)
+      roi_head.bbox_head.fc_cls|fc_reg -> roi_bbox_head.fc_cls|fc_reg
+         (mmdet class layout: C classes then background LAST, reg per
+          class 4c:4c+4 — both conventions shared by this framework)
+    """
+    bb = {k[len("backbone."):]: v for k, v in state.items()
+          if k.startswith("backbone.")}
+    p_bb, s_bb = convert_resnet_state_dict(bb, depth=depth)
+    params = {"backbone": p_bb}
+    stats = {"backbone": s_bb}
+
+    def conv(dst_tree, dst, src):
+        dst_tree[dst] = {
+            "kernel": _to_np(state[src + ".weight"]).transpose(2, 3, 1, 0),
+            "bias": _to_np(state[src + ".bias"])}
+
+    neck = {}
+    for i in range(num_fpn_levels):
+        conv(neck, f"lateral{i}", f"neck.lateral_convs.{i}.conv")
+        conv(neck, f"fpn_conv{i}", f"neck.fpn_convs.{i}.conv")
+    params["neck"] = neck
+
+    rpn = {}
+    conv(rpn, "rpn_conv", "rpn_head.rpn_conv")
+    conv(rpn, "rpn_cls", "rpn_head.rpn_cls")
+    conv(rpn, "rpn_reg", "rpn_head.rpn_reg")
+    params["rpn_head"] = rpn
+
+    def dense(src):
+        return {"kernel": _to_np(state[src + ".weight"]).T,
+                "bias": _to_np(state[src + ".bias"])}
+
+    fc0w = _to_np(state["roi_head.bbox_head.shared_fcs.0.weight"])
+    C = fc0w.shape[1] // 49
+    roi = {
+        "shared_fc0": {
+            "kernel": fc0w.reshape(-1, C, 7, 7).transpose(
+                2, 3, 1, 0).reshape(7 * 7 * C, -1),
+            "bias": _to_np(state["roi_head.bbox_head.shared_fcs.0.bias"])},
+        "shared_fc1": dense("roi_head.bbox_head.shared_fcs.1"),
+        "fc_cls": dense("roi_head.bbox_head.fc_cls"),
+        "fc_reg": dense("roi_head.bbox_head.fc_reg"),
+    }
+    params["roi_bbox_head"] = roi
+    return params, stats
+
+
+def load_mmdet_faster_rcnn_state_dict(variables, state, depth: int = 50,
+                                      strict: bool = True):
+    """Strict-load an mmdet Faster R-CNN checkpoint into initialized
+    models/faster_rcnn.FasterRCNN variables (init via init_all so the
+    ROI head exists in the tree)."""
+    params, stats = convert_mmdet_faster_rcnn(state, depth=depth)
+    variables = dict(variables)
+    if strict:
+        _assert_subtree(variables["params"], params, path="params")
+        _assert_subtree(variables.get("batch_stats", {}), stats,
+                        path="batch_stats")
+        _assert_full_coverage(variables["params"], params, path="params")
+        _assert_full_coverage(variables.get("batch_stats", {}), stats,
+                              path="batch_stats")
+    variables["params"] = _merge(variables["params"], params)
+    variables["batch_stats"] = _merge(variables.get("batch_stats", {}),
+                                      stats)
+    return variables
