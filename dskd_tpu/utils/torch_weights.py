@@ -516,3 +516,51 @@ def load_mmdet_faster_rcnn_state_dict(variables, state, depth: int = 50,
     variables["batch_stats"] = _merge(variables.get("batch_stats", {}),
                                       stats)
     return variables
+
+
+def convert_mmdet_mask_rcnn(state, depth: int = 50, num_mask_convs: int = 4):
+    """mmdet Mask R-CNN state_dict -> (params, batch_stats) for
+    models/mask_rcnn.MaskRCNN: the Faster R-CNN mapping plus the FCN mask
+    head (fcn_mask_head.py: convs.{i}, upsample ConvTranspose2d 2x2/2,
+    conv_logits). Torch deconv weights are (in, out, kh, kw); flax
+    ConvTranspose kernels are (kh, kw, in, out) AND spatially mirrored
+    relative to torch (lax.conv_transpose keeps transpose_kernel=False),
+    so the mapping is transpose(2,3,0,1) + a (kh, kw) flip — verified by
+    the torch oracle in tests/test_mask_rcnn_convert.py."""
+    params, stats = convert_mmdet_faster_rcnn(state, depth=depth)
+
+    def conv(dst_tree, dst, src):
+        dst_tree[dst] = {
+            "kernel": _to_np(state[src + ".weight"]).transpose(2, 3, 1, 0),
+            "bias": _to_np(state[src + ".bias"])}
+
+    mh = {}
+    for i in range(num_mask_convs):
+        conv(mh, f"conv{i}", f"roi_head.mask_head.convs.{i}.conv")
+    mh["upsample"] = {
+        "kernel": _to_np(
+            state["roi_head.mask_head.upsample.weight"]).transpose(
+            2, 3, 0, 1)[::-1, ::-1].copy(),
+        "bias": _to_np(state["roi_head.mask_head.upsample.bias"])}
+    conv(mh, "logits", "roi_head.mask_head.conv_logits")
+    params["mask_head"] = mh
+    return params, stats
+
+
+def load_mmdet_mask_rcnn_state_dict(variables, state, depth: int = 50,
+                                    strict: bool = True):
+    """Strict-load an mmdet Mask R-CNN checkpoint into initialized
+    models/mask_rcnn.MaskRCNN variables (init via init_all)."""
+    params, stats = convert_mmdet_mask_rcnn(state, depth=depth)
+    variables = dict(variables)
+    if strict:
+        _assert_subtree(variables["params"], params, path="params")
+        _assert_subtree(variables.get("batch_stats", {}), stats,
+                        path="batch_stats")
+        _assert_full_coverage(variables["params"], params, path="params")
+        _assert_full_coverage(variables.get("batch_stats", {}), stats,
+                              path="batch_stats")
+    variables["params"] = _merge(variables["params"], params)
+    variables["batch_stats"] = _merge(variables.get("batch_stats", {}),
+                                      stats)
+    return variables
