@@ -564,3 +564,69 @@ def load_mmdet_mask_rcnn_state_dict(variables, state, depth: int = 50,
     variables["batch_stats"] = _merge(variables.get("batch_stats", {}),
                                       stats)
     return variables
+
+
+def convert_mmdet_gfl(state, depth: int = 50, stacked_convs: int = 4,
+                      num_levels: int = 5):
+    """mmdet GFL (R50-FPN, gfl_head.py) state_dict -> (params,
+    batch_stats) for models/gfl.GFL — also the LD student/teacher layout
+    (configs/gfl, configs/ld). FPN is start_level=1 with 'on_output'
+    extras (fpn_convs.3/4 here named extra_conv{j}); the head towers are
+    conv+GN(32) ConvModules, the reg output carries a per-level scalar
+    Scale (scales.{i}.scale)."""
+    bb = {k[len("backbone."):]: v for k, v in state.items()
+          if k.startswith("backbone.")}
+    p_bb, s_bb = convert_resnet_state_dict(bb, depth=depth)
+    params = {"backbone": p_bb}
+    stats = {"backbone": s_bb}
+
+    def conv(dst_tree, dst, src, bias=True):
+        d = {"kernel": _to_np(
+            state[src + ".weight"]).transpose(2, 3, 1, 0)}
+        if bias:
+            d["bias"] = _to_np(state[src + ".bias"])
+        dst_tree[dst] = d
+
+    neck = {}
+    n_lat = 3
+    for i in range(n_lat):
+        conv(neck, f"lateral{i}", f"neck.lateral_convs.{i}.conv")
+        conv(neck, f"fpn_conv{i}", f"neck.fpn_convs.{i}.conv")
+    for j in range(num_levels - n_lat):
+        conv(neck, f"extra_conv{j}", f"neck.fpn_convs.{n_lat + j}.conv")
+    params["neck"] = neck
+
+    head = {}
+    for i in range(stacked_convs):
+        for prefix, src in (("cls", "cls_convs"), ("reg", "reg_convs")):
+            conv(head, f"{prefix}_conv{i}",
+                 f"bbox_head.{src}.{i}.conv", bias=False)
+            head[f"{prefix}_gn{i}"] = {
+                "scale": _to_np(state[f"bbox_head.{src}.{i}.gn.weight"]),
+                "bias": _to_np(state[f"bbox_head.{src}.{i}.gn.bias"])}
+    conv(head, "gfl_cls", "bbox_head.gfl_cls")
+    conv(head, "gfl_reg", "bbox_head.gfl_reg")
+    for lvl in range(num_levels):
+        head[f"scale{lvl}"] = {
+            "scale": _to_np(state[f"bbox_head.scales.{lvl}.scale"])}
+    params["bbox_head"] = head
+    return params, stats
+
+
+def load_mmdet_gfl_state_dict(variables, state, depth: int = 50,
+                              strict: bool = True):
+    """Strict-load an mmdet GFL checkpoint into initialized
+    models/gfl.GFL variables."""
+    params, stats = convert_mmdet_gfl(state, depth=depth)
+    variables = dict(variables)
+    if strict:
+        _assert_subtree(variables["params"], params, path="params")
+        _assert_subtree(variables.get("batch_stats", {}), stats,
+                        path="batch_stats")
+        _assert_full_coverage(variables["params"], params, path="params")
+        _assert_full_coverage(variables.get("batch_stats", {}), stats,
+                              path="batch_stats")
+    variables["params"] = _merge(variables["params"], params)
+    variables["batch_stats"] = _merge(variables.get("batch_stats", {}),
+                                      stats)
+    return variables

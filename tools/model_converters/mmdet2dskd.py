@@ -113,11 +113,15 @@ def main():
         variables = tw.load_mmdet_mask_rcnn_state_dict(
             variables, state, depth=cfg.model.depth, strict=True)
         converted = "Mask R-CNN (full)"
+    elif arch in ("gfl", "ld"):
+        variables = tw.load_mmdet_gfl_state_dict(
+            variables, state, depth=cfg.model.depth, strict=True)
+        converted = "GFL (full)"
     else:
         raise SystemExit(
             f"no weight converter for arch {arch!r} yet — supported: "
             f"gfl_deformable_detr/deformable_detr_il, retinanet, "
-            f"faster_rcnn, mask_rcnn, or --backbone-only for swin "
+            f"faster_rcnn, mask_rcnn, gfl/ld, or --backbone-only for swin "
             f"backbones. The imported config at {cfg_out} still works "
             f"for from-scratch training.")
 
