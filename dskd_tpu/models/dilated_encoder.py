@@ -36,14 +36,14 @@ class Bottleneck(nn.Module):
         # init parity (dilated_encoder.py:99-101): block convs Normal(0.01)
         n01 = nn.initializers.normal(0.01)
         y = nn.Conv(self.mid_channels, (1, 1), kernel_init=n01,
-                    name="conv1")(x)
+                    use_bias=False, name="conv1")(x)
         y = nn.relu(TrainableBatchNorm(name="bn1")(y, train))
         y = nn.Conv(self.mid_channels, (3, 3),
                     kernel_dilation=(d, d), padding=[(d, d), (d, d)],
-                    kernel_init=n01, name="conv2")(y)
+                    kernel_init=n01, use_bias=False, name="conv2")(y)
         y = nn.relu(TrainableBatchNorm(name="bn2")(y, train))
         y = nn.Conv(self.out_channels, (1, 1), kernel_init=n01,
-                    name="conv3")(y)
+                    use_bias=False, name="conv3")(y)
         y = nn.relu(TrainableBatchNorm(name="bn3")(y, train))
         return y + identity
 

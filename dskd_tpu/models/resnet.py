@@ -136,21 +136,27 @@ class Bottleneck(nn.Module):
     # width = floor(planes * base_width / 64) * groups
     groups: int = 1
     base_width: int = 64
+    # mmdet resnet.py style: 'pytorch' strides conv2 (3x3), 'caffe'
+    # strides conv1 (1x1) — the detectron-lineage recipes (YOLOF,
+    # *_caffe configs) ship caffe-style checkpoints
+    style: str = "pytorch"
 
     @nn.compact
     def __call__(self, x):
         conv, make_norm = _make_layers(self.norm, self.ws)
         identity = x
         width = (self.planes * self.base_width // 64) * self.groups
-        out = conv(width, (1, 1), name="conv1")(x)
+        s1, s2 = ((self.stride, 1) if self.style == "caffe"
+                  else (1, self.stride))
+        out = conv(width, (1, 1), strides=(s1, s1), name="conv1")(x)
         out = nn.relu(make_norm("bn1")(out))
         if self.dcn:
             from ..ops.deform_conv import DeformConv2d
             out = DeformConv2d(width, kernel_size=3,
-                               stride=self.stride, padding=1,
+                               stride=s2, padding=1,
                                modulated=True, name="conv2")(out)
         else:
-            out = conv(width, (3, 3), strides=(self.stride, self.stride),
+            out = conv(width, (3, 3), strides=(s2, s2),
                        padding=[(1, 1), (1, 1)],
                        feature_group_count=self.groups,
                        name="conv2")(out)
@@ -204,6 +210,8 @@ class ResNet(nn.Module):
     # resnext50_32x4d / resnext101_32x4d; groups=1 == plain ResNet
     groups: int = 1
     base_width: int = 64
+    # 'pytorch' | 'caffe' stride placement (Bottleneck only)
+    style: str = "pytorch"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
@@ -234,7 +242,8 @@ class ResNet(nn.Module):
                 if block is Bottleneck:
                     kw.update(groups=self.groups,
                               base_width=self.base_width,
-                              norm=self.norm, ws=self.ws)
+                              norm=self.norm, ws=self.ws,
+                              style=self.style)
                     if (i < len(self.gen_attn_stages)
                             and self.gen_attn_stages[i]):
                         kw.update(gen_attn=True,

@@ -40,8 +40,10 @@ class YOLOF(nn.Module):
     def __call__(self, images: jnp.ndarray, img_hw: jnp.ndarray,
                  deterministic: bool = True) -> YOLOFOutputs:
         train = not deterministic
+        # the YOLOF recipe ships a detectron caffe-style R50 (stride on
+        # the bottleneck 1x1, configs/yolof/yolof_r50_c5_8x8_1x_coco.py:15)
         feats = ResNet(depth=self.depth, out_indices=(3,),
-                       frozen_stages=self.frozen_stages,
+                       frozen_stages=self.frozen_stages, style="caffe",
                        name="backbone")(images)
         neck = DilatedEncoder(name="neck")(feats, train=train)
         head = YOLOFHead(num_classes=self.num_classes,

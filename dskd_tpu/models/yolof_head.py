@@ -51,7 +51,7 @@ class YOLOFHead(nn.Module):
         for i in range(self.num_cls_convs):
             x = nn.Conv(self.in_channels, (3, 3), padding=[(1, 1), (1, 1)],
                         kernel_init=nn.initializers.normal(0.01),
-                        name=f"cls_conv{i}")(x)
+                        use_bias=False, name=f"cls_conv{i}")(x)
             x = nn.relu(TrainableBatchNorm(name=f"cls_bn{i}")(x, train))
         cls_score = nn.Conv(
             A * C, (3, 3), padding=[(1, 1), (1, 1)],
@@ -64,7 +64,7 @@ class YOLOFHead(nn.Module):
         for i in range(self.num_reg_convs):
             y = nn.Conv(self.in_channels, (3, 3), padding=[(1, 1), (1, 1)],
                         kernel_init=nn.initializers.normal(0.01),
-                        name=f"reg_conv{i}")(y)
+                        use_bias=False, name=f"reg_conv{i}")(y)
             y = nn.relu(TrainableBatchNorm(name=f"reg_bn{i}")(y, train))
         bbox_pred = nn.Conv(A * 4, (3, 3), padding=[(1, 1), (1, 1)],
                             kernel_init=nn.initializers.normal(0.01),

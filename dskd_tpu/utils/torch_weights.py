@@ -630,3 +630,200 @@ def load_mmdet_gfl_state_dict(variables, state, depth: int = 50,
     variables["batch_stats"] = _merge(variables.get("batch_stats", {}),
                                       stats)
     return variables
+
+
+def convert_mmdet_detr(state, depth: int = 50, num_heads: int = 8):
+    """mmdet vanilla DETR state_dict -> (params, batch_stats) for
+    models/detr.DETR (also the DETR_il starting point: the fork's DETR-IL
+    loads a vanilla-DETR task-0 checkpoint before incremental tasks).
+
+    Layout (detr_head.py + mmcv DetrTransformer):
+      backbone.*                           -> backbone (C5 only)
+      bbox_head.input_proj                 -> input_proj (1x1 conv)
+      bbox_head.query_embedding.weight     -> query_embedding
+      bbox_head.transformer.encoder.layers.{i}:
+        attentions.0.attn (torch MHA)      -> encoder_layer{i}.self_attn.attn
+        ffns.0.layers.0.0 / layers.1       -> .ffn.fc1/fc2
+        norms.0 / norms.1                  -> .norm1/.norm2
+      decoder layers add attentions.1 (cross) and norms.2; decoder
+      post_norm -> post_norm
+      bbox_head.fc_cls                     -> fc_cls (C+1, bg LAST)
+      bbox_head.reg_ffn.layers.0.0/.1      -> reg_ffn0/reg_ffn1
+      bbox_head.fc_reg                     -> fc_reg
+    """
+    params: Dict[str, Any] = {}
+
+    def put(tree, path, val):
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = val
+
+    def linear(dst, src):
+        put(params, dst + ("kernel",), _to_np(state[src + ".weight"]).T)
+        if src + ".bias" in state:
+            put(params, dst + ("bias",), _to_np(state[src + ".bias"]))
+
+    def norm(dst, src):
+        put(params, dst + ("scale",), _to_np(state[src + ".weight"]))
+        put(params, dst + ("bias",), _to_np(state[src + ".bias"]))
+
+    def mha(dst, src, C):
+        H = num_heads
+        Dh = C // H
+        w = _to_np(state[src + ".in_proj_weight"])
+        b = _to_np(state[src + ".in_proj_bias"])
+        for i, name in enumerate(("query", "key", "value")):
+            put(params, dst + (name, "kernel"),
+                w[i * C:(i + 1) * C].T.reshape(C, H, Dh))
+            put(params, dst + (name, "bias"),
+                b[i * C:(i + 1) * C].reshape(H, Dh))
+        ow = _to_np(state[src + ".out_proj.weight"])
+        put(params, dst + ("out", "kernel"), ow.T.reshape(H, Dh, C))
+        put(params, dst + ("out", "bias"),
+            _to_np(state[src + ".out_proj.bias"]))
+
+    bstate = {k[len("backbone."):]: v for k, v in state.items()
+              if k.startswith("backbone.")}
+    p_bb, s_bb = convert_resnet_state_dict(bstate, depth=depth)
+    params["backbone"] = p_bb
+    stats = {"backbone": s_bb}
+
+    put(params, ("input_proj", "kernel"),
+        _to_np(state["bbox_head.input_proj.weight"]).transpose(2, 3, 1, 0))
+    put(params, ("input_proj", "bias"),
+        _to_np(state["bbox_head.input_proj.bias"]))
+    params["query_embedding"] = _to_np(
+        state["bbox_head.query_embedding.weight"])
+
+    C = params["query_embedding"].shape[-1]
+    tsrc = "bbox_head.transformer"
+    i = 0
+    while f"{tsrc}.encoder.layers.{i}.norms.0.weight" in state:
+        src = f"{tsrc}.encoder.layers.{i}"
+        lyr = (f"encoder_layer{i}",)
+        mha(lyr + ("self_attn", "attn"), f"{src}.attentions.0.attn", C)
+        linear(lyr + ("ffn", "fc1"), f"{src}.ffns.0.layers.0.0")
+        linear(lyr + ("ffn", "fc2"), f"{src}.ffns.0.layers.1")
+        norm(lyr + ("norm1",), f"{src}.norms.0")
+        norm(lyr + ("norm2",), f"{src}.norms.1")
+        i += 1
+    i = 0
+    while f"{tsrc}.decoder.layers.{i}.norms.0.weight" in state:
+        src = f"{tsrc}.decoder.layers.{i}"
+        lyr = (f"decoder_layer{i}",)
+        mha(lyr + ("self_attn", "attn"), f"{src}.attentions.0.attn", C)
+        mha(lyr + ("cross_attn", "attn"), f"{src}.attentions.1.attn", C)
+        linear(lyr + ("ffn", "fc1"), f"{src}.ffns.0.layers.0.0")
+        linear(lyr + ("ffn", "fc2"), f"{src}.ffns.0.layers.1")
+        norm(lyr + ("norm1",), f"{src}.norms.0")
+        norm(lyr + ("norm2",), f"{src}.norms.1")
+        norm(lyr + ("norm3",), f"{src}.norms.2")
+        i += 1
+    norm(("post_norm",), f"{tsrc}.decoder.post_norm")
+
+    linear(("fc_cls",), "bbox_head.fc_cls")
+    linear(("reg_ffn0",), "bbox_head.reg_ffn.layers.0.0")
+    linear(("reg_ffn1",), "bbox_head.reg_ffn.layers.1")
+    linear(("fc_reg",), "bbox_head.fc_reg")
+    return params, stats
+
+
+def load_mmdet_detr_state_dict(variables, state, depth: int = 50,
+                               strict: bool = True):
+    """Strict-load an mmdet vanilla-DETR checkpoint into initialized
+    models/detr.DETR variables."""
+    params, stats = convert_mmdet_detr(state, depth=depth)
+    variables = dict(variables)
+    if strict:
+        _assert_subtree(variables["params"], params, path="params")
+        _assert_subtree(variables.get("batch_stats", {}), stats,
+                        path="batch_stats")
+        _assert_full_coverage(variables["params"], params, path="params")
+        _assert_full_coverage(variables.get("batch_stats", {}), stats,
+                              path="batch_stats")
+    variables["params"] = _merge(variables["params"], params)
+    variables["batch_stats"] = _merge(variables.get("batch_stats", {}),
+                                      stats)
+    return variables
+
+
+def convert_mmdet_yolof(state, depth: int = 50, num_cls_convs: int = 2,
+                        num_reg_convs: int = 4, num_blocks: int = 4):
+    """mmdet YOLOF state_dict -> (params, batch_stats) for
+    models/yolof.YOLOF (necks/dilated_encoder.py + yolof_head.py layout).
+    The backbone is the detectron caffe-style R50 — models/resnet.py
+    applies the matching style='caffe' stride placement, so converted
+    weights compute the same stride blocks."""
+    bb = {k[len("backbone."):]: v for k, v in state.items()
+          if k.startswith("backbone.")}
+    p_bb, s_bb = convert_resnet_state_dict(bb, depth=depth)
+    params = {"backbone": p_bb}
+    stats = {"backbone": s_bb}
+
+    def conv(dst_tree, dst, src, bias=True):
+        d = {"kernel": _to_np(
+            state[src + ".weight"]).transpose(2, 3, 1, 0)}
+        if bias:
+            d["bias"] = _to_np(state[src + ".bias"])
+        dst_tree[dst] = d
+
+    def bn(p_tree, s_tree, dst, src):
+        # TrainableBatchNorm wraps flax BatchNorm under 'bn'
+        p_tree[dst] = {"bn": {
+            "scale": _to_np(state[src + ".weight"]),
+            "bias": _to_np(state[src + ".bias"])}}
+        s_tree[dst] = {"bn": {
+            "mean": _to_np(state[src + ".running_mean"]),
+            "var": _to_np(state[src + ".running_var"])}}
+
+    neck_p, neck_s = {}, {}
+    conv(neck_p, "lateral_conv", "neck.lateral_conv")
+    bn(neck_p, neck_s, "lateral_norm", "neck.lateral_norm")
+    conv(neck_p, "fpn_conv", "neck.fpn_conv")
+    bn(neck_p, neck_s, "fpn_norm", "neck.fpn_norm")
+    for i in range(num_blocks):
+        blk_p, blk_s = {}, {}
+        src = f"neck.dilated_encoder_blocks.{i}"
+        for c in (1, 2, 3):
+            conv(blk_p, f"conv{c}", f"{src}.conv{c}.conv", bias=False)
+            bn(blk_p, blk_s, f"bn{c}", f"{src}.conv{c}.bn")
+        neck_p[f"dilated_block{i}"] = blk_p
+        neck_s[f"dilated_block{i}"] = blk_s
+    params["neck"] = neck_p
+    stats["neck"] = neck_s
+
+    head_p, head_s = {}, {}
+    for i in range(num_cls_convs):
+        conv(head_p, f"cls_conv{i}", f"bbox_head.cls_subnet.{i}.conv",
+             bias=False)
+        bn(head_p, head_s, f"cls_bn{i}", f"bbox_head.cls_subnet.{i}.bn")
+    for i in range(num_reg_convs):
+        conv(head_p, f"reg_conv{i}", f"bbox_head.bbox_subnet.{i}.conv",
+             bias=False)
+        bn(head_p, head_s, f"reg_bn{i}", f"bbox_head.bbox_subnet.{i}.bn")
+    conv(head_p, "cls_score", "bbox_head.cls_score")
+    conv(head_p, "bbox_pred", "bbox_head.bbox_pred")
+    conv(head_p, "object_pred", "bbox_head.object_pred")
+    params["bbox_head"] = head_p
+    stats["bbox_head"] = head_s
+    return params, stats
+
+
+def load_mmdet_yolof_state_dict(variables, state, depth: int = 50,
+                                strict: bool = True):
+    """Strict-load an mmdet YOLOF checkpoint into initialized
+    models/yolof.YOLOF variables."""
+    params, stats = convert_mmdet_yolof(state, depth=depth)
+    variables = dict(variables)
+    if strict:
+        _assert_subtree(variables["params"], params, path="params")
+        _assert_subtree(variables.get("batch_stats", {}), stats,
+                        path="batch_stats")
+        _assert_full_coverage(variables["params"], params, path="params")
+        _assert_full_coverage(variables.get("batch_stats", {}), stats,
+                              path="batch_stats")
+    variables["params"] = _merge(variables["params"], params)
+    variables["batch_stats"] = _merge(variables.get("batch_stats", {}),
+                                      stats)
+    return variables

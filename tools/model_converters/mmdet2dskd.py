@@ -117,11 +117,19 @@ def main():
         variables = tw.load_mmdet_gfl_state_dict(
             variables, state, depth=cfg.model.depth, strict=True)
         converted = "GFL (full)"
+    elif arch == "detr":
+        variables = tw.load_mmdet_detr_state_dict(
+            variables, state, depth=cfg.model.depth, strict=True)
+        converted = "DETR (full)"
+    elif arch == "yolof":
+        variables = tw.load_mmdet_yolof_state_dict(
+            variables, state, depth=cfg.model.depth, strict=True)
+        converted = "YOLOF (full)"
     else:
         raise SystemExit(
             f"no weight converter for arch {arch!r} yet — supported: "
             f"gfl_deformable_detr/deformable_detr_il, retinanet, "
-            f"faster_rcnn, mask_rcnn, gfl/ld, or --backbone-only for swin "
+            f"faster_rcnn, mask_rcnn, gfl/ld, detr, yolof, or --backbone-only for swin "
             f"backbones. The imported config at {cfg_out} still works "
             f"for from-scratch training.")
 
