@@ -1,7 +1,12 @@
 #!/usr/bin/env python
 """Inference throughput benchmark (parity:
 tools/analysis_tools/benchmark.py — warmup + synchronized steady-state
-timing; here with jax.block_until_ready instead of cuda synchronize).
+timing; here synchronized by a host scalar fetch, which — unlike
+block_until_ready — drains the axon tunnel's dispatch queue).
+
+Any driveable config benches through the same family-dispatched eval
+step the evaluator and the StableHLO exporter use, so the timed program
+IS the deployed inference program (model forward + decode + NMS).
 """
 import os
 import sys
@@ -11,13 +16,22 @@ import argparse
 import time
 
 
+def parse_size(s: str):
+    """'640' -> (640, 640); '800x1344' -> (800, 1344) as (H, W)."""
+    if "x" in s:
+        h, w = s.split("x")
+        return int(h), int(w)
+    return int(s), int(s)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("config", nargs="?", default=None)
     parser.add_argument("--batch", type=int, default=1)
     parser.add_argument("--iters", type=int, default=200)
     parser.add_argument("--warmup", type=int, default=5)
-    parser.add_argument("--size", type=int, default=640)
+    parser.add_argument("--size", default="640",
+                        help="square int or HxW (e.g. 800x1344)")
     parser.add_argument("--dtype", default="f32", choices=("f32", "bf16"))
     args = parser.parse_args()
 
@@ -25,24 +39,28 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from dskd_tpu.models.gfl_detr_head import get_bboxes
-
     if args.config:
-        from dskd_tpu.train.incremental import build_model
+        from dskd_tpu.train.incremental import build_model, init_variables
         from dskd_tpu.utils.config import load_config
         cfg = load_config(args.config)
         model = build_model(cfg)
+        arch = cfg.model.arch
         reg_max = cfg.model.reg_max
     else:
         from dskd_tpu.models.detector import GFLDeformableDETR
         # inference has no backward: remat wrappers only cost fusion
         model = GFLDeformableDETR(remat=False)
+        arch = "gfl_deformable_detr"
         reg_max = 16
 
-    B, S = args.batch, args.size
-    images = jnp.zeros((B, S, S, 3), jnp.float32)
-    img_hw = jnp.asarray(np.tile([[S, S]], (B, 1)).astype(np.int32))
-    variables = model.init(jax.random.PRNGKey(0), images[:1], img_hw[:1])
+    B, (H, W) = args.batch, parse_size(args.size)
+    images = jnp.zeros((B, H, W, 3), jnp.float32)
+    img_hw = jnp.asarray(np.tile([[H, W]], (B, 1)).astype(np.int32))
+    if args.config:
+        variables = init_variables(model, cfg, jax.random.PRNGKey(0))
+    else:
+        variables = model.init(jax.random.PRNGKey(0), images[:1],
+                               img_hw[:1])
     if args.dtype == "bf16":
         cast = lambda t: jax.tree.map(
             lambda x: x.astype(jnp.bfloat16)
@@ -52,13 +70,13 @@ def main():
         variables = cast(variables)
         images = images.astype(jnp.bfloat16)
 
-    @jax.jit
+    from dskd_tpu.eval.evaluator import make_eval_step
+    eval_step = make_eval_step(model, reg_max=reg_max, max_per_img=100,
+                               arch=arch)
+    sf = jnp.ones((B, 4), jnp.float32)
+
     def infer(images, img_hw):
-        out = model.apply(variables, images, img_hw, deterministic=True)
-        det = get_bboxes(out.head.cls_scores[-1].astype(jnp.float32),
-                         out.head.bbox_preds[-1].astype(jnp.float32),
-                         img_hw, reg_max=reg_max, max_per_img=100)
-        return det
+        return eval_step(variables, images, img_hw, sf)
 
     def sync(det):
         # block_until_ready does NOT sync through the axon tunnel
@@ -76,7 +94,7 @@ def main():
     dt = time.perf_counter() - t0
     fps = args.iters * B / dt
     print(f"Overall fps: {fps:.1f} img/s, {1000 * dt / args.iters / B:.2f} "
-          f"ms/img (bs={B}, {S}x{S})")
+          f"ms/img (bs={B}, {H}x{W}, {arch}, {args.dtype})")
 
 
 if __name__ == "__main__":
