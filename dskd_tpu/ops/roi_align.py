@@ -3,7 +3,14 @@
 TPU-native formulation: per ROI bin, average ``sampling_ratio^2`` bilinear
 samples from the NHWC feature map — expressed as one vectorized gather so
 XLA maps it to its native gather; no per-ROI loops. Consumed by the
-Faster R-CNN ROI head (single_level_roi_extractor parity).
+Faster R-CNN ROI head (single_level_roi_extractor parity). Border
+semantics match the CUDA kernel exactly (tests/test_roi_align_oracle.py).
+
+Conscious deviation: mmdet configs pass ``sampling_ratio=0`` (adaptive —
+``ceil(roi_h / out_size)`` samples per bin, data-dependent), which cannot
+be a static shape under jit; this implementation uses a FIXED ratio
+(default 2, the value the adaptive rule yields for typical FPN-level ROI
+sizes). Interior values converge to the same integral as the ratio grows.
 """
 from __future__ import annotations
 
@@ -23,8 +30,13 @@ def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int = 7,
     y1 = rois[:, 1] * spatial_scale - offset
     x2 = rois[:, 2] * spatial_scale - offset
     y2 = rois[:, 3] * spatial_scale - offset
-    roi_w = jnp.clip(x2 - x1, 1e-3, None)
-    roi_h = jnp.clip(y2 - y1, 1e-3, None)
+    roi_w = x2 - x1
+    roi_h = y2 - y1
+    if not aligned:
+        # roi_align_cuda_kernel.cuh: legacy mode clamps to 1; aligned
+        # mode uses the raw (possibly sub-pixel) extent
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
     bin_w = roi_w / out_size
     bin_h = roi_h / out_size
 
@@ -41,27 +53,33 @@ def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int = 7,
     xs = xs.reshape(R, -1)
 
     def bilinear(yv, xv):
-        """Gather (R, ny, nx, C) at all y-x combinations."""
-        y0 = jnp.floor(yv)
-        x0 = jnp.floor(xv)
-        ty = (yv - y0)[:, :, None, None]
-        tx = (xv - x0)[:, None, :, None]
+        """Gather (R, ny, nx, C) at all y-x combinations —
+        bilinear_interpolate (roi_align_cuda_kernel.cuh) semantics: a
+        sample is zero only outside [-1, H] x [-1, W]; inside that band
+        the coordinate is CLAMPED to the map before the weights are
+        computed, so border samples take the border row/col at full
+        weight (they do not decay across the half-open edge band)."""
+        my = ((yv >= -1.0) & (yv <= H)).astype(feat.dtype)
+        mx = ((xv >= -1.0) & (xv <= W)).astype(feat.dtype)
+        yc = jnp.clip(yv, 0.0, H - 1.0)
+        xc = jnp.clip(xv, 0.0, W - 1.0)
+        y0 = jnp.clip(jnp.floor(yc), 0.0, max(H - 2, 0))
+        x0 = jnp.clip(jnp.floor(xc), 0.0, max(W - 2, 0))
+        ty = (yc - y0)[:, :, None, None]
+        tx = (xc - x0)[:, None, :, None]
         out = 0.0
         flat = feat.reshape(-1, C)
         for dy in (0, 1):
             for dx in (0, 1):
                 yi = jnp.clip(y0 + dy, 0, H - 1).astype(jnp.int32)
                 xi = jnp.clip(x0 + dx, 0, W - 1).astype(jnp.int32)
-                iby = ((yv + dy >= 0) & (yv + dy <= H)).astype(feat.dtype)
-                ibx = ((xv + dx >= 0) & (xv + dx <= W)).astype(feat.dtype)
                 idx = yi[:, :, None] * W + xi[:, None, :]   # (R, ny, nx)
                 g = flat[idx.reshape(R, -1)].reshape(
                     R, yv.shape[1], xv.shape[1], C)
                 wy = ty if dy else 1.0 - ty
                 wx = tx if dx else 1.0 - tx
-                out = out + g * wy * wx * iby[:, :, None, None] \
-                    * ibx[:, None, :, None]
-        return out
+                out = out + g * wy * wx
+        return out * my[:, :, None, None] * mx[:, None, :, None]
 
     sampled = bilinear(ys, xs)                # (R, out*s, out*s, C)
     sampled = sampled.reshape(R, out_size, s, out_size, s, C)
