@@ -18,6 +18,11 @@ from ..data.loader import DataLoader
 from ..models.gfl_detr_head import get_bboxes
 from .coco_eval import CocoDetectionEval
 
+# dataset_type values that score with the COCO protocol (evaluate());
+# every other binding routes through its own dataset.evaluate
+# (evaluate_dataset_native)
+COCO_PROTOCOL_TYPES = ("coco", "cityscapes", "hlkt", "wrxt")
+
 
 def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
                    max_per_img: int = 100, arch: str = "gfl_deformable_detr"):

@@ -336,6 +336,21 @@ def make_datasets(cfg: ExperimentConfig, tid: int, task_nums: int):
     openimages) are single-task: the reference never trains them
     incrementally, so the task machinery reduces to load-everything."""
     dt = cfg.data.dataset_type
+    if dt in ("hlkt", "wrxt"):
+        # COCO-format private military datasets (hlkt.py/wrxt.py) — the
+        # reference trains them incrementally, so they keep the full task
+        # machinery; class order is their given tuple order
+        from ..data.military import HLKTDataset, WRXTDataset
+        cls = HLKTDataset if dt == "hlkt" else WRXTDataset
+        train_load = [1 if i == tid - 1 else 0 for i in range(task_nums)]
+        val_load = [1 if i <= tid - 1 else 0 for i in range(task_nums)]
+        return (cls(cfg.data.train_ann, cfg.data.train_img_prefix,
+                    catsplit=cfg.data.catsplit, catload=train_load,
+                    catpred=cfg.data.catpred,
+                    imgpercent=cfg.data.imgpercent),
+                cls(cfg.data.val_ann, cfg.data.val_img_prefix,
+                    catsplit=cfg.data.catsplit, catload=val_load,
+                    catpred=cfg.data.catpred, test_mode=True))
     if dt != "coco":
         if task_nums != 1:
             raise ValueError(f"dataset_type={dt!r} is single-task; "
@@ -565,7 +580,8 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
 
             def run_eval(epoch=epoch, params=eval_params, bs=eval_stats,
                          loader_=val_loader):
-                if cfg.data.dataset_type in ("coco", "cityscapes"):
+                from ..eval.evaluator import COCO_PROTOCOL_TYPES
+                if cfg.data.dataset_type in COCO_PROTOCOL_TYPES:
                     stats = evaluate(model, {"params": params,
                                              "batch_stats": bs},
                                      val_ds, loader_,

@@ -164,3 +164,44 @@ def test_custom_classes_binding_deepfashion(tmp_path):
     assert val_ds.CLASSES == ("bag", "skirt", "top")
     _, _, boxes, labels, _ = train_ds.get_raw(0)
     assert len(boxes) == 3 and sorted(labels.tolist()) == [0, 1, 2]
+
+
+def test_make_datasets_hlkt_wrxt_incremental_dispatch(tmp_path):
+    """HLKT/WRXT bindings (hlkt.py:21, wrxt.py:23): given-order class
+    tuples + the full incremental catsplit machinery (the reference
+    trains these datasets with the same task loop as COCO)."""
+    from dskd_tpu.data.military import (HLKT_CLASSES, WRXT_CLASSES,
+                                        HLKTDataset, WRXTDataset)
+    from dskd_tpu.train.incremental import make_datasets
+
+    for dt, names, cls in (("hlkt", HLKT_CLASSES, HLKTDataset),
+                           ("wrxt", WRXT_CLASSES, WRXTDataset)):
+        ann = {
+            "images": [{"id": 1, "file_name": "a.jpg", "width": 32,
+                        "height": 32}],
+            "annotations": [
+                {"id": i + 1, "image_id": 1, "category_id": i + 1,
+                 "bbox": [2, 2, 10, 5], "area": 50, "iscrowd": 0}
+                for i in range(len(names))],
+            "categories": [{"id": i + 1, "name": n}
+                           for i, n in enumerate(names)],
+        }
+        p = tmp_path / f"{dt}.json"
+        p.write_text(json.dumps(ann))
+        cfg = _voc_cfg(str(tmp_path))
+        cfg.data.dataset_type = dt
+        n1 = len(names) // 2
+        cfg.data.catsplit = (n1, len(names) - n1)
+        cfg.data.train_ann = cfg.data.val_ann = str(p)
+        cfg.data.train_img_prefix = str(tmp_path)
+        cfg.data.val_img_prefix = str(tmp_path)
+
+        train_ds, val_ds = make_datasets(cfg, 2, 2)
+        assert isinstance(train_ds, cls)
+        # given order, NOT alphabetical (both reference classes index
+        # self.CLASSES directly)
+        assert train_ds.CLASSES == tuple(names)
+        # task 2 trains only the second class group; val sees both
+        assert tuple(train_ds.LOAD_CLASSES) == tuple(names[n1:])
+        assert tuple(val_ds.LOAD_CLASSES) == tuple(names)
+        assert tuple(train_ds.TASK_CLASSES[0]) == tuple(names[:n1])

@@ -75,7 +75,9 @@ def main():
     pipe = PipelineConfig(img_scale=cfg.data.img_scale, flip_ratio=0.0,
                           max_gt=cfg.data.max_gt, bucket=cfg.data.bucket)
     batch = cfg.data.samples_per_device * jax.device_count()
-    if args.tta and cfg.data.dataset_type != "coco":
+    from dskd_tpu.eval.evaluator import COCO_PROTOCOL_TYPES
+    coco_protocol = cfg.data.dataset_type in COCO_PROTOCOL_TYPES
+    if args.tta and not coco_protocol:
         parser.error("--tta evaluates with the COCO protocol; "
                      f"dataset_type={cfg.data.dataset_type!r} scores "
                      "through its native evaluate() (drop --tta)")
@@ -92,10 +94,10 @@ def main():
                              score_thr=cfg.test_score_thr,
                              max_per_img=cfg.test_max_per_img,
                              classwise=args.classwise, arch=cfg.model.arch)
-    elif cfg.data.dataset_type != "coco":
-        # voc / wider_face / cityscapes / lvis / openimages score with
-        # their own dataset.evaluate protocol (same dispatch as the
-        # training driver's run_eval)
+    elif not coco_protocol:
+        # voc / wider_face / lvis / openimages score with their own
+        # dataset.evaluate protocol (same dispatch as the training
+        # driver's run_eval); cityscapes/hlkt/wrxt are COCO-protocol
         from dskd_tpu.eval.evaluator import evaluate_dataset_native
         loader = DataLoader(val_ds, batch, pipe, train=False,
                             num_workers=cfg.data.num_workers,
