@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..core import losses as L
 from ..core.anchors import base_anchors, bbox2delta, delta2bbox, grid_anchors
 from ..core.max_iou_assigner import max_iou_assign, random_sample
-from ..core.postprocess import batched_nms
+from ..core.postprocess import batched_nms, filter_scores_and_topk
 from ..ops.roi_align import multi_level_roi_align
 from .fpn import FPN
 from .resnet import ResNet
@@ -772,11 +772,19 @@ def rcnn_get_bboxes(bbox_head_apply, neck_feats, proposals, proposal_valid,
                     score_thr: float = 0.05, nms_iou: float = 0.5,
                     max_per_img: int = 100, rescale: bool = False,
                     strides=(4, 8, 16, 32), out_size: int = 7,
-                    seesaw: bool = False, extract_fn=None):
+                    seesaw: bool = False, extract_fn=None,
+                    nms_pre: int = 1000):
     """Second-stage decode + per-class NMS, static shapes.
 
     ``seesaw``: SeesawLoss.get_activation (seesaw_loss.py:156-176) —
-    class softmax scaled by the objectness positive probability."""
+    class softmax scaled by the objectness positive probability.
+
+    ``nms_pre`` caps the (box, class) candidates entering NMS at the
+    top-k by score — without it the static-shape multiclass_nms
+    equivalent would suppress over all S*C = 80k pairs (an 80k x 80k
+    IoU matrix; the reference's dynamic shapes only ever see the few
+    hundred pairs above score_thr). Candidates ranked below the top
+    1000 by score cannot realistically enter a 100-detection output."""
     B, S = proposals.shape[:2]
     feats_per_img = [tuple(f[b] for f in neck_feats[:4]) for b in range(B)]
     _extract = extract_fn or (
@@ -797,20 +805,22 @@ def rcnn_get_bboxes(bbox_head_apply, neck_feats, proposals, proposal_valid,
     reg = reg.reshape(B, S, num_classes, 4)
 
     def per_image(rois, rv, p, r, hw, sf):
-        # decode every class's box for every roi
-        boxes = delta2bbox(rois[:, None, :].repeat(num_classes, 1)
-                           .reshape(-1, 4),
-                           r.reshape(-1, 4), means=RCNN_TARGET_MEANS,
+        # top-k (box, class) pairs above score_thr, THEN decode + NMS on
+        # just those (multiclass_nms semantics at static shapes)
+        p = jnp.where(rv[:, None], p, 0.0)
+        top = filter_scores_and_topk(p, score_thr,
+                                     min(nms_pre, S * num_classes))
+        sel_rois = rois[top.keep_idxs]                       # (k, 4)
+        sel_reg = r[top.keep_idxs, top.labels]               # (k, 4)
+        boxes = delta2bbox(sel_rois, sel_reg, means=RCNN_TARGET_MEANS,
                            stds=RCNN_TARGET_STDS)
         h, w = hw[0].astype(boxes.dtype), hw[1].astype(boxes.dtype)
         boxes = jnp.stack([
             jnp.clip(boxes[:, 0], 0, w), jnp.clip(boxes[:, 1], 0, h),
             jnp.clip(boxes[:, 2], 0, w), jnp.clip(boxes[:, 3], 0, h)], -1)
-        scores = p.reshape(-1)
-        labels = jnp.tile(jnp.arange(num_classes, dtype=jnp.int32), S)
-        ok = (scores > score_thr) & jnp.repeat(rv, num_classes)
-        nb, ns, nl, keep, _ = batched_nms(boxes, scores, labels, nms_iou,
-                                          max_per_img, valid=ok)
+        nb, ns, nl, keep, _ = batched_nms(boxes, top.scores, top.labels,
+                                          nms_iou, max_per_img,
+                                          valid=top.valid)
         if rescale and sf is not None:
             nb = nb / sf[None]
         return nb, ns, nl, keep

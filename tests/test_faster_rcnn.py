@@ -105,3 +105,85 @@ def test_faster_rcnn_end_to_end_losses():
         RCNNLossConfig(num_classes=6, num_samples=32))
     for k, v in rcnn_losses.items():
         assert np.isfinite(float(v)), k
+
+
+def test_rcnn_get_bboxes_multiclass_nms_parity():
+    """The capped top-k decode (nms_pre) must reproduce the exhaustive
+    multiclass_nms protocol (bbox_head.get_bboxes -> multiclass_nms:
+    every (box, class) pair above score_thr is a candidate; greedy
+    class-aware NMS; top max_per_img by score) — brute-forced here in
+    numpy over all S*C pairs."""
+    from dskd_tpu.core.anchors import delta2bbox
+    from dskd_tpu.models.faster_rcnn import (RCNN_TARGET_MEANS,
+                                             RCNN_TARGET_STDS, BBoxHead,
+                                             rcnn_get_bboxes)
+
+    B, S, C = 2, 12, 5
+    H = W = 64
+    rng = np.random.RandomState(7)
+    neck_feats = [jnp.asarray(rng.randn(B, H // s, W // s, 256)
+                              .astype(np.float32) * 0.1)
+                  for s in (4, 8, 16, 32)]
+    xy = rng.rand(B, S, 2).astype(np.float32) * 40
+    wh = rng.rand(B, S, 2).astype(np.float32) * 20 + 4
+    props = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+    pvalid = jnp.asarray(np.tile(np.arange(S) < S - 2, (B, 1)))
+    img_hw = jnp.asarray(np.tile([[H, W]], (B, 1)).astype(np.int32))
+
+    head = BBoxHead(num_classes=C)
+    head_vars = head.init(jax.random.PRNGKey(2), jnp.zeros((1, 7, 7, 256)))
+    apply_fn = lambda f: head.apply(head_vars, f)
+
+    score_thr, nms_iou, max_per_img = 0.05, 0.5, 6
+    d = rcnn_get_bboxes(apply_fn, neck_feats, props, pvalid, img_hw,
+                        num_classes=C, score_thr=score_thr,
+                        nms_iou=nms_iou, max_per_img=max_per_img)
+
+    # ---- brute force: decode ALL (roi, class) pairs, greedy NMS ----
+    from dskd_tpu.ops.roi_align import multi_level_roi_align
+    for b in range(B):
+        feats_b = tuple(f[b] for f in neck_feats)
+        rf = multi_level_roi_align(feats_b, props[b], pvalid[b])
+        cls_logits, reg = apply_fn(np.asarray(rf))
+        probs = np.asarray(jax.nn.softmax(cls_logits, -1))[:, :C]
+        reg = np.asarray(reg).reshape(S, C, 4)
+        cands = []
+        for s in range(S):
+            if not bool(pvalid[b, s]):
+                continue
+            for c in range(C):
+                if probs[s, c] <= score_thr:
+                    continue
+                box = np.asarray(delta2bbox(
+                    props[b, s][None], jnp.asarray(reg[s, c])[None],
+                    means=RCNN_TARGET_MEANS, stds=RCNN_TARGET_STDS))[0]
+                box = np.clip(box, 0, [W, H, W, H])
+                cands.append((float(probs[s, c]), c, box))
+        cands.sort(key=lambda t: -t[0])
+        kept = []
+        for sc, lab, box in cands:
+            ok = True
+            for sc2, lab2, box2 in kept:
+                if lab2 != lab:
+                    continue
+                ix1 = max(box[0], box2[0]); iy1 = max(box[1], box2[1])
+                ix2 = min(box[2], box2[2]); iy2 = min(box[3], box2[3])
+                inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
+                a1 = max(box[2] - box[0], 0) * max(box[3] - box[1], 0)
+                a2 = max(box2[2] - box2[0], 0) * max(box2[3] - box2[1], 0)
+                if inter / max(a1 + a2 - inter, 1e-6) > nms_iou:
+                    ok = False
+                    break
+            if ok:
+                kept.append((sc, lab, box))
+        kept = kept[:max_per_img]
+
+        got_valid = np.asarray(d["valid"][b])
+        got_scores = np.asarray(d["scores"][b])[got_valid]
+        got_labels = np.asarray(d["labels"][b])[got_valid]
+        got_boxes = np.asarray(d["bboxes"][b])[got_valid]
+        assert len(kept) == got_valid.sum(), (len(kept), got_valid.sum())
+        for i, (sc, lab, box) in enumerate(kept):
+            assert abs(sc - got_scores[i]) < 1e-5
+            assert lab == got_labels[i]
+            np.testing.assert_allclose(box, got_boxes[i], atol=1e-3)
