@@ -465,6 +465,11 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
         replicate(variables["params"], mesh),
         replicate(variables.get("batch_stats", {}), mesh), tx,
         jax.random.PRNGKey(cfg.train.seed + 131 * tid))
+    if cfg.train.fsdp:
+        # ZeRO-style: params + AdamW moments sharded over the data axis
+        # (parallel/fsdp.py) — same numerics, ~Nx less state HBM per chip
+        from ..parallel.fsdp import shard_state_fsdp
+        state = shard_state_fsdp(state, mesh)
 
     teacher_vars = None
     if teacher_variables is not None:

@@ -173,6 +173,9 @@ class TrainConfig:
     # YOLOXModeSwitchHook (core/hook/yolox_mode_switch_hook.py:52): disable
     # Mosaic/MixUp for the last N epochs of each task
     no_aug_epochs: int = 0
+    # ZeRO/FSDP: shard params + optimizer moments over the data mesh axis
+    # (parallel/fsdp.py; beyond the reference's replicated DDP)
+    fsdp: bool = False
 
 
 @dataclass
