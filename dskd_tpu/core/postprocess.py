@@ -144,18 +144,108 @@ def box_matrix_nms(boxes: jnp.ndarray, labels: jnp.ndarray,
     return b, new_scores, l, order
 
 
+def _pairwise_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(Na, 4) x (Nb, 4) -> (Na, Nb) IoU."""
+    area_a = (jnp.clip(a[:, 2] - a[:, 0], 0, None)
+              * jnp.clip(a[:, 3] - a[:, 1], 0, None))
+    area_b = (jnp.clip(b[:, 2] - b[:, 0], 0, None)
+              * jnp.clip(b[:, 3] - b[:, 1], 0, None))
+    ix1 = jnp.maximum(a[:, None, 0], b[None, :, 0])
+    iy1 = jnp.maximum(a[:, None, 1], b[None, :, 1])
+    ix2 = jnp.minimum(a[:, None, 2], b[None, :, 2])
+    iy2 = jnp.minimum(a[:, None, 3], b[None, :, 3])
+    inter = jnp.clip(ix2 - ix1, 0, None) * jnp.clip(iy2 - iy1, 0, None)
+    return inter / jnp.clip(area_a[:, None] + area_b[None, :] - inter,
+                            1e-6, None)
+
+
+def _nms_keep_scan(shifted: jnp.ndarray, svalid: jnp.ndarray,
+                   iou_thr: float) -> jnp.ndarray:
+    """Greedy keep mask over score-sorted boxes: one sequential pass,
+    n loop iterations on the full (n, n) IoU matrix. The oracle
+    formulation — tiled below computes the identical mask."""
+    n = shifted.shape[0]
+    iou = _pairwise_iou(shifted, shifted)
+
+    def body(i, keep):
+        sup = (iou[i] > iou_thr) & keep & (jnp.arange(n) > i)
+        return jnp.where(keep[i], keep & ~sup, keep)
+
+    return jax.lax.fori_loop(0, n, body, svalid)
+
+
+def _nms_keep_tiled(shifted: jnp.ndarray, svalid: jnp.ndarray,
+                    iou_thr: float, tile: int = 512) -> jnp.ndarray:
+    """Exact greedy NMS keep mask in O(n/tile) sequential steps.
+
+    The sequential scan's n loop iterations dominate large suppressions
+    on TPU (each is a tiny vector op behind a loop boundary). This is
+    the tf.image.non_max_suppression_padded decomposition: process
+    score-sorted boxes in tiles; each tile is (a) suppressed by the
+    already-finalized earlier tiles with one (tile, n) matrix pass, then
+    (b) self-suppressed to the exact greedy fixpoint by iterating
+      act <- base & ~any_k(sup[i, k] & act[k])   (k < i within the tile)
+    under a while_loop. The iteration alternates around the greedy
+    solution (f is antitone, f∘f monotone) and pins box i after at most
+    depth(i) rounds, where depth is its longest alternating
+    suppress/revive chain — typically 2-4, bounded by the tile size.
+    Also avoids the scan's full (n, n) IoU: peak intermediate is
+    (tile, n), which is what lets the 5k-candidate RPN/dense decodes
+    fit alongside big feature maps.
+    """
+    n = shifted.shape[0]
+    npad = -(-n // tile) * tile
+    if npad != n:
+        shifted = jnp.pad(shifted, ((0, npad - n), (0, 0)))
+        svalid = jnp.pad(svalid, (0, npad - n))
+    col = jnp.arange(npad)
+    lower = jnp.arange(tile)[:, None] > jnp.arange(tile)[None, :]
+
+    def tile_body(j, keep):
+        start = j * tile
+        rows = jax.lax.dynamic_slice(shifted, (start, 0), (tile, 4))
+        iou_rows = _pairwise_iou(rows, shifted)            # (tile, npad)
+        rvalid = jax.lax.dynamic_slice(svalid, (start,), (tile,))
+        # (a) cross-suppression by finalized earlier-tile keeps
+        cross = ((iou_rows > iou_thr) & (col[None, :] < start)
+                 & keep[None, :])
+        base = rvalid & ~cross.any(-1)
+        # (b) intra-tile fixpoint to the greedy solution
+        intra = jax.lax.dynamic_slice(iou_rows, (0, start), (tile, tile))
+        sup = (intra > iou_thr) & lower
+
+        def cond(c):
+            act, prev, it = c
+            return (it < tile) & jnp.any(act != prev)
+
+        def body(c):
+            act, _, it = c
+            new = base & ~(sup & act[None, :]).any(-1)
+            return new, act, it + 1
+
+        act0 = base & ~(sup & base[None, :]).any(-1)
+        act, _, _ = jax.lax.while_loop(cond, body, (act0, base, 0))
+        return jax.lax.dynamic_update_slice(keep, act, (start,))
+
+    keep = jax.lax.fori_loop(0, npad // tile, tile_body, svalid)
+    return keep[:n]
+
+
 def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, labels: jnp.ndarray,
                 iou_thr: float, max_out: int, valid=None):
     """Class-aware NMS with static output size (for the CNN-head families).
 
     Uses the class-offset trick: boxes of different classes are translated to
-    disjoint regions so one class-agnostic pass suffices, then iterative
-    suppression runs as a fixed-length scan over score-sorted candidates.
+    disjoint regions so one class-agnostic pass suffices, then greedy
+    suppression over score-sorted candidates — tiled-exact for big
+    candidate sets (``_nms_keep_tiled``), plain scan for small ones
+    (env opt-out DSKD_NMS_TILED=0 forces the scan everywhere).
 
     Returns (boxes, scores, labels, keep_mask, src_idx) with first axis
     ``max_out``; src_idx maps each output slot to its input row (for
     teacher keep-id tracking).
     """
+    import os
     n = boxes.shape[0]
     if valid is None:
         valid = jnp.ones((n,), bool)
@@ -168,21 +258,10 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, labels: jnp.ndarray,
     sboxes, sscores, slabels = boxes[order], scores[order], labels[order]
     svalid = valid[order]
 
-    x1, y1, x2, y2 = [shifted[:, i] for i in range(4)]
-    area = jnp.clip(x2 - x1, 0, None) * jnp.clip(y2 - y1, 0, None)
-
-    ix1 = jnp.maximum(x1[:, None], x1[None, :])
-    iy1 = jnp.maximum(y1[:, None], y1[None, :])
-    ix2 = jnp.minimum(x2[:, None], x2[None, :])
-    iy2 = jnp.minimum(y2[:, None], y2[None, :])
-    inter = jnp.clip(ix2 - ix1, 0, None) * jnp.clip(iy2 - iy1, 0, None)
-    iou = inter / jnp.clip(area[:, None] + area[None, :] - inter, 1e-6, None)
-
-    def body(i, keep):
-        sup = (iou[i] > iou_thr) & keep & (jnp.arange(n) > i)
-        return jnp.where(keep[i], keep & ~sup, keep)
-
-    keep = jax.lax.fori_loop(0, n, body, svalid)
+    if n > 768 and os.environ.get("DSKD_NMS_TILED", "1") == "1":
+        keep = _nms_keep_tiled(shifted, svalid, iou_thr)
+    else:
+        keep = _nms_keep_scan(shifted, svalid, iou_thr)
     # compact the kept entries to the front deterministically
     rank = jnp.argsort(jnp.where(keep, -sscores, jnp.inf))[:max_out]
     out_keep = keep[rank]
