@@ -14,8 +14,11 @@ sizes). Interior values converge to the same integral as the ratio grows.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int = 7,
@@ -86,6 +89,75 @@ def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int = 7,
     return sampled.mean(axis=(2, 4))
 
 
+def _fused_multi_level(feats, rois, lvl, roi_valid, strides,
+                       out_size: int, sampling_ratio: int = 2):
+    """Pool each ROI ONLY at its assigned level via one gather over the
+    concatenated all-level table.
+
+    The masked-sum formulation below pools every ROI at every level and
+    zeroes the three misses — 4x the gather traffic on what the chip
+    trace shows is the two-stage bottleneck (XLA scalar-loop gathers).
+    Here the per-level (H*W, C) tables are concatenated once (a
+    contiguous HBM copy, cheap next to gathers) and each ROI's corner
+    indices carry its level's base offset, so the gather volume is
+    exactly 1x. Same arithmetic as roi_align at the ROI's own level —
+    bit-compared in tests/test_roi_align_fused.py."""
+    C = feats[0].shape[-1]
+    R = rois.shape[0]
+    dt = feats[0].dtype
+    hs = np.array([f.shape[0] for f in feats])
+    ws = np.array([f.shape[1] for f in feats])
+    bases = np.concatenate([[0], np.cumsum(hs * ws)[:-1]])
+    scale_arr = jnp.asarray(1.0 / np.asarray(strides), dt)
+    h_arr = jnp.asarray(hs, dt)
+    w_arr = jnp.asarray(ws, dt)
+    wi_arr = jnp.asarray(ws, jnp.int32)
+    base_arr = jnp.asarray(bases, jnp.int32)
+
+    sc = scale_arr[lvl]                                     # (R,)
+    Hr, Wr = h_arr[lvl], w_arr[lvl]
+    x1 = rois[:, 0] * sc - 0.5
+    y1 = rois[:, 1] * sc - 0.5
+    bin_w = (rois[:, 2] * sc - 0.5 - x1) / out_size
+    bin_h = (rois[:, 3] * sc - 0.5 - y1) / out_size
+
+    s = sampling_ratio
+    iy = jnp.arange(out_size, dtype=dt)
+    ss = (jnp.arange(s, dtype=dt) + 0.5) / s
+    grid = (iy[None, :, None] + ss[None, None, :])          # (1, out, s)
+    ys = (y1[:, None, None] + grid * bin_h[:, None, None]).reshape(R, -1)
+    xs = (x1[:, None, None] + grid * bin_w[:, None, None]).reshape(R, -1)
+
+    # bilinear_interpolate border semantics (see roi_align above), with
+    # per-ROI level extents
+    my = ((ys >= -1.0) & (ys <= Hr[:, None])).astype(dt)
+    mx = ((xs >= -1.0) & (xs <= Wr[:, None])).astype(dt)
+    yc = jnp.clip(ys, 0.0, Hr[:, None] - 1.0)
+    xc = jnp.clip(xs, 0.0, Wr[:, None] - 1.0)
+    y0 = jnp.clip(jnp.floor(yc), 0.0, jnp.maximum(Hr - 2.0, 0.0)[:, None])
+    x0 = jnp.clip(jnp.floor(xc), 0.0, jnp.maximum(Wr - 2.0, 0.0)[:, None])
+    ty = (yc - y0)[:, :, None, None]
+    tx = (xc - x0)[:, None, :, None]
+
+    flat = jnp.concatenate([f.reshape(-1, C) for f in feats], axis=0)
+    ns = ys.shape[1]
+    out = 0.0
+    for dy in (0, 1):
+        for dx in (0, 1):
+            yi = jnp.minimum(y0 + dy, Hr[:, None] - 1.0).astype(jnp.int32)
+            xi = jnp.minimum(x0 + dx, Wr[:, None] - 1.0).astype(jnp.int32)
+            idx = (base_arr[lvl][:, None, None]
+                   + yi[:, :, None] * wi_arr[lvl][:, None, None]
+                   + xi[:, None, :])                        # (R, ns, ns)
+            g = flat[idx.reshape(R, -1)].reshape(R, ns, ns, C)
+            wy = ty if dy else 1.0 - ty
+            wx = tx if dx else 1.0 - tx
+            out = out + g * wy * wx
+    out = out * my[:, :, None, None] * mx[:, None, :, None]
+    out = out.reshape(R, out_size, s, out_size, s, C).mean(axis=(2, 4))
+    return out * roi_valid[:, None, None, None]
+
+
 def multi_level_roi_align(feats, rois, roi_valid, strides=(4, 8, 16, 32),
                           out_size: int = 7, finest_scale: int = 56,
                           level_rois=None):
@@ -102,6 +174,11 @@ def multi_level_roi_align(feats, rois, roi_valid, strides=(4, 8, 16, 32),
     scale = jnp.sqrt(jnp.clip(w * h, 1e-6, None))
     lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
     lvl = jnp.clip(lvl, 0, len(feats) - 1).astype(jnp.int32)
+
+    if (len({f.shape[-1] for f in feats}) == 1
+            and os.environ.get("DSKD_ROI_FUSED", "1") == "1"):
+        return _fused_multi_level(feats, rois, lvl, roi_valid,
+                                  strides[:len(feats)], out_size)
 
     out = 0.0
     for i, f in enumerate(feats):
