@@ -145,18 +145,9 @@ def box_matrix_nms(boxes: jnp.ndarray, labels: jnp.ndarray,
 
 
 def _pairwise_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(Na, 4) x (Nb, 4) -> (Na, Nb) IoU."""
-    area_a = (jnp.clip(a[:, 2] - a[:, 0], 0, None)
-              * jnp.clip(a[:, 3] - a[:, 1], 0, None))
-    area_b = (jnp.clip(b[:, 2] - b[:, 0], 0, None)
-              * jnp.clip(b[:, 3] - b[:, 1], 0, None))
-    ix1 = jnp.maximum(a[:, None, 0], b[None, :, 0])
-    iy1 = jnp.maximum(a[:, None, 1], b[None, :, 1])
-    ix2 = jnp.minimum(a[:, None, 2], b[None, :, 2])
-    iy2 = jnp.minimum(a[:, None, 3], b[None, :, 3])
-    inter = jnp.clip(ix2 - ix1, 0, None) * jnp.clip(iy2 - iy1, 0, None)
-    return inter / jnp.clip(area_a[:, None] + area_b[None, :] - inter,
-                            1e-6, None)
+    """(Na, 4) x (Nb, 4) -> (Na, Nb) IoU (boxes.bbox_overlaps)."""
+    from .boxes import bbox_overlaps
+    return bbox_overlaps(a, b)
 
 
 def _nms_keep_scan(shifted: jnp.ndarray, svalid: jnp.ndarray,

@@ -105,15 +105,20 @@ def _fused_multi_level(feats, rois, lvl, roi_valid, strides,
     C = feats[0].shape[-1]
     R = rois.shape[0]
     dt = feats[0].dtype
+    # coordinate / extent math stays f32 regardless of feat dtype:
+    # bf16 cannot represent level extents like 339 exactly, which would
+    # corrupt the border clamps and the gather index arithmetic
+    cf = jnp.float32
     hs = np.array([f.shape[0] for f in feats])
     ws = np.array([f.shape[1] for f in feats])
     bases = np.concatenate([[0], np.cumsum(hs * ws)[:-1]])
-    scale_arr = jnp.asarray(1.0 / np.asarray(strides), dt)
-    h_arr = jnp.asarray(hs, dt)
-    w_arr = jnp.asarray(ws, dt)
+    scale_arr = jnp.asarray(1.0 / np.asarray(strides), cf)
+    h_arr = jnp.asarray(hs, cf)
+    w_arr = jnp.asarray(ws, cf)
     wi_arr = jnp.asarray(ws, jnp.int32)
     base_arr = jnp.asarray(bases, jnp.int32)
 
+    rois = rois.astype(cf)
     sc = scale_arr[lvl]                                     # (R,)
     Hr, Wr = h_arr[lvl], w_arr[lvl]
     x1 = rois[:, 0] * sc - 0.5
@@ -122,16 +127,16 @@ def _fused_multi_level(feats, rois, lvl, roi_valid, strides,
     bin_h = (rois[:, 3] * sc - 0.5 - y1) / out_size
 
     s = sampling_ratio
-    iy = jnp.arange(out_size, dtype=dt)
-    ss = (jnp.arange(s, dtype=dt) + 0.5) / s
+    iy = jnp.arange(out_size, dtype=cf)
+    ss = (jnp.arange(s, dtype=cf) + 0.5) / s
     grid = (iy[None, :, None] + ss[None, None, :])          # (1, out, s)
     ys = (y1[:, None, None] + grid * bin_h[:, None, None]).reshape(R, -1)
     xs = (x1[:, None, None] + grid * bin_w[:, None, None]).reshape(R, -1)
 
     # bilinear_interpolate border semantics (see roi_align above), with
     # per-ROI level extents
-    my = ((ys >= -1.0) & (ys <= Hr[:, None])).astype(dt)
-    mx = ((xs >= -1.0) & (xs <= Wr[:, None])).astype(dt)
+    my = ((ys >= -1.0) & (ys <= Hr[:, None])).astype(cf)
+    mx = ((xs >= -1.0) & (xs <= Wr[:, None])).astype(cf)
     yc = jnp.clip(ys, 0.0, Hr[:, None] - 1.0)
     xc = jnp.clip(xs, 0.0, Wr[:, None] - 1.0)
     y0 = jnp.clip(jnp.floor(yc), 0.0, jnp.maximum(Hr - 2.0, 0.0)[:, None])
@@ -152,8 +157,10 @@ def _fused_multi_level(feats, rois, lvl, roi_valid, strides,
             g = flat[idx.reshape(R, -1)].reshape(R, ns, ns, C)
             wy = ty if dy else 1.0 - ty
             wx = tx if dx else 1.0 - tx
-            out = out + g * wy * wx
-    out = out * my[:, :, None, None] * mx[:, None, :, None]
+            # fold the f32 weights to the feature dtype at application so
+            # bf16 features keep bf16 throughput
+            out = out + g * (wy * wx).astype(dt)
+    out = out * (my[:, :, None] * mx[:, None, :]).astype(dt)[..., None]
     out = out.reshape(R, out_size, s, out_size, s, C).mean(axis=(2, 4))
     return out * roi_valid[:, None, None, None]
 

@@ -38,12 +38,10 @@ def test_tiled_matches_scan_random(n, tile):
 def test_tiled_revival_chain():
     """A suppresses B, B would suppress C: C must survive (revive), and
     the chain alternates across a tile boundary."""
-    # overlapping ladder: box i overlaps i+1 at IoU > 0.5, but not i+2
+    # overlapping ladder: box i overlaps i+1 at IoU 7/13 > 0.5, but
+    # not i+2 (4/16), so greedy keeps every other box
     n, tile = 12, 4
     boxes = np.zeros((n, 4), np.float32)
-    for i in range(n):
-        boxes[i] = [i * 6.0, 0.0, i * 6.0 + 10.0, 10.0]  # 4/16 next ov
-    # widen to push adjacent IoU above 0.5: shift step 3 -> inter 7/13
     for i in range(n):
         boxes[i] = [i * 3.0, 0.0, i * 3.0 + 10.0, 10.0]
     valid = jnp.ones((n,), bool)
@@ -65,6 +63,7 @@ def test_batched_nms_tiled_vs_scan_end_to_end(monkeypatch):
     labels = jnp.asarray(rng.randint(0, 7, n).astype(np.int32))
     valid = jnp.asarray(rng.rand(n) > 0.2)
 
+    monkeypatch.setenv("DSKD_NMS_TILED", "1")
     out_tiled = batched_nms(boxes, scores, labels, 0.6, 50, valid=valid)
     monkeypatch.setenv("DSKD_NMS_TILED", "0")
     out_scan = batched_nms(boxes, scores, labels, 0.6, 50, valid=valid)

@@ -96,6 +96,30 @@ def test_fused_gradients_match():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_bf16_odd_extent_border():
+    """Coordinate math must stay f32: bf16 rounds a level width like 339
+    to 340, which would push the right-border corner index into the next
+    row (wrapped gather). Level-0 map is W=339 with its last column set
+    to 50 (elsewhere 1); a right-border ROI must pool ~50 at its right
+    output column, not a mix with the wrapped row's 1s."""
+    strides = (4, 8, 16, 32)
+    H0, W0 = 64, 339
+    feats = []
+    for i in range(4):
+        f = np.ones((H0 >> i, -(-W0 // (1 << i)), 8), np.float32)
+        feats.append(f)
+    feats[0][:, -1, :] = 50.0
+    feats_bf = [jnp.asarray(f, jnp.bfloat16) for f in feats]
+    # small ROI (maps to level 0) flush against the right image border
+    rois = jnp.asarray([[W0 * 4 - 16.0, 40.0, W0 * 4 - 0.01, 90.0]],
+                       jnp.float32)
+    valid = jnp.ones((1,), bool)
+    out = np.asarray(multi_level_roi_align(feats_bf, rois, valid,
+                                           strides)).astype(np.float32)
+    # right output column samples sit in the last feature column
+    assert out[0, :, -1, :].min() > 40.0, out[0, :, -1, 0]
+
+
 def test_env_opt_out(monkeypatch):
     feats, rois, valid, strides = _fixture(5)
     monkeypatch.setenv("DSKD_ROI_FUSED", "0")
