@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -33,7 +35,6 @@ def filter_scores_and_topk(scores: jnp.ndarray, score_thr: float,
     mask = flat > score_thr
     cand = jnp.where(mask, flat, -1.0)
     kk = min(topk, n * k)
-    import os
     if (os.environ.get("DSKD_APPROX_TOPK", "0") == "1"
             and jax.default_backend() == "tpu" and kk < n * k):
         # TPU-optimized approximate top-k (recall >= 0.95): the exact
@@ -236,7 +237,6 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, labels: jnp.ndarray,
     ``max_out``; src_idx maps each output slot to its input row (for
     teacher keep-id tracking).
     """
-    import os
     n = boxes.shape[0]
     if valid is None:
         valid = jnp.ones((n,), bool)
