@@ -32,7 +32,8 @@ def main():
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--size", default="640",
                         help="square int or HxW (e.g. 800x1344)")
-    parser.add_argument("--dtype", default="f32", choices=("f32", "bf16"))
+    parser.add_argument("--dtype", default="f32",
+                        choices=("f32", "bf16", "int8"))
     args = parser.parse_args()
 
     import jax
@@ -61,7 +62,9 @@ def main():
     else:
         variables = model.init(jax.random.PRNGKey(0), images[:1],
                                img_hw[:1])
-    if args.dtype == "bf16":
+    if args.dtype in ("bf16", "int8"):
+        # int8 rides a bf16 base: big Dense/Conv run s8 x s8 -> s32 on
+        # the MXU (2x bf16 peak), everything else stays bf16
         cast = lambda t: jax.tree.map(
             lambda x: x.astype(jnp.bfloat16)
             if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
@@ -75,8 +78,20 @@ def main():
                                arch=arch)
     sf = jnp.ones((B, 4), jnp.float32)
 
-    def infer(images, img_hw):
-        return eval_step(variables, images, img_hw, sf)
+    if args.dtype == "int8":
+        import flax.linen as nn
+
+        from dskd_tpu.ops.int8 import make_int8_interceptor
+        interceptor = make_int8_interceptor(variables["params"])
+
+        def infer(images, img_hw):
+            # interception happens at trace time (first call compiles the
+            # int8 program); keeping every call in-context is free after
+            with nn.intercept_methods(interceptor):
+                return eval_step(variables, images, img_hw, sf)
+    else:
+        def infer(images, img_hw):
+            return eval_step(variables, images, img_hw, sf)
 
     def sync(det):
         # block_until_ready does NOT sync through the axon tunnel
