@@ -250,7 +250,9 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, labels: jnp.ndarray,
     svalid = valid[order]
 
     if n > 768 and os.environ.get("DSKD_NMS_TILED", "1") == "1":
-        keep = _nms_keep_tiled(shifted, svalid, iou_thr)
+        keep = _nms_keep_tiled(shifted, svalid, iou_thr,
+                               tile=int(os.environ.get("DSKD_NMS_TILE",
+                                                       "512")))
     else:
         keep = _nms_keep_scan(shifted, svalid, iou_thr)
     # compact the kept entries to the front deterministically
