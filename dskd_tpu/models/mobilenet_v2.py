@@ -13,6 +13,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 from jax import lax
 
+from .dilated_encoder import TrainableBatchNorm
 from .resnet import FrozenBatchNorm
 
 # (expand_ratio, out_channels, num_blocks, first_stride)
@@ -31,27 +32,40 @@ def _relu6(x):
     return jnp.clip(x, 0.0, 6.0)
 
 
+def _act(x, act: str):
+    """'relu6' (classification default) or 'leaky' (the yolov3-mbv2
+    recipe's act_cfg LeakyReLU(0.1), configs/yolo/yolov3_mobilenetv2_*)."""
+    return nn.leaky_relu(x, 0.1) if act == "leaky" else _relu6(x)
+
+
 class InvertedResidual(nn.Module):
     out_channels: int
     stride: int
     expand_ratio: int
+    act: str = "relu6"
+    train_bn: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        def norm(y, name):
+            if self.train_bn:
+                return TrainableBatchNorm(name=name)(y, train)
+            return FrozenBatchNorm(name=name)(y)
+
         c_in = x.shape[-1]
         hidden = c_in * self.expand_ratio
         y = x
         if self.expand_ratio != 1:
             y = nn.Conv(hidden, (1, 1), use_bias=False, name="expand")(y)
-            y = _relu6(FrozenBatchNorm(name="expand_bn")(y))
+            y = _act(norm(y, "expand_bn"), self.act)
         # depthwise 3x3
         y = nn.Conv(hidden, (3, 3), strides=(self.stride, self.stride),
                     padding=[(1, 1), (1, 1)], feature_group_count=hidden,
                     use_bias=False, name="depthwise")(y)
-        y = _relu6(FrozenBatchNorm(name="depthwise_bn")(y))
+        y = _act(norm(y, "depthwise_bn"), self.act)
         y = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                     name="project")(y)
-        y = FrozenBatchNorm(name="project_bn")(y)
+        y = norm(y, "project_bn")
         if self.stride == 1 and c_in == self.out_channels:
             y = x + y
         return y
@@ -67,13 +81,23 @@ class MobileNetV2(nn.Module):
     out_indices: Sequence[int] = (1, 2, 4, 6)
     frozen_stages: int = -1
     widen_factor: float = 1.0
+    act: str = "relu6"
+    # True trains BN (batch_stats collection) like the yolov3-mbv2 recipe;
+    # False keeps the norm_eval FrozenBatchNorm semantics
+    train_bn: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    def __call__(self, x: jnp.ndarray,
+                 train: bool = False) -> Tuple[jnp.ndarray, ...]:
+        def norm(y, name):
+            if self.train_bn:
+                return TrainableBatchNorm(name=name)(y, train)
+            return FrozenBatchNorm(name=name)(y)
+
         c = make_divisible(32 * self.widen_factor)
         out = nn.Conv(c, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                       use_bias=False, name="stem_conv")(x)
-        out = _relu6(FrozenBatchNorm(name="stem_bn")(out))
+        out = _act(norm(out, "stem_bn"), self.act)
         if self.frozen_stages >= 0:
             out = lax.stop_gradient(out)
 
@@ -83,7 +107,8 @@ class MobileNetV2(nn.Module):
             for b in range(n):
                 out = InvertedResidual(
                     out_channels=ch, stride=s if b == 0 else 1,
-                    expand_ratio=t, name=f"stage{i + 1}_block{b}")(out)
+                    expand_ratio=t, act=self.act, train_bn=self.train_bn,
+                    name=f"stage{i + 1}_block{b}")(out, train)
             if self.frozen_stages >= i + 1:
                 out = lax.stop_gradient(out)
             if i in self.out_indices:
@@ -92,5 +117,5 @@ class MobileNetV2(nn.Module):
             c = (int(1280 * self.widen_factor)
                  if self.widen_factor > 1.0 else 1280)
             out = nn.Conv(c, (1, 1), use_bias=False, name="conv2")(out)
-            outs.append(_relu6(FrozenBatchNorm(name="conv2_bn")(out)))
+            outs.append(_act(norm(out, "conv2_bn"), self.act))
         return tuple(outs)

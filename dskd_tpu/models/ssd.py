@@ -1,11 +1,16 @@
-"""SSD300 (parity: mmdet backbones/ssd_vgg.py + dense_heads/ssd_head.py +
-anchor SSDAnchorGenerator + configs/ssd/ssd300_coco.py).
+"""SSD300 / SSD512 (parity: mmdet backbones/ssd_vgg.py + necks/ssd_neck.py
+extras + dense_heads/ssd_head.py + anchor SSDAnchorGenerator +
+configs/ssd/ssd300_coco.py, ssd512_coco.py).
 
 VGG-16 through conv5 + dilated fc6/fc7 convs, L2Norm on the conv4_3
-output, four extra stride-2 blocks -> 6 detection levels
-(38/19/10/5/3/1 at 300 input). Per-level anchor counts (4,6,6,6,4,4)
-from the basesize-ratio ladder; softmax CE with 3:1 HARD negative mining
-(loss-ranked, the reference ssd_head.loss_single) + smooth-L1 deltas.
+output, extra stride-2 blocks -> 6 detection levels (38/19/10/5/3/1 at
+300 input) or 7 levels (64/32/16/8/4/2/1 at 512; the last extra block is
+the stride-1 kernel-4 conv of ssd_neck.py's ``last_kernel_size=4`` row).
+Per-level anchor counts from the basesize-ratio ladder
+(anchor_generator.py:506-551: SSD300 COCO range (0.15, 0.9) with the
+7%/15% level-0 insert; SSD512 COCO range (0.1, 0.9) with the 4%/10%
+insert); softmax CE with 3:1 HARD negative mining (loss-ranked, the
+reference ssd_head.loss_single) + smooth-L1 deltas.
 """
 from __future__ import annotations
 
@@ -22,15 +27,47 @@ from ..core.max_iou_assigner import max_iou_assign
 from ..core.postprocess import batched_nms, filter_scores_and_topk, \
     filter_scores_and_topk_mlvl
 
-STRIDES = (8, 16, 32, 64, 100, 300)
-# SSD300 COCO basesize ladder (basesize_ratio_range (0.15, 0.9)):
-# min_sizes/max_sizes per level (ssd anchor generator derivation)
-MIN_SIZES = (21, 45, 99, 153, 207, 261)
-MAX_SIZES = (45, 99, 153, 207, 261, 315)
-LEVEL_RATIOS = ((2,), (2, 3), (2, 3), (2, 3), (2,), (2,))
+# Per-input-size tables (SSDAnchorGenerator's hard-coded ladder,
+# anchor_generator.py:506-551, and ssd_vgg/ssd_neck extras). Extras rows
+# are (mid, out, stride, pad, kernel).
+SIZE_SPECS = {
+    300: dict(
+        strides=(8, 16, 32, 64, 100, 300),
+        # COCO basesize_ratio_range (0.15, 0.9) + the 7%/15% insert
+        min_sizes=(21, 45, 99, 153, 207, 261),
+        max_sizes=(45, 99, 153, 207, 261, 315),
+        ratios=((2,), (2, 3), (2, 3), (2, 3), (2,), (2,)),
+        extras=((256, 512, 2, 1, 3), (128, 256, 2, 1, 3),
+                (128, 256, 1, 0, 3), (128, 256, 1, 0, 3)),
+    ),
+    512: dict(
+        strides=(8, 16, 32, 64, 128, 256, 512),
+        # COCO basesize_ratio_range (0.1, 0.9): step 16 over 10..90 + the
+        # 4%/10% level-0 insert -> 7 levels
+        min_sizes=(20, 51, 133, 215, 296, 378, 460),
+        max_sizes=(51, 133, 215, 296, 378, 460, 542),
+        ratios=((2,), (2, 3), (2, 3), (2, 3), (2, 3), (2,), (2,)),
+        # ssd512 neck row: out (512, 256, 256, 256, 256), strides
+        # (2, 2, 2, 2, 1), paddings all 1, last kernel 4 (2x2 -> 1x1)
+        extras=((256, 512, 2, 1, 3), (128, 256, 2, 1, 3),
+                (128, 256, 2, 1, 3), (128, 256, 2, 1, 3),
+                (128, 256, 1, 1, 4)),
+    ),
+}
+
+# SSD300 aliases (historic module-level names)
+STRIDES = SIZE_SPECS[300]["strides"]
+MIN_SIZES = SIZE_SPECS[300]["min_sizes"]
+MAX_SIZES = SIZE_SPECS[300]["max_sizes"]
+LEVEL_RATIOS = SIZE_SPECS[300]["ratios"]
 
 
-def ssd_level_anchors(level: int):
+def _size_from_levels(num_levels: int) -> int:
+    """The level count identifies the variant (300 -> 6, 512 -> 7)."""
+    return {6: 300, 7: 512}[num_levels]
+
+
+def ssd_level_anchors(level: int, input_size: int = 300):
     """Base anchors for one level: [1, 1'] scales x ratios (ssd_head
     anchor recipe) -> 4 or 6 anchors.
 
@@ -38,8 +75,9 @@ def ssd_level_anchors(level: int):
     SSDAnchorGenerator centers every anchor at stride/2
     (anchor_generator.py:503 ``centers=[(stride/2, stride/2) ...]``) —
     the level-5 single cell is centered on the 300x300 image."""
-    mn, mx = MIN_SIZES[level], MAX_SIZES[level]
-    c = STRIDES[level] / 2.0
+    spec = SIZE_SPECS[input_size]
+    mn, mx = spec["min_sizes"][level], spec["max_sizes"][level]
+    c = spec["strides"][level] / 2.0
     boxes = []
 
     def box(w, h):
@@ -47,7 +85,7 @@ def ssd_level_anchors(level: int):
 
     box(mn, mn)
     box(float(np.sqrt(mn * mx)), float(np.sqrt(mn * mx)))
-    for r in LEVEL_RATIOS[level]:
+    for r in spec["ratios"][level]:
         # SSDAnchorGenerator (scale_major=False + the [0, R, 1..R-1]
         # index_select) orders each ratio pair WIDE (h/w = 1/r) before
         # TALL (h/w = r) — anchor_generator.py:553-590
@@ -58,10 +96,12 @@ def ssd_level_anchors(level: int):
 
 
 def ssd_anchors(featmap_sizes: Sequence[Tuple[int, int]]) -> jnp.ndarray:
+    input_size = _size_from_levels(len(featmap_sizes))
+    strides = SIZE_SPECS[input_size]["strides"]
     per_level = []
-    for lvl, ((h, w), stride) in enumerate(zip(featmap_sizes, STRIDES)):
+    for lvl, ((h, w), stride) in enumerate(zip(featmap_sizes, strides)):
         per_level.append(grid_anchors((h, w), stride,
-                                      ssd_level_anchors(lvl)))
+                                      ssd_level_anchors(lvl, input_size)))
     return jnp.concatenate(per_level, axis=0)
 
 
@@ -94,7 +134,9 @@ class SSDOutputs(NamedTuple):
 
 
 class SSDVGG(nn.Module):
-    """VGG-16 trunk + SSD extras; returns the 6 detection feature maps."""
+    """VGG-16 trunk + SSD extras; returns the 6 (300) / 7 (512)
+    detection feature maps."""
+    input_size: int = 300
 
     @nn.compact
     def __call__(self, x):
@@ -114,12 +156,12 @@ class SSDVGG(nn.Module):
                             kernel_dilation=(6, 6), name="fc6")(x))
         x = nn.relu(nn.Conv(1024, (1, 1), name="fc7")(x))   # 19x19
         feats = [c43, x]
-        # extras: conv8-conv11
-        specs = [(256, 512, 2, 1), (128, 256, 2, 1), (128, 256, 1, 0),
-                 (128, 256, 1, 0)]
-        for i, (mid, out, stride, pad) in enumerate(specs):
+        # extras: conv8-conv11 (300) / conv8-conv12 incl. the final
+        # kernel-4 stride-1 block (512)
+        for i, (mid, out, stride, pad, k) in enumerate(
+                SIZE_SPECS[self.input_size]["extras"]):
             x = nn.relu(nn.Conv(mid, (1, 1), name=f"extra{i}_1")(x))
-            x = nn.relu(nn.Conv(out, (3, 3), strides=(stride, stride),
+            x = nn.relu(nn.Conv(out, (k, k), strides=(stride, stride),
                                 padding=[(pad, pad), (pad, pad)],
                                 name=f"extra{i}_2")(x))
             feats.append(x)
@@ -130,15 +172,17 @@ class SSD(nn.Module):
     num_classes: int = 80
     depth: int = 16           # VGG-16 (kept for config uniformity)
     frozen_stages: int = -1
+    input_size: int = 300     # 300 or 512 (picks the SIZE_SPECS row)
 
     @nn.compact
     def __call__(self, images, img_hw, deterministic: bool = True):
-        feats = SSDVGG(name="backbone")(images)
+        feats = SSDVGG(name="backbone", input_size=self.input_size)(images)
+        ratios = SIZE_SPECS[self.input_size]["ratios"]
         cls_out, reg_out = [], []
         # ssd_head.py init_cfg: Xavier-uniform head convs, bias 0
         init = nn.initializers.xavier_uniform()
         for lvl, f in enumerate(feats):
-            A = 2 + 2 * len(LEVEL_RATIOS[lvl])
+            A = 2 + 2 * len(ratios[lvl])
             cls_out.append(nn.Conv(A * (self.num_classes + 1), (3, 3),
                                    padding=[(1, 1), (1, 1)],
                                    kernel_init=init,
@@ -238,8 +282,8 @@ def ssd_get_bboxes(out: SSDOutputs, anchors, img_hw, scale_factor=None,
                    rescale: bool = False,
                    target_stds=(0.1, 0.1, 0.2, 0.2)):
     B = out.cls_scores[0].shape[0]
-    Cp1 = out.cls_scores[0].shape[-1] // (
-        2 + 2 * len(LEVEL_RATIOS[0]))
+    ratios = SIZE_SPECS[_size_from_levels(len(out.cls_scores))]["ratios"]
+    Cp1 = out.cls_scores[0].shape[-1] // (2 + 2 * len(ratios[0]))
     cls_flat = jnp.concatenate(
         [c.reshape(B, -1, Cp1) for c in out.cls_scores], axis=1)
     deltas = jnp.concatenate(

@@ -74,23 +74,40 @@ class YOLOV3Outputs(NamedTuple):
 
 class YOLOV3(nn.Module):
     num_classes: int = 80
+    # '' = Darknet-53 (yolov3_d53 configs); 'mobilenet_v2' = the
+    # yolov3_mobilenetv2 recipe (backbone out_indices (2, 4, 6), LeakyReLU
+    # act, trainable BN, 96-channel neck/head — configs/yolo/
+    # yolov3_mobilenetv2_mstrain-416_300e_coco.py)
+    backbone: str = ""
 
     @nn.compact
     def __call__(self, images, img_hw, deterministic: bool = True,
                  train: bool = False):
-        c3, c4, c5 = Darknet53(name="backbone")(images, train)
+        if self.backbone == "mobilenet_v2":
+            from .mobilenet_v2 import MobileNetV2
+            c3, c4, c5 = MobileNetV2(out_indices=(2, 4, 6), act="leaky",
+                                     train_bn=True,
+                                     name="backbone")(images, train)
+            # YOLOV3Neck out_channels [96, 96, 96]; the head bridge conv
+            # keeps 96 (yolov3_mobilenetv2: head out_channels=[96]*3)
+            widths, bridge = (96, 96, 96), (96, 96, 96)
+        else:
+            c3, c4, c5 = Darknet53(name="backbone")(images, train)
+            widths, bridge = (512, 256, 128), (1024, 512, 256)
         # neck: detect on C5; reduce+upsample+concat into C4, then C3
-        d5 = _block5(c5, 512, "neck5", train)
-        r4 = _conv(d5, 256, 1, 1, "reduce4", train)
+        d5 = _block5(c5, widths[0], "neck5", train)
+        r4 = _conv(d5, widths[1], 1, 1, "reduce4", train)
         r4 = jnp.repeat(jnp.repeat(r4, 2, axis=1), 2, axis=2)
-        d4 = _block5(jnp.concatenate([r4, c4], -1), 256, "neck4", train)
-        r3 = _conv(d4, 128, 1, 1, "reduce3", train)
+        d4 = _block5(jnp.concatenate([r4, c4], -1), widths[1], "neck4",
+                     train)
+        r3 = _conv(d4, widths[2], 1, 1, "reduce3", train)
         r3 = jnp.repeat(jnp.repeat(r3, 2, axis=1), 2, axis=2)
-        d3 = _block5(jnp.concatenate([r3, c3], -1), 128, "neck3", train)
+        d3 = _block5(jnp.concatenate([r3, c3], -1), widths[2], "neck3",
+                     train)
 
         preds = []
-        for lvl, (d, ch) in enumerate(zip((d5, d4, d3), (512, 256, 128))):
-            h = _conv(d, ch * 2, 3, 1, f"head{lvl}", train)
+        for lvl, (d, ch) in enumerate(zip((d5, d4, d3), bridge)):
+            h = _conv(d, ch, 3, 1, f"head{lvl}", train)
             # init parity (yolo_head.py:172): convs_pred Normal(std=0.01)
             p = nn.Conv(3 * (5 + self.num_classes), (1, 1),
                         kernel_init=nn.initializers.normal(0.01),

@@ -197,10 +197,10 @@ def build_model(cfg: ExperimentConfig):
                          frozen_stages=m.frozen_stages)
     if m.arch in ("ssd", "pisa_ssd"):
         from ..models.ssd import SSD
-        return SSD(num_classes=m.num_classes)
+        return SSD(num_classes=m.num_classes, input_size=m.ssd_input_size)
     if m.arch == "yolov3":
         from ..models.yolov3 import YOLOV3
-        return YOLOV3(num_classes=m.num_classes)
+        return YOLOV3(num_classes=m.num_classes, backbone=m.backbone)
     if m.arch == "atss":
         from ..models.atss import ATSS
         return ATSS(num_classes=m.num_classes, depth=m.depth,

@@ -243,6 +243,12 @@ def mmdet_to_experiment(cfg: Dict[str, Any]) \
                             "YOLOV3Head": "yolov3"}.get(head, "")
         if not model_kw["arch"]:
             ignored.append(f"model.type={mtype}/{head}")
+        if model_kw["arch"] in ("ssd", "pisa_ssd"):
+            # ssd512_coco.py declares its variant on the anchor generator
+            gen = (model.get("bbox_head") or {}).get(
+                "anchor_generator") or {}
+            if int(gen.get("input_size", 300)) == 512:
+                model_kw["ssd_input_size"] = 512
     elif mtype is not None:
         # explicit empty arch: ModelConfig defaults to the flagship, and
         # an unmapped type must NOT silently become it
@@ -262,6 +268,9 @@ def mmdet_to_experiment(cfg: Dict[str, Any]) \
                "HRNet": "hrnet_w18"}.get(bb_type)
     if bb_spec:
         model_kw["backbone"] = bb_spec
+    elif bb_type == "MobileNetV2" and model_kw.get("arch") == "yolov3":
+        # the yolov3_mobilenetv2 recipe (96-channel neck, leaky acts)
+        model_kw["backbone"] = "mobilenet_v2"
     elif bb_type in ("DetectoRS_ResNet", "DetectoRS_ResNeXt"):
         # SAC rides the backbone cfg (configs/detectors)
         if bb.get("sac"):

@@ -89,3 +89,49 @@ def test_ssd_get_bboxes(setup):
     assert det["bboxes"].shape == (1, 20, 4)
     b = np.asarray(det["bboxes"])
     assert b.min() >= 0 and b.max() <= 300
+
+
+def test_ssd512_anchor_ladder():
+    """SSD512 COCO ladder (anchor_generator.py:536-541): basesize range
+    (0.1, 0.9), step 16 over 10..90, 4%/10% level-0 insert."""
+    from dskd_tpu.models.ssd import SIZE_SPECS
+    spec = SIZE_SPECS[512]
+    assert spec["min_sizes"] == (20, 51, 133, 215, 296, 378, 460)
+    assert spec["max_sizes"] == (51, 133, 215, 296, 378, 460, 542)
+    # level 0: min square centered at stride/2 = 4
+    a0 = np.asarray(ssd_level_anchors(0, 512))
+    assert a0.shape == (4, 4)
+    np.testing.assert_allclose(a0[0], [4 - 10, 4 - 10, 4 + 10, 4 + 10])
+    # level 4 carries the (2, 3) ratio pair -> 6 anchors (vs 4 at 300)
+    assert np.asarray(ssd_level_anchors(4, 512)).shape == (6, 4)
+    # level 6 (stride 512, one cell) centered on the 512 image
+    a6 = np.asarray(ssd_level_anchors(6, 512))
+    np.testing.assert_allclose(a6[0], [256 - 230, 256 - 230,
+                                       256 + 230, 256 + 230])
+    # total prior count matches the canonical SSD512 24564
+    sizes = [(64, 64), (32, 32), (16, 16), (8, 8), (4, 4), (2, 2), (1, 1)]
+    assert ssd_anchors(sizes).shape[0] == 24564
+
+
+def test_ssd512_level_shapes_and_decode():
+    """7 detection levels 64..1 at 512 input (ssd_neck extras incl. the
+    last kernel-4 stride-1 block) and a finite decode."""
+    model = SSD(num_classes=6, input_size=512)
+    B, S = 1, 512
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(B, S, S, 3).astype(np.float32) * 0.2)
+    img_hw = jnp.asarray(np.tile([[S, S]], (B, 1)).astype(np.int32))
+    variables = model.init(jax.random.PRNGKey(0), images, img_hw)
+    out = model.apply(variables, images, img_hw)
+    sizes = [c.shape[1:3] for c in out.cls_scores]
+    assert sizes == [(64, 64), (32, 32), (16, 16), (8, 8), (4, 4),
+                     (2, 2), (1, 1)]
+    per_a = (4, 6, 6, 6, 6, 4, 4)
+    for c, a in zip(out.cls_scores, per_a):
+        assert c.shape[-1] == a * 7
+    anchors = ssd_anchors(sizes)
+    det = ssd_get_bboxes(out, anchors, img_hw, score_thr=0.0,
+                         nms_pre=200, max_per_img=20)
+    assert det["bboxes"].shape == (1, 20, 4)
+    b = np.asarray(det["bboxes"])
+    assert b.min() >= 0 and b.max() <= 512

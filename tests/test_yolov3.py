@@ -81,3 +81,32 @@ def test_yolov3_decode_recovers_planted_prediction(setup):
         np.asarray(det["bboxes"])[0, 0],
         [max(cx - 58, 0), max(cy - 45, 0),
          min(cx + 58, 128), min(cy + 45, 128)], atol=1e-2)
+
+
+def test_yolov3_mobilenetv2_variant():
+    """yolov3_mobilenetv2 recipe: MobileNetV2 taps (2, 4, 6) with leaky
+    acts + trainable BN, 96-channel neck/head; BN stats update under
+    train=True (configs/yolo/yolov3_mobilenetv2_mstrain-416_300e_coco.py)."""
+    model = YOLOV3(num_classes=5, backbone="mobilenet_v2")
+    B, S = 1, 128
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(B, S, S, 3).astype(np.float32) * 0.2)
+    img_hw = jnp.asarray(np.tile([[S, S]], (B, 1)).astype(np.int32))
+    variables = model.init(jax.random.PRNGKey(0), images, img_hw)
+    out = model.apply(variables, images, img_hw)
+    sizes = [p.shape[1:3] for p in out.preds]
+    assert sizes == [(4, 4), (8, 8), (16, 16)]
+    assert out.preds[0].shape[-1] == 3 * (5 + 5)
+    # neck/head live at 96 channels (mbv2 out_channels=[96]*3)
+    p = variables["params"]
+    assert p["neck5_0_conv"]["kernel"].shape[-1] == 96
+    assert p["head0_conv"]["kernel"].shape[-1] == 96
+    # backbone taps: stage3 (C3, 32ch in), stage5/7 deeper; stem is mbv2
+    assert "stage1_block0" in p["backbone"]
+    # trainable BN: batch_stats exist and CHANGE under train=True
+    assert "batch_stats" in variables
+    _, upd = model.apply(variables, images, img_hw, train=True,
+                         mutable=["batch_stats"])
+    before = variables["batch_stats"]["backbone"]["stem_bn"]["bn"]["mean"]
+    after = upd["batch_stats"]["backbone"]["stem_bn"]["bn"]["mean"]
+    assert float(jnp.abs(after - before).max()) > 0
