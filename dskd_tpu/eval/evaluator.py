@@ -579,15 +579,18 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
 
     if arch in ("ssd", "pisa_ssd"):
         from ..models.ssd import ssd_anchors, ssd_get_bboxes
+        ssd_size = getattr(model, "input_size", 300)
 
         @jax.jit
         def eval_step(variables, images, img_hw, scale_factors):
             out = model.apply(variables, images, img_hw, deterministic=True)
-            anchors = ssd_anchors([c.shape[1:3] for c in out.cls_scores])
+            anchors = ssd_anchors([c.shape[1:3] for c in out.cls_scores],
+                                  input_size=ssd_size)
             d = ssd_get_bboxes(out, anchors, img_hw,
                                scale_factor=scale_factors,
                                score_thr=max(score_thr, 0.02),
-                               max_per_img=max_per_img, rescale=True)
+                               max_per_img=max_per_img, rescale=True,
+                               input_size=ssd_size)
             return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
         return eval_step
 

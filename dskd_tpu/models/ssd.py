@@ -53,6 +53,20 @@ SIZE_SPECS = {
                 (128, 256, 2, 1, 3), (128, 256, 2, 1, 3),
                 (128, 256, 1, 1, 4)),
     ),
+    # SSDLite-MobileNetV2 (configs/ssd/ssdlite_mobilenetv2_scratch_600e):
+    # explicit anchor table (no basesize derivation), MobileNetV2 taps
+    # (4, 7), depthwise-separable extras + head, trainable BN throughout
+    # (scratch recipe — no norm_eval)
+    320: dict(
+        strides=(16, 32, 64, 107, 160, 320),
+        min_sizes=(48, 100, 150, 202, 253, 304),
+        max_sizes=(100, 150, 202, 253, 304, 320),
+        ratios=((2, 3),) * 6,
+        # SSDNeck use_depthwise rows: out (512, 256, 256, 128), all
+        # stride 2 / pad 1; mid = out // 2
+        extras=((256, 512, 2, 1, 3), (128, 256, 2, 1, 3),
+                (128, 256, 2, 1, 3), (64, 128, 2, 1, 3)),
+    ),
 }
 
 # SSD300 aliases (historic module-level names)
@@ -63,7 +77,10 @@ LEVEL_RATIOS = SIZE_SPECS[300]["ratios"]
 
 
 def _size_from_levels(num_levels: int) -> int:
-    """The level count identifies the variant (300 -> 6, 512 -> 7)."""
+    """The level count identifies the variant (300 -> 6, 512 -> 7).
+    SSDLite (320) also runs 6 levels, so its callers must pass
+    ``input_size`` explicitly — the train/eval dispatchers thread
+    ``ModelConfig.ssd_input_size`` through."""
     return {6: 300, 7: 512}[num_levels]
 
 
@@ -95,8 +112,10 @@ def ssd_level_anchors(level: int, input_size: int = 300):
     return jnp.asarray(boxes, jnp.float32)
 
 
-def ssd_anchors(featmap_sizes: Sequence[Tuple[int, int]]) -> jnp.ndarray:
-    input_size = _size_from_levels(len(featmap_sizes))
+def ssd_anchors(featmap_sizes: Sequence[Tuple[int, int]],
+                input_size: int = None) -> jnp.ndarray:
+    if input_size is None:
+        input_size = _size_from_levels(len(featmap_sizes))
     strides = SIZE_SPECS[input_size]["strides"]
     per_level = []
     for lvl, ((h, w), stride) in enumerate(zip(featmap_sizes, strides)):
@@ -172,17 +191,61 @@ class SSD(nn.Module):
     num_classes: int = 80
     depth: int = 16           # VGG-16 (kept for config uniformity)
     frozen_stages: int = -1
-    input_size: int = 300     # 300 or 512 (picks the SIZE_SPECS row)
+    # 300 / 512 pick the VGG SIZE_SPECS rows; 320 is the SSDLite
+    # MobileNetV2 recipe (depthwise extras + head, trainable BN)
+    input_size: int = 300
 
     @nn.compact
-    def __call__(self, images, img_hw, deterministic: bool = True):
-        feats = SSDVGG(name="backbone", input_size=self.input_size)(images)
+    def __call__(self, images, img_hw, deterministic: bool = True,
+                 train: bool = False):
+        lite = self.input_size == 320
+        if lite:
+            from .dilated_encoder import TrainableBatchNorm
+            from .mobilenet_v2 import MobileNetV2, _relu6
+
+            def cbr(x, ch, k, stride, pad, groups, name):
+                x = nn.Conv(ch, (k, k), strides=(stride, stride),
+                            padding=[(pad, pad), (pad, pad)],
+                            feature_group_count=groups, use_bias=False,
+                            name=f"{name}_conv")(x)
+                return _relu6(TrainableBatchNorm(name=f"{name}_bn")(
+                    x, train))
+
+            c4, c7 = MobileNetV2(out_indices=(4, 7), train_bn=True,
+                                 name="backbone")(images, train)
+            feats = [c4, c7]
+            x = c7
+            for i, (mid, out_ch, stride, pad, k) in enumerate(
+                    SIZE_SPECS[320]["extras"]):
+                # ConvModule 1x1 -> DepthwiseSeparableConvModule
+                # (ssd_neck.py:67-90, use_depthwise=True)
+                x = cbr(x, mid, 1, 1, 0, 1, f"extra{i}_pw")
+                x = cbr(x, mid, k, stride, pad, mid, f"extra{i}_dw")
+                x = cbr(x, out_ch, 1, 1, 0, 1, f"extra{i}_proj")
+                feats.append(x)
+        else:
+            feats = SSDVGG(name="backbone",
+                           input_size=self.input_size)(images)
         ratios = SIZE_SPECS[self.input_size]["ratios"]
         cls_out, reg_out = [], []
         # ssd_head.py init_cfg: Xavier-uniform head convs, bias 0
-        init = nn.initializers.xavier_uniform()
+        # (lite: Normal std=0.001 per the ssdlite init_cfg)
+        init = (nn.initializers.normal(0.001) if lite
+                else nn.initializers.xavier_uniform())
         for lvl, f in enumerate(feats):
             A = 2 + 2 * len(ratios[lvl])
+            if lite:
+                # SSD-Lite head (ssd_head.py:160-195): per-branch
+                # depthwise 3x3 + BN + ReLU6, then a plain 1x1 pred conv
+                c_in = f.shape[-1]
+                fc = cbr(f, c_in, 3, 1, 1, c_in, f"cls_dw{lvl}")
+                fr = cbr(f, c_in, 3, 1, 1, c_in, f"reg_dw{lvl}")
+                cls_out.append(nn.Conv(A * (self.num_classes + 1), (1, 1),
+                                       kernel_init=init,
+                                       name=f"cls_conv{lvl}")(fc))
+                reg_out.append(nn.Conv(A * 4, (1, 1), kernel_init=init,
+                                       name=f"reg_conv{lvl}")(fr))
+                continue
             cls_out.append(nn.Conv(A * (self.num_classes + 1), (3, 3),
                                    padding=[(1, 1), (1, 1)],
                                    kernel_init=init,
@@ -280,9 +343,12 @@ def ssd_get_bboxes(out: SSDOutputs, anchors, img_hw, scale_factor=None,
                    score_thr: float = 0.02, nms_iou: float = 0.45,
                    nms_pre: int = 1000, max_per_img: int = 200,
                    rescale: bool = False,
-                   target_stds=(0.1, 0.1, 0.2, 0.2)):
+                   target_stds=(0.1, 0.1, 0.2, 0.2),
+                   input_size: int = None):
     B = out.cls_scores[0].shape[0]
-    ratios = SIZE_SPECS[_size_from_levels(len(out.cls_scores))]["ratios"]
+    if input_size is None:
+        input_size = _size_from_levels(len(out.cls_scores))
+    ratios = SIZE_SPECS[input_size]["ratios"]
     Cp1 = out.cls_scores[0].shape[-1] // (2 + 2 * len(ratios[0]))
     cls_flat = jnp.concatenate(
         [c.reshape(B, -1, Cp1) for c in out.cls_scores], axis=1)

@@ -796,25 +796,41 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
         from ..models.ssd import (SSDLossConfig, ssd_anchors,
                                   ssd_detection_loss)
         pisa_on = arch == "pisa_ssd"
+        ssd_size = cfg.model.ssd_input_size
         det_cfg = SSDLossConfig(num_classes=cfg.model.num_classes)
 
         def losses_fn(variables, batch, teacher_vars, rng):
-            out = model.apply(variables, batch.images, batch.img_hw,
-                              deterministic=True)
-            anchors = ssd_anchors([c.shape[1:3] for c in out.cls_scores])
+            if ssd_size == 320:
+                # SSDLite trains its MobileNetV2/extras/head BN (scratch
+                # recipe, no norm_eval)
+                out, mutated = model.apply(
+                    variables, batch.images, batch.img_hw,
+                    deterministic=True, train=True,
+                    mutable=["batch_stats"])
+                stats = mutated["batch_stats"]
+            else:
+                out = model.apply(variables, batch.images, batch.img_hw,
+                                  deterministic=True)
+                stats = None
+            anchors = ssd_anchors([c.shape[1:3] for c in out.cls_scores],
+                                  input_size=ssd_size)
             return ssd_detection_loss(out, anchors, batch.gt_bboxes,
                                       batch.gt_labels, batch.gt_valid,
-                                      det_cfg, pisa=pisa_on), None
+                                      det_cfg, pisa=pisa_on), stats
 
     elif arch == "yolov3":
         from ..models.yolov3 import YOLOV3LossConfig, yolov3_loss
         det_cfg = YOLOV3LossConfig(num_classes=cfg.model.num_classes)
 
         def losses_fn(variables, batch, teacher_vars, rng):
-            out = model.apply(variables, batch.images, batch.img_hw,
-                              deterministic=True)
+            # darknet/mbv2 BN trains (the reference yolov3 recipes carry
+            # no norm_eval; stats thread through batch_stats)
+            out, mutated = model.apply(
+                variables, batch.images, batch.img_hw,
+                deterministic=True, train=True, mutable=["batch_stats"])
             return yolov3_loss(out, batch.gt_bboxes, batch.gt_labels,
-                               batch.gt_valid, det_cfg), None
+                               batch.gt_valid,
+                               det_cfg), mutated["batch_stats"]
 
     elif arch == "atss":
         from ..models.atss import (ATSSLossConfig, atss_anchors,

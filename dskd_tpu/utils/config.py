@@ -51,8 +51,9 @@ class ModelConfig:
     as_two_stage: bool = False
     # DyHead attention blocks between neck and head (arch='atss')
     dyhead_blocks: int = 0
-    # SSD variant (configs/ssd): 300 or 512 — picks the VGG-extras /
-    # anchor-ladder row (models/ssd.py SIZE_SPECS)
+    # SSD variant (configs/ssd): 300 or 512 pick the VGG-extras /
+    # anchor-ladder row; 320 is the SSDLite-MobileNetV2 recipe
+    # (depthwise extras + head, trainable BN) — models/ssd.py SIZE_SPECS
     ssd_input_size: int = 300
     # stuff classes for the panoptic semantic branch (arch='panoptic_fpn')
     num_stuff_classes: int = 53

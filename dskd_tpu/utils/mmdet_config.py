@@ -244,10 +244,13 @@ def mmdet_to_experiment(cfg: Dict[str, Any]) \
         if not model_kw["arch"]:
             ignored.append(f"model.type={mtype}/{head}")
         if model_kw["arch"] in ("ssd", "pisa_ssd"):
-            # ssd512_coco.py declares its variant on the anchor generator
-            gen = (model.get("bbox_head") or {}).get(
-                "anchor_generator") or {}
-            if int(gen.get("input_size", 300)) == 512:
+            # ssd512_coco.py declares its variant on the anchor
+            # generator; ssdlite declares use_depthwise on the head
+            bh = model.get("bbox_head") or {}
+            gen = bh.get("anchor_generator") or {}
+            if bh.get("use_depthwise"):
+                model_kw["ssd_input_size"] = 320
+            elif int(gen.get("input_size", 300)) == 512:
                 model_kw["ssd_input_size"] = 512
     elif mtype is not None:
         # explicit empty arch: ModelConfig defaults to the flagship, and

@@ -135,3 +135,40 @@ def test_ssd512_level_shapes_and_decode():
     assert det["bboxes"].shape == (1, 20, 4)
     b = np.asarray(det["bboxes"])
     assert b.min() >= 0 and b.max() <= 512
+
+
+def test_ssdlite_mobilenetv2_variant():
+    """SSDLite (ssdlite_mobilenetv2_scratch_600e_coco.py): MobileNetV2
+    taps (4, 7), depthwise extras to (512, 256, 256, 128), per-branch
+    depthwise head + 1x1 preds, A=6 everywhere, trainable BN."""
+    model = SSD(num_classes=6, input_size=320)
+    B, S = 1, 320
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(B, S, S, 3).astype(np.float32) * 0.2)
+    img_hw = jnp.asarray(np.tile([[S, S]], (B, 1)).astype(np.int32))
+    variables = model.init(jax.random.PRNGKey(0), images, img_hw)
+    out = model.apply(variables, images, img_hw)
+    sizes = [c.shape[1:3] for c in out.cls_scores]
+    assert sizes == [(20, 20), (10, 10), (5, 5), (3, 3), (2, 2), (1, 1)]
+    # A=6 on every level (ratios (2, 3) throughout); feature channels
+    # follow the neck row (96, 1280, 512, 256, 256, 128)
+    for c in out.cls_scores:
+        assert c.shape[-1] == 6 * 7
+    assert [f.shape[-1] for f in out.neck_feats] == [96, 1280, 512, 256,
+                                                     256, 128]
+    # BN stats update under train=True (scratch recipe, no norm_eval)
+    assert "batch_stats" in variables
+    _, upd = model.apply(variables, images, img_hw, train=True,
+                         mutable=["batch_stats"])
+    b0 = variables["batch_stats"]["extra0_pw_bn"]["bn"]["mean"]
+    a0 = upd["batch_stats"]["extra0_pw_bn"]["bn"]["mean"]
+    assert float(jnp.abs(a0 - b0).max()) > 0
+    # explicit-table anchors: 6 per cell, stride-107 level included
+    anchors = ssd_anchors(sizes, input_size=320)
+    assert anchors.shape[0] == 6 * sum(h * w for h, w in sizes)
+    a3 = np.asarray(ssd_level_anchors(3, 320))   # stride 107, min 202
+    np.testing.assert_allclose(a3[0], [53.5 - 101, 53.5 - 101,
+                                       53.5 + 101, 53.5 + 101])
+    det = ssd_get_bboxes(out, anchors, img_hw, score_thr=0.0,
+                         nms_pre=200, max_per_img=20, input_size=320)
+    assert det["bboxes"].shape == (1, 20, 4)
