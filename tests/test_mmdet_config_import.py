@@ -345,3 +345,21 @@ def test_imported_il_config_builds_a_model(tmp_path):
     model = build_model(cfg)
     variables = init_variables(model, cfg, jax.random.PRNGKey(0))
     assert variables["params"]
+
+
+def test_mapping_ssd512_and_ssdlite_variants():
+    """The real reference ssd512/ssdlite configs map to their
+    ModelConfig.ssd_input_size variants (512: anchor-generator
+    input_size; 320: head use_depthwise)."""
+    ref = "/root/reference/configs/ssd"
+    exp512, _ = mmdet_to_experiment(
+        load_mmdet_config(f"{ref}/ssd512_coco.py"))
+    assert exp512.model.arch == "ssd"
+    assert exp512.model.ssd_input_size == 512
+    explite, _ = mmdet_to_experiment(
+        load_mmdet_config(f"{ref}/ssdlite_mobilenetv2_scratch_600e_coco.py"))
+    assert explite.model.arch == "ssd"
+    assert explite.model.ssd_input_size == 320
+    exp300, _ = mmdet_to_experiment(
+        load_mmdet_config(f"{ref}/ssd300_coco.py"))
+    assert exp300.model.ssd_input_size == 300
