@@ -199,6 +199,140 @@ def _pipeline_flags(pipeline: List[Dict], data_kw: Dict,
             data_kw["bucket"] = (int(short), int(long_))
 
 
+def _route_variant(model: Dict, model_kw: Dict[str, Any],
+                   ignored: List[str]) -> None:
+    """Registry-faithful variant routing.
+
+    The reference's builder dispatches on the head/roi_head/neck ``type``
+    registry keys (mmdet/models/builder.py:59), so a config whose
+    bbox_head (or roi_head members, or neck) names a variant must build
+    the variant family — e.g. retinanet + GARetinaHead is guided-anchor
+    RetinaNet, CascadeRCNN + mask_head is Cascade *Mask* R-CNN. Anything
+    this mapping genuinely drops is appended to ``ignored`` so the
+    migrating user sees the loss instead of silently getting a different
+    model.
+    """
+    arch = model_kw.get("arch")
+    bh = model.get("bbox_head") or {}
+    bh = bh if isinstance(bh, dict) else {}
+    bh_type = bh.get("type", "")
+    roi = model.get("roi_head") or {}
+    roi = roi if isinstance(roi, dict) else {}
+    neck = model.get("neck")
+    if isinstance(neck, dict):
+        neck_types = [neck.get("type")]
+    elif isinstance(neck, (list, tuple)):
+        neck_types = [n.get("type") for n in neck if isinstance(n, dict)]
+    else:
+        neck_types = []
+    loss_cls = (bh.get("loss_cls") or {}).get("type", "")
+
+    if arch == "retinanet":
+        head_route = {"GARetinaHead": "ga_retina",
+                      "SABLRetinaHead": "sabl_retina",
+                      "FreeAnchorRetinaHead": "free_anchor",
+                      "PISARetinaHead": "pisa_retinanet"}
+        if "FPG" in neck_types:
+            arch = "retinanet_fpg"
+        elif "NASFPN" in neck_types:
+            arch = "retinanet_nasfpn"
+        elif bh_type in head_route:
+            arch = head_route[bh_type]
+        elif loss_cls == "GHMC":
+            arch = "retinanet_ghm"
+        elif bh_type == "RetinaSepBNHead":
+            # SepBN head outside the NAS-FPN recipe (e.g. EfficientNet's
+            # crop-896 config keeps the FPN neck)
+            ignored.append("bbox_head.type=RetinaSepBNHead "
+                           "(shared-conv/separate-BN head -> standard "
+                           "retina head)")
+        if "BFP" in neck_types:
+            ignored.append("neck.BFP on retinanet (libra balanced-FPN -> "
+                           "FPN; only libra_faster_rcnn has a dedicated "
+                           "arch)")
+    elif arch == "faster_rcnn":
+        roi_route = {"DoubleHeadRoIHead": "double_head_rcnn",
+                     "DynamicRoIHead": "dynamic_rcnn",
+                     "PISARoIHead": "pisa_faster_rcnn"}
+        arch = roi_route.get(roi.get("type", ""), arch)
+        if "BFP" in neck_types:
+            arch = "libra_faster_rcnn"
+        elif "FPN_CARAFE" in neck_types:
+            arch = "carafe_faster_rcnn"
+        if (model.get("backbone") or {}).get(
+                "conv_cfg", {}).get("type") == "ConvWS":
+            arch = "faster_rcnn_gn_ws"
+        rpn_t = (model.get("rpn_head") or {}).get("type", "")
+        if rpn_t == "GARPNHead":
+            ignored.append("rpn_head.type=GARPNHead "
+                           "(guided-anchor RPN -> standard RPN)")
+        elif rpn_t == "CascadeRPNHead":
+            ignored.append("rpn_head.type=CascadeRPNHead "
+                           "(cascade RPN -> standard RPN; the standalone "
+                           "cascade_rpn arch covers the RPN itself)")
+    elif arch == "cascade_rcnn" and roi.get("mask_head") is not None:
+        arch = "cascade_mask_rcnn"
+    elif arch == "mask_rcnn":
+        bbox_heads = roi.get("bbox_head")
+        bbox_heads = (bbox_heads if isinstance(bbox_heads, list)
+                      else [bbox_heads] if isinstance(bbox_heads, dict)
+                      else [])
+        if any((h.get("loss_cls") or {}).get("type") == "SeesawLoss"
+               for h in bbox_heads):
+            arch = "mask_rcnn_seesaw"
+        if (roi.get("mask_roi_extractor") or {}).get("type") \
+                == "GenericRoIExtractor":
+            ignored.append("roi_head.mask_roi_extractor=GenericRoIExtractor"
+                           " (mask-branch GRoIE -> standard extractor)")
+        if roi.get("type") == "PISARoIHead":
+            ignored.append("roi_head.type=PISARoIHead on mask_rcnn "
+                           "(PISA sampling -> standard; only "
+                           "pisa_faster_rcnn has a dedicated arch)")
+    elif arch == "deformable_detr" and bh_type == "GFLDeformableDETRHead":
+        # non-IL GFL-distribution head (gfl_deformable_detr_head.py)
+        arch = "gfl_deformable_detr"
+    elif arch == "rpn":
+        # the RPN detector carries its head under rpn_head, not bbox_head
+        rpn_t = (model.get("rpn_head") or {}).get("type", "")
+        if rpn_t == "GARPNHead":
+            arch = "ga_rpn"
+        elif rpn_t == "CascadeRPNHead":
+            arch = "cascade_rpn"
+    elif arch == "cornernet" and bh_type == "CentripetalHead":
+        arch = "centripetalnet"
+    elif arch == "fast_rcnn" and "BFP" in neck_types:
+        # Libra fast-rcnn: no dedicated arch — keep the base family but
+        # surface the dropped balanced-feature pyramid
+        ignored.append("neck.BFP on fast_rcnn (libra balanced-FPN -> FPN; "
+                       "only libra_faster_rcnn has a dedicated arch)")
+    if arch in ("faster_rcnn", "cascade_rcnn", "cascade_mask_rcnn"):
+        bbox_heads = roi.get("bbox_head")
+        bbox_heads = (bbox_heads if isinstance(bbox_heads, list)
+                      else [bbox_heads] if isinstance(bbox_heads, dict)
+                      else [])
+        if any(isinstance(h, dict) and h.get("type") == "SABLHead"
+               for h in bbox_heads):
+            ignored.append("roi_head.bbox_head.type=SABLHead (two-stage "
+                           "side-aware bucketing head -> Shared2FC; only "
+                           "sabl_retina has a dedicated arch)")
+    elif arch == "atss" and "DyHead" in neck_types:
+        for n in (model.get("neck") if isinstance(model.get("neck"),
+                                                  (list, tuple))
+                  else [model.get("neck") or {}]):
+            if isinstance(n, dict) and n.get("type") == "DyHead":
+                model_kw["dyhead_blocks"] = int(n.get("num_blocks", 6))
+    elif arch == "solo":
+        if bh_type == "DecoupledSOLOHead" or (
+                model.get("mask_head") or {}).get("type") \
+                == "DecoupledSOLOHead":
+            arch = "decoupled_solo"
+        elif bh_type == "DecoupledSOLOLightHead" or (
+                model.get("mask_head") or {}).get("type") \
+                == "DecoupledSOLOLightHead":
+            arch = "decoupled_solo_light"
+    model_kw["arch"] = arch
+
+
 def _find_num_classes(model: Dict):
     for head_key in ("bbox_head", "mask_head", "panoptic_head"):
         h = model.get(head_key)
@@ -257,6 +391,8 @@ def mmdet_to_experiment(cfg: Dict[str, Any]) \
         # an unmapped type must NOT silently become it
         model_kw["arch"] = ""
         ignored.append(f"model.type={mtype} (no family mapping)")
+    if model_kw.get("arch"):
+        _route_variant(model, model_kw, ignored)
 
     bb = model.get("backbone", {})
     if "depth" in bb:
