@@ -39,6 +39,9 @@ from .resnet import ResNet
 # configs/solo/solo_r50_fpn_1x_coco.py
 STRIDES = (8, 8, 16, 32, 32)
 SCALE_RANGES = ((1, 96), (48, 192), (96, 384), (192, 768), (384, 2048))
+# configs/solo/decoupled_solo_light_r50_fpn_3x_coco.py
+LIGHT_SCALE_RANGES = ((1, 64), (32, 128), (64, 256), (128, 512),
+                      (256, 2048))
 NUM_GRIDS = (40, 36, 24, 16, 12)
 POS_SCALE = 0.2
 DICE_WEIGHT = 3.0
@@ -164,32 +167,46 @@ def solo_targets(gt_bboxes, gt_labels, gt_valid, gt_masks, canvas_hw,
 
     out = []
     for (lo, hi), S in zip(scale_ranges, num_grids):
-        ok = gt_valid & (area >= lo) & (area <= hi) & (msum > 0)
-        ch = jnp.clip(jnp.floor(com_y / H * S), 0, S - 1).astype(jnp.int32)
-        cw = jnp.clip(jnp.floor(com_x / W * S), 0, S - 1).astype(jnp.int32)
-        top = jnp.maximum(
-            jnp.maximum(0, jnp.floor((com_y - half_h) / H * S)
-                        .astype(jnp.int32)), ch - 1)
-        down = jnp.minimum(
-            jnp.minimum(S - 1, jnp.floor((com_y + half_h) / H * S)
-                        .astype(jnp.int32)), ch + 1)
-        left = jnp.maximum(
-            jnp.maximum(0, jnp.floor((com_x - half_w) / W * S)
-                        .astype(jnp.int32)), cw - 1)
-        right = jnp.minimum(
-            jnp.minimum(S - 1, jnp.floor((com_x + half_w) / W * S)
-                        .astype(jnp.int32)), cw + 1)
-        r = jnp.arange(S)
-        rows = (r[None, :] >= top[:, None]) & (r[None, :] <= down[:, None])
-        cols = (r[None, :] >= left[:, None]) & (r[None, :] <= right[:, None])
-        cover = rows[:, :, None] & cols[:, None, :] & ok[:, None, None]
-        # later GT wins == max over covering indices
-        assign = jnp.max(jnp.where(cover, jnp.arange(G)[:, None, None] + 1,
-                                   0), axis=0)                  # (S, S)
-        safe = jnp.clip(assign - 1, 0, G - 1)
-        label_map = jnp.where(assign > 0, gt_labels[safe], num_classes)
+        label_map, assign, _ = _level_cover(
+            gt_valid, area, msum, com_y, com_x, half_h, half_w,
+            gt_labels, H, W, S, lo, hi, num_classes)
         out.append((label_map, assign))
     return out
+
+
+def _level_cover(gt_valid, area, msum, com_y, com_x, half_h, half_w,
+                 gt_labels, H, W, S, lo, hi, num_classes):
+    """One level's grid assignment (solo_head.py _get_targets_single).
+
+    Returns (label_map (S, S), assign (S, S) with 0=bg / g+1, and the
+    per-GT cover rectangles (ok, top, down, left, right) needed by the
+    decoupled head's per-positive-cell dice)."""
+    G = gt_valid.shape[0]
+    ok = gt_valid & (area >= lo) & (area <= hi) & (msum > 0)
+    ch = jnp.clip(jnp.floor(com_y / H * S), 0, S - 1).astype(jnp.int32)
+    cw = jnp.clip(jnp.floor(com_x / W * S), 0, S - 1).astype(jnp.int32)
+    top = jnp.maximum(
+        jnp.maximum(0, jnp.floor((com_y - half_h) / H * S)
+                    .astype(jnp.int32)), ch - 1)
+    down = jnp.minimum(
+        jnp.minimum(S - 1, jnp.floor((com_y + half_h) / H * S)
+                    .astype(jnp.int32)), ch + 1)
+    left = jnp.maximum(
+        jnp.maximum(0, jnp.floor((com_x - half_w) / W * S)
+                    .astype(jnp.int32)), cw - 1)
+    right = jnp.minimum(
+        jnp.minimum(S - 1, jnp.floor((com_x + half_w) / W * S)
+                    .astype(jnp.int32)), cw + 1)
+    r = jnp.arange(S)
+    rows = (r[None, :] >= top[:, None]) & (r[None, :] <= down[:, None])
+    cols = (r[None, :] >= left[:, None]) & (r[None, :] <= right[:, None])
+    cover = rows[:, :, None] & cols[:, None, :] & ok[:, None, None]
+    # later GT wins == max over covering indices
+    assign = jnp.max(jnp.where(cover, jnp.arange(G)[:, None, None] + 1,
+                               0), axis=0)                  # (S, S)
+    safe = jnp.clip(assign - 1, 0, G - 1)
+    label_map = jnp.where(assign > 0, gt_labels[safe], num_classes)
+    return label_map, assign, (ok, top, down, left, right)
 
 
 def solo_loss(outputs: SOLOOutputs, gt_bboxes, gt_labels, gt_valid,
@@ -240,6 +257,20 @@ def solo_loss(outputs: SOLOOutputs, gt_bboxes, gt_labels, gt_valid,
     return dict(loss_mask=loss_mask, loss_cls=loss_cls)
 
 
+def _point_nms_scores(cls_preds, num_classes: int):
+    """Per level: sigmoid scores with 2x2 local-max keep (forward() eval
+    branch), flattened row-major to (B, S^2, C)."""
+    scores_l = []
+    for cls_pred in cls_preds:
+        B = cls_pred.shape[0]
+        s = jax.nn.sigmoid(cls_pred)                     # (B, S, S, C)
+        lm = nn.max_pool(s, (2, 2), strides=(1, 1),
+                         padding=((1, 0), (1, 0)))
+        s = s * (lm == s)
+        scores_l.append(s.reshape(B, -1, num_classes))
+    return scores_l
+
+
 def solo_decode(outputs: SOLOOutputs, canvas_hw, num_classes: int,
                 num_grids=NUM_GRIDS, strides=STRIDES,
                 score_thr: float = 0.1, mask_thr: float = 0.5,
@@ -251,26 +282,34 @@ def solo_decode(outputs: SOLOOutputs, canvas_hw, num_classes: int,
 
     Returns dict(bboxes (B, R, 4) canvas coords, scores, labels, valid,
     masks28 (B, R, 28, 28))."""
+    H, W = canvas_hw
+    h4, w4 = H // 4, W // 4
+    masks_l = []
+    for mask_pred in outputs.mask_preds:
+        m = jax.nn.sigmoid(mask_pred)                    # (B, h, w, S2)
+        m = _resize(m, (h4, w4)).transpose(0, 3, 1, 2)   # (B, S2, h4, w4)
+        masks_l.append(m)
+    return _decode_from_probs(
+        _point_nms_scores(outputs.cls_preds, num_classes), masks_l,
+        canvas_hw, num_classes, num_grids, strides, score_thr, mask_thr,
+        filter_thr, nms_pre, max_per_img, sigma)
+
+
+def _decode_from_probs(scores_l, masks_l, canvas_hw, num_classes: int,
+                       num_grids=NUM_GRIDS, strides=STRIDES,
+                       score_thr: float = 0.1, mask_thr: float = 0.5,
+                       filter_thr: float = 0.05, nms_pre: int = 500,
+                       max_per_img: int = 100, sigma: float = 2.0):
+    """Shared tail of SOLO/Decoupled-SOLO decoding, from per-level
+    (B, S^2, C) scores and (B, S^2, h4, w4) probability masks."""
     from ..core.postprocess import matrix_nms
     from ..ops.roi_align import roi_align
     H, W = canvas_hw
     h4, w4 = H // 4, W // 4
-    B = outputs.cls_preds[0].shape[0]
+    B = scores_l[0].shape[0]
 
-    scores_l, masks_l, stride_l = [], [], []
-    for lvl, (mask_pred, cls_pred) in enumerate(
-            zip(outputs.mask_preds, outputs.cls_preds)):
-        s = jax.nn.sigmoid(cls_pred)                     # (B, S, S, C)
-        # point NMS: keep only 2x2 local maxima (forward() eval branch)
-        lm = nn.max_pool(s, (2, 2), strides=(1, 1),
-                         padding=((1, 0), (1, 0)))
-        s = s * (lm == s)
-        scores_l.append(s.reshape(B, -1, num_classes))
-        m = jax.nn.sigmoid(mask_pred)                    # (B, h, w, S2)
-        m = _resize(m, (h4, w4)).transpose(0, 3, 1, 2)   # (B, S2, h4, w4)
-        masks_l.append(m)
-        stride_l.append(jnp.full((num_grids[lvl] ** 2,),
-                                 float(strides[lvl])))
+    stride_l = [jnp.full((num_grids[lvl] ** 2,), float(strides[lvl]))
+                for lvl in range(len(scores_l))]
     scores = jnp.concatenate(scores_l, axis=1)           # (B, N, C)
     masks = jnp.concatenate(masks_l, axis=1)             # (B, N, h4, w4)
     cell_stride = jnp.concatenate(stride_l)              # (N,)
@@ -330,3 +369,242 @@ def solo_decode(outputs: SOLOOutputs, canvas_hw, num_classes: int,
                                                     masks)
     return dict(bboxes=boxes, scores=sc, labels=lb, valid=valid,
                 masks28=m28)
+
+
+# ---------------------------------------------------------------------------
+# Decoupled SOLO (solo_head.py:570-1042 DecoupledSOLOHead, :1043-1177
+# DecoupledSOLOLightHead; configs/solo/decoupled_solo_*.py).
+#
+# Instead of S^2 mask channels per level, two branches predict S "column"
+# maps (x, fed the x-coordinate plane) and S "row" maps (y, fed the
+# y-coordinate plane); cell (i, j)'s mask is sigmoid(y_i) * sigmoid(x_j).
+# The light head shares ONE 4-conv tower (both coord planes appended) and
+# splits only at the final per-level 3x3 convs, with tighter scale ranges.
+#
+# TPU-first loss: the reference gathers the dynamic positive-cell set per
+# image (solo_head.py:741-800). Here every GT contributes a STATIC 3x3
+# candidate block (the cover rectangle is clamped to the center cell +-1,
+# so <=9 cells); candidates carry a validity bit (covered, in-rectangle,
+# not overwritten by a later GT) and the per-candidate dice reduces over
+# fixed (G*9, h, w) tensors - no boolean indexing, no host sync.
+# ---------------------------------------------------------------------------
+
+
+class DecoupledSOLOOutputs(NamedTuple):
+    mask_x: Tuple[jnp.ndarray, ...]   # per level (B, 2h, 2w, S)
+    mask_y: Tuple[jnp.ndarray, ...]   # per level (B, 2h, 2w, S)
+    cls_preds: Tuple[jnp.ndarray, ...]  # per level (B, S, S, C)
+
+
+class DecoupledSOLOHead(nn.Module):
+    """Decoupled mask/cls towers; ``light`` shares the mask tower
+    (DecoupledSOLOLightHead, stacked_convs=4)."""
+    num_classes: int = 80
+    feat_channels: int = 256
+    stacked_convs: int = 7
+    num_grids: Sequence[int] = NUM_GRIDS
+    light: bool = False
+
+    def setup(self):
+        def tower(prefix):
+            convs = [nn.Conv(self.feat_channels, (3, 3),
+                             padding=[(1, 1), (1, 1)], use_bias=False,
+                             name=f"{prefix}_conv{i}")
+                     for i in range(self.stacked_convs)]
+            gns = [nn.GroupNorm(num_groups=32, name=f"{prefix}_gn{i}")
+                   for i in range(self.stacked_convs)]
+            return convs, gns
+
+        if self.light:
+            self.mask_convs, self.mask_gns = tower("mask")
+        else:
+            self.mask_convs_x, self.mask_gns_x = tower("mask_x")
+            self.mask_convs_y, self.mask_gns_y = tower("mask_y")
+        self.cls_convs, self.cls_gns = tower("cls")
+        self.conv_mask_list_x = [
+            nn.Conv(s, (3, 3), padding=[(1, 1), (1, 1)],
+                    kernel_init=nn.initializers.normal(0.01),
+                    bias_init=nn.initializers.constant(-4.595),
+                    name=f"conv_mask_x{i}")
+            for i, s in enumerate(self.num_grids)]
+        self.conv_mask_list_y = [
+            nn.Conv(s, (3, 3), padding=[(1, 1), (1, 1)],
+                    kernel_init=nn.initializers.normal(0.01),
+                    bias_init=nn.initializers.constant(-4.595),
+                    name=f"conv_mask_y{i}")
+            for i, s in enumerate(self.num_grids)]
+        self.conv_cls = nn.Conv(
+            self.num_classes, (3, 3), padding=[(1, 1), (1, 1)],
+            kernel_init=nn.initializers.normal(0.01),
+            bias_init=nn.initializers.constant(-4.595), name="conv_cls")
+
+    def __call__(self, feats):
+        f = list(feats)
+        f[0] = _resize(f[0], (f[0].shape[1] // 2, f[0].shape[2] // 2))
+        f[-1] = _resize(f[-1], f[-2].shape[1:3])
+        mask_x, mask_y, cls_preds = [], [], []
+        for i, x in enumerate(f):
+            B, h, w, _ = x.shape
+            ys = jnp.linspace(-1.0, 1.0, h, dtype=x.dtype)
+            xs = jnp.linspace(-1.0, 1.0, w, dtype=x.dtype)
+            xplane = jnp.broadcast_to(xs[None, None, :, None], (B, h, w, 1))
+            yplane = jnp.broadcast_to(ys[None, :, None, None], (B, h, w, 1))
+            if self.light:
+                m = jnp.concatenate([x, xplane, yplane], -1)
+                for conv, gn in zip(self.mask_convs, self.mask_gns):
+                    m = nn.relu(gn(conv(m)))
+                m = _resize(m, (2 * h, 2 * w))
+                mx, my = m, m
+            else:
+                mx = jnp.concatenate([x, xplane], -1)
+                my = jnp.concatenate([x, yplane], -1)
+                for cx, gx, cy, gy in zip(self.mask_convs_x,
+                                          self.mask_gns_x,
+                                          self.mask_convs_y,
+                                          self.mask_gns_y):
+                    mx = nn.relu(gx(cx(mx)))
+                    my = nn.relu(gy(cy(my)))
+                mx = _resize(mx, (2 * h, 2 * w))
+                my = _resize(my, (2 * h, 2 * w))
+            mask_x.append(self.conv_mask_list_x[i](mx))
+            mask_y.append(self.conv_mask_list_y[i](my))
+
+            c = x
+            for j, (conv, gn) in enumerate(zip(self.cls_convs,
+                                               self.cls_gns)):
+                if j == 0:     # cls_down_index
+                    c = _resize(c, (self.num_grids[i],) * 2)
+                c = nn.relu(gn(conv(c)))
+            cls_preds.append(self.conv_cls(c))
+        return mask_x, mask_y, cls_preds
+
+
+class DecoupledSOLO(nn.Module):
+    """detectors/solo.py with the decoupled head; ``light=True`` is the
+    DecoupledSOLOLightHead recipe (4 shared convs, tight scale ranges)."""
+    num_classes: int = 80
+    depth: int = 50
+    frozen_stages: int = 1
+    light: bool = False
+
+    @property
+    def scale_ranges(self):
+        return LIGHT_SCALE_RANGES if self.light else SCALE_RANGES
+
+    def setup(self):
+        self.backbone = ResNet(depth=self.depth, out_indices=(0, 1, 2, 3),
+                               frozen_stages=self.frozen_stages)
+        self.neck = FPN(out_channels=256, num_outs=5, start_level=0,
+                        add_extra_convs="")
+        self.mask_head = DecoupledSOLOHead(
+            num_classes=self.num_classes,
+            stacked_convs=4 if self.light else 7, light=self.light)
+
+    def __call__(self, images, img_hw, deterministic: bool = True):
+        feats = self.backbone(images)
+        mx, my, c = self.mask_head(self.neck(feats))
+        return DecoupledSOLOOutputs(tuple(mx), tuple(my), tuple(c))
+
+
+def decoupled_solo_loss(outputs: DecoupledSOLOOutputs, gt_bboxes,
+                        gt_labels, gt_valid, gt_masks, canvas_hw,
+                        num_classes: int, num_grids=NUM_GRIDS,
+                        scale_ranges=SCALE_RANGES, mask_stride: int = 4):
+    """Dice(3.0) on sigmoid(y_i)*sigmoid(x_j) at positive cells + focal on
+    the grids (solo_head.py:688-800; same avg factors as SOLOHead)."""
+    B, G = gt_labels.shape
+    H, W = canvas_hw
+    C = G * 9     # static per-GT candidate budget (3x3 clamp)
+
+    def image_targets(bboxes, labels, valid, masks):
+        msum = masks.sum(axis=(1, 2))
+        area = jnp.sqrt(jnp.clip((bboxes[:, 2] - bboxes[:, 0])
+                                 * (bboxes[:, 3] - bboxes[:, 1]), 0))
+        Hm, Wm = masks.shape[1:]
+        yy = (jnp.arange(Hm, dtype=jnp.float32) + 0.5) * mask_stride
+        xx = (jnp.arange(Wm, dtype=jnp.float32) + 0.5) * mask_stride
+        den = jnp.maximum(msum, 1e-6)
+        com_y = (masks * yy[None, :, None]).sum(axis=(1, 2)) / den
+        com_x = (masks * xx[None, None, :]).sum(axis=(1, 2)) / den
+        half_h = 0.5 * (bboxes[:, 3] - bboxes[:, 1]) * POS_SCALE
+        half_w = 0.5 * (bboxes[:, 2] - bboxes[:, 0]) * POS_SCALE
+        per_level = []
+        for (lo, hi), S in zip(scale_ranges, num_grids):
+            label_map, assign, (ok, top, down, left, right) = _level_cover(
+                valid, area, msum, com_y, com_x, half_h, half_w,
+                labels, H, W, S, lo, hi, num_classes)
+            di = jnp.arange(3)
+            ii = jnp.clip(top[:, None] + di[None, :], 0, S - 1)  # (G, 3)
+            jj = jnp.clip(left[:, None] + di[None, :], 0, S - 1)
+            i_c = jnp.repeat(ii, 3, axis=1).reshape(-1)          # (G*9,)
+            j_c = jnp.tile(jj, (1, 3)).reshape(-1)
+            in_rect = ((top[:, None] + di[None, :] <= down[:, None])
+                       .repeat(3, axis=1).reshape(-1)
+                       & (jnp.tile(left[:, None] + di[None, :] <=
+                                   right[:, None], (1, 3)).reshape(-1)))
+            g_c = jnp.repeat(jnp.arange(G), 9)
+            own = assign[i_c, j_c] == g_c + 1    # not overwritten
+            valid_c = ok[g_c] & in_rect & own
+            per_level.append((label_map, i_c, j_c, g_c, valid_c))
+        return per_level
+
+    tmaps = jax.vmap(image_targets)(gt_bboxes, gt_labels, gt_valid,
+                                    gt_masks)
+
+    num_pos = sum((t[4].sum() for t in tmaps)).astype(jnp.float32)
+    dice_sum = 0.0
+    cls_flat, lab_flat = [], []
+    for lvl in range(len(num_grids)):
+        label_map, i_c, j_c, g_c, valid_c = tmaps[lvl]
+        mx, my = outputs.mask_x[lvl], outputs.mask_y[lvl]
+        hl, wl = mx.shape[1:3]
+        tgt = _resize(gt_masks.transpose(0, 2, 3, 1), (hl, wl))
+        tgt = (tgt > 0.5).astype(mx.dtype)                    # (B, h, w, G)
+
+        def image_dice(mx1, my1, tgt1, i1, j1, g1, v1):
+            sx = jax.nn.sigmoid(mx1)                          # (h, w, S)
+            sy = jax.nn.sigmoid(my1)
+            x_sel = jnp.take(sx, j1, axis=-1)                 # (h, w, C)
+            y_sel = jnp.take(sy, i1, axis=-1)
+            t_sel = jnp.take(tgt1, g1, axis=-1)               # (h, w, C)
+            pred = x_sel * y_sel
+            inter = (pred * t_sel).sum(axis=(0, 1))           # (C,)
+            p2 = (pred * pred).sum(axis=(0, 1))
+            t2 = (t_sel * t_sel).sum(axis=(0, 1))
+            dice = (2 * inter) / ((p2 + 1e-3) + (t2 + 1e-3))
+            return ((1.0 - dice) * v1).sum()
+
+        dice_sum = dice_sum + jax.vmap(image_dice)(
+            mx, my, tgt, i_c, j_c, g_c, valid_c).sum()
+        cls_flat.append(outputs.cls_preds[lvl].reshape(-1, num_classes))
+        lab_flat.append(label_map.reshape(-1))
+
+    loss_mask = DICE_WEIGHT * dice_sum / jnp.maximum(num_pos, 1.0)
+    cls_all = jnp.concatenate(cls_flat)
+    lab_all = jnp.concatenate(lab_flat)
+    onehot = jax.nn.one_hot(lab_all, num_classes + 1)[..., :num_classes]
+    loss_cls = L.sigmoid_focal_loss(cls_all, onehot,
+                                    avg_factor=num_pos + 1.0)
+    return dict(loss_mask=loss_mask, loss_cls=loss_cls)
+
+
+def decoupled_solo_decode(outputs: DecoupledSOLOOutputs, canvas_hw,
+                          num_classes: int, num_grids=NUM_GRIDS,
+                          strides=STRIDES, **kw):
+    """get_results for the decoupled head: cell (i, j)'s probability mask
+    is the outer product sigmoid(y_i)*sigmoid(x_j), flattened row-major
+    (c = i*S + j) to match the cls-grid flatten; the rest of the pipeline
+    (point NMS, maskness, matrix NMS, 28x28 resample) is shared."""
+    H, W = canvas_hw
+    h4, w4 = H // 4, W // 4
+    masks_l = []
+    for lvl, (mx, my) in enumerate(zip(outputs.mask_x, outputs.mask_y)):
+        S = num_grids[lvl]
+        B = mx.shape[0]
+        sx = _resize(jax.nn.sigmoid(mx), (h4, w4))        # (B, h4, w4, S)
+        sy = _resize(jax.nn.sigmoid(my), (h4, w4))
+        m = (sy[..., :, None] * sx[..., None, :]).reshape(B, h4, w4, S * S)
+        masks_l.append(m.transpose(0, 3, 1, 2))           # (B, S2, h4, w4)
+    return _decode_from_probs(
+        _point_nms_scores(outputs.cls_preds, num_classes), masks_l,
+        canvas_hw, num_classes, num_grids, strides, **kw)

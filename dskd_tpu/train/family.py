@@ -767,6 +767,18 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 canvas_hw=tuple(batch.images.shape[1:3]),
                 num_classes=cfg.model.num_classes), None
 
+    elif arch in ("decoupled_solo", "decoupled_solo_light"):
+        from ..models.solo import decoupled_solo_loss
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw)
+            return decoupled_solo_loss(
+                out, batch.gt_bboxes, batch.gt_labels, batch.gt_valid,
+                batch.gt_masks,
+                canvas_hw=tuple(batch.images.shape[1:3]),
+                num_classes=cfg.model.num_classes,
+                scale_ranges=model.scale_ranges), None
+
     elif arch == "yolact":
         from ..models.yolact import (YOLACTLossConfig, yolact_anchors,
                                      yolact_loss)

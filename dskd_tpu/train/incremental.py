@@ -153,6 +153,11 @@ def build_model(cfg: ExperimentConfig):
         from ..models.solo import SOLO
         return SOLO(num_classes=m.num_classes, depth=m.depth,
                     frozen_stages=m.frozen_stages)
+    if m.arch in ("decoupled_solo", "decoupled_solo_light"):
+        from ..models.solo import DecoupledSOLO
+        return DecoupledSOLO(num_classes=m.num_classes, depth=m.depth,
+                             frozen_stages=m.frozen_stages,
+                             light=(m.arch == "decoupled_solo_light"))
     if m.arch == "yolact":
         from ..models.yolact import YOLACT
         return YOLACT(num_classes=m.num_classes, depth=m.depth,
@@ -429,7 +434,9 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
                                      "ms_rcnn", "cascade_mask_rcnn",
                                      "htc", "point_rend", "queryinst",
                                      "scnet", "maskformer",
-                                     "mask2former", "solo", "yolact"),
+                                     "mask2former", "solo",
+                                     "decoupled_solo",
+                                     "decoupled_solo_light", "yolact"),
         with_semantic=(cfg.model.arch in ("panoptic_fpn", "htc", "scnet")
                        or (cfg.model.panoptic and cfg.model.arch
                            in ("maskformer", "mask2former"))))

@@ -93,7 +93,8 @@ def test_arch_config_steps(name, path):
                           "panoptic_fpn", "ms_rcnn",
                           "cascade_mask_rcnn", "htc", "point_rend",
                           "queryinst", "scnet", "maskformer", "mask2former",
-                          "solo", "yolact"):
+                          "solo", "decoupled_solo", "decoupled_solo_light",
+                          "yolact"):
         # box-filled bitmaps at mask stride 4
         yy, xx = np.mgrid[0:H // 4, 0:W // 4]
         gt_masks = jnp.asarray(
