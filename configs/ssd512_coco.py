@@ -4,9 +4,13 @@ Parity target: configs/ssd/ssd512_coco.py — the SSD300 recipe at a
 512x512 canvas with the 7-level VGG-extras ladder (ssd_neck.py
 out_channels (512, 1024, 512, 256, 256, 256, 256), last_kernel_size=4)
 and the SSDAnchorGenerator basesize_ratio_range (0.1, 0.9) ladder with
-the 4%/10% level-0 insert (anchor_generator.py:536-541); same
-PhotoMetricDistortion -> Expand -> MinIoURandomCrop -> Resize -> Flip
-train pipeline and 24-epoch SGD 2e-3 schedule.
+the 4%/10% level-0 insert (anchor_generator.py:536-541). The reference
+train pipeline runs Expand -> MinIoURandomCrop -> Resize -> Flip ->
+PhotoMetricDistortion (configs/ssd/ssd300_coco.py:13-29); this repo's
+pipeline applies PhotoMetricDistortion BEFORE the geometric augs (a
+known ordering difference — photometric jitter commutes with geometry
+in distribution, documented here per the round-3 advisor). Same
+24-epoch SGD 2e-3 schedule.
 """
 from dskd_tpu.utils.config import (DataConfig, DistillFlags,
                                    ExperimentConfig, ModelConfig,

@@ -7,7 +7,7 @@ semantics as the ResNet backbone (norm_eval recipe).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -44,26 +44,38 @@ class InvertedResidual(nn.Module):
     expand_ratio: int
     act: str = "relu6"
     train_bn: bool = False
+    # scratch-recipe knobs (ssdlite: BN(eps=1e-3, momentum=0.03 torch ->
+    # 0.97 flax) + TruncNormal(0.03) convs); None keeps the defaults
+    bn_momentum: float = 0.9
+    bn_epsilon: float = 1e-5
+    kernel_init: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         def norm(y, name):
             if self.train_bn:
-                return TrainableBatchNorm(name=name)(y, train)
+                return TrainableBatchNorm(
+                    momentum=self.bn_momentum, epsilon=self.bn_epsilon,
+                    name=name)(y, train)
             return FrozenBatchNorm(name=name)(y)
+
+        def nn_Conv(*a, **kw):
+            if self.kernel_init is not None:
+                kw.setdefault("kernel_init", self.kernel_init)
+            return nn.Conv(*a, **kw)
 
         c_in = x.shape[-1]
         hidden = c_in * self.expand_ratio
         y = x
         if self.expand_ratio != 1:
-            y = nn.Conv(hidden, (1, 1), use_bias=False, name="expand")(y)
+            y = nn_Conv(hidden, (1, 1), use_bias=False, name="expand")(y)
             y = _act(norm(y, "expand_bn"), self.act)
         # depthwise 3x3
-        y = nn.Conv(hidden, (3, 3), strides=(self.stride, self.stride),
+        y = nn_Conv(hidden, (3, 3), strides=(self.stride, self.stride),
                     padding=[(1, 1), (1, 1)], feature_group_count=hidden,
                     use_bias=False, name="depthwise")(y)
         y = _act(norm(y, "depthwise_bn"), self.act)
-        y = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+        y = nn_Conv(self.out_channels, (1, 1), use_bias=False,
                     name="project")(y)
         y = norm(y, "project_bn")
         if self.stride == 1 and c_in == self.out_channels:
@@ -85,17 +97,28 @@ class MobileNetV2(nn.Module):
     # True trains BN (batch_stats collection) like the yolov3-mbv2 recipe;
     # False keeps the norm_eval FrozenBatchNorm semantics
     train_bn: bool = False
+    # scratch-recipe knobs (see InvertedResidual)
+    bn_momentum: float = 0.9
+    bn_epsilon: float = 1e-5
+    kernel_init: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  train: bool = False) -> Tuple[jnp.ndarray, ...]:
         def norm(y, name):
             if self.train_bn:
-                return TrainableBatchNorm(name=name)(y, train)
+                return TrainableBatchNorm(
+                    momentum=self.bn_momentum, epsilon=self.bn_epsilon,
+                    name=name)(y, train)
             return FrozenBatchNorm(name=name)(y)
 
+        def nn_Conv(*a, **kw):
+            if self.kernel_init is not None:
+                kw.setdefault("kernel_init", self.kernel_init)
+            return nn.Conv(*a, **kw)
+
         c = make_divisible(32 * self.widen_factor)
-        out = nn.Conv(c, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+        out = nn_Conv(c, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                       use_bias=False, name="stem_conv")(x)
         out = _act(norm(out, "stem_bn"), self.act)
         if self.frozen_stages >= 0:
@@ -108,6 +131,9 @@ class MobileNetV2(nn.Module):
                 out = InvertedResidual(
                     out_channels=ch, stride=s if b == 0 else 1,
                     expand_ratio=t, act=self.act, train_bn=self.train_bn,
+                    bn_momentum=self.bn_momentum,
+                    bn_epsilon=self.bn_epsilon,
+                    kernel_init=self.kernel_init,
                     name=f"stage{i + 1}_block{b}")(out, train)
             if self.frozen_stages >= i + 1:
                 out = lax.stop_gradient(out)
@@ -116,6 +142,6 @@ class MobileNetV2(nn.Module):
         if 7 in self.out_indices:
             c = (int(1280 * self.widen_factor)
                  if self.widen_factor > 1.0 else 1280)
-            out = nn.Conv(c, (1, 1), use_bias=False, name="conv2")(out)
+            out = nn_Conv(c, (1, 1), use_bias=False, name="conv2")(out)
             outs.append(_act(norm(out, "conv2_bn"), self.act))
         return tuple(outs)

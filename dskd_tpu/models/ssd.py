@@ -77,11 +77,16 @@ LEVEL_RATIOS = SIZE_SPECS[300]["ratios"]
 
 
 def _size_from_levels(num_levels: int) -> int:
-    """The level count identifies the variant (300 -> 6, 512 -> 7).
-    SSDLite (320) also runs 6 levels, so its callers must pass
-    ``input_size`` explicitly — the train/eval dispatchers thread
-    ``ModelConfig.ssd_input_size`` through."""
-    return {6: 300, 7: 512}[num_levels]
+    """The level count identifies the 512 variant (7 levels) only. SSD300
+    and SSDLite-320 BOTH run 6 levels, so inferring 300 from 6 levels
+    would silently decode SSDLite outputs with SSD300 anchors — callers
+    must pass ``input_size`` explicitly there (the train/eval dispatchers
+    thread ``ModelConfig.ssd_input_size`` through)."""
+    if num_levels == 7:
+        return 512
+    raise ValueError(
+        f"{num_levels}-level SSD outputs are ambiguous (SSD300 and "
+        "SSDLite-320 both run 6 levels): pass input_size explicitly")
 
 
 def ssd_level_anchors(level: int, input_size: int = 300):
@@ -203,15 +208,23 @@ class SSD(nn.Module):
             from .dilated_encoder import TrainableBatchNorm
             from .mobilenet_v2 import MobileNetV2, _relu6
 
+            # scratch-recipe norm/init (ssdlite_mobilenetv2 config:
+            # norm_cfg BN(eps=1e-3, momentum=0.03 torch -> 0.97 flax),
+            # backbone/neck convs TruncNormal(std=0.03))
+            tn03 = nn.initializers.truncated_normal(0.03)
+
             def cbr(x, ch, k, stride, pad, groups, name):
                 x = nn.Conv(ch, (k, k), strides=(stride, stride),
                             padding=[(pad, pad), (pad, pad)],
                             feature_group_count=groups, use_bias=False,
-                            name=f"{name}_conv")(x)
-                return _relu6(TrainableBatchNorm(name=f"{name}_bn")(
-                    x, train))
+                            kernel_init=tn03, name=f"{name}_conv")(x)
+                return _relu6(TrainableBatchNorm(
+                    momentum=0.97, epsilon=1e-3,
+                    name=f"{name}_bn")(x, train))
 
             c4, c7 = MobileNetV2(out_indices=(4, 7), train_bn=True,
+                                 bn_momentum=0.97, bn_epsilon=1e-3,
+                                 kernel_init=tn03,
                                  name="backbone")(images, train)
             feats = [c4, c7]
             x = c7

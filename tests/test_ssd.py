@@ -50,7 +50,7 @@ def test_ssd300_level_shapes(setup):
 def test_ssd_loss_hard_negative_mining(setup):
     model, variables, images, img_hw, out = setup
     sizes = [c.shape[1:3] for c in out.cls_scores]
-    anchors = ssd_anchors(sizes)
+    anchors = ssd_anchors(sizes, input_size=300)
     assert anchors.shape[0] == sum(
         h * w * a for (h, w), a in zip(sizes, (4, 6, 6, 6, 4, 4)))
 
@@ -83,12 +83,18 @@ def test_ssd_loss_hard_negative_mining(setup):
 def test_ssd_get_bboxes(setup):
     _, _, _, img_hw, out = setup
     sizes = [c.shape[1:3] for c in out.cls_scores]
-    anchors = ssd_anchors(sizes)
+    anchors = ssd_anchors(sizes, input_size=300)
     det = ssd_get_bboxes(out, anchors, img_hw, score_thr=0.0,
-                         nms_pre=200, max_per_img=20)
+                         nms_pre=200, max_per_img=20, input_size=300)
     assert det["bboxes"].shape == (1, 20, 4)
     b = np.asarray(det["bboxes"])
     assert b.min() >= 0 and b.max() <= 300
+
+    # 6-level outputs are ambiguous (SSD300 vs SSDLite-320): inferring
+    # the variant must fail loudly instead of decoding with wrong anchors
+    import pytest
+    with pytest.raises(ValueError):
+        ssd_anchors(sizes)
 
 
 def test_ssd512_anchor_ladder():
