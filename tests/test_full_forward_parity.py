@@ -59,6 +59,77 @@ def test_whole_model_forward_matches_torch():
                                atol=1e-4, err_msg="bbox decode diverges")
 
 
+def test_faster_rcnn_whole_model_matches_torch():
+    """Third whole-model oracle, the TWO-STAGE archetype (VERDICT r3
+    missing #4): flax FasterRCNN-R18 (ResNet + FPN start_level=0 with
+    max-pool P6 + shared RPN tower + SingleRoIExtractor level mapping +
+    RoIAlign + Shared2FC head) == functional torch re-statement
+    (tests/torch_faster_rcnn.py) on one mmdet-layout state dict, for both
+    the per-level RPN outputs and the ROI-head outputs on a FIXED
+    proposal set (fixing proposals removes NMS tie-break flakiness while
+    still exercising every learned stage end-to-end)."""
+    from dskd_tpu.models.faster_rcnn import FasterRCNN
+    from dskd_tpu.ops.roi_align import multi_level_roi_align
+    from dskd_tpu.utils.torch_weights import load_mmdet_faster_rcnn_state_dict
+
+    from test_faster_rcnn_convert import _synthetic_faster_rcnn_state
+    from torch_faster_rcnn import faster_rcnn_forward
+
+    NC = 5
+    B, H, W = 2, 64, 96
+    rng = np.random.RandomState(13)
+    images = rng.randn(B, H, W, 3).astype(np.float32) * 0.4
+    state = _synthetic_faster_rcnn_state(num_classes=NC, seed=21)
+
+    model = FasterRCNN(num_classes=NC, depth=18)
+    hw = jnp.asarray([[H, W]] * B, np.int32)
+    v = model.init(jax.random.PRNGKey(0), jnp.asarray(images), hw,
+                   method=FasterRCNN.init_all)
+    loaded = load_mmdet_faster_rcnn_state_dict(dict(v), state, depth=18,
+                                               strict=True)
+    out = model.apply(loaded, jnp.asarray(images), hw, deterministic=True)
+
+    # mixed-scale proposals so the level mapping exercises levels 0..3
+    R = 12
+    x1 = rng.rand(B, R).astype(np.float32) * (W - 40)
+    y1 = rng.rand(B, R).astype(np.float32) * (H - 40)
+    side = np.exp(rng.uniform(np.log(6), np.log(220), (B, R, 2))
+                  ).astype(np.float32)
+    rois = np.stack([x1, y1, np.minimum(x1 + side[..., 0], W - 1),
+                     np.minimum(y1 + side[..., 1], H - 1)], -1)
+
+    (want_rpn_cls, want_rpn_reg), (want_cls, want_reg) = \
+        faster_rcnn_forward(state,
+                            torch.tensor(images.transpose(0, 3, 1, 2)),
+                            torch.tensor(rois))
+
+    assert len(out.rpn.cls_scores) == len(want_rpn_cls) == 5
+    for lvl in range(5):
+        np.testing.assert_allclose(
+            np.asarray(out.rpn.cls_scores[lvl]),
+            want_rpn_cls[lvl].permute(0, 2, 3, 1).numpy(),
+            rtol=1e-4, atol=1e-4, err_msg=f"rpn cls level {lvl}")
+        np.testing.assert_allclose(
+            np.asarray(out.rpn.bbox_preds[lvl]),
+            want_rpn_reg[lvl].permute(0, 2, 3, 1).numpy(),
+            rtol=1e-4, atol=1e-4, err_msg=f"rpn reg level {lvl}")
+
+    # ROI head on the same fixed proposals
+    feats4 = out.neck_feats[:4]
+    roi_feats = jax.vmap(
+        lambda fpi, r: multi_level_roi_align(fpi, r, jnp.ones(R, bool)))(
+        feats4, jnp.asarray(rois))
+    got_cls, got_reg = jax.vmap(
+        lambda rf: model.apply(loaded, rf,
+                               method=FasterRCNN.roi_forward))(roi_feats)
+    np.testing.assert_allclose(np.asarray(got_cls), want_cls.numpy(),
+                               rtol=2e-4, atol=2e-4,
+                               err_msg="roi cls diverges")
+    np.testing.assert_allclose(np.asarray(got_reg), want_reg.numpy(),
+                               rtol=2e-4, atol=2e-4,
+                               err_msg="roi reg diverges")
+
+
 def test_retinanet_whole_model_matches_torch():
     """Second whole-model oracle, CNN-family assembly: flax RetinaNet-R18
     (ResNet + FPN on_input extras + shared RetinaHead) == functional torch

@@ -21,8 +21,10 @@ import torch
 import torch.nn.functional as F
 
 
-def resnet18_backbone(state, images):
-    """images: (B, 3, H, W) -> [C3, C4, C5] (strides 8/16/32).
+def resnet18_backbone(state, images, min_stage=2):
+    """images: (B, 3, H, W) -> [C3, C4, C5] (strides 8/16/32);
+    min_stage=1 also returns C2 (stride 4) for FPN start_level=0
+    families (faster_rcnn).
 
     Functional resnet18 (torchvision layout, basic blocks, eval-mode BN)
     driven straight off the state-dict tensors — torchvision itself is not
@@ -53,7 +55,7 @@ def resnet18_backbone(state, images):
                 idn = bn(F.conv2d(x, s[src + ".downsample.0.weight"],
                                   stride=stride), src + ".downsample.1")
             x = F.relu(y + idn)
-        if stage >= 2:
+        if stage >= min_stage:
             outs.append(x)
     return outs
 
