@@ -145,6 +145,23 @@ def main():
     # step poisoned its outputs.
     warm_loss = float(np.asarray(jax.device_get(losses["loss"])))
 
+    # MFU denominator: XLA's compiled cost analysis of the WHOLE train
+    # step (teacher fwd + student fwd/bwd + matcher + distill + AdamW) —
+    # the same program the timing loop runs, so the headline carries an
+    # absolute efficiency number that does not depend on the estimated
+    # A100 baseline. v5e bf16 peak = 197 TFLOP/s (BENCH_PEAK_TFLOPS
+    # overrides for other chips).
+    step_flops = float("nan")
+    try:
+        cost = step.lower(state, batch, teacher_vars).compile() \
+            .cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        step_flops = float(cost.get("flops", float("nan")))
+    except Exception as e:                      # tunnel/backend-dependent
+        print(f"bench.py: cost_analysis unavailable ({e!r})",
+              file=sys.stderr)
+
     n_iters = int(os.environ.get("BENCH_STEPS", "10"))
     t0 = time.perf_counter()
     for _ in range(n_iters):
@@ -157,12 +174,17 @@ def main():
 
     n_chips = jax.device_count()
     img_s_chip = B * n_iters / dt / n_chips
-    print(json.dumps({
+    out = {
         "metric": "COCO images/sec/chip (teacher+student incremental step)",
         "value": round(img_s_chip, 3),
         "unit": "img/s/chip",
         "vs_baseline": round(img_s_chip / BASELINE_IMG_S, 3),
-    }))
+    }
+    if np.isfinite(step_flops):
+        peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197")) * 1e12
+        out["step_tflops"] = round(step_flops / 1e12, 3)
+        out["mfu"] = round(step_flops * n_iters / dt / peak, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
