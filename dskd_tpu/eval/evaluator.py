@@ -28,6 +28,11 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
                    max_per_img: int = 100, arch: str = "gfl_deformable_detr"):
     """Family-dispatching jitted inference step. Every family returns a
     DetResults-compatible structure (bboxes/scores/labels/valid)."""
+    from ..registry import get_family
+    spec = get_family(arch)
+    if spec is not None and spec.get("eval_step") is not None:
+        return spec["eval_step"](model, score_thr=score_thr,
+                                 max_per_img=max_per_img)
 
     if arch in ("gfl_deformable_detr", "deformable_detr_il"):
         @jax.jit
@@ -441,24 +446,6 @@ def make_eval_step(model, reg_max: int = 16, score_thr: float = 0.0,
                             score_thr=max(score_thr, 0.05),
                             nms_pre=max(max_per_img, 500),
                             max_per_img=max_per_img)
-            return DetM(d["bboxes"] / scale_factors[:, None, :],
-                        d["scores"], d["labels"], d["valid"], d["masks28"])
-        return eval_step
-
-    if arch in ("decoupled_solo", "decoupled_solo_light"):
-        from ..models.solo import decoupled_solo_decode
-        DetM = namedtuple("DetM",
-                          ["bboxes", "scores", "labels", "valid", "masks"])
-
-        @jax.jit
-        def eval_step(variables, images, img_hw, scale_factors):
-            out = model.apply(variables, images, img_hw, deterministic=True)
-            d = decoupled_solo_decode(
-                out, tuple(images.shape[1:3]),
-                num_classes=model.num_classes,
-                score_thr=max(score_thr, 0.05),
-                nms_pre=max(max_per_img, 500),
-                max_per_img=max_per_img)
             return DetM(d["bboxes"] / scale_factors[:, None, :],
                         d["scores"], d["labels"], d["valid"], d["masks28"])
         return eval_step

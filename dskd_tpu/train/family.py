@@ -34,6 +34,13 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
     ``use_l1`` is YOLOX's ModeSwitch extra: the driver rebuilds the step
     with it on when the no-aug phase starts (detectors/yolox.py +
     YOLOXModeSwitchHook)."""
+    from ..registry import get_family
+    spec = get_family(arch)
+    if spec is not None and spec.get("losses") is not None:
+        return _jit_family_step(spec["losses"](
+            model, cfg, num_prev=num_prev, has_teacher=has_teacher,
+            use_l1=use_l1))
+
     if arch in ("gfl_deformable_detr", "deformable_detr_il"):
         from ..distill.losses import DistillConfig
         from ..models.gfl_detr_loss import DetLossConfig
@@ -767,18 +774,6 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
                 canvas_hw=tuple(batch.images.shape[1:3]),
                 num_classes=cfg.model.num_classes), None
 
-    elif arch in ("decoupled_solo", "decoupled_solo_light"):
-        from ..models.solo import decoupled_solo_loss
-
-        def losses_fn(variables, batch, teacher_vars, rng):
-            out = model.apply(variables, batch.images, batch.img_hw)
-            return decoupled_solo_loss(
-                out, batch.gt_bboxes, batch.gt_labels, batch.gt_valid,
-                batch.gt_masks,
-                canvas_hw=tuple(batch.images.shape[1:3]),
-                num_classes=cfg.model.num_classes,
-                scale_ranges=model.scale_ranges), None
-
     elif arch == "yolact":
         from ..models.yolact import (YOLACTLossConfig, yolact_anchors,
                                      yolact_loss)
@@ -1150,6 +1145,13 @@ def make_family_train_step(arch: str, model, cfg: ExperimentConfig,
 
     else:
         raise ValueError(f"no train step for arch: {arch}")
+
+    return _jit_family_step(losses_fn)
+
+
+def _jit_family_step(losses_fn):
+    """Common tail: wrap a family losses_fn into the jitted, donating
+    (state, batch, teacher_vars) -> (state, losses) train step."""
 
     def train_step(state: TrainState, batch: Batch, teacher_vars=None):
         rng, step_rng = jax.random.split(state.rng)

@@ -41,12 +41,21 @@ from .schedule import step_lr_schedule
 from .state import TrainState
 from .step import Batch, make_train_step
 
+from ..registry import family_flag  # noqa: E402
+
 log = logging.getLogger("dskd_tpu")
 
 
 def build_model(cfg: ExperimentConfig):
-    """Model registry dispatch (replaces the mmdet DETECTORS registry)."""
+    """Model registry dispatch (replaces the mmdet DETECTORS registry).
+
+    Families registered in dskd_tpu.registry win; the if-chain below is
+    the legacy fallback for the pre-registry families."""
+    from ..registry import get_family
     m = cfg.model
+    spec = get_family(m.arch)
+    if spec is not None:
+        return spec["build"](cfg)
     if m.arch in ("gfl_deformable_detr", "deformable_detr_il"):
         return GFLDeformableDETR(
             num_classes=m.num_classes, num_query=m.num_query,
@@ -153,11 +162,6 @@ def build_model(cfg: ExperimentConfig):
         from ..models.solo import SOLO
         return SOLO(num_classes=m.num_classes, depth=m.depth,
                     frozen_stages=m.frozen_stages)
-    if m.arch in ("decoupled_solo", "decoupled_solo_light"):
-        from ..models.solo import DecoupledSOLO
-        return DecoupledSOLO(num_classes=m.num_classes, depth=m.depth,
-                             frozen_stages=m.frozen_stages,
-                             light=(m.arch == "decoupled_solo_light"))
     if m.arch == "yolact":
         from ..models.yolact import YOLACT
         return YOLACT(num_classes=m.num_classes, depth=m.depth,
@@ -429,14 +433,13 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
         expand=cfg.data.expand, min_iou_crop=cfg.data.min_iou_crop,
         resize_ratio_range=cfg.data.resize_ratio_range,
         random_crop=cfg.data.random_crop,
-        with_mask=cfg.model.arch in ("mask_rcnn", "mask_rcnn_seesaw",
-                                     "panoptic_fpn",
-                                     "ms_rcnn", "cascade_mask_rcnn",
-                                     "htc", "point_rend", "queryinst",
-                                     "scnet", "maskformer",
-                                     "mask2former", "solo",
-                                     "decoupled_solo",
-                                     "decoupled_solo_light", "yolact"),
+        with_mask=(cfg.model.arch in ("mask_rcnn", "mask_rcnn_seesaw",
+                                      "panoptic_fpn",
+                                      "ms_rcnn", "cascade_mask_rcnn",
+                                      "htc", "point_rend", "queryinst",
+                                      "scnet", "maskformer",
+                                      "mask2former", "solo", "yolact")
+                   or family_flag(cfg.model.arch, "with_mask")),
         with_semantic=(cfg.model.arch in ("panoptic_fpn", "htc", "scnet")
                        or (cfg.model.panoptic and cfg.model.arch
                            in ("maskformer", "mask2former"))))

@@ -14,6 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from dskd_tpu.registry import family_flag
+
 CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
 CONFIG_FILES = sorted(glob.glob(os.path.join(CONFIG_DIR, "*.py")))
 
@@ -93,8 +95,8 @@ def test_arch_config_steps(name, path):
                           "panoptic_fpn", "ms_rcnn",
                           "cascade_mask_rcnn", "htc", "point_rend",
                           "queryinst", "scnet", "maskformer", "mask2former",
-                          "solo", "decoupled_solo", "decoupled_solo_light",
-                          "yolact"):
+                          "solo", "yolact") \
+            or family_flag(cfg.model.arch, "with_mask"):
         # box-filled bitmaps at mask stride 4
         yy, xx = np.mgrid[0:H // 4, 0:W // 4]
         gt_masks = jnp.asarray(
