@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""Forgetting A/B: DSKD distillation ON vs OFF across a 2-task increment.
+
+The reference's headline claim (/root/reference/README.md:5) is that its
+distillation recipe closes catastrophic forgetting: incremental
+fine-tuning on new classes collapses old-class mAP, while the DSKD menu
+(hard teacher-merged GT + soft response KD + corr/fg feature KD) retains
+it (reference mAP gap 1.0 vs 3.3 on COCO 40+40). This script demonstrates
+that *effect* end-to-end on synthetic painted-box data:
+
+  phase 1  train from scratch on task-1 classes {0,1}
+  phase 2a train on task-2 classes {2,3} with the full DSKD recipe
+           (phase-1 model frozen as teacher)   -> "distill"
+  phase 2b train on task-2 classes {2,3} with plain fine-tuning
+           (old-class objects present but unannotated) -> "finetune"
+  eval     VOC mAP@0.5 on held-out mixed-class images, split into
+           old-class (retention) and new-class (plasticity) mAP.
+
+Expected: old-class mAP, distill >> finetune (finetune near zero — the
+unannotated old objects are treated as background by the focal loss);
+new-class mAP comparable.
+
+Usage: python tools/ab_forgetting.py [steps1] [steps2]   (CPU, tiny shapes)
+"""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# force CPU BEFORE backend init (axon sitecustomize force-selects the chip)
+import jax  # noqa: E402
+
+if not jax.config.jax_platforms:
+    jax.config.update("jax_platforms", "cpu")
+
+
+NUM_CLS = 4
+OLD = (0, 1)
+NEW = (2, 3)
+# saturated, well-separated colors so class identity is trivially learnable
+PALETTE = np.array([[2.0, -2.0, -2.0], [-2.0, 2.0, -2.0],
+                    [-2.0, -2.0, 2.0], [2.0, 2.0, -2.0]], np.float32)
+
+
+def synth_batch(seed, B, H, W, G, paint_classes, annot_classes):
+    """Painted-box detection data.
+
+    Every box is painted (drawn from ``paint_classes``), but only boxes
+    whose class is in ``annot_classes`` are annotated (valid=True) — the
+    incremental-learning setting where old-class objects are present in
+    new-task imagery but carry no labels.
+    """
+    r = np.random.RandomState(seed)
+    images = r.randn(B, H, W, 3).astype(np.float32) * 0.2
+    xy = r.rand(B, G, 2).astype(np.float32) * (W - 56) + 2
+    wh = r.rand(B, G, 2).astype(np.float32) * 16 + 28
+    boxes = np.concatenate([xy, xy + wh], -1)
+    labels = np.asarray(paint_classes)[
+        r.randint(0, len(paint_classes), (B, G))].astype(np.int32)
+    for b in range(B):
+        for g in range(G):
+            x0, y0, x1, y1 = boxes[b, g].astype(int)
+            images[b, y0:y1, x0:x1] = (
+                PALETTE[labels[b, g]]
+                + r.randn(max(y1 - y0, 0), max(x1 - x0, 0), 3) * 0.15)
+    valid = np.isin(labels, np.asarray(annot_classes))
+    return images, boxes, labels, valid
+
+
+def eval_split_map(model, variables, n_images, H, W, G, iou_thr=0.5):
+    """(old-class mAP, new-class mAP) on held-out mixed-class images."""
+    import jax.numpy as jnp
+
+    from dskd_tpu.eval.mean_ap import eval_map
+    from dskd_tpu.models.gfl_detr_head import get_bboxes
+
+    apply = jax.jit(lambda v, im, hw: model.apply(
+        v, im, hw, deterministic=True))
+    dets, anns = [], []
+    for i in range(n_images):
+        images, boxes, labels, _ = synth_batch(
+            50_000 + i, 1, H, W, G, range(NUM_CLS), range(NUM_CLS))
+        out = apply(variables, jnp.asarray(images),
+                    jnp.asarray([[H, W]], jnp.int32))
+        d = get_bboxes(out.head.cls_scores[-1], out.head.bbox_preds[-1],
+                       jnp.asarray([[H, W]], jnp.int32), score_thr=0.0,
+                       max_per_img=20)
+        bb, sc = np.asarray(d.bboxes[0]), np.asarray(d.scores[0])
+        lb, va = np.asarray(d.labels[0]), np.asarray(d.valid[0])
+        per_cls = [np.concatenate(
+            [bb[va & (lb == c)], sc[va & (lb == c), None]], -1)
+            for c in range(NUM_CLS)]
+        dets.append(per_cls)
+        anns.append(dict(bboxes=boxes[0], labels=labels[0]))
+
+    def _subset(classes):
+        remap = {c: j for j, c in enumerate(classes)}
+        sub_d = [[d[c] for c in classes] for d in dets]
+        sub_a = []
+        for a in anns:
+            keep = np.isin(a["labels"], np.asarray(classes))
+            sub_a.append(dict(
+                bboxes=a["bboxes"][keep],
+                labels=np.asarray([remap[int(l)]
+                                   for l in a["labels"][keep]], np.int32)))
+        m, _ = eval_map(sub_d, sub_a, iou_thr=iou_thr)
+        return 100.0 * float(m)
+
+    return _subset(OLD), _subset(NEW)
+
+
+def _train(model, det_cfg, state, step, steps, seed0, B, H, W, G,
+           paint, annot, teacher_vars=None, log_every=0, tag=""):
+    import jax.numpy as jnp
+
+    from dskd_tpu.train.step import Batch
+
+    for it in range(steps):
+        images, boxes, labels, valid = synth_batch(
+            seed0 + it, B, H, W, G, paint, annot)
+        batch = Batch(jnp.asarray(images),
+                      jnp.asarray(np.full((B, 2), H, np.int32)),
+                      jnp.asarray(boxes), jnp.asarray(labels),
+                      jnp.asarray(valid))
+        state, losses = step(state, batch, teacher_vars)
+        if log_every and (it % log_every == 0 or it == steps - 1):
+            print(f"  [{tag}] step {it:>4} loss={float(losses['loss']):.4f}",
+                  flush=True)
+    return state
+
+
+def run_forgetting_ab(steps1=300, steps2=300, B=2, H=128, W=128, G=6,
+                      n_eval=16, log_every=0, seed=0):
+    """Returns a dict with old/new mAP for teacher, distill, finetune."""
+    import jax.numpy as jnp
+
+    from dskd_tpu.distill.losses import DistillConfig
+    from dskd_tpu.models.detector import GFLDeformableDETR
+    from dskd_tpu.models.gfl_detr_loss import DetLossConfig
+    from dskd_tpu.train.optim import make_optimizer
+    from dskd_tpu.train.schedule import step_lr_schedule
+    from dskd_tpu.train.state import TrainState
+    from dskd_tpu.train.step import make_train_step
+
+    model = GFLDeformableDETR(num_encoder_layers=1, num_decoder_layers=1,
+                              num_query=40, depth=18, num_classes=NUM_CLS)
+    det_cfg = DetLossConfig(num_classes=NUM_CLS)
+
+    variables = model.init(jax.random.PRNGKey(seed),
+                           jnp.zeros((1, H, W, 3)),
+                           jnp.asarray([[H, W]], jnp.int32))
+
+    def fresh_state(params, key):
+        tx = make_optimizer(params, step_lr_schedule(
+            2e-4, iters_per_epoch=10_000))
+        return TrainState.create(params, variables.get("batch_stats", {}),
+                                 tx, jax.random.PRNGKey(key))
+
+    # ---- phase 1: task-1 training (classes {0,1} only) ----
+    plain_step = make_train_step(model, det_cfg, None, use_dropout=False,
+                                 donate=False)
+    state = _train(model, det_cfg, fresh_state(variables["params"], 1),
+                   plain_step, steps1, 100, B, H, W, G, OLD, OLD,
+                   log_every=log_every, tag="task1")
+    teacher_params = state.params
+    teacher_vars = {"params": teacher_params,
+                    "batch_stats": state.batch_stats}
+    t_old, t_new = eval_split_map(model, teacher_vars, n_eval, H, W, G)
+    print(f"after task 1      : old-mAP={t_old:6.2f}  new-mAP={t_new:6.2f}",
+          flush=True)
+
+    # ---- phase 2a: DSKD distillation (flagship menu, num_prev=|OLD|) ----
+    distill_cfg = DistillConfig.from_flags(
+        cates_distill="hard + teacher-first + soft",
+        feats_distill="corr + fg_info + decode_v1", num_prev=len(OLD))
+    kd_step = make_train_step(model, det_cfg, distill_cfg,
+                              teacher_score_thr=0.05, teacher_max_per_img=8,
+                              use_dropout=False, donate=False)
+    state_a = _train(model, det_cfg, fresh_state(teacher_params, 2),
+                     kd_step, steps2, 2000, B, H, W, G,
+                     range(NUM_CLS), NEW, teacher_vars=teacher_vars,
+                     log_every=log_every, tag="distill")
+    a_old, a_new = eval_split_map(
+        model, {"params": state_a.params,
+                "batch_stats": state_a.batch_stats}, n_eval, H, W, G)
+    print(f"task 2 + distill  : old-mAP={a_old:6.2f}  new-mAP={a_new:6.2f}",
+          flush=True)
+
+    # ---- phase 2b: plain fine-tuning (the forgetting baseline) ----
+    state_b = _train(model, det_cfg, fresh_state(teacher_params, 2),
+                     plain_step, steps2, 2000, B, H, W, G,
+                     range(NUM_CLS), NEW,
+                     log_every=log_every, tag="finetune")
+    b_old, b_new = eval_split_map(
+        model, {"params": state_b.params,
+                "batch_stats": state_b.batch_stats}, n_eval, H, W, G)
+    print(f"task 2 + finetune : old-mAP={b_old:6.2f}  new-mAP={b_new:6.2f}",
+          flush=True)
+
+    return dict(teacher_old=t_old, teacher_new=t_new,
+                distill_old=a_old, distill_new=a_new,
+                finetune_old=b_old, finetune_new=b_new)
+
+
+def main():
+    steps1 = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    steps2 = int(sys.argv[2]) if len(sys.argv) > 2 else 300
+    r = run_forgetting_ab(steps1, steps2, log_every=25)
+    gap = r["distill_old"] - r["finetune_old"]
+    print(f"\nretention gap (distill - finetune, old-class mAP): "
+          f"{gap:+.2f} points")
+    if r["distill_old"] <= r["finetune_old"]:
+        print("WARNING: distillation did not improve retention")
+        sys.exit(1)
+    print("forgetting A/B OK: distillation retains old-class mAP")
+
+
+if __name__ == "__main__":
+    main()
