@@ -514,7 +514,8 @@ def decoupled_solo_loss(outputs: DecoupledSOLOOutputs, gt_bboxes,
     the grids (solo_head.py:688-800; same avg factors as SOLOHead)."""
     B, G = gt_labels.shape
     H, W = canvas_hw
-    C = G * 9     # static per-GT candidate budget (3x3 clamp)
+    # static per-GT candidate budget: every GT contributes G*9 candidate
+    # cells (3x3 clamp) — the i_c/j_c/g_c/valid_c tensors below are (G*9,)
 
     def image_targets(bboxes, labels, valid, masks):
         msum = masks.sum(axis=(1, 2))

@@ -213,11 +213,13 @@ class SSD(nn.Module):
             # backbone/neck convs TruncNormal(std=0.03))
             tn03 = nn.initializers.truncated_normal(0.03)
 
-            def cbr(x, ch, k, stride, pad, groups, name):
+            def cbr(x, ch, k, stride, pad, groups, name,
+                    kernel_init=None):
                 x = nn.Conv(ch, (k, k), strides=(stride, stride),
                             padding=[(pad, pad), (pad, pad)],
                             feature_group_count=groups, use_bias=False,
-                            kernel_init=tn03, name=f"{name}_conv")(x)
+                            kernel_init=kernel_init or tn03,
+                            name=f"{name}_conv")(x)
                 return _relu6(TrainableBatchNorm(
                     momentum=0.97, epsilon=1e-3,
                     name=f"{name}_bn")(x, train))
@@ -251,8 +253,13 @@ class SSD(nn.Module):
                 # SSD-Lite head (ssd_head.py:160-195): per-branch
                 # depthwise 3x3 + BN + ReLU6, then a plain 1x1 pred conv
                 c_in = f.shape[-1]
-                fc = cbr(f, c_in, 3, 1, 1, c_in, f"cls_dw{lvl}")
-                fr = cbr(f, c_in, 3, 1, 1, c_in, f"reg_dw{lvl}")
+                # head init_cfg Normal(0.001) covers the depthwise
+                # ConvModules too (ssdlite config bbox_head.init_cfg) —
+                # NOT the backbone/neck TruncNormal(0.03)
+                fc = cbr(f, c_in, 3, 1, 1, c_in, f"cls_dw{lvl}",
+                         kernel_init=init)
+                fr = cbr(f, c_in, 3, 1, 1, c_in, f"reg_dw{lvl}",
+                         kernel_init=init)
                 cls_out.append(nn.Conv(A * (self.num_classes + 1), (1, 1),
                                        kernel_init=init,
                                        name=f"cls_conv{lvl}")(fc))

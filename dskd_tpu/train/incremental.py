@@ -442,7 +442,8 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
                    or family_flag(cfg.model.arch, "with_mask")),
         with_semantic=(cfg.model.arch in ("panoptic_fpn", "htc", "scnet")
                        or (cfg.model.panoptic and cfg.model.arch
-                           in ("maskformer", "mask2former"))))
+                           in ("maskformer", "mask2former"))
+                       or family_flag(cfg.model.arch, "with_semantic")))
     global_batch = cfg.data.samples_per_device * len(mesh.devices.flatten())
     loader = DataLoader(train_ds, global_batch, pipe, train=True,
                         seed=cfg.train.seed + tid,

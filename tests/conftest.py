@@ -47,7 +47,8 @@ _SLOW_FILES = {
     "test_trident_detectors", "test_ld", "test_guided_anchor", "test_libra",
     "test_ms_rcnn", "test_cascade_mask_rcnn", "test_int8",
     "test_sparse_rcnn", "test_grid_rcnn", "test_tridentnet", "test_mask_rcnn",
-    "test_panoptic", "test_solo", "test_yolact", "test_yolox",
+    "test_panoptic", "test_solo", "test_decoupled_solo",
+    "test_yolact", "test_yolox",
     "test_htc", "test_point_rend", "test_queryinst", "test_scnet",
     "test_maskformer", "test_mask2former", "test_pisa",
     "test_cascade_rpn", "test_fpg", "test_guided_anchor",

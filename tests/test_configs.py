@@ -105,7 +105,8 @@ def test_arch_config_steps(name, path):
              & (xx[None, None] * 4 >= gtb[:, :, 0, None, None])
              & (xx[None, None] * 4 <= gtb[:, :, 2, None, None]))
             .astype(np.float32))
-    if cfg.model.arch in ("panoptic_fpn", "htc", "scnet"):
+    if cfg.model.arch in ("panoptic_fpn", "htc", "scnet") \
+            or family_flag(cfg.model.arch, "with_semantic"):
         total = cfg.model.num_classes + cfg.model.num_stuff_classes
         gt_semantic = jnp.asarray(
             rng.randint(0, total, (B, H // 4, W // 4)).astype(np.int32))

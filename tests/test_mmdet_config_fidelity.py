@@ -132,6 +132,10 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference configs not present")
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _sweep():
     from dskd_tpu.utils.mmdet_config import (load_mmdet_config,
                                              mmdet_to_experiment)

@@ -29,11 +29,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-# force CPU BEFORE backend init (axon sitecustomize force-selects the chip)
+# force CPU BEFORE backend init: the axon sitecustomize force-selects
+# the chip via jax.config (which also beats the JAX_PLATFORMS env var),
+# so the override must be unconditional — same pattern as ab_matcher.py
 import jax  # noqa: E402
 
-if not jax.config.jax_platforms:
-    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", "cpu")
 
 
 NUM_CLS = 4

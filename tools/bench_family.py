@@ -49,7 +49,11 @@ def main():
     from dskd_tpu.utils.config import ExperimentConfig
 
     cfg = ExperimentConfig()
-    cfg.model = dataclasses.replace(cfg.model, arch=arch, num_classes=80)
+    model_kw = dict(arch=arch, num_classes=80)
+    if arch in ("ssd", "pisa_ssd") and H in (300, 320, 512):
+        model_kw["ssd_input_size"] = H    # square SSD canvases pick the
+        # variant ladder (models/ssd.py SIZE_SPECS)
+    cfg.model = dataclasses.replace(cfg.model, **model_kw)
     model = build_model(cfg)
 
     MAXG = 32
@@ -74,6 +78,11 @@ def main():
              & (xx[None, None] * 4 >= gtb[:, :, 0, None, None])
              & (xx[None, None] * 4 <= gtb[:, :, 2, None, None]))
             .astype(np.float32))
+    if arch in ("panoptic_fpn", "htc", "scnet") \
+            or family_flag(arch, "with_semantic"):
+        total = 80 + cfg.model.num_stuff_classes
+        kw["gt_semantic"] = jnp.asarray(
+            rng.randint(0, total, (B, H // 4, W // 4)).astype(np.int32))
     batch = Batch(images, img_hw, jnp.asarray(gtb),
                   jnp.asarray(rng.randint(0, 80, (B, MAXG)).astype(np.int32)),
                   jnp.asarray(np.arange(MAXG)[None] < rng.randint(
