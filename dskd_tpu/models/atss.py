@@ -240,3 +240,51 @@ def atss_get_bboxes(out: ATSSHeadOutputs, anchors, img_hw,
     nb, ns, nl, keep = jax.vmap(per_image)(cls_flat, deltas, ctr_flat,
                                            img_hw, scale_factor)
     return dict(bboxes=nb, scores=ns, labels=nl, valid=keep)
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        m = cfg.model
+        return ATSS(num_classes=m.num_classes, depth=m.depth,
+                    frozen_stages=m.frozen_stages,
+                    dyhead_blocks=m.dyhead_blocks,
+                    head_stacked_convs=0 if m.dyhead_blocks else 4)
+
+    def losses(model, cfg, **_):
+        det_cfg = ATSSLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            anchors, counts = atss_anchors(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            return atss_detection_loss(
+                out.head, anchors, counts, batch.gt_bboxes,
+                batch.gt_labels, batch.gt_valid, det_cfg), None
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..utils.det import Det
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            anchors, _ = atss_anchors(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            d = atss_get_bboxes(out.head, anchors, img_hw,
+                                scale_factor=scale_factors,
+                                score_thr=max(score_thr, 0.05),
+                                max_per_img=max_per_img, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return step
+
+    register_family("atss", build=build, losses=losses,
+                    eval_step=eval_step)
+
+
+_register()

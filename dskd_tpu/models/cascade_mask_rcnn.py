@@ -49,3 +49,52 @@ def cascade_mask_probs(model, variables, neck_feats, det_boxes, det_valid):
                                    method=CascadeMaskRCNN.mask_forward))
         for s in range(model.num_stages)) / model.num_stages
     return probs.reshape(B, R, MASK_SIZE, MASK_SIZE, -1)
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        m = cfg.model
+        return CascadeMaskRCNN(num_classes=m.num_classes, depth=m.depth,
+                               frozen_stages=m.frozen_stages)
+
+    def losses(model, cfg, **_):
+        from .cascade_rcnn import cascade_family_losses
+        return cascade_family_losses(model, cfg, with_mask=True)
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..models.cascade_rcnn import CascadeRCNN, cascade_get_bboxes
+        from ..models.faster_rcnn import rpn_proposals
+        from ..utils.det import DetM
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            props, _, pvalid = rpn_proposals(out.rpn, img_hw, nms_pre=1000,
+                                             max_total=1000)
+            d = cascade_get_bboxes(
+                lambda f, st: model.apply(variables, f, st,
+                                          method=CascadeRCNN.roi_forward),
+                out.neck_feats, props, pvalid, img_hw,
+                num_classes=model.num_classes, scale_factor=scale_factors,
+                score_thr=max(score_thr, 0.05), max_per_img=max_per_img,
+                rescale=True)
+            rois_in = d["bboxes"] * scale_factors[:, None, :]
+            probs = cascade_mask_probs(model, variables, out.neck_feats,
+                                       rois_in, d["valid"])
+            sel = jnp.take_along_axis(
+                probs, jnp.clip(d["labels"], 0, probs.shape[-1] - 1)
+                [:, :, None, None, None].astype(jnp.int32), axis=-1)[..., 0]
+            return DetM(d["bboxes"], d["scores"], d["labels"], d["valid"],
+                        sel)
+        return step
+
+    register_family("cascade_mask_rcnn", build=build, losses=losses,
+                    eval_step=eval_step, init_all=True, with_mask=True)
+
+
+_register()

@@ -245,3 +245,107 @@ def cascade_get_bboxes(model_apply_roi, neck_feats, proposals,
     nb, ns, nl, keep = jax.vmap(per_image)(refined, proposal_valid, probs,
                                            scale_factor)
     return dict(bboxes=nb, scores=ns, labels=nl, valid=keep)
+
+
+# --- family registrations (dskd_tpu/registry.py) ------------------------
+# cascade_rcnn + detectors_cascade_rcnn (RFP/SAC recipe) register here;
+# cascade_mask_rcnn (models/cascade_mask_rcnn.py) reuses
+# cascade_family_losses with the per-stage mask tail.
+
+def cascade_family_losses(model, cfg, *, with_mask=False):
+    from ..models.faster_rcnn import RPNLossConfig, rpn_loss, rpn_proposals
+    rpn_cfg = RPNLossConfig()
+
+    def losses_fn(variables, batch, teacher_vars, rng):
+        rng1, rng2 = jax.random.split(rng)
+        out = model.apply(variables, batch.images, batch.img_hw)
+        losses = rpn_loss(out.rpn, batch.gt_bboxes, batch.gt_valid,
+                          batch.img_hw, rng1, rpn_cfg)
+        props, _, valid = rpn_proposals(out.rpn, batch.img_hw,
+                                        nms_pre=1000,
+                                        max_total=cfg.rcnn_num_proposals)
+        props = jax.lax.stop_gradient(props)
+        res = cascade_forward_train(
+            lambda f, st: model.apply(variables, f, st,
+                                      method=CascadeRCNN.roi_forward),
+            out.neck_feats, props, valid, batch.gt_bboxes,
+            batch.gt_labels, batch.gt_valid, rng2,
+            num_classes=cfg.model.num_classes,
+            num_samples=cfg.rcnn_num_samples,
+            collect_samples=with_mask)
+        if not with_mask:
+            losses.update(res)
+            return losses, None
+        stage_losses, samples = res
+        losses.update(stage_losses)
+        # per-stage mask heads on each stage's own positives
+        # (cascade_roi_head.py _mask_forward_train, stage weights)
+        from ..models.cascade_mask_rcnn import CascadeMaskRCNN
+        from ..models.mask_rcnn import mask_loss, mask_targets
+        from ..ops.roi_align import multi_level_roi_align
+        mask_stride = getattr(cfg, "mask_stride", 4)
+        B = props.shape[0]
+        P = max(1, cfg.rcnn_num_samples // 4)
+        feats_pi = [tuple(f[b] for f in out.neck_feats[:4])
+                    for b in range(B)]
+        for st, s in enumerate(samples):
+            rois_p = s["rois"][:, :P]
+            pos_v = s["is_pos"][:, :P]
+            lab_p = s["labels"][:, :P]
+            gi_p = s["gt_idx"][:, :P]
+            f14 = jnp.stack([
+                multi_level_roi_align(feats_pi[b], rois_p[b],
+                                      pos_v[b], out_size=14)
+                for b in range(B)])
+            logits = model.apply(
+                variables, f14.reshape(B * P, 14, 14, -1), st,
+                method=CascadeMaskRCNN.mask_forward)
+            gm = jax.vmap(lambda m, i: m[i])(batch.gt_masks, gi_p)
+            tgt = mask_targets(rois_p.reshape(-1, 4),
+                               gm.reshape((B * P,) + gm.shape[2:]),
+                               mask_stride)
+            losses[f"s{st}.loss_mask"] = STAGE_WEIGHTS[st] * mask_loss(
+                logits, jax.lax.stop_gradient(tgt),
+                lab_p.reshape(-1), pos_v.reshape(-1))
+        return losses, None
+    return losses_fn
+
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        m = cfg.model
+        return CascadeRCNN(num_classes=m.num_classes, depth=m.depth,
+                           frozen_stages=m.frozen_stages,
+                           rfp=m.rfp, sac=m.sac)
+
+    def losses(model, cfg, **_):
+        return cascade_family_losses(model, cfg, with_mask=False)
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..models.faster_rcnn import rpn_proposals
+        from ..utils.det import Det
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            props, _, pvalid = rpn_proposals(out.rpn, img_hw, nms_pre=1000,
+                                             max_total=1000)
+            d = cascade_get_bboxes(
+                lambda f, st: model.apply(variables, f, st,
+                                          method=CascadeRCNN.roi_forward),
+                out.neck_feats, props, pvalid, img_hw,
+                num_classes=model.num_classes, scale_factor=scale_factors,
+                score_thr=max(score_thr, 0.05), max_per_img=max_per_img,
+                rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return step
+
+    for name in ("cascade_rcnn", "detectors_cascade_rcnn"):
+        register_family(name, build=build, losses=losses,
+                        eval_step=eval_step, init_all=True)
+
+
+_register()

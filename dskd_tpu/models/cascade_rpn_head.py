@@ -311,3 +311,39 @@ def crpn_proposals(out: CRPNOutputs, img_hw, nms_pre: int = 2000,
     cs = tuple(c.reshape(B, -1) for c in out.s2_cls)
     regs = tuple(r.reshape(B, -1, 4) for r in out.s2_regs)
     return jax.vmap(per_image)(cs, regs, out.refined, img_hw)
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        return CascadeRPN(depth=cfg.model.depth,
+                          frozen_stages=cfg.model.frozen_stages)
+
+    def losses(model, cfg, **_):
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw)
+            return crpn_loss(out, batch.gt_bboxes, batch.gt_valid,
+                             rng), None
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..utils.det import Det
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            props, scores, pvalid = crpn_proposals(out, img_hw,
+                                                   max_total=max_per_img)
+            return Det(props / scale_factors[:, None, :], scores,
+                       jnp.zeros(scores.shape, jnp.int32), pvalid)
+        return step
+
+    register_family("cascade_rpn", build=build, losses=losses,
+                    eval_step=eval_step)
+
+
+_register()

@@ -273,3 +273,44 @@ def centripetalnet_get_bboxes(out: CentripetalHeadOutputs, img_hw,
         out.br_offs[-1], out.tl_centripetal[-1], out.br_centripetal[-1],
         img_hw, scale_factor)
     return dict(bboxes=nb, scores=ns, labels=nl, valid=valid)
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        return CentripetalNet(num_classes=cfg.model.num_classes)
+
+    def losses(model, cfg, **_):
+        det_cfg = CentripetalLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out, mutated = model.apply(
+                variables, batch.images, batch.img_hw, deterministic=False,
+                mutable=["batch_stats"])
+            return centripetalnet_loss(
+                out.head, batch.gt_bboxes, batch.gt_labels,
+                batch.gt_valid, det_cfg), mutated["batch_stats"]
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..utils.det import Det
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            d = centripetalnet_get_bboxes(
+                out.head, img_hw, scale_factor=scale_factors,
+                score_thr=max(score_thr, 0.05),
+                max_per_img=max_per_img, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return step
+
+    register_family("centripetalnet", build=build, losses=losses,
+                    eval_step=eval_step)
+
+
+_register()

@@ -317,3 +317,45 @@ def cornernet_get_bboxes(out: CornerHeadOutputs, img_hw, k: int = 100,
         out.br_embs[-1], out.tl_offs[-1], out.br_offs[-1], img_hw,
         scale_factor)
     return dict(bboxes=nb, scores=ns, labels=nl, valid=valid)
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        return CornerNet(num_classes=cfg.model.num_classes)
+
+    def losses(model, cfg, **_):
+        det_cfg = CornerLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            # hourglass BN trains (reference cornernet: no norm_eval)
+            out, mutated = model.apply(
+                variables, batch.images, batch.img_hw, deterministic=False,
+                mutable=["batch_stats"])
+            return cornernet_loss(out.head, batch.gt_bboxes,
+                                  batch.gt_labels, batch.gt_valid,
+                                  det_cfg), mutated["batch_stats"]
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..utils.det import Det
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            d = cornernet_get_bboxes(out.head, img_hw,
+                                     scale_factor=scale_factors,
+                                     score_thr=max(score_thr, 0.05),
+                                     max_per_img=max_per_img, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return step
+
+    register_family("cornernet", build=build, losses=losses,
+                    eval_step=eval_step)
+
+
+_register()

@@ -435,3 +435,53 @@ def deformable_detr_get_bboxes(out: DDETRHeadOutputs, img_hw,
     nb, ns, nlb, valid = jax.vmap(per_image)(probs, box, img_hw,
                                              scale_factor)
     return dict(bboxes=nb, scores=ns, labels=nlb, valid=valid)
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        m = cfg.model
+        return DeformableDETR(
+            num_classes=m.num_classes, num_query=m.num_query,
+            depth=m.depth, frozen_stages=m.frozen_stages,
+            embed_dims=m.embed_dims,
+            num_encoder_layers=m.num_encoder_layers,
+            num_decoder_layers=m.num_decoder_layers,
+            num_levels=m.num_levels, dropout=m.dropout,
+            with_box_refine=m.with_box_refine,
+            as_two_stage=m.as_two_stage, remat=m.remat)
+
+    def losses(model, cfg, *, use_dropout=True, **_):
+        det_cfg = DDETRLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(
+                variables, batch.images, batch.img_hw,
+                deterministic=not use_dropout,
+                rngs={"dropout": rng} if use_dropout else None)
+            return deformable_detr_loss(
+                out.head, batch.gt_bboxes, batch.gt_labels, batch.gt_valid,
+                batch.img_hw, det_cfg), None
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            d = deformable_detr_get_bboxes(
+                out.head, img_hw, score_thr=score_thr,
+                max_per_img=max_per_img, scale_factor=scale_factors,
+                rescale=True)
+            from ..utils.det import Det
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return step
+
+    register_family("deformable_detr", build=build, losses=losses,
+                    eval_step=eval_step)
+
+
+_register()

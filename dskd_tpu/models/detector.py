@@ -64,3 +64,69 @@ class GFLDeformableDETR(nn.Module):
             name="bbox_head")(neck_feats, img_hw, batch_input_shape,
                               deterministic=deterministic)
         return DetectorOutputs(head_out, neck_feats)
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+# The DSKD flagship registers a full train_step (not a losses_fn): its
+# step owns buffer donation + the teacher-outside-vjp layout
+# (train/step.py make_train_step), which the generic family step wrapper
+# does not provide.
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        m = cfg.model
+        return GFLDeformableDETR(
+            num_classes=m.num_classes, num_query=m.num_query,
+            reg_max=m.reg_max, depth=m.depth,
+            frozen_stages=m.frozen_stages, embed_dims=m.embed_dims,
+            num_encoder_layers=m.num_encoder_layers,
+            num_decoder_layers=m.num_decoder_layers,
+            num_levels=m.num_levels, dropout=m.dropout,
+            dcn_stages=tuple(m.dcn_stages), remat=m.remat)
+
+    def train_step(model, cfg, *, num_prev, has_teacher, use_dropout,
+                   compute_dtype, **_):
+        from ..distill.losses import DistillConfig
+        from ..train.step import make_train_step
+        from .gfl_detr_loss import DetLossConfig
+        det_cfg = DetLossConfig(num_classes=cfg.model.num_classes,
+                                reg_max=cfg.model.reg_max)
+        distill_cfg = None
+        if has_teacher:
+            distill_cfg = DistillConfig.from_flags(
+                cates_distill=cfg.distill.cates_distill,
+                locat_distill=cfg.distill.locat_distill,
+                feats_distill=cfg.distill.feats_distill,
+                memory_distill=cfg.distill.memory_distill,
+                num_prev=max(num_prev, 1), reg_max=cfg.model.reg_max,
+                fix_fg_grad_direction=cfg.distill.fix_fg_grad_direction)
+        return make_train_step(
+            model, det_cfg, distill_cfg,
+            teacher_score_thr=cfg.distill.teacher_score_thr,
+            teacher_max_per_img=cfg.distill.teacher_max_per_img,
+            use_dropout=use_dropout, compute_dtype=compute_dtype)
+
+    def eval_step(model, *, score_thr, max_per_img, reg_max, **_):
+        import jax
+
+        from .gfl_detr_head import get_bboxes
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            return get_bboxes(out.head.cls_scores[-1],
+                              out.head.bbox_preds[-1], img_hw,
+                              scale_factor=scale_factors, reg_max=reg_max,
+                              score_thr=score_thr, max_per_img=max_per_img,
+                              rescale=True)
+        return step
+
+    for name in ("gfl_deformable_detr", "deformable_detr_il"):
+        register_family(name, build=build, train_step=train_step,
+                        eval_step=eval_step)
+
+
+_register()

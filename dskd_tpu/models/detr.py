@@ -330,3 +330,61 @@ def detr_compute_losses(out: DETROutputs, batch,
             losses["loss_fd"] = distill_cfg.fd_weight * kl.sum() / B
 
     return losses
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        m = cfg.model
+        return DETR(num_classes=m.num_classes, num_query=m.num_query,
+                    depth=m.depth, frozen_stages=m.frozen_stages,
+                    num_encoder_layers=m.num_encoder_layers,
+                    num_decoder_layers=m.num_decoder_layers,
+                    dropout=m.dropout)
+
+    def losses(model, cfg, *, has_teacher=False, use_dropout=True, **_):
+        det_cfg = DETRLossConfig(num_classes=cfg.model.num_classes)
+        distill_cfg = DETRDistillConfig.from_flags(
+            cates_distill=cfg.distill.cates_distill,
+            feats_distill=cfg.distill.feats_distill) if has_teacher else None
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            # the reference trains vanilla DETR WITH dropout=0.1
+            # (configs/detr/detr_r50_8x2_150e_coco.py); the frozen teacher
+            # forward stays deterministic
+            out = model.apply(
+                variables, batch.images, batch.img_hw,
+                deterministic=not use_dropout,
+                rngs={"dropout": rng} if use_dropout else None)
+            t_out = None
+            if teacher_vars is not None:
+                t_out = model.apply(teacher_vars, batch.images,
+                                    batch.img_hw, deterministic=True)
+            return detr_compute_losses(
+                out, batch, det_cfg, teacher_out=t_out,
+                distill_cfg=distill_cfg,
+                teacher_score_thr=cfg.distill.teacher_score_thr,
+                teacher_max_per_img=cfg.distill.teacher_max_per_img), None
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..utils.det import Det
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            d = detr_get_bboxes(out, img_hw, score_thr=score_thr,
+                                max_per_img=max_per_img,
+                                scale_factor=scale_factors, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return step
+
+    register_family("detr", build=build, losses=losses,
+                    eval_step=eval_step)
+
+
+_register()

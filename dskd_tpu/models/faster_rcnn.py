@@ -830,3 +830,243 @@ def rcnn_get_bboxes(bbox_head_apply, neck_feats, proposals, proposal_valid,
     nb, ns, nl, keep = jax.vmap(per_image)(
         proposals, proposal_valid, probs, reg, img_hw, scale_factor)
     return dict(bboxes=nb, scores=ns, labels=nl, valid=keep)
+
+
+# --- family registrations (dskd_tpu/registry.py) ------------------------
+# faster_rcnn + its 8 config variants, fast_rcnn (external-proposal
+# stand-in), and the bare RPN all live in this module.
+
+_FASTER_VARIANTS = ("faster_rcnn", "libra_faster_rcnn",
+                    "double_head_rcnn", "carafe_faster_rcnn",
+                    "pisa_faster_rcnn", "dynamic_rcnn",
+                    "faster_rcnn_gn_ws", "faster_rcnn_gn",
+                    "faster_rcnn_pafpn")
+
+
+def _register():
+    from ..registry import register_family
+
+    def build_faster(cfg, arch):
+        m = cfg.model
+        gn = arch in ("faster_rcnn_gn_ws", "faster_rcnn_gn")
+        return FasterRCNN(num_classes=m.num_classes, depth=m.depth,
+                          frozen_stages=m.frozen_stages,
+                          use_bfp=(arch == "libra_faster_rcnn"),
+                          double_head=(arch == "double_head_rcnn"),
+                          neck_upsample=("carafe"
+                                         if arch == "carafe_faster_rcnn"
+                                         else "nearest"),
+                          norm="gn" if gn else "frozen",
+                          ws=(arch == "faster_rcnn_gn_ws"),
+                          backbone_spec=m.backbone,
+                          neck_kind=("pafpn"
+                                     if arch == "faster_rcnn_pafpn"
+                                     else "fpn"),
+                          dcn_stages=tuple(m.dcn_stages),
+                          gen_attn_stages=tuple(m.gen_attn_stages),
+                          gen_attn_type=m.gen_attn_type,
+                          groie=m.groie)
+
+    def losses_faster(model, cfg, *, arch, **_):
+        rpn_cfg = RPNLossConfig()
+        libra = arch == "libra_faster_rcnn"
+        dh = arch == "double_head_rcnn"
+        rcnn_cfg = RCNNLossConfig(num_classes=cfg.model.num_classes,
+                                  num_samples=cfg.rcnn_num_samples,
+                                  balanced_l1=libra,
+                                  iou_balanced_neg=libra,
+                                  # Double-Head: 2.0 cls/bbox weights +
+                                  # SmoothL1 beta 1 (configs/double_heads)
+                                  loss_cls_weight=2.0 if dh else 1.0,
+                                  loss_bbox_weight=2.0 if dh else 1.0,
+                                  smooth_l1_beta=1.0 if dh else 0.0,
+                                  pisa=(arch == "pisa_faster_rcnn"),
+                                  isr_n=(arch == "pisa_faster_rcnn"),
+                                  dynamic=(arch == "dynamic_rcnn"))
+        stoch_bb = cfg.model.backbone.startswith(("effb", "swin", "pvt"))
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            rng1, rng2, rng3 = jax.random.split(rng, 3)
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=not stoch_bb,
+                              rngs={"dropout": rng3} if stoch_bb else None)
+            losses = rpn_loss(out.rpn, batch.gt_bboxes, batch.gt_valid,
+                              batch.img_hw, rng1, rpn_cfg)
+            # proposals are detached (the reference never backprops
+            # through NMS'd proposals into the RPN)
+            props, _, valid = rpn_proposals(out.rpn, batch.img_hw,
+                                            nms_pre=1000,
+                                            max_total=cfg.rcnn_num_proposals)
+            props = jax.lax.stop_gradient(props)
+            extract_fn = None
+            if getattr(model, "groie", False):
+                from ..ops.roi_align import all_level_roi_align
+
+                def extract_fn(fpi, r, v):
+                    return model.apply(
+                        variables, all_level_roi_align(fpi, r, v),
+                        method=FasterRCNN.groie_forward)
+            head_apply = lambda f: model.apply(
+                variables, f, method=FasterRCNN.roi_forward)
+            mut_stats = {}
+            if dh:
+                extract_fn = double_head_extract_fn
+
+                def head_apply(f):
+                    (c, r), mut = model.apply(
+                        variables, f, True,
+                        method=FasterRCNN.roi_forward,
+                        mutable=["batch_stats"])
+                    mut_stats["bs"] = mut["batch_stats"]
+                    return c, r
+            rcnn_losses, _ = rcnn_forward_train(
+                head_apply,
+                out.neck_feats, props, valid, batch.gt_bboxes,
+                batch.gt_labels, batch.gt_valid, rng2, rcnn_cfg,
+                extract_fn=extract_fn)
+            losses.update({f"rcnn_{k}": v for k, v in rcnn_losses.items()})
+            if dh:
+                # merge the head's updated BN stats over the frozen
+                # backbone stats so the train step can thread them
+                bs = dict(variables.get("batch_stats", {}))
+                bs.update(mut_stats["bs"])
+                return losses, bs
+            return losses, None
+        return losses_fn
+
+    def eval_faster(model, *, score_thr, max_per_img, **_):
+        from ..utils.det import Det
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            props, _, pvalid = rpn_proposals(out.rpn, img_hw, nms_pre=1000,
+                                             max_total=1000)
+            extract_fn = None
+            if getattr(model, "groie", False):
+                from ..ops.roi_align import all_level_roi_align
+
+                def extract_fn(fpi, r, v):
+                    return model.apply(
+                        variables, all_level_roi_align(fpi, r, v),
+                        method=FasterRCNN.groie_forward)
+            if getattr(model, "double_head", False):
+                extract_fn = double_head_extract_fn
+            d = rcnn_get_bboxes(
+                lambda f: model.apply(variables, f,
+                                      method=FasterRCNN.roi_forward),
+                out.neck_feats, props, pvalid, img_hw,
+                num_classes=model.num_classes, scale_factor=scale_factors,
+                score_thr=max(score_thr, 0.05), max_per_img=max_per_img,
+                rescale=True, extract_fn=extract_fn)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return step
+
+    for name in _FASTER_VARIANTS:
+        register_family(
+            name,
+            build=(lambda cfg, _a=name: build_faster(cfg, _a)),
+            losses=(lambda model, cfg, _a=name, **kw:
+                    losses_faster(model, cfg, arch=_a, **kw)),
+            eval_step=eval_faster, init_all=True)
+
+    # ---- fast_rcnn (external proposals; documented stand-ins) ----
+    def build_fast(cfg):
+        m = cfg.model
+        return FasterRCNN(num_classes=m.num_classes, depth=m.depth,
+                          frozen_stages=m.frozen_stages, with_rpn=False)
+
+    def losses_fast(model, cfg, **_):
+        rcnn_cfg = RCNNLossConfig(num_classes=cfg.model.num_classes,
+                                  num_samples=cfg.rcnn_num_samples)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            # Fast R-CNN consumes EXTERNAL proposals (the reference's
+            # precomputed .pkl files). Absent proposal files in this
+            # environment, jittered GT boxes stand in for the
+            # high-recall proposal distribution (documented).
+            rng1, rng2 = jax.random.split(rng)
+            G = batch.gt_bboxes.shape[1]
+            reps = max(1, cfg.rcnn_num_proposals // max(G, 1))
+            base = jnp.tile(batch.gt_bboxes, (1, reps, 1))
+            noise = jax.random.normal(rng1, base.shape) * 8.0
+            props = base + noise
+            valid = jnp.tile(batch.gt_valid, (1, reps))
+            out = model.apply(variables, batch.images, batch.img_hw)
+            losses, _ = rcnn_forward_train(
+                lambda f: model.apply(variables, f,
+                                      method=FasterRCNN.roi_forward),
+                out.neck_feats, props, valid, batch.gt_bboxes,
+                batch.gt_labels, batch.gt_valid, rng2, rcnn_cfg)
+            return losses, None
+        return losses_fn
+
+    def eval_fast(model, *, score_thr, max_per_img, **_):
+        from ..core.anchors import base_anchors, grid_anchors
+        from ..utils.det import Det
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            # Fast R-CNN consumes EXTERNAL proposals (the reference reads
+            # precomputed .pkl files, detectors/fast_rcnn.py). Absent
+            # proposal files, a static multi-scale class-agnostic box
+            # grid stands in (same documented stand-in as the train
+            # branch) — the RCNN head scores and refines every grid box.
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            B, H, W = images.shape[:3]
+            grids = [grid_anchors((H // s, W // s), s,
+                                  base_anchors(float(s), (4.0, 8.0),
+                                               (0.5, 1.0, 2.0)))
+                     for s in (16, 32, 64)]
+            props = jnp.concatenate(grids, 0)
+            stride = max(1, props.shape[0] // 1000)
+            props = props[::stride][:1000]
+            props = jnp.broadcast_to(props[None], (B,) + props.shape)
+            pvalid = jnp.ones(props.shape[:2], bool)
+            d = rcnn_get_bboxes(
+                lambda f: model.apply(variables, f,
+                                      method=FasterRCNN.roi_forward),
+                out.neck_feats, props, pvalid, img_hw,
+                num_classes=model.num_classes, scale_factor=scale_factors,
+                score_thr=max(score_thr, 0.05), max_per_img=max_per_img,
+                rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return step
+
+    register_family("fast_rcnn", build=build_fast, losses=losses_fast,
+                    eval_step=eval_fast, init_all=True)
+
+    # ---- bare RPN (class-agnostic proposal network) ----
+    def build_rpn(cfg):
+        return RPN(depth=cfg.model.depth,
+                   frozen_stages=cfg.model.frozen_stages)
+
+    def losses_rpn(model, cfg, **_):
+        rpn_cfg = RPNLossConfig()
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw)
+            return rpn_loss(out.rpn, batch.gt_bboxes, batch.gt_valid,
+                            batch.img_hw, rng, rpn_cfg), None
+        return losses_fn
+
+    def eval_rpn(model, *, score_thr, max_per_img, **_):
+        from ..utils.det import Det
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            props, scores, pvalid = rpn_proposals(
+                out.rpn, img_hw, nms_pre=1000, max_total=max_per_img)
+            return Det(props / scale_factors[:, None, :], scores,
+                       jnp.zeros(scores.shape, jnp.int32), pvalid)
+        return step
+
+    register_family("rpn", build=build_rpn, losses=losses_rpn,
+                    eval_step=eval_rpn)
+
+
+_register()

@@ -278,3 +278,54 @@ def fcos_get_bboxes(out: FCOSHeadOutputs, points, img_hw,
     nb, ns, nl, keep = jax.vmap(per_image)(cls_flat, reg_flat, ctr_flat,
                                            img_hw, scale_factor)
     return dict(bboxes=nb, scores=ns, labels=nl, valid=keep)
+
+
+# --- family registrations (dskd_tpu/registry.py) ------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg, arch):
+        m = cfg.model
+        return FCOS(num_classes=m.num_classes, depth=m.depth,
+                    frozen_stages=m.frozen_stages, backbone=m.backbone,
+                    nas_fpn=(arch == "nasfcos"))
+
+    def losses(model, cfg, **_):
+        det_cfg = FCOSLossConfig(num_classes=cfg.model.num_classes)
+        stoch_bb = cfg.model.backbone.startswith(("effb", "swin", "pvt"))
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=not stoch_bb,
+                              rngs={"dropout": rng} if stoch_bb else None)
+            points, meta = fcos_points(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            return fcos_detection_loss(
+                out.head, points, meta, batch.gt_bboxes, batch.gt_labels,
+                batch.gt_valid, det_cfg), None
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..utils.det import Det
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            points, _ = fcos_points(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            d = fcos_get_bboxes(out.head, points, img_hw,
+                                scale_factor=scale_factors,
+                                score_thr=max(score_thr, 0.05),
+                                max_per_img=max_per_img, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return step
+
+    for name in ("fcos", "nasfcos"):
+        register_family(name,
+                        build=(lambda cfg, _a=name: build(cfg, _a)),
+                        losses=losses, eval_step=eval_step)
+
+
+_register()

@@ -109,3 +109,53 @@ def free_anchor_loss(out, anchors, gt_bboxes, gt_labels, gt_valid,
 FreeAnchorRetinaNet = RetinaNet   # identical architecture, different loss
 __all__ = ["FreeAnchorLossConfig", "free_anchor_loss",
            "FreeAnchorRetinaNet", "retina_anchors", "retina_get_bboxes"]
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        m = cfg.model
+        return RetinaNet(num_classes=m.num_classes, depth=m.depth,
+                         frozen_stages=m.frozen_stages,
+                         backbone=m.backbone)
+
+    def losses(model, cfg, **_):
+        det_cfg = FreeAnchorLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            anchors = retina_anchors(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            return free_anchor_loss(out.head, anchors, batch.gt_bboxes,
+                                    batch.gt_labels, batch.gt_valid,
+                                    det_cfg), None
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..utils.det import Det
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            anchors = retina_anchors(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            # free_anchor's config swaps the retina coder stds for
+            # (0.1, 0.1, 0.2, 0.2) (free_anchor config bbox_coder)
+            d = retina_get_bboxes(out.head, anchors, img_hw,
+                                  scale_factor=scale_factors,
+                                  score_thr=max(score_thr, 0.05),
+                                  max_per_img=max_per_img, rescale=True,
+                                  delta_stds=DELTA_STDS)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return step
+
+    register_family("free_anchor", build=build, losses=losses,
+                    eval_step=eval_step)
+
+
+_register()

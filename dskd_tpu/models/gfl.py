@@ -35,3 +35,54 @@ class GFL(nn.Module):
         head = GFLHead(num_classes=self.num_classes, reg_max=self.reg_max,
                        num_levels=5, name="bbox_head")(neck)
         return GFLOutputs(head, neck)
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        m = cfg.model
+        return GFL(num_classes=m.num_classes, depth=m.depth,
+                   frozen_stages=m.frozen_stages, reg_max=m.reg_max)
+
+    def losses(model, cfg, **_):
+        from .gfl_head import GFLLossConfig, gfl_detection_loss
+        det_cfg = GFLLossConfig(num_classes=cfg.model.num_classes,
+                                reg_max=cfg.model.reg_max)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            return gfl_detection_loss(out.head, batch.gt_bboxes,
+                                      batch.gt_labels, batch.gt_valid,
+                                      det_cfg), None
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, reg_max, **_):
+        import jax
+
+        from ..utils.det import Det
+        from .gfl_head import gfl_get_bboxes
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            d = gfl_get_bboxes(out.head, img_hw, scale_factor=scale_factors,
+                               reg_max=reg_max,
+                               score_thr=max(score_thr, 0.05),
+                               max_per_img=max_per_img, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return step
+
+    register_family("gfl", build=build, losses=losses,
+                    eval_step=eval_step)
+    _GFL_EVAL_STEP[0] = eval_step
+
+
+# the LD family (models/ld.py) shares GFL's decode path
+_GFL_EVAL_STEP = [None]
+
+_register()

@@ -289,3 +289,150 @@ class GridRCNN(nn.Module):
         self.roi_bbox_head(jnp.zeros((1, 7, 7, 256), images.dtype))
         self.grid_head(jnp.zeros((1, 14, 14, 256), images.dtype))
         return out
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        m = cfg.model
+        return GridRCNN(num_classes=m.num_classes, depth=m.depth,
+                        frozen_stages=m.frozen_stages)
+
+    def losses(model, cfg, **_):
+        from ..core.max_iou_assigner import max_iou_assign, random_sample
+        from ..models.faster_rcnn import (RPNLossConfig, rpn_loss,
+                                          rpn_proposals)
+        from ..ops.roi_align import multi_level_roi_align
+        rpn_cfg = RPNLossConfig()
+        NCgr = cfg.model.num_classes
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            from ..core import losses as CL
+            rng1, rng2 = jax.random.split(rng)
+            out = model.apply(variables, batch.images, batch.img_hw)
+            losses = rpn_loss(out.rpn, batch.gt_bboxes, batch.gt_valid,
+                              batch.img_hw, rng1, rpn_cfg)
+            props, _, pvalid = rpn_proposals(
+                out.rpn, batch.img_hw, nms_pre=1000,
+                max_total=cfg.rcnn_num_proposals)
+            props = jax.lax.stop_gradient(props)
+            B = props.shape[0]
+            G = batch.gt_bboxes.shape[1]
+            S = cfg.rcnn_num_samples
+
+            def per_image(r, rois, rv, gtb, gtl, gtv, feats):
+                rois_all = jnp.concatenate([rois, gtb], 0)
+                rv_all = jnp.concatenate([rv, gtv], 0)
+                assign = max_iou_assign(rois_all, gtb, gtl, gtv, NCgr,
+                                        0.5, 0.5, 0.5,
+                                        match_low_quality=False)
+                a = jnp.where(rv_all, assign.assigned_gt, -2)
+                sample = random_sample(r, a, S, 0.25)
+                idx = jnp.concatenate([sample.pos_idx, sample.neg_idx])
+                is_pos = jnp.concatenate(
+                    [sample.pos_valid, jnp.zeros_like(sample.neg_valid)])
+                valid = jnp.concatenate([sample.pos_valid,
+                                         sample.neg_valid])
+                srois = rois_all[idx]
+                safe = jnp.clip(a[idx], 0, G - 1)
+                labels = jnp.where(is_pos, gtl[safe].astype(jnp.int32),
+                                   NCgr)
+                f7 = multi_level_roi_align(feats, srois, valid)
+                # grid stage: POSITIVES only, extended 2x
+                prois = rois_all[sample.pos_idx]
+                erois = extend_rois(prois)
+                f14 = multi_level_roi_align(feats, erois,
+                                            sample.pos_valid,
+                                            out_size=14)
+                ptgt = gtb[jnp.clip(a[sample.pos_idx], 0, G - 1)]
+                return (f7, labels, valid, f14, erois, ptgt,
+                        sample.pos_valid)
+
+            feats_pi = [tuple(f[b] for f in out.neck_feats[:4])
+                        for b in range(B)]
+            parts = [per_image(jax.random.fold_in(rng2, b), props[b],
+                               pvalid[b], batch.gt_bboxes[b],
+                               batch.gt_labels[b], batch.gt_valid[b],
+                               feats_pi[b]) for b in range(B)]
+            f7 = jnp.concatenate([p[0] for p in parts])
+            labels = jnp.concatenate([p[1] for p in parts])
+            valid = jnp.concatenate([p[2] for p in parts])
+            cls_logits, _ = model.apply(variables, f7,
+                                        method=GridRCNN.roi_forward)
+            nt = jnp.maximum(valid.sum().astype(jnp.float32), 1.0)
+            losses["rcnn_loss_cls"] = CL.cross_entropy_loss(
+                cls_logits, labels, weight=valid.astype(jnp.float32),
+                avg_factor=nt)
+            f14 = jnp.concatenate([p[3] for p in parts])
+            erois = jnp.concatenate([p[4] for p in parts])
+            ptgt = jnp.concatenate([p[5] for p in parts])
+            pvalid_all = jnp.concatenate([p[6] for p in parts])
+            grid_pred = model.apply(variables, f14,
+                                    method=GridRCNN.grid_forward)
+            losses["loss_grid"] = grid_head_loss(grid_pred, erois, ptgt,
+                                                 pvalid_all)
+            return losses, None
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..core.postprocess import batched_nms
+        from ..models.faster_rcnn import rpn_proposals
+        from ..ops.roi_align import multi_level_roi_align
+        from ..utils.det import Det
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            props, _, pvalid = rpn_proposals(out.rpn, img_hw,
+                                             nms_pre=1000, max_total=256)
+            B = props.shape[0]
+
+            def per_image(feats, rois, rv, hw, sf):
+                f7 = multi_level_roi_align(feats, rois, rv)
+                cls_logits, _ = model.apply(variables, f7,
+                                            method=GridRCNN.roi_forward)
+                p = jax.nn.softmax(cls_logits, -1)[:, :-1]
+                p = jnp.where(rv[:, None], p, 0.0)
+                scores = p.max(-1)
+                labels = p.argmax(-1).astype(jnp.int32)
+                k = min(max_per_img, rois.shape[0])
+                top_s, keep = jax.lax.top_k(scores, k)
+                rois_k = rois[keep]
+                erois = extend_rois(rois_k)
+                f14 = multi_level_roi_align(feats, erois, rv[keep],
+                                            out_size=14)
+                grid_pred = model.apply(variables, f14,
+                                        method=GridRCNN.grid_forward)
+                boxes = grid_decode(grid_pred["fused"], erois)
+                h = hw[0].astype(boxes.dtype)
+                w = hw[1].astype(boxes.dtype)
+                boxes = jnp.stack([
+                    jnp.clip(boxes[:, 0], 0, w),
+                    jnp.clip(boxes[:, 1], 0, h),
+                    jnp.clip(boxes[:, 2], 0, w),
+                    jnp.clip(boxes[:, 3], 0, h)], -1)
+                nb, ns, nl, kp, _ = batched_nms(
+                    boxes, jnp.where(top_s > max(score_thr, 0.05),
+                                     top_s, 0.0),
+                    labels[keep], 0.5, max_per_img, valid=top_s > 0.0)
+                return nb / sf[None], ns, nl, kp
+
+            feats_pi = [tuple(f[b] for f in out.neck_feats[:4])
+                        for b in range(B)]
+            rs = [per_image(feats_pi[b], props[b], pvalid[b], img_hw[b],
+                            scale_factors[b]) for b in range(B)]
+            return Det(jnp.stack([r[0] for r in rs]),
+                       jnp.stack([r[1] for r in rs]),
+                       jnp.stack([r[2] for r in rs]),
+                       jnp.stack([r[3] for r in rs]))
+        return step
+
+    register_family("grid_rcnn", build=build, losses=losses,
+                    eval_step=eval_step, init_all=True)
+
+
+_register()

@@ -530,3 +530,102 @@ def ga_get_bboxes(out: GAHeadOutputs, centers, strides, img_hw,
     nb, ns, nl, keep = jax.vmap(per_image)(cls_flat, reg_flat, loc_flat,
                                            anchors, img_hw, scale_factor)
     return dict(bboxes=nb, scores=ns, labels=nl, valid=keep)
+
+
+# --- family registrations (dskd_tpu/registry.py) ------------------------
+
+def _register():
+    from ..registry import register_family
+
+    # ---- ga_rpn (class-agnostic guided-anchor proposal network) ----
+    def build_rpn(cfg):
+        return GARPN(depth=cfg.model.depth,
+                     frozen_stages=cfg.model.frozen_stages)
+
+    def losses_rpn(model, cfg, **_):
+        det_cfg = GALossConfig(
+            num_classes=1, focal_cls=False, smooth_beta=1.0,
+            strides=GARPN_STRIDES, octave_scale=GARPN_OCTAVE_SCALE,
+            anchor_sigma=float(GARPN_OCTAVE_SCALE), shape_std=0.14,
+            bbox_stds=(0.07, 0.07, 0.11, 0.11),
+            ga_pos=0.7, ga_neg=0.3, ga_min_pos=0.3,
+            pos_iou=0.7, neg_iou=0.3, min_pos_iou=0.3)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            centers, strides, approxs, counts = ga_geometry(
+                [c.shape[1:3] for c in out.head.cls_scores],
+                level_strides=GARPN_STRIDES,
+                octave_scale=GARPN_OCTAVE_SCALE)
+            return ga_loss(out.head, centers, strides, approxs, counts,
+                           batch.gt_bboxes,
+                           jnp.zeros_like(batch.gt_labels),
+                           batch.gt_valid, det_cfg, rng), None
+        return losses_fn
+
+    def eval_rpn(model, *, score_thr, max_per_img, **_):
+        from ..utils.det import Det
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            centers, strides, _, _ = ga_geometry(
+                [c.shape[1:3] for c in out.head.cls_scores],
+                level_strides=GARPN_STRIDES,
+                octave_scale=GARPN_OCTAVE_SCALE)
+            d = ga_get_bboxes(out.head, centers, strides, img_hw,
+                              scale_factor=scale_factors, score_thr=0.0,
+                              nms_iou=0.7, max_per_img=max_per_img,
+                              rescale=True,
+                              sigma=float(GARPN_OCTAVE_SCALE),
+                              shape_std=0.14,
+                              bbox_stds=(0.07, 0.07, 0.11, 0.11))
+            return Det(d["bboxes"], d["scores"],
+                       jnp.zeros(d["scores"].shape, jnp.int32), d["valid"])
+        return step
+
+    register_family("ga_rpn", build=build_rpn, losses=losses_rpn,
+                    eval_step=eval_rpn)
+
+    # ---- ga_retina ----
+    def build_retina(cfg):
+        m = cfg.model
+        return GARetinaNet(num_classes=m.num_classes, depth=m.depth,
+                           frozen_stages=m.frozen_stages)
+
+    def losses_retina(model, cfg, **_):
+        det_cfg = GALossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            centers, strides, approxs, counts = ga_geometry(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            return ga_loss(out.head, centers, strides, approxs, counts,
+                           batch.gt_bboxes, batch.gt_labels,
+                           batch.gt_valid, det_cfg, rng), None
+        return losses_fn
+
+    def eval_retina(model, *, score_thr, max_per_img, **_):
+        from ..utils.det import Det
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            centers, strides, _, _ = ga_geometry(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            d = ga_get_bboxes(out.head, centers, strides, img_hw,
+                              scale_factor=scale_factors,
+                              score_thr=max(score_thr, 0.05),
+                              max_per_img=max_per_img, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return step
+
+    register_family("ga_retina", build=build_retina, losses=losses_retina,
+                    eval_step=eval_retina)
+
+
+_register()

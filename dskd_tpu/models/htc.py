@@ -345,3 +345,77 @@ def htc_mask_probs(model, variables, out: HTCOutputs, det_boxes,
     probs = model.apply(variables, f14.reshape(B * R, 14, 14, -1),
                         method=HTC.mask_forward_test)
     return probs.reshape(B, R, MASK_SIZE, MASK_SIZE, -1)
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        m = cfg.model
+        return HTC(num_classes=m.num_classes, depth=m.depth,
+                   frozen_stages=m.frozen_stages,
+                   rfp=m.rfp, sac=m.sac)
+
+    def losses(model, cfg, **_):
+        from ..models.faster_rcnn import (RPNLossConfig, rpn_loss,
+                                          rpn_proposals)
+        rpn_cfg = RPNLossConfig()
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            rng1, rng2 = jax.random.split(rng)
+            out = model.apply(variables, batch.images, batch.img_hw)
+            losses = rpn_loss(out.rpn, batch.gt_bboxes, batch.gt_valid,
+                              batch.img_hw, rng1, rpn_cfg)
+            losses["loss_semantic_seg"] = semantic_seg_loss(
+                out.sem_pred, batch.gt_semantic)
+            props, _, valid = rpn_proposals(out.rpn, batch.img_hw,
+                                            nms_pre=1000,
+                                            max_total=cfg.rcnn_num_proposals)
+            props = jax.lax.stop_gradient(props)
+            losses.update(htc_forward_train(
+                lambda f, st: model.apply(variables, f, st,
+                                          method=HTC.roi_forward),
+                lambda f, st: model.apply(variables, f, st,
+                                          method=HTC.mask_forward_flow),
+                out, props, valid, batch.gt_bboxes, batch.gt_labels,
+                batch.gt_valid, batch.gt_masks, rng2,
+                num_classes=cfg.model.num_classes,
+                num_samples=cfg.rcnn_num_samples))
+            return losses, None
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..models.faster_rcnn import rpn_proposals
+        from ..utils.det import DetM
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            props, _, pvalid = rpn_proposals(out.rpn, img_hw, nms_pre=1000,
+                                             max_total=1000)
+            d = htc_get_bboxes(
+                lambda f, st: model.apply(variables, f, st,
+                                          method=HTC.roi_forward),
+                out, props, pvalid, img_hw,
+                num_classes=model.num_classes, scale_factor=scale_factors,
+                score_thr=max(score_thr, 0.05), max_per_img=max_per_img,
+                rescale=True)
+            rois_in = d["bboxes"] * scale_factors[:, None, :]
+            probs = htc_mask_probs(model, variables, out, rois_in,
+                                   d["valid"])
+            sel = jnp.take_along_axis(
+                probs, jnp.clip(d["labels"], 0, probs.shape[-1] - 1)
+                [:, :, None, None, None].astype(jnp.int32), axis=-1)[..., 0]
+            return DetM(d["bboxes"], d["scores"], d["labels"], d["valid"],
+                        sel)
+        return step
+
+    register_family("htc", build=build, losses=losses,
+                    eval_step=eval_step, init_all=True, with_mask=True,
+                    with_semantic=True)
+
+
+_register()

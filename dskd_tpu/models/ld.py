@@ -68,3 +68,42 @@ def ld_loss(student_out, teacher_out, gt_bboxes, gt_labels, gt_valid,
                           avg_factor=4.0)
     losses["loss_ld"] = cfg.ld_weight * kl
     return losses
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        from .gfl import GFL
+        m = cfg.model
+        return GFL(num_classes=m.num_classes, depth=m.depth,
+                   frozen_stages=m.frozen_stages, reg_max=m.reg_max)
+
+    def losses(model, cfg, **_):
+        from ..registry import teacher_model
+        det_cfg = LDLossConfig(
+            gfl=GFLLossConfig(num_classes=cfg.model.num_classes,
+                              reg_max=cfg.model.reg_max))
+        t_model = teacher_model(model, cfg)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            assert teacher_vars is not None, \
+                "arch='ld' requires a frozen teacher (kd_one_stage.py)"
+            t_out = t_model.apply(teacher_vars, batch.images,
+                                  batch.img_hw, deterministic=True)
+            return ld_loss(out.head, t_out.head, batch.gt_bboxes,
+                           batch.gt_labels, batch.gt_valid, det_cfg), None
+        return losses_fn
+
+    def eval_step(model, **kw):
+        from .gfl import _GFL_EVAL_STEP
+        return _GFL_EVAL_STEP[0](model, **kw)
+
+    register_family("ld", build=build, losses=losses, eval_step=eval_step)
+
+
+_register()

@@ -329,3 +329,59 @@ def mask2former_loss(out: Mask2FormerOutputs, gt_labels, gt_masks,
         losses[pre + "loss_mask"] = loss_mask
         losses[pre + "loss_dice"] = loss_dice
     return losses
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        m = cfg.model
+        return Mask2Former(num_classes=m.num_classes
+                           + (m.num_stuff_classes if m.panoptic else 0),
+                           depth=m.depth, frozen_stages=m.frozen_stages,
+                           num_queries=m.num_query)
+
+    def losses(model, cfg, **_):
+        from .maskformer import append_stuff_gt
+        pan = cfg.model.panoptic
+        total = cfg.model.num_classes + (
+            cfg.model.num_stuff_classes if pan else 0)
+        det_cfg = Mask2FormerLossConfig(
+            num_classes=total,
+            num_points=min(12544, 4 * cfg.data.bucket[0] * cfg.data.bucket[1]
+                           // 256))
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            gl, gm, gv = batch.gt_labels, batch.gt_masks, batch.gt_valid
+            if pan:
+                gl, gm, gv = append_stuff_gt(
+                    gl, gm, gv, batch.gt_semantic,
+                    cfg.model.num_classes, cfg.model.num_stuff_classes)
+            return mask2former_loss(out, gl, gm, gv, rng, det_cfg), None
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..utils.det import DetM
+        from .maskformer import maskformer_decode
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            d = maskformer_decode(out, num_classes=model.num_classes,
+                                  max_per_img=max_per_img)
+            return DetM(d["bboxes"] / scale_factors[:, None, :],
+                        d["scores"], d["labels"], d["valid"],
+                        d["masks28"])
+        return step
+
+    register_family("mask2former", build=build, losses=losses,
+                    eval_step=eval_step, with_mask=True,
+                    with_semantic="panoptic")
+
+
+_register()

@@ -203,3 +203,161 @@ def mask_rcnn_get_masks(model, variables, neck_feats, det_boxes, det_valid,
                          method=method or MaskRCNN.mask_forward)
     return jax.nn.sigmoid(logits).reshape(
         B, R, MASK_SIZE, MASK_SIZE, -1)
+
+
+# --- family registrations (dskd_tpu/registry.py) ------------------------
+# mask_rcnn + mask_rcnn_seesaw register here; ms_rcnn (models/ms_rcnn.py)
+# and panoptic_fpn (models/panoptic_fpn.py) reuse mask_family_losses.
+
+def mask_family_losses(model, cfg, *, seesaw=False, panoptic=False,
+                       mask_scoring=False):
+    """Shared Mask-R-CNN-family losses_fn factory (RPN + RCNN + mask
+    branch, plus the seesaw/maskiou/semantic extras)."""
+    from ..models.faster_rcnn import (RCNNLossConfig, RPNLossConfig,
+                                      rcnn_forward_train, rpn_loss,
+                                      rpn_proposals)
+    from ..ops.roi_align import multi_level_roi_align
+    rpn_cfg = RPNLossConfig()
+    rcnn_cfg = RCNNLossConfig(num_classes=cfg.model.num_classes,
+                              num_samples=cfg.rcnn_num_samples,
+                              seesaw=seesaw)
+    mask_stride = getattr(cfg, "mask_stride", 4)
+    stoch_bb = cfg.model.backbone.startswith(("effb", "swin", "pvt"))
+
+    def losses_fn(variables, batch, teacher_vars, rng):
+        rng1, rng2, rng3 = jax.random.split(rng, 3)
+        out = model.apply(variables, batch.images, batch.img_hw,
+                          deterministic=not stoch_bb,
+                          rngs={"dropout": rng3} if stoch_bb else None)
+        losses = rpn_loss(out.rpn, batch.gt_bboxes, batch.gt_valid,
+                          batch.img_hw, rng1, rpn_cfg)
+        props, _, valid = rpn_proposals(out.rpn, batch.img_hw,
+                                        nms_pre=1000,
+                                        max_total=cfg.rcnn_num_proposals)
+        props = jax.lax.stop_gradient(props)
+        new_bs = None
+        if seesaw:
+            bs = variables["batch_stats"]
+            rcnn_losses, samples, new_cum = rcnn_forward_train(
+                lambda f: model.apply(variables, f,
+                                      method=type(model).roi_forward),
+                out.neck_feats, props, valid, batch.gt_bboxes,
+                batch.gt_labels, batch.gt_valid, rng2, rcnn_cfg,
+                seesaw_cum=bs["seesaw_cum"])
+            new_bs = dict(bs)
+            new_bs["seesaw_cum"] = new_cum
+        else:
+            rcnn_losses, samples = rcnn_forward_train(
+                lambda f: model.apply(variables, f,
+                                      method=type(model).roi_forward),
+                out.neck_feats, props, valid, batch.gt_bboxes,
+                batch.gt_labels, batch.gt_valid, rng2, rcnn_cfg)
+        losses.update({f"rcnn_{k}": v for k, v in rcnn_losses.items()})
+
+        # mask branch on the leading positive slots (pos-first layout)
+        B = props.shape[0]
+        P = max(1, int(rcnn_cfg.num_samples * rcnn_cfg.pos_fraction))
+        rois_p = samples.rois[:, :P]
+        pos_v = samples.is_pos[:, :P]
+        lab_p = samples.labels[:, :P]
+        gi_p = samples.gt_idx[:, :P]
+        feats_pi = [tuple(f[b] for f in out.neck_feats[:4])
+                    for b in range(B)]
+        f14 = jnp.stack([
+            multi_level_roi_align(feats_pi[b], rois_p[b], pos_v[b],
+                                  out_size=14) for b in range(B)])
+        logits = model.apply(variables,
+                             f14.reshape(B * P, 14, 14, -1),
+                             method=type(model).mask_forward)
+        gm = jax.vmap(lambda m, i: m[i])(batch.gt_masks, gi_p)
+        tgt = mask_targets(rois_p.reshape(-1, 4),
+                           gm.reshape((B * P,) + gm.shape[2:]),
+                           mask_stride)
+        losses["loss_mask"] = mask_loss(
+            logits, jax.lax.stop_gradient(tgt),
+            lab_p.reshape(-1), pos_v.reshape(-1))
+        if mask_scoring:
+            # MaskIoU head on the same positives (mask_scoring_roi_
+            # head.py _mask_forward_train)
+            from ..models.ms_rcnn import (MSRCNN, maskiou_loss,
+                                          maskiou_targets)
+            labf = jnp.clip(lab_p.reshape(-1), 0, logits.shape[-1] - 1)
+            sel = jnp.take_along_axis(
+                logits, labf[:, None, None, None], axis=-1)[..., 0]
+            iou_pred = model.apply(
+                variables, f14.reshape(B * P, 14, 14, -1), sel,
+                method=MSRCNN.maskiou_forward)
+            iou_sel = jnp.take_along_axis(
+                iou_pred, labf[:, None], axis=-1)[:, 0]
+            iou_tgt = maskiou_targets(
+                jax.lax.stop_gradient(sel), tgt,
+                rois_p.reshape(-1, 4),
+                gm.reshape((B * P,) + gm.shape[2:]), mask_stride)
+            losses["loss_mask_iou"] = maskiou_loss(
+                iou_sel, jax.lax.stop_gradient(iou_tgt),
+                pos_v.reshape(-1))
+        if panoptic:
+            # semantic branch (seg_logits ride the model outputs;
+            # loss weight 0.5 per panoptic_fpn_r50_fpn_1x_coco.py)
+            from ..models.panoptic_fpn import semantic_loss
+            losses["loss_seg"] = 0.5 * semantic_loss(
+                out.seg_logits, batch.gt_semantic,
+                num_things=cfg.model.num_classes,
+                num_stuff=model.num_stuff_classes)
+        return losses, new_bs
+    return losses_fn
+
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg, arch):
+        m = cfg.model
+        return MaskRCNN(num_classes=m.num_classes, depth=m.depth,
+                        frozen_stages=m.frozen_stages,
+                        seesaw=(arch == "mask_rcnn_seesaw"),
+                        gcb_stages=tuple(m.gcb_stages),
+                        gcb_ratio=m.gcb_ratio,
+                        backbone_spec=m.backbone)
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..models.faster_rcnn import rcnn_get_bboxes, rpn_proposals
+        from ..utils.det import DetM
+        seesaw = getattr(model, "seesaw", False)
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            # box path identical to Faster R-CNN; then 14x14 RoIAlign on
+            # the final det boxes -> mask head -> per-det label-channel
+            # 28x28 probs (simple_test_mask); paste happens host-side
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            props, _, pvalid = rpn_proposals(out.rpn, img_hw, nms_pre=1000,
+                                             max_total=1000)
+            d = rcnn_get_bboxes(
+                lambda f: model.apply(variables, f,
+                                      method=MaskRCNN.roi_forward),
+                out.neck_feats, props, pvalid, img_hw,
+                num_classes=model.num_classes, scale_factor=scale_factors,
+                score_thr=max(score_thr, 0.05), max_per_img=max_per_img,
+                rescale=True, seesaw=seesaw)
+            rois_in = d["bboxes"] * scale_factors[:, None, :]  # input coords
+            probs = mask_rcnn_get_masks(model, variables, out.neck_feats,
+                                        rois_in, d["valid"])
+            sel = jnp.take_along_axis(
+                probs, jnp.clip(d["labels"], 0, probs.shape[-1] - 1)
+                [:, :, None, None, None].astype(jnp.int32), axis=-1)[..., 0]
+            return DetM(d["bboxes"], d["scores"], d["labels"], d["valid"],
+                        sel)
+        return step
+
+    for name in ("mask_rcnn", "mask_rcnn_seesaw"):
+        register_family(
+            name,
+            build=(lambda cfg, _a=name: build(cfg, _a)),
+            losses=(lambda model, cfg, _a=name, **kw: mask_family_losses(
+                model, cfg, seesaw=(_a == "mask_rcnn_seesaw"))),
+            eval_step=eval_step, init_all=True, with_mask=True)
+
+
+_register()

@@ -352,3 +352,56 @@ def append_stuff_gt(gt_labels, gt_masks, gt_valid, gt_semantic,
     masks = jnp.concatenate([gt_masks, smasks], 1)
     valid = jnp.concatenate([gt_valid, svalid], 1)
     return labels, masks, valid
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        m = cfg.model
+        return MaskFormer(num_classes=m.num_classes
+                          + (m.num_stuff_classes if m.panoptic else 0),
+                          depth=m.depth, frozen_stages=m.frozen_stages,
+                          num_queries=m.num_query)
+
+    def losses(model, cfg, **_):
+        pan = cfg.model.panoptic
+        total = cfg.model.num_classes + (
+            cfg.model.num_stuff_classes if pan else 0)
+        det_cfg = MaskFormerLossConfig(num_classes=total)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            gl, gm, gv = batch.gt_labels, batch.gt_masks, batch.gt_valid
+            if pan:
+                gl, gm, gv = append_stuff_gt(
+                    gl, gm, gv, batch.gt_semantic,
+                    cfg.model.num_classes, cfg.model.num_stuff_classes)
+            return maskformer_loss(out, gl, gm, gv, det_cfg), None
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..utils.det import DetM
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            d = maskformer_decode(out, num_classes=model.num_classes,
+                                  max_per_img=max_per_img)
+            return DetM(d["bboxes"] / scale_factors[:, None, :],
+                        d["scores"], d["labels"], d["valid"],
+                        d["masks28"])
+        return step
+
+    # with_semantic="panoptic": semantic GT is needed only when the
+    # config runs the panoptic recipe (registry.family_data_flag)
+    register_family("maskformer", build=build, losses=losses,
+                    eval_step=eval_step, with_mask=True,
+                    with_semantic="panoptic")
+
+
+_register()

@@ -109,3 +109,69 @@ def maskiou_loss(iou_pred_sel, iou_tgt, pos_valid, weight: float = 0.5):
     w = (pos_valid & (iou_tgt > 0)).astype(jnp.float32)
     n = jnp.maximum(w.sum(), 1.0)
     return weight * (w * (iou_pred_sel - iou_tgt) ** 2).sum() / n
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        m = cfg.model
+        return MSRCNN(num_classes=m.num_classes, depth=m.depth,
+                      frozen_stages=m.frozen_stages)
+
+    def losses(model, cfg, **_):
+        from .mask_rcnn import mask_family_losses
+        return mask_family_losses(model, cfg, mask_scoring=True)
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..models.faster_rcnn import rcnn_get_bboxes, rpn_proposals
+        from ..ops.roi_align import multi_level_roi_align
+        from ..utils.det import DetS
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            # Mask R-CNN path + MaskIoU rescoring: segm detections are
+            # ranked by cls_score * predicted mask IoU
+            # (mask_scoring_roi_head.py simple_test_mask + maskiou_head
+            # get_mask_scores)
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            props, _, pvalid = rpn_proposals(out.rpn, img_hw, nms_pre=1000,
+                                             max_total=1000)
+            d = rcnn_get_bboxes(
+                lambda f: model.apply(variables, f,
+                                      method=MSRCNN.roi_forward),
+                out.neck_feats, props, pvalid, img_hw,
+                num_classes=model.num_classes, scale_factor=scale_factors,
+                score_thr=max(score_thr, 0.05), max_per_img=max_per_img,
+                rescale=True)
+            rois_in = d["bboxes"] * scale_factors[:, None, :]
+            B, R = rois_in.shape[:2]
+            feats_pi = [tuple(f[b] for f in out.neck_feats[:4])
+                        for b in range(B)]
+            f14 = jnp.stack([
+                multi_level_roi_align(feats_pi[b], rois_in[b], d["valid"][b],
+                                      out_size=14) for b in range(B)])
+            logits = model.apply(variables, f14.reshape(B * R, 14, 14, -1),
+                                 method=MSRCNN.mask_forward)
+            labf = jnp.clip(d["labels"].reshape(-1), 0,
+                            logits.shape[-1] - 1).astype(jnp.int32)
+            sel = jnp.take_along_axis(logits, labf[:, None, None, None],
+                                      axis=-1)[..., 0]
+            iou_pred = model.apply(variables,
+                                   f14.reshape(B * R, 14, 14, -1), sel,
+                                   method=MSRCNN.maskiou_forward)
+            iou_sel = jnp.take_along_axis(iou_pred, labf[:, None],
+                                          axis=-1).reshape(B, R)
+            return DetS(d["bboxes"], d["scores"], d["labels"], d["valid"],
+                        jax.nn.sigmoid(sel).reshape(B, R, 28, 28),
+                        d["scores"] * jnp.clip(iou_sel, 0.0, 1.0))
+        return step
+
+    register_family("ms_rcnn", build=build, losses=losses,
+                    eval_step=eval_step, init_all=True, with_mask=True)
+
+
+_register()

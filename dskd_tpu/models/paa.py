@@ -340,3 +340,65 @@ def paa_get_bboxes(out: PAAHeadOutputs, anchors, img_hw, scale_factor=None,
     nb, ns, nl, keep = jax.vmap(per_image)(cls_flat, reg_flat, iou_flat,
                                            img_hw, scale_factor)
     return dict(bboxes=nb, scores=ns, labels=nl, valid=keep)
+
+
+# --- family registrations (dskd_tpu/registry.py) ------------------------
+# paa + lad share the PAA module; LAD consumes a frozen teacher's head
+# outputs for label assignment (reference lad.py).
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        m = cfg.model
+        return PAA(num_classes=m.num_classes, depth=m.depth,
+                   frozen_stages=m.frozen_stages)
+
+    def losses(model, cfg, *, arch, **_):
+        from ..registry import teacher_model
+        det_cfg = PAALossConfig(num_classes=cfg.model.num_classes)
+        is_lad = arch == "lad"
+        t_model = teacher_model(model, cfg) if is_lad else model
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            anchors, counts = paa_anchors(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            assign_out = None
+            if is_lad:
+                assert teacher_vars is not None, \
+                    "arch='lad' requires a frozen teacher (lad.py)"
+                assign_out = t_model.apply(teacher_vars, batch.images,
+                                           batch.img_hw,
+                                           deterministic=True).head
+            return paa_loss(out.head, anchors, counts, batch.gt_bboxes,
+                            batch.gt_labels, batch.gt_valid, det_cfg,
+                            assign_out=assign_out), None
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..utils.det import Det
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            anchors, _ = paa_anchors(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            d = paa_get_bboxes(out.head, anchors, img_hw,
+                               scale_factor=scale_factors,
+                               score_thr=max(score_thr, 0.05),
+                               max_per_img=max_per_img, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return step
+
+    for name in ("paa", "lad"):
+        register_family(
+            name, build=build,
+            losses=(lambda model, cfg, _a=name, **kw:
+                    losses(model, cfg, arch=_a, **kw)),
+            eval_step=eval_step)
+
+
+_register()

@@ -211,3 +211,57 @@ def heuristic_fuse(det_boxes: np.ndarray, det_scores: np.ndarray,
     # the merged-thing background channel is void too
     pan[pan == num_things + num_stuff] = num_classes
     return pan
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        m = cfg.model
+        return PanopticFPN(num_classes=m.num_classes,
+                           num_stuff_classes=m.num_stuff_classes,
+                           depth=m.depth, frozen_stages=m.frozen_stages)
+
+    def losses(model, cfg, **_):
+        from .mask_rcnn import mask_family_losses
+        return mask_family_losses(model, cfg, panoptic=True)
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..models.faster_rcnn import rcnn_get_bboxes, rpn_proposals
+        from ..models.mask_rcnn import mask_rcnn_get_masks
+        from ..utils.det import DetP
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            # Mask R-CNN box+mask path plus the semantic logits; the
+            # heuristic panoptic fusion runs host-side (heuristic_fuse)
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            props, _, pvalid = rpn_proposals(out.rpn, img_hw, nms_pre=1000,
+                                             max_total=1000)
+            d = rcnn_get_bboxes(
+                lambda f: model.apply(variables, f,
+                                      method=PanopticFPN.roi_forward),
+                out.neck_feats, props, pvalid, img_hw,
+                num_classes=model.num_classes, scale_factor=scale_factors,
+                score_thr=max(score_thr, 0.05), max_per_img=max_per_img,
+                rescale=True)
+            rois_in = d["bboxes"] * scale_factors[:, None, :]
+            probs = mask_rcnn_get_masks(model, variables, out.neck_feats,
+                                        rois_in, d["valid"],
+                                        method=PanopticFPN.mask_forward)
+            sel = jnp.take_along_axis(
+                probs, jnp.clip(d["labels"], 0, probs.shape[-1] - 1)
+                [:, :, None, None, None].astype(jnp.int32), axis=-1)[..., 0]
+            return DetP(d["bboxes"], d["scores"], d["labels"], d["valid"],
+                        sel, out.seg_logits)
+        return step
+
+    register_family("panoptic_fpn", build=build, losses=losses,
+                    eval_step=eval_step, init_all=True, with_mask=True,
+                    with_semantic=True)
+
+
+_register()

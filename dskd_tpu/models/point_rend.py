@@ -265,3 +265,128 @@ def refine_masks_test(apply_point, p2_feats, rois, rois_valid, labels,
         hit = onehot.sum(axis=1)[..., None] > 0
         refined = jnp.where(hit, repl, flat).reshape(M, Hm, Hm, -1)
     return refined
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        m = cfg.model
+        return PointRendRCNN(num_classes=m.num_classes, depth=m.depth,
+                             frozen_stages=m.frozen_stages)
+
+    def losses(model, cfg, **_):
+        from ..models.faster_rcnn import (RCNNLossConfig, RPNLossConfig,
+                                          rcnn_forward_train, rpn_loss,
+                                          rpn_proposals)
+        from ..models.mask_rcnn import mask_loss, mask_targets
+        from ..ops.point_sample import point_sample
+        rpn_cfg = RPNLossConfig()
+        rcnn_cfg = RCNNLossConfig(num_classes=cfg.model.num_classes,
+                                  num_samples=cfg.rcnn_num_samples)
+        mask_stride = getattr(cfg, "mask_stride", 4)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            rng1, rng2, rng3 = jax.random.split(rng, 3)
+            out = model.apply(variables, batch.images, batch.img_hw)
+            losses = rpn_loss(out.rpn, batch.gt_bboxes, batch.gt_valid,
+                              batch.img_hw, rng1, rpn_cfg)
+            props, _, valid = rpn_proposals(out.rpn, batch.img_hw,
+                                            nms_pre=1000,
+                                            max_total=cfg.rcnn_num_proposals)
+            props = jax.lax.stop_gradient(props)
+            rcnn_losses, samples = rcnn_forward_train(
+                lambda f: model.apply(variables, f,
+                                      method=PointRendRCNN.roi_forward),
+                out.neck_feats, props, valid, batch.gt_bboxes,
+                batch.gt_labels, batch.gt_valid, rng2, rcnn_cfg)
+            losses.update({f"rcnn_{k}": v for k, v in rcnn_losses.items()})
+
+            B = props.shape[0]
+            P = max(1, int(rcnn_cfg.num_samples * rcnn_cfg.pos_fraction))
+            rois_p = samples.rois[:, :P]
+            pos_v = samples.is_pos[:, :P]
+            lab_p = samples.labels[:, :P]
+            gi_p = samples.gt_idx[:, :P]
+            # coarse head input: SimpleRoIAlign(14) on P2 ONLY (the
+            # reference's GenericRoIExtractor featmap_strides=[4])
+            f14 = jnp.concatenate([
+                simple_roi_align_p2(out.neck_feats[0][b], rois_p[b],
+                                    pos_v[b]) for b in range(B)])
+            coarse = model.apply(variables, f14,
+                                 method=PointRendRCNN.coarse_forward)
+            gm = jax.vmap(lambda m, i: m[i])(batch.gt_masks, gi_p)
+            rois_f = rois_p.reshape(-1, 4)
+            gm_f = gm.reshape((B * P,) + gm.shape[2:])
+            lab_f = lab_p.reshape(-1)
+            tgt7 = mask_targets(rois_f, gm_f, mask_stride,
+                                size=COARSE_SIZE)
+            losses["loss_mask"] = mask_loss(
+                coarse, jax.lax.stop_gradient(tgt7), lab_f,
+                pos_v.reshape(-1))
+            # point branch: uncertainty-sampled points, BCE at GT class
+            rel = sample_train_points(
+                rng3, jax.lax.stop_gradient(coarse), lab_f)
+            fine = jnp.concatenate([
+                fine_grained_point_feats(
+                    out.neck_feats[0][b], rois_p[b],
+                    rel.reshape(B, P, -1, 2)[b]) for b in range(B)],
+                axis=0)
+            coarse_pts = point_sample(coarse, rel)
+            plogits = model.apply(variables, fine, coarse_pts,
+                                  method=PointRendRCNN.point_forward)
+            ptgt = point_targets(rois_f, rel, gm_f, mask_stride)
+            losses["loss_point"] = point_loss(
+                plogits, jax.lax.stop_gradient(ptgt), lab_f,
+                pos_v.reshape(-1))
+            return losses, None
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..models.faster_rcnn import rcnn_get_bboxes, rpn_proposals
+        from ..utils.det import DetM
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            props, _, pvalid = rpn_proposals(out.rpn, img_hw, nms_pre=1000,
+                                             max_total=1000)
+            d = rcnn_get_bboxes(
+                lambda f: model.apply(variables, f,
+                                      method=PointRendRCNN.roi_forward),
+                out.neck_feats, props, pvalid, img_hw,
+                num_classes=model.num_classes, scale_factor=scale_factors,
+                score_thr=max(score_thr, 0.05), max_per_img=max_per_img,
+                rescale=True)
+            rois_in = d["bboxes"] * scale_factors[:, None, :]
+            B, R = rois_in.shape[:2]
+            # SimpleRoIAlign(14) on P2 only, as in training
+            f14 = jnp.concatenate([
+                simple_roi_align_p2(out.neck_feats[0][b], rois_in[b],
+                                    d["valid"][b]) for b in range(B)])
+            coarse = model.apply(variables, f14,
+                                 method=PointRendRCNN.coarse_forward)
+            refined = refine_masks_test(
+                lambda fi, cp: model.apply(
+                    variables, fi, cp,
+                    method=PointRendRCNN.point_forward),
+                [f[0] for f in [out.neck_feats[0][b:b + 1]
+                                for b in range(B)]],
+                rois_in, d["valid"], d["labels"], coarse)
+            probs = jax.nn.sigmoid(refined).reshape(
+                B, R, refined.shape[1], refined.shape[2], -1)
+            sel = jnp.take_along_axis(
+                probs, jnp.clip(d["labels"], 0, probs.shape[-1] - 1)
+                [:, :, None, None, None].astype(jnp.int32), axis=-1)[..., 0]
+            return DetM(d["bboxes"], d["scores"], d["labels"], d["valid"],
+                        sel)
+        return step
+
+    register_family("point_rend", build=build, losses=losses,
+                    eval_step=eval_step, init_all=True, with_mask=True)
+
+
+_register()

@@ -177,3 +177,58 @@ def queryinst_masks(model, variables, out, det_boxes, det_qidx, det_valid):
         attn.reshape(B * R, -1), model.num_stages - 1,
         method=QueryInst.mask_forward)
     return jax.nn.sigmoid(logits).reshape(B, R, MASK_SIZE, MASK_SIZE, -1)
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        m = cfg.model
+        return QueryInst(num_classes=m.num_classes, depth=m.depth,
+                         frozen_stages=m.frozen_stages,
+                         num_proposals=m.num_query)
+
+    def losses(model, cfg, **_):
+        from ..models.sparse_rcnn import SparseRCNNLossConfig
+        det_cfg = SparseRCNNLossConfig(num_classes=cfg.model.num_classes)
+        mask_stride = getattr(cfg, "mask_stride", 4)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            return queryinst_loss(
+                model, variables, out, batch.gt_bboxes, batch.gt_labels,
+                batch.gt_valid, batch.gt_masks, batch.img_hw, det_cfg,
+                mask_stride=mask_stride), None
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..models.sparse_rcnn import sparse_rcnn_get_bboxes
+        from ..utils.det import DetM
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            d = sparse_rcnn_get_bboxes(out, img_hw,
+                                       scale_factor=scale_factors,
+                                       score_thr=score_thr,
+                                       max_per_img=max_per_img,
+                                       rescale=True)
+            rois_in = d["bboxes"] * scale_factors[:, None, :]
+            probs = queryinst_masks(model, variables, out, rois_in,
+                                    d["qidx"], d["valid"])
+            sel = jnp.take_along_axis(
+                probs, jnp.clip(d["labels"], 0, probs.shape[-1] - 1)
+                [:, :, None, None, None].astype(jnp.int32), axis=-1)[..., 0]
+            return DetM(d["bboxes"], d["scores"], d["labels"], d["valid"],
+                        sel)
+        return step
+
+    register_family("queryinst", build=build, losses=losses,
+                    eval_step=eval_step, init_all=True, with_mask=True)
+
+
+_register()

@@ -344,3 +344,109 @@ def retina_get_bboxes(out: RetinaHeadOutputs, anchors, img_hw,
     nb, ns, nl, keep = jax.vmap(per_image)(cls_flat, deltas, img_hw,
                                            scale_factor)
     return dict(bboxes=nb, scores=ns, labels=nl, valid=keep)
+
+
+# --- family registrations (dskd_tpu/registry.py) ------------------------
+
+_RETINA_VARIANTS = ("retinanet", "pisa_retinanet", "retinanet_ghm",
+                    "retinanet_fpg", "retinanet_nasfpn")
+
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg, arch):
+        m = cfg.model
+        neck = {"retinanet_fpg": "fpg",
+                "retinanet_nasfpn": "nasfpn"}.get(arch, "fpn")
+        return RetinaNet(num_classes=m.num_classes, depth=m.depth,
+                         frozen_stages=m.frozen_stages,
+                         backbone=m.backbone, neck=neck,
+                         ghm=(arch == "retinanet_ghm"))
+
+    def losses(model, cfg, *, arch, **_):
+        pisa = arch == "pisa_retinanet"
+        # per-level BN heads: NAS-FPN and the EfficientNet recipe
+        sepbn = (arch == "retinanet_nasfpn"
+                 or cfg.model.backbone.startswith("effb"))
+        ghm = arch == "retinanet_ghm"
+        # GHM recipe swaps Focal+L1 for GHMC + GHMR(loss_weight=10)
+        # (configs/ghm/retinanet_ghm_r50_fpn_1x_coco.py); the effb recipe
+        # raises the assigner's neg_iou_thr 0.4 -> 0.5
+        # (configs/efficientnet/retinanet_effb3...py train_cfg)
+        det_cfg = RetinaLossConfig(num_classes=cfg.model.num_classes,
+                                   ghm=ghm,
+                                   neg_iou_thr=0.5
+                                   if cfg.model.backbone.startswith("effb")
+                                   else 0.4,
+                                   loss_bbox_weight=10.0 if ghm else 1.0)
+
+        # swin/pvt backbones carry stochastic depth (no BN to mutate)
+        stoch_bb = cfg.model.backbone.startswith(("swin", "pvt"))
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            if sepbn:
+                # RetinaSepBNHead trains its per-level BN statistics;
+                # the rng feeds EfficientNet's drop_path when present
+                out, mutated = model.apply(
+                    variables, batch.images, batch.img_hw,
+                    deterministic=False, mutable=["batch_stats"],
+                    rngs={"dropout": rng})
+                stats = mutated["batch_stats"]
+            elif stoch_bb:
+                out = model.apply(variables, batch.images, batch.img_hw,
+                                  deterministic=False,
+                                  rngs={"dropout": rng})
+                stats = None
+            else:
+                out = model.apply(variables, batch.images, batch.img_hw,
+                                  deterministic=True)
+                stats = None
+            anchors = retina_anchors(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            if ghm:
+                # thread the GHM EMA bin counts through batch_stats —
+                # START from the mutable-apply stats when sepbn also ran
+                # (a ghm+effb combo would otherwise discard the SepBN /
+                # backbone BN updates and freeze them at init)
+                bs = variables["batch_stats"]
+                losses, new_ghm = retina_detection_loss(
+                    out.head, anchors, batch.gt_bboxes, batch.gt_labels,
+                    batch.gt_valid, det_cfg,
+                    ghm_state={"acc_c": bs["ghm_acc_c"],
+                               "acc_r": bs["ghm_acc_r"]})
+                new_bs = dict(stats if stats is not None else bs)
+                new_bs["ghm_acc_c"] = new_ghm["acc_c"]
+                new_bs["ghm_acc_r"] = new_ghm["acc_r"]
+                return losses, new_bs
+            return retina_detection_loss(
+                out.head, anchors, batch.gt_bboxes, batch.gt_labels,
+                batch.gt_valid, det_cfg, pisa=pisa), stats
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..utils.det import Det
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            anchors = retina_anchors(
+                [c.shape[1:3] for c in out.head.cls_scores])
+            d = retina_get_bboxes(out.head, anchors, img_hw,
+                                  scale_factor=scale_factors,
+                                  score_thr=max(score_thr, 0.05),
+                                  max_per_img=max_per_img, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return step
+
+    for name in _RETINA_VARIANTS:
+        register_family(
+            name,
+            build=(lambda cfg, _a=name: build(cfg, _a)),
+            losses=(lambda model, cfg, _a=name, **kw:
+                    losses(model, cfg, arch=_a, **kw)),
+            eval_step=eval_step)
+
+
+_register()

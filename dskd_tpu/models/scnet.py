@@ -359,3 +359,79 @@ def scnet_mask_probs(model, variables, out: SCNetOutputs, det_boxes,
                          det_shared.reshape(B * R, -1),
                          method=SCNet.mask_forward)
     return jax.nn.sigmoid(logits).reshape(B, R, MASK_SIZE, MASK_SIZE, -1)
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        m = cfg.model
+        return SCNet(num_classes=m.num_classes, depth=m.depth,
+                     frozen_stages=m.frozen_stages)
+
+    def losses(model, cfg, **_):
+        from ..models.faster_rcnn import (RPNLossConfig, rpn_loss,
+                                          rpn_proposals)
+        from ..models.htc import semantic_seg_loss
+        rpn_cfg = RPNLossConfig()
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            rng1, rng2 = jax.random.split(rng)
+            out = model.apply(variables, batch.images, batch.img_hw)
+            losses = rpn_loss(out.rpn, batch.gt_bboxes, batch.gt_valid,
+                              batch.img_hw, rng1, rpn_cfg)
+            losses["loss_semantic_seg"] = semantic_seg_loss(
+                out.sem_pred, batch.gt_semantic)
+            losses["loss_glbctx"] = glbctx_loss(
+                out.mc_pred, batch.gt_labels, batch.gt_valid)
+            props, _, valid = rpn_proposals(out.rpn, batch.img_hw,
+                                            nms_pre=1000,
+                                            max_total=cfg.rcnn_num_proposals)
+            props = jax.lax.stop_gradient(props)
+            losses.update(scnet_forward_train(
+                lambda f, st: model.apply(variables, f, st,
+                                          method=SCNet.roi_forward),
+                lambda f, sh: model.apply(variables, f, sh,
+                                          method=SCNet.mask_forward),
+                out, props, valid, batch.gt_bboxes, batch.gt_labels,
+                batch.gt_valid, batch.gt_masks, rng2,
+                num_classes=cfg.model.num_classes,
+                num_samples=cfg.rcnn_num_samples))
+            return losses, None
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..models.faster_rcnn import rpn_proposals
+        from ..utils.det import DetM
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            props, _, pvalid = rpn_proposals(out.rpn, img_hw, nms_pre=1000,
+                                             max_total=1000)
+            d = scnet_get_bboxes(
+                lambda f, st: model.apply(variables, f, st,
+                                          method=SCNet.roi_forward),
+                out, props, pvalid, img_hw,
+                num_classes=model.num_classes, scale_factor=scale_factors,
+                score_thr=max(score_thr, 0.05), max_per_img=max_per_img,
+                rescale=True)
+            rois_in = d["bboxes"] * scale_factors[:, None, :]
+            probs = scnet_mask_probs(model, variables, out, rois_in,
+                                     d["valid"], d["shared"])
+            sel = jnp.take_along_axis(
+                probs, jnp.clip(d["labels"], 0, probs.shape[-1] - 1)
+                [:, :, None, None, None].astype(jnp.int32), axis=-1)[..., 0]
+            return DetM(d["bboxes"], d["scores"], d["labels"], d["valid"],
+                        sel)
+        return step
+
+    register_family("scnet", build=build, losses=losses,
+                    eval_step=eval_step, init_all=True, with_mask=True,
+                    with_semantic=True)
+
+
+_register()

@@ -635,7 +635,7 @@ def _register():
                 scale_ranges=model.scale_ranges), None
         return losses_fn
 
-    def eval_step(model, *, score_thr, max_per_img):
+    def eval_step(model, *, score_thr, max_per_img, **_):
         from collections import namedtuple
 
         DetM = namedtuple("DetM",
@@ -663,3 +663,46 @@ def _register():
 
 
 _register()
+
+
+# plain SOLO (the vanilla family; decoupled variants register above)
+def _register_plain():
+    from ..registry import register_family
+
+    def build(cfg):
+        m = cfg.model
+        return SOLO(num_classes=m.num_classes, depth=m.depth,
+                    frozen_stages=m.frozen_stages)
+
+    def losses(model, cfg, **_):
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw)
+            return solo_loss(
+                out, batch.gt_bboxes, batch.gt_labels, batch.gt_valid,
+                batch.gt_masks,
+                canvas_hw=tuple(batch.images.shape[1:3]),
+                num_classes=cfg.model.num_classes), None
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..utils.det import DetM
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            d = solo_decode(out, tuple(images.shape[1:3]),
+                            num_classes=model.num_classes,
+                            score_thr=max(score_thr, 0.05),
+                            nms_pre=max(max_per_img, 500),
+                            max_per_img=max_per_img)
+            return DetM(d["bboxes"] / scale_factors[:, None, :],
+                        d["scores"], d["labels"], d["valid"],
+                        d["masks28"])
+        return step
+
+    register_family("solo", build=build, losses=losses,
+                    eval_step=eval_step, with_mask=True)
+
+
+_register_plain()

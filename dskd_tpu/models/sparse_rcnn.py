@@ -258,3 +258,46 @@ def sparse_rcnn_get_bboxes(out: SparseRCNNOutputs, img_hw,
     nb, ns, nl, valid, qidx = jax.vmap(per_image)(cls, boxes, img_hw,
                                                   scale_factor)
     return dict(bboxes=nb, scores=ns, labels=nl, valid=valid, qidx=qidx)
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        m = cfg.model
+        return SparseRCNN(num_classes=m.num_classes, depth=m.depth,
+                          frozen_stages=m.frozen_stages)
+
+    def losses(model, cfg, **_):
+        det_cfg = SparseRCNNLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              deterministic=True)
+            return sparse_rcnn_loss(out, batch.gt_bboxes,
+                                    batch.gt_labels, batch.gt_valid,
+                                    batch.img_hw, det_cfg), None
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..utils.det import Det
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            d = sparse_rcnn_get_bboxes(out, img_hw,
+                                       scale_factor=scale_factors,
+                                       score_thr=score_thr,
+                                       max_per_img=max_per_img,
+                                       rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return step
+
+    register_family("sparse_rcnn", build=build, losses=losses,
+                    eval_step=eval_step)
+
+
+_register()

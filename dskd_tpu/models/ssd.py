@@ -402,3 +402,66 @@ def ssd_get_bboxes(out: SSDOutputs, anchors, img_hw, scale_factor=None,
     nb, ns, nl, keep = jax.vmap(per_image)(cls_flat, deltas, img_hw,
                                            scale_factor)
     return dict(bboxes=nb, scores=ns, labels=nl, valid=keep)
+
+
+# --- family registrations (dskd_tpu/registry.py) ------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        return SSD(num_classes=cfg.model.num_classes,
+                   input_size=cfg.model.ssd_input_size)
+
+    def losses(model, cfg, *, arch, **_):
+        pisa_on = arch == "pisa_ssd"
+        ssd_size = cfg.model.ssd_input_size
+        det_cfg = SSDLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            if ssd_size == 320:
+                # SSDLite trains its MobileNetV2/extras/head BN (scratch
+                # recipe, no norm_eval)
+                out, mutated = model.apply(
+                    variables, batch.images, batch.img_hw,
+                    deterministic=True, train=True,
+                    mutable=["batch_stats"])
+                stats = mutated["batch_stats"]
+            else:
+                out = model.apply(variables, batch.images, batch.img_hw,
+                                  deterministic=True)
+                stats = None
+            anchors = ssd_anchors([c.shape[1:3] for c in out.cls_scores],
+                                  input_size=ssd_size)
+            return ssd_detection_loss(out, anchors, batch.gt_bboxes,
+                                      batch.gt_labels, batch.gt_valid,
+                                      det_cfg, pisa=pisa_on), stats
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..utils.det import Det
+        ssd_size = getattr(model, "input_size", 300)
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            anchors = ssd_anchors([c.shape[1:3] for c in out.cls_scores],
+                                  input_size=ssd_size)
+            d = ssd_get_bboxes(out, anchors, img_hw,
+                               scale_factor=scale_factors,
+                               score_thr=max(score_thr, 0.02),
+                               max_per_img=max_per_img, rescale=True,
+                               input_size=ssd_size)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return step
+
+    for name in ("ssd", "pisa_ssd"):
+        register_family(
+            name, build=build,
+            losses=(lambda model, cfg, _a=name, **kw:
+                    losses(model, cfg, arch=_a, **kw)),
+            eval_step=eval_step)
+
+
+_register()

@@ -222,3 +222,82 @@ class TridentFasterRCNN(nn.Module):
         self.roi_forward(jnp.zeros((1, 14, 14, 1024), images.dtype))
         return out
 
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        m = cfg.model
+        return TridentFasterRCNN(num_classes=m.num_classes, depth=m.depth,
+                                 frozen_stages=m.frozen_stages)
+
+    def losses(model, cfg, **_):
+        from ..models.faster_rcnn import (RCNNLossConfig, RPNLossConfig,
+                                          rcnn_forward_train, rpn_loss,
+                                          rpn_proposals)
+        rpn_cfg = RPNLossConfig()
+        # C4 config: 128 samples, pos_fraction 0.5, no GT-as-proposals
+        rcnn_cfg = RCNNLossConfig(num_classes=cfg.model.num_classes,
+                                  num_samples=cfg.rcnn_num_samples,
+                                  pos_fraction=0.5,
+                                  add_gt_as_proposals=False)
+        scales = TridentFasterRCNN.anchor_scales()
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            rng1, rng2 = jax.random.split(rng)
+            # train: all 3 dilated branches run; each behaves as an extra
+            # batch replica (GT tiled alongside)
+            out = model.apply(variables, batch.images, batch.img_hw,
+                              train_branches=True)
+            nb = out.num_branch
+            gt_b = jnp.tile(batch.gt_bboxes, (nb, 1, 1))
+            gt_l = jnp.tile(batch.gt_labels, (nb, 1))
+            gt_v = jnp.tile(batch.gt_valid, (nb, 1))
+            hw = jnp.tile(batch.img_hw, (nb, 1))
+            losses = rpn_loss(out.rpn, gt_b, gt_v, hw, rng1, rpn_cfg,
+                              strides=(16,), scales=scales)
+            props, _, valid = rpn_proposals(
+                out.rpn, hw, nms_pre=1000,
+                max_total=cfg.rcnn_num_proposals,
+                strides=(16,), scales=scales)
+            props = jax.lax.stop_gradient(props)
+            rcnn_losses, _ = rcnn_forward_train(
+                lambda f: model.apply(
+                    variables, f, method=TridentFasterRCNN.roi_forward),
+                (out.c4,), props, valid, gt_b, gt_l, gt_v, rng2, rcnn_cfg,
+                strides=(16,), out_size=14)
+            losses.update({f"rcnn_{k}": v for k, v in rcnn_losses.items()})
+            return losses, None
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..models.faster_rcnn import rcnn_get_bboxes, rpn_proposals
+        from ..utils.det import Det
+        scales = TridentFasterRCNN.anchor_scales()
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            # deploy fast path: single branch (dilation 2), plain C4 cost
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            props, _, pvalid = rpn_proposals(out.rpn, img_hw, nms_pre=1000,
+                                             max_total=500, strides=(16,),
+                                             scales=scales)
+            d = rcnn_get_bboxes(
+                lambda f: model.apply(
+                    variables, f, method=TridentFasterRCNN.roi_forward),
+                (out.c4,), props, pvalid, img_hw,
+                num_classes=model.num_classes, scale_factor=scale_factors,
+                score_thr=max(score_thr, 0.05), max_per_img=max_per_img,
+                rescale=True, strides=(16,), out_size=14)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return step
+
+    register_family("tridentnet", build=build, losses=losses,
+                    eval_step=eval_step, init_all=True)
+
+
+_register()

@@ -315,3 +315,52 @@ def yolact_decode(out: YOLACTOutputs, anchors, img_hw,
     nb, ns, nl, keep, m28 = jax.vmap(per_image)(
         cls_flat, deltas, coeffs, out.protos, img_hw)
     return dict(bboxes=nb, scores=ns, labels=nl, valid=keep, masks28=m28)
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        m = cfg.model
+        return YOLACT(num_classes=m.num_classes, depth=m.depth,
+                      frozen_stages=m.frozen_stages)
+
+    def losses(model, cfg, **_):
+        det_cfg = YOLACTLossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out = model.apply(variables, batch.images, batch.img_hw)
+            sizes = [tuple(c.shape[1:3]) for c in out.head.cls_scores]
+            anchors = yolact_anchors(sizes)
+            return yolact_loss(
+                out, anchors, batch.gt_bboxes, batch.gt_labels,
+                batch.gt_valid, batch.gt_masks,
+                canvas_hw=tuple(batch.images.shape[1:3]),
+                cfg=det_cfg, img_hw=batch.img_hw), None
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..utils.det import DetM
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            sizes = [tuple(c.shape[1:3]) for c in out.head.cls_scores]
+            anchors = yolact_anchors(sizes)
+            d = yolact_decode(out, anchors, img_hw,
+                              num_classes=model.num_classes,
+                              score_thr=max(score_thr, 0.05),
+                              max_per_img=max_per_img)
+            return DetM(d["bboxes"] / scale_factors[:, None, :],
+                        d["scores"], d["labels"], d["valid"],
+                        d["masks28"])
+        return step
+
+    register_family("yolact", build=build, losses=losses,
+                    eval_step=eval_step, with_mask=True)
+
+
+_register()

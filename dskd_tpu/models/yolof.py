@@ -141,3 +141,64 @@ def yolof_compute_losses(out: YOLOFOutputs, anchors, batch,
             losses["loss_fd"] = distill_cfg.fd_weight * kl.sum() / B
 
     return losses
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        m = cfg.model
+        return YOLOF(num_classes=m.num_classes, depth=m.depth,
+                     frozen_stages=m.frozen_stages)
+
+    def losses(model, cfg, *, has_teacher=False, **_):
+        from .yolof_head import YOLOFLossConfig, yolof_anchors
+        det_cfg = YOLOFLossConfig(num_classes=cfg.model.num_classes)
+        distill_cfg = YOLOFDistillConfig.from_flags(
+            cates_distill=cfg.distill.cates_distill,
+            locat_distill=cfg.distill.locat_distill,
+            feats_distill=cfg.distill.feats_distill) if has_teacher else None
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            # train-mode apply: BN uses batch statistics and UPDATES the
+            # running stats (the reference trains these BNs —
+            # necks/dilated_encoder.py:108 norm requires_grad=True); the
+            # frozen teacher keeps its running stats (deterministic=True).
+            out, mutated = model.apply(
+                variables, batch.images, batch.img_hw, deterministic=False,
+                mutable=["batch_stats"])
+            anchors = yolof_anchors(out.head.feat_hw)
+            t_out = None
+            if teacher_vars is not None:
+                t_out = model.apply(teacher_vars, batch.images,
+                                    batch.img_hw, deterministic=True)
+            losses = yolof_compute_losses(
+                out, anchors, batch, det_cfg, teacher_out=t_out,
+                distill_cfg=distill_cfg,
+                teacher_score_thr=cfg.distill.teacher_score_thr,
+                teacher_max_per_img=cfg.distill.teacher_max_per_img)
+            return losses, mutated["batch_stats"]
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..utils.det import Det
+        from .yolof_head import yolof_anchors, yolof_get_bboxes
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            d = yolof_get_bboxes(out.head, yolof_anchors(out.head.feat_hw),
+                                 img_hw, scale_factor=scale_factors,
+                                 score_thr=max(score_thr, 0.05),
+                                 max_per_img=max_per_img, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return step
+
+    register_family("yolof", build=build, losses=losses,
+                    eval_step=eval_step)
+
+
+_register()

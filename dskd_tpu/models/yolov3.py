@@ -270,3 +270,46 @@ def yolov3_get_bboxes(out: YOLOV3Outputs, img_hw, scale_factor=None,
         scale_factor = jnp.ones((B, 4), jnp.float32)
     nb, ns, nl, keep = jax.vmap(per_image)(preds, img_hw, scale_factor)
     return dict(bboxes=nb, scores=ns, labels=nl, valid=keep)
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        return YOLOV3(num_classes=cfg.model.num_classes,
+                      backbone=cfg.model.backbone)
+
+    def losses(model, cfg, **_):
+        det_cfg = YOLOV3LossConfig(num_classes=cfg.model.num_classes)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            # darknet/mbv2 BN trains (the reference yolov3 recipes carry
+            # no norm_eval; stats thread through batch_stats)
+            out, mutated = model.apply(
+                variables, batch.images, batch.img_hw,
+                deterministic=True, train=True, mutable=["batch_stats"])
+            return yolov3_loss(out, batch.gt_bboxes, batch.gt_labels,
+                               batch.gt_valid,
+                               det_cfg), mutated["batch_stats"]
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..utils.det import Det
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            d = yolov3_get_bboxes(out, img_hw, scale_factor=scale_factors,
+                                  score_thr=max(score_thr, 0.05),
+                                  max_per_img=max_per_img, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return step
+
+    register_family("yolov3", build=build, losses=losses,
+                    eval_step=eval_step)
+
+
+_register()

@@ -47,3 +47,52 @@ class YOLOX(nn.Module):
                          feat_channels=self.neck_channels,
                          name="bbox_head")(neck, train=train)
         return YOLOYOutputs(head, neck)
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        return YOLOX(num_classes=cfg.model.num_classes)
+
+    def losses(model, cfg, *, use_l1=False, **_):
+        from .yoloy_head import YOLOYLossConfig, yoloy_detection_loss
+        # ``use_l1`` is YOLOX's ModeSwitch extra: the driver rebuilds the
+        # step with it on when the no-aug phase starts
+        # (detectors/yolox.py + YOLOXModeSwitchHook)
+        det_cfg = YOLOYLossConfig(num_classes=cfg.model.num_classes,
+                                  bbox_loss="square_iou", use_l1=use_l1)
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out, mutated = model.apply(
+                variables, batch.images, batch.img_hw, deterministic=False,
+                mutable=["batch_stats"])
+            return yoloy_detection_loss(
+                out.head, batch.gt_bboxes, batch.gt_labels, batch.gt_valid,
+                det_cfg), mutated["batch_stats"]
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        import jax
+
+        from ..utils.det import Det
+        from .yoloy_head import yoloy_get_bboxes
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            d = yoloy_get_bboxes(out.head, img_hw,
+                                 scale_factor=scale_factors,
+                                 score_thr=max(score_thr, 0.01),
+                                 max_per_img=max_per_img, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return step
+
+    register_family("yolox", build=build, losses=losses,
+                    eval_step=eval_step)
+
+
+_register()

@@ -112,3 +112,57 @@ def yoloy_compute_losses(out: YOLOYOutputs, batch,
                                             axis=-1).sum()
             losses["loss_fd"] = distill_cfg.fd_weight * total / B
     return losses
+
+
+# --- family registration (dskd_tpu/registry.py) -------------------------
+
+def _register():
+    from ..registry import register_family
+
+    def build(cfg):
+        m = cfg.model
+        return YOLOY(num_classes=m.num_classes, depth=m.depth,
+                     frozen_stages=m.frozen_stages)
+
+    def losses(model, cfg, *, has_teacher=False, **_):
+        det_cfg = YOLOYLossConfig(num_classes=cfg.model.num_classes)
+        distill_cfg = YOLOYDistillConfig.from_flags(
+            cates_distill=cfg.distill.cates_distill,
+            feats_distill=cfg.distill.feats_distill) if has_teacher else None
+
+        def losses_fn(variables, batch, teacher_vars, rng):
+            out, mutated = model.apply(
+                variables, batch.images, batch.img_hw, deterministic=False,
+                mutable=["batch_stats"])
+            t_out = None
+            if teacher_vars is not None:
+                t_out = model.apply(teacher_vars, batch.images,
+                                    batch.img_hw, deterministic=True)
+            losses = yoloy_compute_losses(
+                out, batch, det_cfg, teacher_out=t_out,
+                distill_cfg=distill_cfg,
+                teacher_score_thr=cfg.distill.teacher_score_thr,
+                teacher_max_per_img=cfg.distill.teacher_max_per_img)
+            return losses, mutated["batch_stats"]
+        return losses_fn
+
+    def eval_step(model, *, score_thr, max_per_img, **_):
+        from ..utils.det import Det
+        from .yoloy_head import yoloy_get_bboxes
+
+        @jax.jit
+        def step(variables, images, img_hw, scale_factors):
+            out = model.apply(variables, images, img_hw,
+                              deterministic=True)
+            d = yoloy_get_bboxes(out.head, img_hw,
+                                 scale_factor=scale_factors,
+                                 score_thr=max(score_thr, 0.01),
+                                 max_per_img=max_per_img, rescale=True)
+            return Det(d["bboxes"], d["scores"], d["labels"], d["valid"])
+        return step
+
+    register_family("yoloy", build=build, losses=losses,
+                    eval_step=eval_step)
+
+
+_register()

@@ -28,10 +28,7 @@ import numpy as np
 from ..data.coco import TaskCocoDataset
 from ..data.loader import DataLoader
 from ..data.pipeline import PipelineConfig
-from ..distill.losses import DistillConfig
 from ..eval.evaluator import evaluate
-from ..models.detector import GFLDeformableDETR
-from ..models.gfl_detr_loss import DetLossConfig
 from ..parallel.mesh import make_mesh, replicate, shard_batch
 from ..utils.config import ExperimentConfig
 from .checkpoint import (find_latest_checkpoint, restore_checkpoint,
@@ -39,260 +36,22 @@ from .checkpoint import (find_latest_checkpoint, restore_checkpoint,
 from .optim import make_optimizer
 from .schedule import step_lr_schedule
 from .state import TrainState
-from .step import Batch, make_train_step
+from .step import Batch
 
-from ..registry import family_flag  # noqa: E402
+from ..registry import family_data_flag, family_flag  # noqa: E402
 
 log = logging.getLogger("dskd_tpu")
 
 
 def build_model(cfg: ExperimentConfig):
-    """Model registry dispatch (replaces the mmdet DETECTORS registry).
-
-    Families registered in dskd_tpu.registry win; the if-chain below is
-    the legacy fallback for the pre-registry families."""
+    """Model registry dispatch (replaces the mmdet DETECTORS registry,
+    reference mmdet/models/builder.py:59): every family's build factory
+    lives in its own model module (dskd_tpu/registry.py)."""
     from ..registry import get_family
-    m = cfg.model
-    spec = get_family(m.arch)
-    if spec is not None:
-        return spec["build"](cfg)
-    if m.arch in ("gfl_deformable_detr", "deformable_detr_il"):
-        return GFLDeformableDETR(
-            num_classes=m.num_classes, num_query=m.num_query,
-            reg_max=m.reg_max, depth=m.depth,
-            frozen_stages=m.frozen_stages, embed_dims=m.embed_dims,
-            num_encoder_layers=m.num_encoder_layers,
-            num_decoder_layers=m.num_decoder_layers,
-            num_levels=m.num_levels, dropout=m.dropout,
-            dcn_stages=tuple(m.dcn_stages), remat=m.remat)
-    if m.arch == "deformable_detr":
-        from ..models.deformable_detr import DeformableDETR
-        return DeformableDETR(
-            num_classes=m.num_classes, num_query=m.num_query,
-            depth=m.depth, frozen_stages=m.frozen_stages,
-            embed_dims=m.embed_dims,
-            num_encoder_layers=m.num_encoder_layers,
-            num_decoder_layers=m.num_decoder_layers,
-            num_levels=m.num_levels, dropout=m.dropout,
-            with_box_refine=m.with_box_refine,
-            as_two_stage=m.as_two_stage, remat=m.remat)
-    if m.arch == "yolof":
-        from ..models.yolof import YOLOF
-        return YOLOF(num_classes=m.num_classes, depth=m.depth,
-                     frozen_stages=m.frozen_stages)
-    if m.arch == "yoloy":
-        from ..models.yoloy import YOLOY
-        return YOLOY(num_classes=m.num_classes, depth=m.depth,
-                     frozen_stages=m.frozen_stages)
-    if m.arch == "yolox":
-        from ..models.yolox import YOLOX
-        return YOLOX(num_classes=m.num_classes)
-    if m.arch == "ld":
-        from ..models.gfl import GFL
-        return GFL(num_classes=m.num_classes, depth=m.depth,
-                   frozen_stages=m.frozen_stages, reg_max=m.reg_max)
-    if m.arch == "gfl":
-        from ..models.gfl import GFL
-        return GFL(num_classes=m.num_classes, depth=m.depth,
-                   frozen_stages=m.frozen_stages, reg_max=m.reg_max)
-    if m.arch == "detr":
-        from ..models.detr import DETR
-        return DETR(num_classes=m.num_classes, num_query=m.num_query,
-                    depth=m.depth, frozen_stages=m.frozen_stages,
-                    num_encoder_layers=m.num_encoder_layers,
-                    num_decoder_layers=m.num_decoder_layers,
-                    dropout=m.dropout)
-    if m.arch == "fast_rcnn":
-        from ..models.faster_rcnn import FasterRCNN
-        return FasterRCNN(num_classes=m.num_classes, depth=m.depth,
-                          frozen_stages=m.frozen_stages, with_rpn=False)
-    if m.arch == "rpn":
-        from ..models.faster_rcnn import RPN
-        return RPN(depth=m.depth, frozen_stages=m.frozen_stages)
-    if m.arch == "cascade_rpn":
-        from ..models.cascade_rpn_head import CascadeRPN
-        return CascadeRPN(depth=m.depth, frozen_stages=m.frozen_stages)
-    if m.arch == "ga_rpn":
-        from ..models.guided_anchor import GARPN
-        return GARPN(depth=m.depth, frozen_stages=m.frozen_stages)
-    if m.arch in ("faster_rcnn", "libra_faster_rcnn",
-                  "double_head_rcnn", "carafe_faster_rcnn",
-                  "pisa_faster_rcnn", "dynamic_rcnn",
-                  "faster_rcnn_gn_ws", "faster_rcnn_gn",
-                  "faster_rcnn_pafpn"):
-        from ..models.faster_rcnn import FasterRCNN
-        gn = m.arch in ("faster_rcnn_gn_ws", "faster_rcnn_gn")
-        return FasterRCNN(num_classes=m.num_classes, depth=m.depth,
-                          frozen_stages=m.frozen_stages,
-                          use_bfp=(m.arch == "libra_faster_rcnn"),
-                          double_head=(m.arch == "double_head_rcnn"),
-                          neck_upsample=("carafe"
-                                         if m.arch == "carafe_faster_rcnn"
-                                         else "nearest"),
-                          norm="gn" if gn else "frozen",
-                          ws=(m.arch == "faster_rcnn_gn_ws"),
-                          backbone_spec=m.backbone,
-                          neck_kind=("pafpn"
-                                     if m.arch == "faster_rcnn_pafpn"
-                                     else "fpn"),
-                          dcn_stages=tuple(m.dcn_stages),
-                          gen_attn_stages=tuple(m.gen_attn_stages),
-                          gen_attn_type=m.gen_attn_type,
-                          groie=m.groie)
-    if m.arch in ("retinanet", "pisa_retinanet", "retinanet_ghm",
-                  "retinanet_fpg", "retinanet_nasfpn"):
-        from ..models.retinanet import RetinaNet
-        neck = {"retinanet_fpg": "fpg",
-                "retinanet_nasfpn": "nasfpn"}.get(m.arch, "fpn")
-        return RetinaNet(num_classes=m.num_classes, depth=m.depth,
-                         frozen_stages=m.frozen_stages,
-                         backbone=m.backbone, neck=neck,
-                         ghm=(m.arch == "retinanet_ghm"))
-    if m.arch in ("fcos", "nasfcos"):
-        from ..models.fcos import FCOS
-        return FCOS(num_classes=m.num_classes, depth=m.depth,
-                    frozen_stages=m.frozen_stages, backbone=m.backbone,
-                    nas_fpn=(m.arch == "nasfcos"))
-    if m.arch in ("cascade_rcnn", "detectors_cascade_rcnn"):
-        from ..models.cascade_rcnn import CascadeRCNN
-        return CascadeRCNN(num_classes=m.num_classes, depth=m.depth,
-                           frozen_stages=m.frozen_stages,
-                           rfp=m.rfp, sac=m.sac)
-    if m.arch == "solo":
-        from ..models.solo import SOLO
-        return SOLO(num_classes=m.num_classes, depth=m.depth,
-                    frozen_stages=m.frozen_stages)
-    if m.arch == "yolact":
-        from ..models.yolact import YOLACT
-        return YOLACT(num_classes=m.num_classes, depth=m.depth,
-                      frozen_stages=m.frozen_stages)
-    if m.arch == "cascade_mask_rcnn":
-        from ..models.cascade_mask_rcnn import CascadeMaskRCNN
-        return CascadeMaskRCNN(num_classes=m.num_classes, depth=m.depth,
-                               frozen_stages=m.frozen_stages)
-    if m.arch == "htc":
-        from ..models.htc import HTC
-        return HTC(num_classes=m.num_classes, depth=m.depth,
-                   frozen_stages=m.frozen_stages,
-                   rfp=m.rfp, sac=m.sac)
-    if m.arch == "point_rend":
-        from ..models.point_rend import PointRendRCNN
-        return PointRendRCNN(num_classes=m.num_classes, depth=m.depth,
-                             frozen_stages=m.frozen_stages)
-    if m.arch == "maskformer":
-        from ..models.maskformer import MaskFormer
-        return MaskFormer(num_classes=m.num_classes
-                          + (m.num_stuff_classes if m.panoptic else 0),
-                          depth=m.depth, frozen_stages=m.frozen_stages,
-                          num_queries=m.num_query)
-    if m.arch == "mask2former":
-        from ..models.mask2former import Mask2Former
-        return Mask2Former(num_classes=m.num_classes
-                           + (m.num_stuff_classes if m.panoptic else 0),
-                           depth=m.depth, frozen_stages=m.frozen_stages,
-                           num_queries=m.num_query)
-    if m.arch == "scnet":
-        from ..models.scnet import SCNet
-        return SCNet(num_classes=m.num_classes, depth=m.depth,
-                     frozen_stages=m.frozen_stages)
-    if m.arch == "queryinst":
-        from ..models.queryinst import QueryInst
-        return QueryInst(num_classes=m.num_classes, depth=m.depth,
-                         frozen_stages=m.frozen_stages,
-                         num_proposals=m.num_query)
-    if m.arch == "centernet":
-        from ..models.centernet import CenterNet
-        return CenterNet(num_classes=m.num_classes, depth=m.depth,
-                         frozen_stages=m.frozen_stages)
-    if m.arch in ("ssd", "pisa_ssd"):
-        from ..models.ssd import SSD
-        return SSD(num_classes=m.num_classes, input_size=m.ssd_input_size)
-    if m.arch == "yolov3":
-        from ..models.yolov3 import YOLOV3
-        return YOLOV3(num_classes=m.num_classes, backbone=m.backbone)
-    if m.arch == "atss":
-        from ..models.atss import ATSS
-        return ATSS(num_classes=m.num_classes, depth=m.depth,
-                    frozen_stages=m.frozen_stages,
-                    dyhead_blocks=m.dyhead_blocks,
-                    head_stacked_convs=0 if m.dyhead_blocks else 4)
-    if m.arch == "vfnet":
-        from ..models.vfnet import VFNet
-        return VFNet(num_classes=m.num_classes, depth=m.depth,
-                     frozen_stages=m.frozen_stages)
-    if m.arch == "tood":
-        from ..models.tood import TOOD
-        return TOOD(num_classes=m.num_classes, depth=m.depth,
-                    frozen_stages=m.frozen_stages)
-    if m.arch == "foveabox":
-        from ..models.foveabox import FoveaBox
-        return FoveaBox(num_classes=m.num_classes, depth=m.depth,
-                        frozen_stages=m.frozen_stages)
-    if m.arch == "fsaf":
-        from ..models.fsaf import FSAF
-        return FSAF(num_classes=m.num_classes, depth=m.depth,
-                    frozen_stages=m.frozen_stages)
-    if m.arch == "reppoints":
-        from ..models.reppoints import RepPoints
-        return RepPoints(num_classes=m.num_classes, depth=m.depth,
-                         frozen_stages=m.frozen_stages)
-    if m.arch == "free_anchor":
-        from ..models.retinanet import RetinaNet
-        return RetinaNet(num_classes=m.num_classes, depth=m.depth,
-                         frozen_stages=m.frozen_stages,
-                         backbone=m.backbone)
-    if m.arch == "autoassign":
-        from ..models.autoassign import AutoAssign
-        return AutoAssign(num_classes=m.num_classes, depth=m.depth,
-                          frozen_stages=m.frozen_stages)
-    if m.arch in ("paa", "lad"):
-        from ..models.paa import PAA
-        return PAA(num_classes=m.num_classes, depth=m.depth,
-                   frozen_stages=m.frozen_stages)
-    if m.arch == "ga_retina":
-        from ..models.guided_anchor import GARetinaNet
-        return GARetinaNet(num_classes=m.num_classes, depth=m.depth,
-                           frozen_stages=m.frozen_stages)
-    if m.arch == "sabl_retina":
-        from ..models.sabl_retina import SABLRetinaNet
-        return SABLRetinaNet(num_classes=m.num_classes, depth=m.depth,
-                             frozen_stages=m.frozen_stages)
-    if m.arch == "grid_rcnn":
-        from ..models.grid_rcnn import GridRCNN
-        return GridRCNN(num_classes=m.num_classes, depth=m.depth,
-                        frozen_stages=m.frozen_stages)
-    if m.arch in ("mask_rcnn", "mask_rcnn_seesaw"):
-        from ..models.mask_rcnn import MaskRCNN
-        return MaskRCNN(num_classes=m.num_classes, depth=m.depth,
-                        frozen_stages=m.frozen_stages,
-                        seesaw=(m.arch == "mask_rcnn_seesaw"),
-                        gcb_stages=tuple(m.gcb_stages),
-                        gcb_ratio=m.gcb_ratio,
-                        backbone_spec=m.backbone)
-    if m.arch == "ms_rcnn":
-        from ..models.ms_rcnn import MSRCNN
-        return MSRCNN(num_classes=m.num_classes, depth=m.depth,
-                      frozen_stages=m.frozen_stages)
-    if m.arch == "panoptic_fpn":
-        from ..models.panoptic_fpn import PanopticFPN
-        return PanopticFPN(num_classes=m.num_classes,
-                           num_stuff_classes=m.num_stuff_classes,
-                           depth=m.depth, frozen_stages=m.frozen_stages)
-    if m.arch == "tridentnet":
-        from ..models.trident import TridentFasterRCNN
-        return TridentFasterRCNN(num_classes=m.num_classes, depth=m.depth,
-                                 frozen_stages=m.frozen_stages)
-    if m.arch == "sparse_rcnn":
-        from ..models.sparse_rcnn import SparseRCNN
-        return SparseRCNN(num_classes=m.num_classes, depth=m.depth,
-                          frozen_stages=m.frozen_stages)
-    if m.arch == "centripetalnet":
-        from ..models.centripetal import CentripetalNet
-        return CentripetalNet(num_classes=m.num_classes)
-    if m.arch == "cornernet":
-        from ..models.cornernet import CornerNet
-        return CornerNet(num_classes=m.num_classes)
-    raise ValueError(f"unknown arch: {m.arch}")
+    spec = get_family(cfg.model.arch)
+    if spec is None:
+        raise ValueError(f"unknown arch: {cfg.model.arch}")
+    return spec["build"](cfg)
 
 
 def build_teacher_model(cfg: ExperimentConfig):
@@ -315,17 +74,7 @@ def init_variables(model, cfg: ExperimentConfig, rng):
     H, W = cfg.data.bucket
     images = jnp.zeros((1, H, W, 3), jnp.float32)
     img_hw = jnp.array([[H, W]], jnp.int32)
-    if cfg.model.arch in ("faster_rcnn", "libra_faster_rcnn",
-                          "double_head_rcnn", "fast_rcnn",
-                          "carafe_faster_rcnn", "pisa_faster_rcnn",
-                          "dynamic_rcnn", "faster_rcnn_gn_ws",
-                          "faster_rcnn_gn", "faster_rcnn_pafpn",
-                          "grid_rcnn", "cascade_rcnn",
-                          "detectors_cascade_rcnn", "tridentnet",
-                          "cascade_mask_rcnn", "htc", "point_rend",
-                          "queryinst", "scnet",
-                          "mask_rcnn", "mask_rcnn_seesaw",
-                          "panoptic_fpn", "ms_rcnn"):
+    if family_flag(cfg.model.arch, "init_all"):
         # two-stage: trace the ROI head(s) too so init creates their params
         variables = model.init(rng, images, img_hw,
                                method=type(model).init_all)
@@ -433,17 +182,9 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
         expand=cfg.data.expand, min_iou_crop=cfg.data.min_iou_crop,
         resize_ratio_range=cfg.data.resize_ratio_range,
         random_crop=cfg.data.random_crop,
-        with_mask=(cfg.model.arch in ("mask_rcnn", "mask_rcnn_seesaw",
-                                      "panoptic_fpn",
-                                      "ms_rcnn", "cascade_mask_rcnn",
-                                      "htc", "point_rend", "queryinst",
-                                      "scnet", "maskformer",
-                                      "mask2former", "solo", "yolact")
-                   or family_flag(cfg.model.arch, "with_mask")),
-        with_semantic=(cfg.model.arch in ("panoptic_fpn", "htc", "scnet")
-                       or (cfg.model.panoptic and cfg.model.arch
-                           in ("maskformer", "mask2former"))
-                       or family_flag(cfg.model.arch, "with_semantic")))
+        with_mask=family_data_flag(cfg.model.arch, "with_mask", cfg),
+        with_semantic=family_data_flag(cfg.model.arch, "with_semantic",
+                                       cfg))
     global_batch = cfg.data.samples_per_device * len(mesh.devices.flatten())
     loader = DataLoader(train_ds, global_batch, pipe, train=True,
                         seed=cfg.train.seed + tid,

@@ -36,6 +36,8 @@ import pytest  # noqa: E402
 # whole-family train-step files whose jit programs dominate wall time.
 _SLOW_FILES = {
     "test_configs", "test_incremental_e2e", "test_detr_il_e2e",
+    "test_dist_two_process", "test_forgetting_ab",
+    "test_incremental_40_40",
     "test_mask_convergence_e2e",
     "test_yolof_il_e2e",
     "test_train_step", "test_tp", "test_multihost_collect",

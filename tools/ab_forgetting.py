@@ -31,10 +31,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 # force CPU BEFORE backend init: the axon sitecustomize force-selects
 # the chip via jax.config (which also beats the JAX_PLATFORMS env var),
-# so the override must be unconditional — same pattern as ab_matcher.py
+# so the override must be unconditional — same pattern as ab_matcher.py.
+# DSKD_AB_CHIP=1 keeps the chip platform (the on-chip flagship-scale
+# datapoint, VERDICT r4 next #7).
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("DSKD_AB_CHIP", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 
 NUM_CLS = 4
@@ -133,8 +136,24 @@ def _train(model, det_cfg, state, step, steps, seed0, B, H, W, G,
 
 
 def run_forgetting_ab(steps1=300, steps2=300, B=2, H=128, W=128, G=6,
-                      n_eval=16, log_every=0, seed=0):
-    """Returns a dict with old/new mAP for teacher, distill, finetune."""
+                      n_eval=16, log_every=0, seed=0,
+                      cates_distill="hard + teacher-first",
+                      feats_distill="corr + fg_info + decode_v1",
+                      teacher_score_thr=0.3, teacher_max_per_img=8,
+                      depth=18, num_encoder_layers=1,
+                      num_decoder_layers=1, num_query=40):
+    """Returns a dict with old/new mAP for teacher, distill, finetune.
+
+    Recipe defaults mirror the reference flagship IL config
+    (/root/reference/configs/deformable_detr/
+    chaosuan_gfl_deformable_detr_40_r50_8x4_1x_qoqo_il.py:116-119,149-152):
+    cates_distill='hard + teacher-first' (NO soft response KD),
+    feats_distill='corr + fg_info + decode_v1', teacher score_thr=0.3.
+    Round-4 calibration ran 'hard+tf+soft' at thr=0.05, which traded away
+    nearly all plasticity (new-mAP 2.08 vs fine-tune 32.27) — the soft-KD
+    term drags new-class logits toward the old teacher's, and the low
+    threshold floods the merged GT with junk teacher boxes.
+    """
     import jax.numpy as jnp
 
     from dskd_tpu.distill.losses import DistillConfig
@@ -145,8 +164,10 @@ def run_forgetting_ab(steps1=300, steps2=300, B=2, H=128, W=128, G=6,
     from dskd_tpu.train.state import TrainState
     from dskd_tpu.train.step import make_train_step
 
-    model = GFLDeformableDETR(num_encoder_layers=1, num_decoder_layers=1,
-                              num_query=40, depth=18, num_classes=NUM_CLS)
+    model = GFLDeformableDETR(num_encoder_layers=num_encoder_layers,
+                              num_decoder_layers=num_decoder_layers,
+                              num_query=num_query, depth=depth,
+                              num_classes=NUM_CLS)
     det_cfg = DetLossConfig(num_classes=NUM_CLS)
 
     variables = model.init(jax.random.PRNGKey(seed),
@@ -174,10 +195,11 @@ def run_forgetting_ab(steps1=300, steps2=300, B=2, H=128, W=128, G=6,
 
     # ---- phase 2a: DSKD distillation (flagship menu, num_prev=|OLD|) ----
     distill_cfg = DistillConfig.from_flags(
-        cates_distill="hard + teacher-first + soft",
-        feats_distill="corr + fg_info + decode_v1", num_prev=len(OLD))
+        cates_distill=cates_distill,
+        feats_distill=feats_distill, num_prev=len(OLD))
     kd_step = make_train_step(model, det_cfg, distill_cfg,
-                              teacher_score_thr=0.05, teacher_max_per_img=8,
+                              teacher_score_thr=teacher_score_thr,
+                              teacher_max_per_img=teacher_max_per_img,
                               use_dropout=False, donate=False)
     state_a = _train(model, det_cfg, fresh_state(teacher_params, 2),
                      kd_step, steps2, 2000, B, H, W, G,
