@@ -32,7 +32,9 @@ def main():
         bench_one(arch, B, H, W, n_iters)
 
 
-def bench_one(arch, B, H, W, n_iters):
+def setup(arch, B, H, W):
+    """Build (step, state, batch) for a family train-step benchmark —
+    shared by bench_one and tools/trace_family.py."""
 
     import jax
     import jax.numpy as jnp
@@ -109,6 +111,13 @@ def bench_one(arch, B, H, W, n_iters):
                               jax.random.PRNGKey(1))
     step = make_family_train_step(arch, model, cfg, num_prev=0,
                                   has_teacher=False, use_dropout=False)
+    return step, state, batch
+
+
+def bench_one(arch, B, H, W, n_iters):
+    import jax
+    import numpy as np
+    step, state, batch = setup(arch, B, H, W)
 
     # MFU denominator: XLA compiled cost analysis of the same program
     # the timing loop runs (VERDICT r4 weak #3 — the flagship-only MFU

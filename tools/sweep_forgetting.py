@@ -42,6 +42,12 @@ VARIANTS = {
         cates_distill="hard + teacher-first + soft",
         feats_distill="corr + fg_info + decode_v1",
         teacher_score_thr=0.3, steps1=400, steps2=600),
+    "ref@600/400": dict(cates_distill="hard + teacher-first",
+                        feats_distill="corr + fg_info + decode_v1",
+                        teacher_score_thr=0.3, steps1=400, steps2=600),
+    "ref@1200/400": dict(cates_distill="hard + teacher-first",
+                         feats_distill="corr + fg_info + decode_v1",
+                         teacher_score_thr=0.3, steps1=400, steps2=1200),
 }
 
 
