@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from ..core import losses as L
-from ..ops.roi_align import roi_align
 from .faster_rcnn import BBoxHead, RPNHead
 from .fpn import FPN
 from .resnet import ResNet
@@ -125,14 +124,16 @@ def mask_targets(rois, gt_mask_sel, mask_stride: int = 4,
     size=7 for PointRend's coarse head).
 
     rois: (P, 4) xyxy image coords; gt_mask_sel: (P, Hm, Wm) bitmaps at
-    ``mask_stride``. Returns (P, size, size) float 0/1."""
-    def one(m, r):
-        c = roi_align(m[..., None].astype(jnp.float32), r[None],
-                      out_size=size,
-                      spatial_scale=1.0 / mask_stride)
-        return c[0, :, :, 0]
+    ``mask_stride``. Returns (P, size, size) float 0/1.
 
-    return (jax.vmap(one)(gt_mask_sel, rois) >= 0.5).astype(jnp.float32)
+    Each ROI samples its OWN bitmap, so the crop runs as two batched
+    MXU matmuls (ops/roi_align.py roi_align_own_map) instead of the
+    per-(roi, position) scalar gathers a vmapped roi_align lowers to —
+    the measured 20%-of-step mask_rcnn hotspot (PERF.md finding 17)."""
+    from ..ops.roi_align import roi_align_own_map
+    c = roi_align_own_map(gt_mask_sel.astype(jnp.float32), rois,
+                          out_size=size, spatial_scale=1.0 / mask_stride)
+    return (c >= 0.5).astype(jnp.float32)
 
 
 def mask_loss(mask_logits, targets, labels, pos_valid):

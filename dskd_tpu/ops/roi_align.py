@@ -89,6 +89,58 @@ def roi_align(feat: jnp.ndarray, rois: jnp.ndarray, out_size: int = 7,
     return sampled.mean(axis=(2, 4))
 
 
+def roi_align_own_map(maps: jnp.ndarray, rois: jnp.ndarray,
+                      out_size: int, spatial_scale: float = 1.0,
+                      sampling_ratio: int = 2) -> jnp.ndarray:
+    """RoIAlign where ROI p samples its OWN single-channel map maps[p] —
+    the mask-target crop (mask_rcnn.mask_targets et al).
+
+    vmapping ``roi_align`` over (map, roi) pairs lowers to per-(roi,
+    position) SCALAR gathers from the stacked (P, Hm*Wm) table — the
+    measured mask_rcnn train-step hotspot (chip trace round 5: 4 corner
+    fusions x 8.2 ms = 33 ms/step = 20% at B=2 800x1344). Bilinear
+    sampling on a tensor-product grid is separable, so the same
+    computation is two batched matmuls on the MXU:
+
+        out[p] = Wy[p] @ maps[p] @ Wx[p]^T
+
+    with Wy (P, out, Hm) / Wx (P, out, Wm) the per-axis interpolation
+    weights (already averaged over the s sample sub-grid; the border
+    band-mask and index clamps of ``bilinear_interpolate`` factor by
+    axis). Bit-compared against the gather formulation in
+    tests/test_roi_align_oracle.py."""
+    P, Hm, Wm = maps.shape
+    cf = jnp.float32
+    rois = rois.astype(cf)
+    x1 = rois[:, 0] * spatial_scale - 0.5
+    y1 = rois[:, 1] * spatial_scale - 0.5
+    bin_w = (rois[:, 2] * spatial_scale - 0.5 - x1) / out_size
+    bin_h = (rois[:, 3] * spatial_scale - 0.5 - y1) / out_size
+
+    s = sampling_ratio
+    iy = jnp.arange(out_size, dtype=cf)
+    ss = (jnp.arange(s, dtype=cf) + 0.5) / s
+    grid = iy[None, :, None] + ss[None, None, :]            # (1, out, s)
+    ys = (y1[:, None, None] + grid * bin_h[:, None, None]).reshape(P, -1)
+    xs = (x1[:, None, None] + grid * bin_w[:, None, None]).reshape(P, -1)
+
+    def axis_weights(vs, N):
+        """(P, out*s) sample coords -> (P, out, N) averaged interp rows."""
+        m = ((vs >= -1.0) & (vs <= N)).astype(cf)
+        vc = jnp.clip(vs, 0.0, N - 1.0)
+        v0 = jnp.clip(jnp.floor(vc), 0.0, max(N - 2, 0))
+        t = vc - v0
+        idx = jnp.arange(N, dtype=cf)
+        w = ((idx == v0[..., None]) * (1.0 - t[..., None])
+             + (idx == v0[..., None] + 1.0) * t[..., None]) * m[..., None]
+        return w.reshape(P, out_size, s, N).mean(axis=2)
+
+    wy = axis_weights(ys, Hm)                               # (P, out, Hm)
+    wx = axis_weights(xs, Wm)                               # (P, out, Wm)
+    tmp = jnp.einsum("poh,phw->pow", wy, maps.astype(cf))
+    return jnp.einsum("pow,pqw->poq", tmp, wx)              # (P, out, out)
+
+
 def _fused_multi_level(feats, rois, lvl, roi_valid, strides,
                        out_size: int, sampling_ratio: int = 2):
     """Pool each ROI ONLY at its assigned level via one gather over the

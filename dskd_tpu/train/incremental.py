@@ -360,6 +360,13 @@ def train_one_task(model, cfg: ExperimentConfig, tid: int, task_nums: int,
                 log.info("task %d epoch %d eval: %s", tid, epoch,
                          {k: round(v, 4) for k, v in stats.items()
                           if not k.startswith("AP_")})
+                # the reference's TextLoggerHook writes val rows to the
+                # work-dir log json as well (mmcv logger_hooks); tests
+                # and tools read per-task eval mAP from these rows
+                metrics.log_metrics(
+                    "val", epoch, 0,
+                    {k: v for k, v in stats.items()
+                     if not k.startswith("AP_")}, task=tid)
 
             if jax.process_count() == 1:
                 th = threading.Thread(target=run_eval, daemon=True,

@@ -90,3 +90,34 @@ def test_roi_align_matches_mmcv_kernel_interior_and_edges():
                                    sampling_ratio=s))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5,
                                    err_msg=f"scale={scale} ratio={s}")
+
+
+def test_own_map_matmul_matches_gather_formulation():
+    """roi_align_own_map (separable batched-matmul mask-target crop)
+    must reproduce the vmapped-gather roi_align exactly (same sample
+    grid, same border band/clamps) — PERF.md finding 17."""
+    import jax
+    import jax.numpy as jnp
+
+    from dskd_tpu.ops.roi_align import roi_align, roi_align_own_map
+
+    rng = np.random.RandomState(0)
+    P, Hm, Wm = 13, 37, 53
+    maps = (rng.rand(P, Hm, Wm) > 0.5).astype(np.float32)
+    # boxes in image coords at stride 4, incl. degenerate/border cases
+    xy = rng.rand(P, 2).astype(np.float32) * 150 - 10
+    wh = rng.rand(P, 2).astype(np.float32) * 120 + 1
+    rois = np.concatenate([xy, xy + wh], -1)
+    rois[0] = [-20, -20, -15, -15]          # fully outside band
+    rois[1] = [0, 0, 4 * Wm, 4 * Hm]        # whole map
+    rois[2] = [3, 3, 3.4, 3.6]              # sub-pixel
+
+    def one(m, r):
+        return roi_align(m[..., None], r[None], out_size=14,
+                         spatial_scale=0.25)[0, :, :, 0]
+
+    ref = jax.vmap(one)(jnp.asarray(maps), jnp.asarray(rois))
+    got = roi_align_own_map(jnp.asarray(maps), jnp.asarray(rois),
+                            out_size=14, spatial_scale=0.25)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
