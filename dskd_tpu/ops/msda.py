@@ -309,6 +309,70 @@ def ms_deform_attn_core(value: jnp.ndarray,
             x0c = jnp.clip(x0 + 1, 0, w + 1).astype(jnp.int32)
             y0c = jnp.clip(y0 + 1, 0, h + 1).astype(jnp.int32)
             flat = y0c * (w + 2) + x0c                 # (B, Q, H, P)
+            # DSKD_WINBWD=1: keep THIS forward (the measured floor) but
+            # compute its table/weight cotangents with the windowed
+            # transpose-MXU kernel instead of XLA's scatter-add
+            # (ops/window_bwd.py; >=11 ms/step of bf16 scatter fusions in
+            # the round-5 flagship trace). Same per-source-level window
+            # segmentation + lax.cond exactness fallback as the fused
+            # window forward.
+            winbwd = (os.environ.get("DSKD_WINBWD", "0") == "1"
+                      and raster_queries
+                      and Q == sum(hh * ww for hh, ww in spatial_shapes))
+            if winbwd:
+                from .fused_window import segment_window_starts
+                from .window_bwd import (_plain_sample,
+                                         windowed_bwd_sample)
+                tile_q = fwin_tile_q
+                margin = int(os.environ.get("DSKD_FWIN_MARGIN", "6"))
+                spk = packedk.shape[1]
+                parts = []
+                q0 = 0
+                for (hs, ws_) in spatial_shapes:
+                    n = hs * ws_
+                    rows_per_tile = (tile_q / ws_) * (h / hs)
+                    need = int(rows_per_tile) + 2 * margin + 2
+                    k_seg = min(-(-(need * (w + 2)) // 16) * 16, spk)
+                    n_pad = -(-n // tile_q) * tile_q
+                    f_s = flat[:, q0:q0 + n]
+                    # Mosaic cannot scalar-index minor dims of 16-bit
+                    # operands -> weights ride f32 (fwin does the same)
+                    w_s = cw[:, q0:q0 + n].astype(jnp.float32)
+                    if k_seg > spk // 2 or n < tile_q:
+                        parts.append(_plain_sample(packedk, f_s, w_s))
+                        q0 += n
+                        continue
+                    starts = segment_window_starts(
+                        n, tile_q, (hs, ws_), (h, w), spk, k_seg)
+                    starts_a = jnp.asarray(starts, jnp.int32)
+                    if n_pad > n:   # pad into the last tile's window
+                        f_s = jnp.pad(
+                            f_s, ((0, 0), (0, n_pad - n), (0, 0),
+                                  (0, 0)),
+                            constant_values=starts[-1])
+                        w_s = jnp.pad(
+                            w_s, ((0, 0), (0, n_pad - n), (0, 0),
+                                  (0, 0), (0, 0)))
+                    local = f_s - jnp.repeat(
+                        starts_a, tile_q)[None, :, None, None]
+                    in_win = ((local >= 0) & (local < k_seg)).all()
+                    seg = jax.lax.cond(
+                        in_win,
+                        lambda ops, _k=k_seg: windowed_bwd_sample(
+                            packedk, ops[0], ops[1], starts_a, _k,
+                            tile_q),
+                        lambda ops: _plain_sample(
+                            packedk, ops[0], ops[1]),
+                        (f_s, w_s))
+                    parts.append(seg[:, :n])
+                    q0 += n
+                acc = jnp.concatenate(parts, axis=1).astype(dt)
+                if out_q is None:
+                    out_q = jnp.zeros((B, Q, H, D), dt)
+                out_q = out_q + sum(acc[..., c * D:(c + 1) * D]
+                                    for c in range(4))
+                start += h * w
+                continue
             acc = jnp.zeros((B, Q, H, 4 * D), dt)
             for p in range(P):
                 g = jnp.take_along_axis(
