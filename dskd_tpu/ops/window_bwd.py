@@ -45,33 +45,36 @@ def _plain_sample(packedk, flat, cw):
 
 
 def _make_bwd_kernel(K: int, P: int, d: int):
+    # all refs ride the H-MAJOR layout (B, H, ...) so every block keeps
+    # its last two dims equal to the array's (the Mosaic (8, 128)
+    # block-shape rule rejects interior H-dim blocks of size 1)
     def bwd_kernel(starts_ref, idx_ref, w_ref, g_ref, table_ref,
                    dtable_ref, dw_ref):
         t = pl.program_id(2)
         ws = pl.multiple_of(starts_ref[t], SUBLANE_ALIGN)
-        tq = idx_ref.shape[1]
-        win = table_ref[0, pl.ds(ws, K), 0, :]              # (K, 4d)
+        tq = idx_ref.shape[2]
+        win = table_ref[0, 0, pl.ds(ws, K), :]              # (K, 4d)
         cols = jax.lax.broadcasted_iota(jnp.int32, (tq, K), 1)
-        gout = g_ref[0, :, 0, :].astype(jnp.float32)        # (TQ, 4d)
+        gout = g_ref[0, 0].astype(jnp.float32)              # (TQ, 4d)
 
         @pl.when(t == 0)
         def _():
-            dtable_ref[0] = jnp.zeros_like(dtable_ref[0])
+            dtable_ref[0, 0] = jnp.zeros_like(dtable_ref[0, 0])
 
         for p in range(P):
-            local = idx_ref[0, :, 0, p][:, None] - ws       # (TQ, 1)
+            local = idx_ref[0, 0, :, p][:, None] - ws       # (TQ, 1)
             # escapes never match cols in [0, K) -> zero row for free
             oh = (cols == local).astype(table_ref.dtype)
             gw = jnp.concatenate(
                 [gout[:, c * d:(c + 1) * d]
-                 * w_ref[0, :, 0, p, c][:, None]
+                 * w_ref[0, 0, :, p, c][:, None]
                  for c in range(4)], axis=1).astype(table_ref.dtype)
-            dtable_ref[0, pl.ds(ws, K), 0, :] += jnp.dot(
+            dtable_ref[0, 0, pl.ds(ws, K), :] += jnp.dot(
                 oh.T, gw, preferred_element_type=jnp.float32
             ).astype(dtable_ref.dtype)
             gs = jnp.dot(oh, win, preferred_element_type=jnp.float32)
             for c in range(4):
-                dw_ref[0, :, 0, p, c] = (
+                dw_ref[0, 0, :, p, c] = (
                     gs[:, c * d:(c + 1) * d]
                     * gout[:, c * d:(c + 1) * d]).sum(axis=1).astype(
                         dw_ref.dtype)
@@ -101,34 +104,41 @@ def _wbs_bwd(window, tile_q, res, g):
     B, S, H, D4 = packedk.shape
     Q, P = flat.shape[1], flat.shape[3]
     kernel = _make_bwd_kernel(window, P, D4 // 4)
+    # H-major views (one cheap HBM transpose each way in the backward
+    # only — the forward keeps the transpose-free pack-kernel layout)
+    flat_h = flat.transpose(0, 2, 1, 3)            # (B, H, Q, P)
+    cw_h = cw.transpose(0, 2, 1, 3, 4)             # (B, H, Q, P, 4)
+    g_h = g.transpose(0, 2, 1, 3)                  # (B, H, Q, 4D)
+    tbl_h = packedk.transpose(0, 2, 1, 3)          # (B, H, S, 4D)
     dtable, dw = pl.pallas_call(
         kernel,
         grid=(B, H, Q // tile_q),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, tile_q, 1, P), lambda b, h, t: (b, t, h, 0),
+            pl.BlockSpec((1, 1, tile_q, P), lambda b, h, t: (b, h, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_q, 1, P, 4),
-                         lambda b, h, t: (b, t, h, 0, 0),
+            pl.BlockSpec((1, 1, tile_q, P, 4),
+                         lambda b, h, t: (b, h, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_q, 1, D4), lambda b, h, t: (b, t, h, 0),
+            pl.BlockSpec((1, 1, tile_q, D4), lambda b, h, t: (b, h, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, 1, D4), lambda b, h, t: (b, 0, h, 0),
+            pl.BlockSpec((1, 1, S, D4), lambda b, h, t: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, S, 1, D4), lambda b, h, t: (b, 0, h, 0),
+            pl.BlockSpec((1, 1, S, D4), lambda b, h, t: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_q, 1, P, 4),
-                         lambda b, h, t: (b, t, h, 0, 0),
+            pl.BlockSpec((1, 1, tile_q, P, 4),
+                         lambda b, h, t: (b, h, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, S, H, D4), packedk.dtype),
-            jax.ShapeDtypeStruct((B, Q, H, P, 4), cw.dtype),
+            jax.ShapeDtypeStruct((B, H, S, D4), packedk.dtype),
+            jax.ShapeDtypeStruct((B, H, Q, P, 4), cw.dtype),
         ],
-    )(starts, flat, cw, g, packedk)
-    return dtable, None, dw, None
+    )(starts, flat_h, cw_h, g_h, tbl_h)
+    return (dtable.transpose(0, 2, 1, 3), None,
+            dw.transpose(0, 2, 1, 3, 4), None)
 
 
 windowed_bwd_sample.defvjp(_wbs_fwd, _wbs_bwd)
